@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Event-table queries: the per-ID accumulation + time-range semantics
+  * from the reference (stats per uid/gid, `--since/--from/--to` ranges,
+  * internal/util.go:20-43), plus a batch equivalent of the streaming
+  * hourly-window aggregation (see graft.streaming for the
+  * Structured Streaming form of the same plan).
+  *
+  * The events parquet stores TIMESTAMP(NANOS); outputs normalize time
+  * to epoch seconds (BIGINT) so Spark and DuckDB hash identically.
+  */
+object Events {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2/A3 per-ID running totals (reference report_stats.go:197-229).
+    "q_events_per_user" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+          round(max(col("value")), 2).as("max_value"))
+        .orderBy(asc("user_id"))
+    }),
+
+    // Time-range filter (reference internal/util.go:20-43) + grouped agg.
+    "q_events_time_range" -> ((s, dir) => {
+      events(s, dir)
+        .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(asc("event_type"))
+    }),
+
+    // Batch form of the streaming hourly tumbling-window aggregation.
+    "q_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(asc("hour_epoch"), asc("event_type"))
+        .limit(200)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_events_per_user" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_time_range" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200""".stripMargin
+  )
+}

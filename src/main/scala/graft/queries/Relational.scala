@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+
+/** Relational operators from SURVEY.md §2 mapped onto the TPC-H-ish
+  * testdata tables. Each query has a DuckDB oracle with matching output
+  * column names and deterministic ordering.
+  *
+  * Scale notes (100 TB): every aggregation here is a single
+  * partial+final hash aggregate (one shuffle); top-N compiles to
+  * TakeOrderedAndProject (no global sort); dimension joins broadcast;
+  * the only window function partitions by a group key, never a global
+  * ORDER BY over the fact table.
+  */
+object Relational {
+
+  private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2 ComputeTotals analog (reference stats/totals.go:150-209).
+    "q_agg_totals" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(revenue), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // K1 bounded top-N (reference report_stats.go:71-82) — physical plan
+    // is TakeOrderedAndProject, the distributed equivalent of the
+    // reference's bounded min-max heap.
+    "q_top_orders" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // K3 per-ID top-N (reference report_stats.go:169-182).
+    "q_topn_per_group" -> ((s, dir) => {
+      val byPart = lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      val w = Window.partitionBy("l_returnflag").orderBy(desc("qty"), asc("l_partkey"))
+      byPart.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .orderBy(asc("l_returnflag"), asc("rk"))
+    }),
+
+    // K4+K6 merged rankings (reference report_stats.go:117-167): compute
+    // all metrics in ONE aggregated frame, then take ranked views —
+    // avoids the reference's 5 separate heaps + outer-merge.
+    "q_merged_rank" -> ((s, dir) => {
+      val perCust = orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("bytes"),
+          count(lit(1)).as("files"))
+      val byBytes = perCust.orderBy(desc("bytes"), asc("o_custkey")).limit(5)
+      val byFiles = perCust.orderBy(desc("files"), asc("o_custkey")).limit(5)
+      byBytes.unionByName(byFiles).distinct()
+        .orderBy(asc("o_custkey"))
+    }),
+
+    // J1 anti-join (reference analyze.go:383-424 deleted-children
+    // detection): customers with no high-value order.
+    "q_anti_join" -> ((s, dir) => {
+      customer(s, dir)
+        .join(orders(s, dir).where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(asc("c_custkey"))
+    }),
+
+    // J5 semi-join (reference hardlinks_op.go:38-48).
+    "q_semi_join" -> ((s, dir) => {
+      supplier(s, dir)
+        .join(lineitem(s, dir).where(col("l_quantity") > 49),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(asc("s_suppkey"))
+    }),
+
+    // J3 broadcast dimension join (reference usernames/usergroups.go:26-60).
+    "q_nation_revenue" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(revenue), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(asc("r_name"), asc("n_name"))
+    }),
+
+    // J4 hardlink dedup (reference hardlinks/hardlinks.go:31-43,
+    // totals.go:156-189): (l_partkey, l_suppkey) plays (device, inode);
+    // canonical link = lowest (orderkey, linenumber) — deterministic,
+    // unlike the reference's scan-order-dependent "first seen".
+    "q_hardlink_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("l_partkey", "l_suppkey")
+        .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+      lineitem(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("rk") === 1, 1)).as("n_canonical"),
+          count(when(col("rk") > 1, 1)).as("n_hardlinks"),
+          round(sum(when(col("rk") === 1, col("l_extendedprice")).otherwise(lit(0))), 2)
+            .as("canonical_bytes"))
+    }),
+
+    // A4 disk-usage calculators (reference config.go:193-208 +
+    // cloudeng.io/file/diskusage): identity vs block-rounded storage,
+    // pure integer arithmetic — no UDF, fully codegen'd.
+    "q_du_calc" -> ((s, dir) => {
+      lineitem(s, dir)
+        .withColumn("sz", floor(col("l_extendedprice")).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("sz")).as("identity_bytes"),
+          sum(expr("((sz + 511) div 512) * 512")).as("block512_bytes"),
+          sum(expr("((sz + 4095) div 4096) * 4096")).as("block4096_bytes"))
+        .orderBy(asc("l_returnflag"))
+    }),
+
+    // S4 point lookup (reference scandb.go:170-187): predicate pushdown
+    // to the parquet scan turns this into a min/max-pruned point get.
+    "q_point_lookup" -> ((s, dir) => {
+      orders(s, dir)
+        .where(col("o_orderkey") === 42)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    // S5/P3 ordered range scan (reference badgerdb.go:240-272,
+    // find.go:75-96): range predicate + order + early termination
+    // (limit) — Spark prunes row groups via parquet min/max stats.
+    "q_range_scan" -> ((s, dir) => {
+      orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(asc("order_date"), asc("o_orderkey"))
+        .limit(100)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_agg_totals" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_top_orders" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_partkey, qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY qty DESC, l_partkey) AS rk
+        |  FROM (SELECT l_returnflag, l_partkey, round(sum(l_quantity),2) AS qty
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin,
+    "q_merged_rank" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS bytes,
+        |         count(*) AS files
+        |  FROM orders GROUP BY 1),
+        |by_bytes AS (SELECT * FROM per_cust ORDER BY bytes DESC, o_custkey LIMIT 5),
+        |by_files AS (SELECT * FROM per_cust ORDER BY files DESC, o_custkey LIMIT 5)
+        |SELECT DISTINCT * FROM (SELECT * FROM by_bytes UNION ALL SELECT * FROM by_files)
+        |ORDER BY o_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_hardlink_dedup" ->
+      """WITH ranked AS (
+        |  SELECT l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_partkey, l_suppkey
+        |                       ORDER BY l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        |  count(CASE WHEN rk = 1 THEN 1 END) AS n_canonical,
+        |  count(CASE WHEN rk > 1 THEN 1 END) AS n_hardlinks,
+        |  round(sum(CASE WHEN rk = 1 THEN l_extendedprice ELSE 0 END), 2)
+        |    AS canonical_bytes
+        |FROM ranked""".stripMargin,
+    "q_du_calc" ->
+      """SELECT l_returnflag,
+        |  sum(sz) AS identity_bytes,
+        |  sum(((sz + 511) // 512) * 512) AS block512_bytes,
+        |  sum(((sz + 4095) // 4096) * 4096) AS block4096_bytes
+        |FROM (SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS sz
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+    "q_range_scan" ->
+      """SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-02-01'
+        |ORDER BY order_date, o_orderkey LIMIT 100""".stripMargin
+  )
+}
