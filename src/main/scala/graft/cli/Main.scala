@@ -1,0 +1,161 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.FileOperands
+import graft.ingest.{Snapshot, Walker}
+import graft.reports.Reports
+import graft.stats.{Calculator, Stats}
+
+/** CLI mirroring the reference's command surface (main.go:46-114):
+  *
+  * {{{
+  * analyze  --db DIR ROOT [--exclude RE]...      scan a tree → snapshot
+  * find     --db DIR EXPR...                     filtered enumeration
+  * stats    --db DIR [--n N] [--calc C] EXPR...  totals + top-N
+  * errors   --db DIR                             scan error rows
+  * logs     --db DIR                             scan run log
+  * expression-syntax                             operand help
+  * }}}
+  *
+  * Run via: sbt "runMain graft.cli.Main <cmd> ...".
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "analyze" :: rest => analyze(rest)
+    case "find" :: rest => find(rest)
+    case "stats" :: rest => stats(rest)
+    case "errors" :: rest => listTable(rest, Snapshot.readErrors(_, _))
+    case "logs" :: rest => logs(rest)
+    case "expression-syntax" :: Nil => println(expressionSyntax)
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println(
+        "usage: analyze|find|stats|errors|logs|expression-syntax")
+      sys.exit(2)
+  }
+
+  private final case class Opts(
+      db: String = "", n: Int = 10, calc: String = "identity",
+      excludes: List[String] = Nil, positional: List[String] = Nil)
+
+  private def parseOpts(args: List[String]): Opts = args match {
+    case "--db" :: v :: rest => parseOpts(rest).copy(db = v)
+    case "--n" :: v :: rest => parseOpts(rest).copy(n = v.toInt)
+    case "--calc" :: v :: rest => parseOpts(rest).copy(calc = v)
+    case "--exclude" :: v :: rest =>
+      val o = parseOpts(rest); o.copy(excludes = v :: o.excludes)
+    case p :: rest => val o = parseOpts(rest); o.copy(positional = p :: o.positional)
+    case Nil => Opts()
+  }
+
+  private def require_(cond: Boolean, msg: String): Unit =
+    if (!cond) { System.err.println(msg); sys.exit(2) }
+
+  private def analyze(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty && o.positional.nonEmpty, "analyze --db DIR ROOT")
+    val root = o.positional.head
+    val spark = session()
+    val t0 = System.currentTimeMillis()
+    val res = Walker.walk(spark, root, exclusions = o.excludes)
+    res.records.cache()
+    val name = Snapshot.write(o.db, res.entries.toDF(), res.errors.toDF())
+    val files = Snapshot.readFiles(spark, o.db)
+    val nFiles = files.where(!col("is_dir")).count()
+    val nDirs = files.where(col("is_dir")).count()
+    val nErr = Snapshot.readErrors(spark, o.db).count()
+    val bytes = files.where(!col("is_dir")).agg(coalesce(sum("size"), lit(0L)))
+      .collect()(0).getLong(0)
+    import spark.implicits._
+    Snapshot.appendLog(spark, o.db, Seq(graft.model.ScanLog(
+      new java.sql.Timestamp(t0), new java.sql.Timestamp(System.currentTimeMillis()),
+      root, nDirs, nFiles, nErr, bytes)).toDF())
+    println(s"snapshot $name: $nDirs prefixes, $nFiles files, " +
+      s"${Reports.formatSize(bytes)}, $nErr errors")
+    spark.stop()
+  }
+
+  private def find(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty, "find --db DIR EXPR...")
+    val expr = o.positional.reverse.mkString(" ")
+    val spark = session()
+    val files = Snapshot.readFiles(spark, o.db)
+    val m = FileOperands().compile(expr)
+    // Ordered enumeration, streamed to stdout (reference find.go:75-96).
+    files.where(m).select("path").orderBy("path")
+      .toLocalIterator().forEachRemaining(r => println(r.getString(0)))
+    spark.stop()
+  }
+
+  private def stats(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty, "stats --db DIR [--n N] [--calc C] EXPR...")
+    val expr = o.positional.reverse.mkString(" ")
+    val spark = session()
+    val files = Snapshot.readFiles(spark, o.db)
+    val ops = FileOperands()
+    val m = ops.compile(expr)
+    val c = Stats.compute(files, prefixMatch = m, entryMatch = m,
+      calc = Calculator.parse(o.calc))
+    println(Reports.markdown(c.totals, s"Totals for '$expr'"))
+    Stats.rankedMetrics.foreach { metric =>
+      println(Reports.markdown(
+        Stats.topPrefixes(c.perPrefix, metric, o.n), s"Top ${o.n} by $metric"))
+    }
+    println(Reports.markdown(
+      c.perUser.orderBy(desc("bytes")).limit(o.n), "Usage by user"))
+    println(Reports.markdown(
+      c.perGroup.orderBy(desc("bytes")).limit(o.n), "Usage by group"))
+    spark.stop()
+  }
+
+  private def listTable(args: List[String],
+      read: (SparkSession, String) => DataFrame): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty, "--db DIR required")
+    val spark = session()
+    println(Reports.tsv(read(spark, o.db)))
+    spark.stop()
+  }
+
+  private def logs(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty, "logs --db DIR")
+    val spark = session()
+    println(Reports.tsv(spark.read.parquet(s"${o.db}/scan_log").orderBy("start")))
+    spark.stop()
+  }
+
+  private val expressionSyntax: String =
+    """Boolean expression operands (combine with && || ! and parentheses):
+      |  name=GLOB        glob match on basename or full path
+      |  iname=GLOB       case-insensitive name match
+      |  re=REGEXP        regexp match on full path
+      |  type=f|d|l|x     file / directory / symlink / executable
+      |  newer=DATE       modified after DATE (yyyy-mm-dd or RFC3339)
+      |  larger=N         size >= N bytes
+      |  smaller=N        size <= N bytes
+      |  dir-larger=N     directory with more than N entries
+      |  dir-smaller=N    directory with fewer than N entries
+      |  user=UID|NAME    owned by user
+      |  group=GID|NAME   owned by group
+      |  hardlink=PATH    same (device, inode) as PATH
+      |""".stripMargin
+}

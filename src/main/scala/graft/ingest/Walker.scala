@@ -1,0 +1,181 @@
+package graft.ingest
+
+import java.nio.file.{Files, LinkOption, Path, Paths}
+import java.sql.Timestamp
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.{FileEntry, ScanError}
+
+/** Distributed POSIX-tree ingest (reference analyze.go:111-123 +
+  * vendored cloudeng.io/file/filewalk), re-expressed for Spark's
+  * execution model:
+  *
+  *   - the driver walks only the first `seedDepth` levels (cheap —
+  *     thousands of dirs, not millions of files);
+  *   - directories at seedDepth become a Dataset of subtree seeds,
+  *     repartitioned to `parallelism`, and each task walks its seeds
+  *     iteratively via `mapPartitions` — the executor-side analogue of
+  *     the reference's `ConcurrentScans` goroutine pool, except tasks
+  *     scale across machines, not just cores;
+  *   - lstat metadata comes from `Files.readAttributes(…, "unix:*",
+  *     NOFOLLOW_LINKS)` — uid/gid/dev/ino/nlink/mode/size/mtime in one
+  *     syscall, replacing the reference's XAttr fetch
+  *     (analyze.go:214-222, xattr.go:23-45);
+  *   - exclusion regexes prune whole subtrees during the walk
+  *     (reference config.go:68-75, `stop=true` semantics);
+  *   - stat/list failures become ScanError rows, not exceptions
+  *     (reference error bucket, badgerdb.go:401-417).
+  *
+  * At 100 TB / 1e9 files: seedDepth 2-3 yields 10k+ seeds for 1000
+  * executors; skew from one giant subtree is bounded because every
+  * seedDepth directory is its own unit of work and the walk streams
+  * entries through `flatMap` — no per-task materialization. Symlinks
+  * are recorded, never followed (reference analyze.go:201-210).
+  */
+object Walker {
+
+  /** Unified walk record: exactly one of entry/error is set. One pass
+    * over the tree yields both the fact table and the error table. */
+  final case class Record(entry: Option[FileEntry], error: Option[ScanError])
+
+  final case class Result(records: Dataset[Record]) {
+    def entries: Dataset[FileEntry] = {
+      val spark = records.sparkSession
+      import spark.implicits._
+      records.flatMap(_.entry)
+    }
+    def errors: Dataset[ScanError] = {
+      val spark = records.sparkSession
+      import spark.implicits._
+      records.flatMap(_.error)
+    }
+  }
+
+  def walk(
+      spark: SparkSession,
+      root: String,
+      exclusions: Seq[String] = Nil,
+      seedDepth: Int = 2,
+      parallelism: Int = 0): Result = {
+    import spark.implicits._
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    val rootPath = Paths.get(root).toAbsolutePath.normalize
+    val exPatterns = exclusions // keep as strings: Regex is not serializable-stable
+
+    // Driver-side seeding: levels [0, seedDepth) are walked here; dirs
+    // at seedDepth become executor work units.
+    val driverRecords = mutable.ArrayBuffer.empty[Record]
+    val seeds = mutable.ArrayBuffer.empty[String]
+    val exRes = exPatterns.map(_.r)
+    def seed(dir: Path, depth: Int): Unit = {
+      val (records, subdirs) = walkOneDir(dir, depth, exRes)
+      driverRecords ++= records
+      if (depth + 1 >= seedDepth) seeds ++= subdirs.map(_.toString)
+      else subdirs.foreach(d => seed(d, depth + 1))
+    }
+    seed(rootPath, 0)
+
+    val seedDs = spark.createDataset(seeds.toSeq)
+      .repartition(math.max(1, math.min(par, math.max(1, seeds.size))))
+    val walked = seedDs.mapPartitions { it =>
+      val ex = exPatterns.map(_.r)
+      it.flatMap(dir => walkSubtree(Paths.get(dir), ex))
+    }
+    Result(walked.union(spark.createDataset(driverRecords.toSeq)))
+  }
+
+  /** Iteratively walk a subtree (explicit stack — no recursion-depth
+    * limit), streaming records as they are produced. */
+  private def walkSubtree(start: Path, exclusions: Seq[Regex]): Iterator[Record] = {
+    val startDepth = start.getNameCount
+    val stack = mutable.Stack[(Path, Int)]((start, startDepth))
+    new Iterator[Record] {
+      private var pending: List[Record] = Nil
+      private def refill(): Unit =
+        while (pending.isEmpty && stack.nonEmpty) {
+          val (dir, depth) = stack.pop()
+          val (records, subdirs) = walkOneDir(dir, depth, exclusions)
+          subdirs.foreach(d => stack.push((d, depth + 1)))
+          pending = records.toList
+        }
+      def hasNext: Boolean = { refill(); pending.nonEmpty }
+      def next(): Record = {
+        refill(); val h = pending.head; pending = pending.tail; h
+      }
+    }
+  }
+
+  /** List one directory: emit the dir's own row (with n_entries = child
+    * count) plus rows for child files and errors for unstat-able
+    * children; child dirs are returned for traversal. `depth` is the
+    * absolute path depth (used only relatively downstream).
+    */
+  private def walkOneDir(dir: Path, depth: Int,
+      exclusions: Seq[Regex]): (Seq[Record], Seq[Path]) = {
+    val records = Vector.newBuilder[Record]
+    val subdirs = Vector.newBuilder[Path]
+    try {
+      val children = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.toVector.sortBy(_.toString) finally s.close()
+      }
+      statEntry(dir, depth) match {
+        case Right(r) => records += Record(Some(r.copy(n_entries = children.size.toLong)), None)
+        case Left(e) => records += Record(None, Some(e))
+      }
+      children.filterNot(c => excluded(c.toString, exclusions)).foreach { c =>
+        statEntry(c, depth + 1) match {
+          case Right(r) if r.is_dir => subdirs += c
+          case Right(r) => records += Record(Some(r), None)
+          case Left(e) => records += Record(None, Some(e))
+        }
+      }
+    } catch {
+      case e: Exception =>
+        records += Record(None, Some(ScanError(dir.toString, now(), e.toString)))
+    }
+    (records.result(), subdirs.result())
+  }
+
+  private def excluded(path: String, exclusions: Seq[Regex]): Boolean =
+    exclusions.exists(_.findFirstIn(path).isDefined)
+
+  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+
+  /** lstat one path into a FileEntry (n_entries filled by caller for dirs). */
+  private def statEntry(p: Path, depth: Int): Either[ScanError, FileEntry] = {
+    try {
+      val attrs = Files.readAttributes(p, "unix:*", LinkOption.NOFOLLOW_LINKS).asScala
+      def long(k: String): Long = attrs(k) match {
+        case n: java.lang.Number => n.longValue()
+        case other => other.toString.toLong
+      }
+      val size = long("size")
+      Right(FileEntry(
+        path = p.toString,
+        parent = Option(p.getParent).map(_.toString).getOrElse(""),
+        name = Option(p.getFileName).map(_.toString).getOrElse(p.toString),
+        depth = depth,
+        is_dir = attrs("isDirectory").asInstanceOf[Boolean],
+        size = size,
+        // unix:* exposes no st_blocks; derive the conventional 512B count.
+        blocks = (size + 511) / 512,
+        mode = long("mode").toInt,
+        mod_time = new Timestamp(attrs("lastModifiedTime")
+          .asInstanceOf[java.nio.file.attribute.FileTime].toMillis),
+        uid = long("uid"),
+        gid = long("gid"),
+        device = long("dev"),
+        inode = long("ino"),
+        nlink = long("nlink"),
+        n_entries = 0L))
+    } catch {
+      case e: Exception => Left(ScanError(p.toString, now(), e.toString))
+    }
+  }
+}
