@@ -29,7 +29,8 @@ object SparkEntry {
     val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
       Seq(
         (Relational.queries, Relational.oracle),
-        (Events.queries, Events.oracle))
+        (Events.queries, Events.oracle),
+        (Pipeline.queries, Pipeline.oracle))
     val queries: Map[String, (SparkSession, String) => DataFrame] =
       modules.map(_._1).reduce(_ ++ _)
     val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

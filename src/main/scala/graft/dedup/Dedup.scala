@@ -1,0 +1,175 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *   - [[exact]]: hash → one partial+final aggregate (the hash, not the
+  *     text, shuffles — bytes on the wire ≈ 32B/doc).
+  *   - [[jaccardPairs]]: EXACT n-gram Jaccard via an inverted shingle
+  *     index — shuffle is bounded by Σ shingles, and the optional
+  *     document-frequency cutoff removes the quadratic blowup that
+  *     common shingles would cause.
+  *   - [[minhashSignatures]] + [[lshCandidatePairs]]: MinHash+LSH —
+  *     constant-size signature per doc (k longs), band buckets join
+  *     only probable near-dups; the classic sublinear near-dup path.
+  *   - [[simhash64]] + [[simhashCandidatePairs]]: 64-bit SimHash with
+  *     pigeonhole banding for hamming-distance ≤ 3 candidates.
+  *
+  * All signature computation is pure Column expressions (codegen'd,
+  * embarrassingly parallel, zero shuffle until the candidate join).
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct) of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact dedup: group identical (normalized) texts; canonical doc =
+    * min id (deterministic, like the hardlink rule in graft.stats). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.withColumn("text_hash", md5(norm))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+  }
+
+  /** EXACT pairwise n-gram Jaccard ≥ threshold, via inverted index:
+    * explode shingles → self-join per shingle → count shared shingles
+    * per pair → |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * @param maxShingleDf drop shingles occurring in more than this many
+    *   docs before pairing (0 = keep all). At scale a handful of
+    *   ubiquitous shingles would otherwise generate O(df²) pair rows;
+    *   dropping them changes recall only for pairs whose overlap is
+    *   dominated by boilerplate.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.3, maxShingleDf: Long = 0): DataFrame = {
+    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inverted0 = withSh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val inverted =
+      if (maxShingleDf <= 0) inverted0
+      else {
+        val dfCounts = inverted0.groupBy("shingle")
+          .agg(count(lit(1)).as("df_count"))
+          .where(col("df_count") <= maxShingleDf)
+          .select("shingle")
+        inverted0.join(dfCounts, "shingle")
+      }
+    val a = inverted.select(col("shingle"), col("doc").as("doc_a"), col("n_sh").as("n_a"))
+    val b = inverted.select(col("shingle"), col("doc").as("doc_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", round(
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent hash functions simulated by
+    * seeding xxhash64 with the hash index (Broder's scheme). Output:
+    * `sig` ARRAY<BIGINT> of length k. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .withColumn("sig", transform(
+        sequence(lit(0), lit(k - 1)),
+        seed => array_min(transform(col("sh"), s => xxhash64(s, seed)))))
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * k/bands rows each; docs sharing any band hash are candidates.
+    * Probability a pair with true Jaccard j becomes a candidate:
+    * 1 - (1 - j^r)^b with r = k/bands. */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int = 16): DataFrame = {
+    val rowsPerBand = size(col("sig")) / bands
+    val buckets = sigs
+      .select(col("doc"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(concat_ws("_",
+            bnd, concat_ws(",", slice(col("sig"),
+              bnd * rowsPerBand + 1, rowsPerBand).cast("array<string>")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pipeline: LSH candidates verified by exact
+    * Jaccard on the candidates only. */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, bands: Int = 16, n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, k, n)
+    val cands = lshCandidatePairs(sigs, bands)
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    cands
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over word tokens: bit i of the hash is the sign of
+    * Σ_tokens (±1 by bit i of xxhash64(token)). */
+  def simhash64(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    // shiftright/shiftleft in the Scala API take Int distances; inside
+    // a lambda the distance is a Column, so go through call_function.
+    def shr(x: Column, i: Column): Column = call_function("shiftright", x, i)
+    def shl(x: Column, i: Column): Column = call_function("shiftleft", x, i)
+    val bitSums = transform(sequence(lit(0), lit(63)), i =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shr(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, i) => when(s > 0, shl(lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates with hamming distance ≤ maxDist,
+    * found by the pigeonhole trick: split 64 bits into maxDist+1
+    * chunks; any pair within maxDist must agree on ≥1 whole chunk, so
+    * an equi-join per chunk finds all of them without a cross join. */
+  def simhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val hashed = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh64"))
+    val banded = hashed.select(col("doc"), col("sh64"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)), i =>
+        call_function("shiftrightunsigned", col("sh64"), i * width)
+          .bitwiseAND((1L << width) - 1))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    banded.as("x").join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        hamming64(col("x.sh64"), col("y.sh64")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

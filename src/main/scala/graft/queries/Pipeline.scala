@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables, with DuckDB oracles where the math is exactly
+  * SQL-expressible. Approximate operators (MinHash LSH, SimHash, IVF)
+  * have rows-only driver checks here and exactness/recall assertions
+  * in their ScalaTest specs.
+  */
+object Pipeline {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + quality metrics (one scan, zero shuffle).
+    "q_text_stats" -> ((s, dir) => {
+      val m = TextAnalysis.qualityMetrics(col("text")).toMap
+      documents(s, dir).select(
+        col("doc_id"),
+        m("n_tokens").as("n_tokens"),
+        m("alpha_ratio").as("alpha_ratio"),
+        m("space_ratio").as("space_ratio"),
+        m("mean_word_len").as("mean_word_len"))
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Language-ID by stopword-score argmax, grouped for compactness.
+    "q_lang_id" -> ((s, dir) => {
+      documents(s, dir)
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(asc("lang_pred"))
+    }),
+
+    // Winnowing-style rolling-hash fingerprint (min shingle hash).
+    "q_doc_fingerprint" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text"), 8).as("fingerprint"))
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Exact dedup by normalized text hash.
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(documents(s, dir), "text", "doc_id")
+        .groupBy()
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(col("n_copies") - 1).as("n_redundant_docs"))
+    }),
+
+    // EXACT 3-gram Jaccard near-dup pairs via inverted shingle index.
+    "q_near_dup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(documents(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.3)
+        .orderBy(asc("doc_a"), asc("doc_b"))
+    }),
+
+    // ANN: exact top-10 cosine neighbors of vec_id 0 (brute-force
+    // baseline; IVF path covered in SimilaritySpec).
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.topK(emb.where(col("vec_id") =!= 0), "embedding", "vec_id",
+        query, 10)
+    }),
+
+    // Exact k-NN join: 3 nearest neighbors for each of the first 5 ids.
+    "q_knn_join" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.knnJoin(emb, "embedding", "vec_id", queries, "qe", "qid", 3)
+        .orderBy(asc("query_id"), asc("rk"))
+    }),
+
+    // MinHash+LSH near-dups (approximate; rows-only driver check —
+    // recall vs the exact Jaccard pairs is asserted in DedupSpec).
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDups(documents(s, dir), "text", "doc_id",
+        k = 64, bands = 16, n = 3, threshold = 0.3)
+        .orderBy(asc("doc_a"), asc("doc_b"))
+    }),
+
+    // SimHash hamming-distance candidates (approximate; rows-only).
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashCandidatePairs(documents(s, dir), "text", "doc_id",
+        maxDist = 3)
+        .groupBy()
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(min(col("hamming")), lit(-1L)).as("min_hamming"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text), 4) AS alpha_ratio,
+        |  round(len(regexp_extract_all(text, '\s'))::DOUBLE / length(text), 4) AS space_ratio,
+        |  round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
+        |        / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH scores AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|with)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une|dans)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|por|con|para|como)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id, CASE
+        |    WHEN s_zh > 0 THEN 'zh'
+        |    WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |    WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM scores)
+        |SELECT lang_pred, count(*) AS n_docs FROM pred
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) < 8 THEN md5(text)
+        |       ELSE list_min([md5(substr(text, i, 8))
+        |                      for i in range(1, length(text) - 6)])
+        |  END AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH groups AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+        |         count(*) AS n_copies
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*) AS n_groups,
+        |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+        |  sum(n_copies - 1) AS n_redundant_docs
+        |FROM groups""".stripMargin,
+    "q_near_dup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] END) AS ws
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) AS score
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "q_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4) AS score,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |                       ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4) DESC,
+        |                                e.vec_id) AS rk
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, score, rk FROM scored
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+  )
+}

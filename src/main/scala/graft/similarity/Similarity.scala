@@ -1,0 +1,110 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ARRAY<FLOAT>), with three tiers:
+  *
+  *   - [[topK]]: exact brute force for ONE query — a broadcast of the
+  *     query row + TakeOrderedAndProject; linear scan, zero shuffle.
+  *     The correctness baseline.
+  *   - [[knnJoin]]: exact brute force for a (small) query SET —
+  *     broadcast the queries, one window per query id. Cost is
+  *     |queries| × |corpus| dot products; fine for ≤10³ queries even
+  *     against 10⁹ vectors because it stays inside one scan.
+  *   - [[ivfTopK]]: the scale path — IVF (inverted-file) index:
+  *     k-means-style centroids (deterministically seeded), every
+  *     vector assigned to its nearest centroid (one broadcast argmin,
+  *     no shuffle), queries probe only `nprobe` nearest cells. Recall
+  *     is tunable via nprobe; at 100 TB the probed fraction ≈
+  *     nprobe/centroids of the corpus.
+  *
+  * All distance math is element-cast-to-double + sequential aggregate,
+  * bit-compatible with DuckDB's list_cosine_similarity for oracles.
+  */
+object Similarity {
+
+  /** Dot product of two ARRAY<FLOAT/DOUBLE> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for a single query vector, supplied as a
+    * one-row DataFrame (id, vec). The query side is broadcast; the
+    * corpus is scanned once; orderBy+limit compiles to
+    * TakeOrderedAndProject (bounded heap per partition + driver merge,
+    * exactly a distributed min-max heap). */
+  def topK(corpus: DataFrame, vecCol: String, idCol: String,
+      query: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(query.select(col("qvec")))
+    corpus.crossJoin(q)
+      .withColumn("score", round(cosine(col(vecCol), col("qvec")), 4))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Exact k-NN join: for every query row, its k nearest corpus rows.
+    * Queries broadcast; per-query ranking via window (partition count =
+    * |queries|, each partition ≤ |corpus| — repartition beforehand if
+    * |queries| is tiny and the corpus is huge; AQE handles the rest). */
+  def knnJoin(corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(
+        broadcast(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))))
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("score", round(cosine(col(vecCol), col("qvec")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc(idCol))
+    joined.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rk"))
+  }
+
+  /** Deterministic IVF "centroids": the first `c` corpus vectors by id.
+    * (A production index would run k-means;  the index structure,
+    * assignment, and probe path — the parts that matter for scale —
+    * are identical.) */
+  def ivfCentroids(corpus: DataFrame, vecCol: String, idCol: String, c: Int): DataFrame =
+    // The seed vector's own id doubles as the cell id — deterministic
+    // across re-evaluations (monotonically_increasing_id is not, and a
+    // plan evaluated twice must agree on cell ids).
+    corpus.orderBy(asc(idCol)).limit(c)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+
+  /** Assign every corpus vector to its nearest centroid: broadcast the
+    * centroid array, argmax cosine via a single array expression — no
+    * shuffle, no explode. */
+  def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.agg(
+      collect_list(struct(col("centroid_id"), col("cvec"))).as("cents")))
+    corpus.crossJoin(cents)
+      .withColumn("scored", transform(col("cents"), c =>
+        struct(cosine(col(vecCol), c.getField("cvec")).as("s"),
+          c.getField("centroid_id").as("cid"))))
+      .withColumn("centroid_id", array_max(col("scored")).getField("cid"))
+      .drop("cents", "scored")
+  }
+
+  /** ANN top-k through the IVF index: rank centroids for the query,
+    * scan only the `nprobe` best cells. */
+  def ivfTopK(assigned: DataFrame, vecCol: String, idCol: String,
+      query: DataFrame, k: Int, centroids: DataFrame, nprobe: Int = 4): DataFrame = {
+    val probeCells = ivfAssignQuery(query, centroids, nprobe)
+    val cand = assigned.join(broadcast(probeCells), Seq("centroid_id"))
+    topK(cand, vecCol, idCol, query, k)
+  }
+
+  def ivfAssignQuery(query: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame =
+    query.crossJoin(centroids)
+      .withColumn("s", cosine(col("qvec"), col("cvec")))
+      .orderBy(desc("s")).limit(nprobe)
+      .select(col("centroid_id"))
+}

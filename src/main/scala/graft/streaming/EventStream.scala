@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming form of the event pipeline (SURVEY.md §2.8):
+  * the reference is batch-with-incremental-rescan; here the same
+  * aggregations run continuously with watermarked event time. State
+  * lives in the checkpointed state store, sized by (window × key)
+  * cardinality, not input volume — the 100 TB/day-safe shape.
+  */
+object EventStream {
+
+  /** Event schema matching Tables.events after ns→µs normalization. */
+  val eventSchema = "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+    "event_type STRING, value DOUBLE, props STRING"
+
+  /** Hourly tumbling-window totals per event type, 10-minute
+    * watermark: the streaming twin of q_events_hourly — identical
+    * grouped aggregation, plus late-data bounds. */
+  def hourlyTotals(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Per-user running session state via flatMapGroupsWithState: emits a
+    * session row when a user is idle past `gapMs` (reference has no
+    * streaming analogue; this is the KeyValueGroupedDataset custom
+    * state pattern). */
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, total_value: Double)
+
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("ts").cast("long") * 1000,
+      col("value")).as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(_._2)
+          var st = state.getOption.getOrElse(
+            SessionState(Long.MinValue, Long.MinValue, 0, 0))
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { case (_, t, v) =>
+            if (st.n == 0) st = SessionState(t, t, 1, v)
+            else if (t - st.last > gapMs) {
+              out += SessionOut(user, st.start, st.last, st.n, st.total)
+              st = SessionState(t, t, 1, v)
+            } else st = st.copy(last = t, n = st.n + 1, total = st.total + v)
+          }
+          state.update(st)
+          out.result().iterator
+        }).toDF()
+  }
+
+  /** Run a parquet-backed streaming query into an in-memory sink until
+    * all available input is processed (test/dev harness). */
+  def runToMemory(spark: SparkSession, sourceDir: String, name: String,
+      transform: DataFrame => DataFrame): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(sourceDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = transform(raw).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+}

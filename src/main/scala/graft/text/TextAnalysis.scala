@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language identification, and document
+  * fingerprinting. All pure Column expressions (codegen'd, no UDFs) —
+  * at 100 TB these run embarrassingly parallel inside the scan stage
+  * with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count: word-boundary pieces plus length/4
+    * overflow for long words — a cheap, deterministic proxy for LLM
+    * token budgeting (true BPE needs a vocab file; the shape is the
+    * same: one pass, no shuffle). */
+  def approxBpeTokenCount(text: Column): Column = {
+    val words = tokens(text)
+    aggregate(words, lit(0L),
+      (acc, w) => acc + lit(1L) + (length(w).cast("long") / 4L))
+  }
+
+  private def countMatches(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Character-class ratios + mean word length — the standard cheap
+    * quality signals (length, punctuation, alpha density). */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    def ratio(c: Column): Column = round(c.cast("double") / len, 4)
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_tokens" -> tokenCount(text).cast("long"),
+      "alpha_ratio" -> ratio(countMatches(text, "[A-Za-z]")),
+      "digit_ratio" -> ratio(countMatches(text, "[0-9]")),
+      "space_ratio" -> ratio(countMatches(text, "\\s")),
+      "punct_ratio" -> ratio(countMatches(text, "[.,;:!?'\"()-]")),
+      "mean_word_len" -> round(
+        (length(text) - countMatches(text, "\\s")).cast("double") /
+          tokenCount(text).cast("double"), 4))
+  }
+
+  /** Composite quality score in [0,1]: alpha-dense, some punctuation,
+    * sane word lengths. Weights are heuristic; the point is the shape
+    * (pure arithmetic over the metrics above). */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    val wordLenOk = when(m("mean_word_len").between(3.0, 10.0), 1.0).otherwise(0.5)
+    round(least(lit(1.0),
+      m("alpha_ratio") * 0.6 + m("space_ratio") * lit(2.0) * 0.2 +
+        wordLenOk * 0.2), 4)
+  }
+
+  /** Stopword inventories for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and public-knowledge. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "una", "por", "con", "para", "como"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"))
+
+  /** Per-language stopword-hit score: count of stopword occurrences as
+    * standalone words in the lowercased text. */
+  def langScore(text: Column, stopwords: Seq[String]): Column = {
+    val pattern = stopwords.mkString("\\b(", "|", ")\\b")
+    regexp_count(lower(text), lit(pattern)).cast("long")
+  }
+
+  /** Language-ID by argmax stopword score; CJK codepoint presence
+    * short-circuits to zh. Ties resolve in `langStopwords` order;
+    * all-zero scores → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (l, sw) => l -> langScore(text, sw) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(countMatches(text, "[\\x{4e00}-\\x{9fff}]") > 0, lit("zh")).otherwise(pick)
+  }
+
+  /** Winnowing-style document fingerprint: the minimum hash over all
+    * character k-shingles. Content moves/edits far from the minimum
+    * shingle leave the fingerprint unchanged — the classic rolling-hash
+    * fingerprint property. md5 keeps it oracle-comparable; see
+    * [[fingerprint64]] for the fast path. */
+  def fingerprintMd5(text: Column, k: Int = 8): Column =
+    when(length(text) < k, md5(text)).otherwise(
+      array_min(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => md5(text.substr(i, lit(k))))))
+
+  /** 64-bit xxhash64 variant of [[fingerprintMd5]] — the production
+    * fingerprint (8 bytes/doc instead of a hex string). */
+  def fingerprint64(text: Column, k: Int = 8): Column =
+    when(length(text) < k, xxhash64(text)).otherwise(
+      array_min(transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => xxhash64(text.substr(i, lit(k))))))
+}

@@ -1,0 +1,91 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Correctness of the approximate dedup paths against exact answers on
+  * a corpus with planted near-duplicates. */
+class DedupSpec extends SparkSpec {
+
+  private val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+
+  /** 40 base docs of 30 deterministic pseudo-random words + 10 near-dup
+    * variants (one word substituted) + 2 exact copies. */
+  private lazy val corpus = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      i.toLong -> (0 until 30).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val nearDups = (0 until 10).map { i =>
+      val (id, text) = base(i)
+      val words = text.split(" ")
+      words(15) = "REPLACED"
+      (100L + id) -> words.mkString(" ")
+    }
+    val exactDups = Seq(200L -> base(0)._2, 201L -> base(1)._2)
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under min id") {
+    val res = Dedup.exact(corpus, "text", "doc_id")
+    val dups = res.where(col("n_copies") > 1).collect()
+    assert(dups.length == 2)
+    assert(dups.map(_.getAs[Long]("canonical_id")).sorted.toSeq == Seq(0L, 1L))
+    assert(dups.forall(_.getAs[Long]("n_copies") == 2))
+  }
+
+  test("exact jaccard pairs find planted near-dups and exact dups") {
+    val pairs = Dedup.jaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-word edit in 30 words kills 3 of 28 shingles → j = 25/31 ≈ 0.81
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, 100L + i)), s"missing near-dup pair $i")
+    }
+    assert(pairs.contains((0L, 200L)) && pairs.contains((1L, 201L)))
+  }
+
+  test("minhash LSH achieves full recall on high-jaccard pairs here") {
+    val exact = Dedup.jaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      k = 64, bands = 16, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes approx ⊆ exact; recall on j≥0.8 pairs
+    // with b=16, r=4 is 1-(1-0.8^4)^16 ≈ 0.9998 per pair
+    assert(approx.subsetOf(exact))
+    assert(exact.forall(approx.contains), s"LSH missed ${exact -- approx}")
+  }
+
+  test("minhash df cutoff drops boilerplate-driven pairs only") {
+    val noCut = Dedup.jaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.5)
+    val cut = Dedup.jaccardPairs(corpus, "text", "doc_id", n = 3,
+      threshold = 0.5, maxShingleDf = 50)
+    assert(cut.count() == noCut.count()) // no shingle is that common here
+  }
+
+  test("simhash: identical docs hamming 0, near-dups close, distinct far") {
+    val s = spark
+    import s.implicits._
+    val hashed = corpus.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(0L) == hashed(200L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashed(0L), hashed(100L)) <= 12) // 1-word edit: small drift
+    val interDoc = for (i <- 2L to 8L) yield ham(hashed(i), hashed(i + 20))
+    assert(interDoc.max > 12) // unrelated docs drift far
+  }
+
+  test("simhash pigeonhole join finds all pairs within maxDist") {
+    val pairs = Dedup.simhashCandidatePairs(corpus, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    // exact copies must surface at distance 0
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 200L && p._3 == 0L))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 201L && p._3 == 0L))
+    // and nothing beyond the bound leaks through
+    assert(pairs.forall(_._3 <= 3))
+  }
+}

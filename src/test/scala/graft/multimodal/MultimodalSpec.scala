@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media =
+    Multimodal.mediaFromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+
+  test("media table schema: binary payload + typed metadata struct") {
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    assert(media.count() == 500)
+  }
+
+  test("feature extraction is batched, deterministic, and normalized") {
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.feature_dim == 16))
+    // L1 normalization: histogram sums to 1 for non-empty payloads
+    assert(rows.forall(r => math.abs(r.features.sum - 1.0f) < 1e-3))
+    // deterministic: same input → same checksum on re-run
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.sortBy(_.media_id).map(_.checksum)
+      .sameElements(again.sortBy(_.media_id).map(_.checksum)))
+  }
+
+  test("frame sampling explodes offsets within duration") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 500L)
+    val one = frames.where(col("media_id") === 2).collect()
+    val dur = media.where(col("media_id") === 2)
+      .select(col("meta.duration_ms")).collect()(0).getLong(0)
+    assert(one.length == (dur / 500 + 1).toInt)
+    assert(one.map(_.getAs[Long]("offset_ms")).max <= dur)
+  }
+
+  test("metadata-only query prunes the payload column from the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(tmp)
+    val stats = Multimodal.metadataStats(spark.read.parquet(tmp))
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("payload"),
+      s"payload column must be pruned from scan:\n$plan")
+    assert(stats.collect().map(_.getAs[Long]("n_media")).sum == 500)
+  }
+}

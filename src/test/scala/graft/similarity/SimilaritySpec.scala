@@ -1,0 +1,73 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  /** 3 well-separated clusters of 20 vectors each in R^8. */
+  private lazy val corpus = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 0f, 0f))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 20
+    } yield ((ci * 20 + i).toLong,
+      c.map(v => v + rnd.nextFloat() - 0.5f), ci)
+    rows.toDF("vec_id", "embedding", "cluster")
+  }
+
+  test("brute-force topK returns same-cluster neighbors, ordered") {
+    val q = corpus.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val top = Similarity.topK(corpus.where(col("vec_id") =!= 0),
+      "embedding", "vec_id", q, 5).collect()
+    assert(top.length == 5)
+    assert(top.forall(_.getLong(0) < 20), "neighbors must be cluster 0")
+    val scores = top.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("knnJoin ranks per query") {
+    val qs = corpus.where(col("vec_id").isin(0L, 20L, 40L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val res = Similarity.knnJoin(corpus, "embedding", "vec_id", qs, "qe", "qid", 3)
+    val byQuery = res.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 20L, 40L))
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length == 3)
+      val cluster = qid / 20
+      assert(rows.forall(_.getLong(1) / 20 == cluster),
+        s"query $qid got cross-cluster neighbor")
+    }
+  }
+
+  test("IVF with enough probes matches brute force; fewer probes scan less") {
+    val cents = Similarity.ivfCentroids(corpus, "embedding", "vec_id", 6)
+    val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", cents)
+    assert(assigned.count() == 60)
+    val q = corpus.where(col("vec_id") === 5).select(col("embedding").as("qvec"))
+    val brute = Similarity.topK(corpus, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val ivfAll = Similarity.ivfTopK(assigned, "embedding", "vec_id", q, 5, cents,
+      nprobe = 6).collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == brute, "nprobe=all must equal brute force")
+
+    // With one representative centroid per cluster, probing the single
+    // nearest cell recovers the exact answer (brute's top-5 are all
+    // cluster-0): the recall/nprobe tradeoff working as designed.
+    val goodCents = corpus.where(col("vec_id").isin(0L, 20L, 40L))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val goodAssigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", goodCents)
+    val ivf1 = Similarity.ivfTopK(goodAssigned, "embedding", "vec_id", q, 5,
+      goodCents, nprobe = 1).collect().map(_.getLong(0)).toSeq
+    assert(ivf1 == brute, "nprobe=1 with per-cluster centroids must match")
+    // and the probed fraction really is one cell, not the corpus
+    assert(goodAssigned.where(col("centroid_id") === 0L).count() == 20)
+  }
+}

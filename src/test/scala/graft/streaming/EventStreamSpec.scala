@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming hourly totals equal the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    // the streaming file source requires a directory of files
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString,
+      "hourly_totals", EventStream.hourlyTotals)
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT * FROM hourly_totals ORDER BY hour_epoch, event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(asc("hour_epoch"), asc("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+}
