@@ -71,6 +71,10 @@ object Dedup {
     val b = inverted.select(col("shingle"), col("doc").as("doc_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
+      // length filter: j(A,B) ≥ t forces t·|B| ≤ |A| ≤ |B|/t, so
+      // size-mismatched pairs drop before the aggregation.
+      .where(col("n_a") >= col("n_b") * threshold &&
+        col("n_b") >= col("n_a") * threshold)
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", round(
@@ -82,13 +86,24 @@ object Dedup {
 
   /** MinHash signature: k independent hash functions simulated by
     * seeding xxhash64 with the hash index (Broder's scheme). Output:
-    * `sig` ARRAY<BIGINT> of length k. */
+    * `sig` ARRAY<BIGINT> of length k.
+    *
+    * Computed as ONE aggregate pass over the shingles that maintains
+    * all k minima at once. The naive nesting (transform over seeds ×
+    * array_min over shingles) re-evaluates the shingle expression k
+    * times per row after Catalyst collapses the projection into the
+    * lambda — higher-order functions don't codegen, so that costs k
+    * interpreted evaluations of split/lower/concat per ROW.
+    */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 64, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", transform(
-        sequence(lit(0), lit(k - 1)),
-        seed => array_min(transform(col("sh"), s => xxhash64(s, seed)))))
+      k: Int = 64, n: Int = 3): DataFrame = {
+    val seeds = sequence(lit(0), lit(k - 1))
+    df.select(col(idCol).as("doc"),
+      aggregate(shingles(col(textCol), n),
+        array_repeat(lit(Long.MaxValue), k),
+        (acc, s) => zip_with(acc, seeds, (m, i) => least(m, xxhash64(s, i))))
+        .as("sig"))
+  }
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows each; docs sharing any band hash are candidates.
@@ -138,11 +153,14 @@ object Dedup {
     // a lambda the distance is a Column, so go through call_function.
     def shr(x: Column, i: Column): Column = call_function("shiftright", x, i)
     def shl(x: Column, i: Column): Column = call_function("shiftleft", x, i)
-    val bitSums = transform(sequence(lit(0), lit(63)), i =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shr(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    val bits = sequence(lit(0), lit(63))
+    // One pass over tokens maintaining all 64 bit-sums (see
+    // minhashSignatures for why the tokens must be aggregated once).
+    val bitSums = aggregate(toks, array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, bits, (a, i) =>
+        a + when(shr(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
     aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
+      zip_with(bitSums, bits,
         (s, i) => when(s > 0, shl(lit(1L), i)).otherwise(0L)),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }

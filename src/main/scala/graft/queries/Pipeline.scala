@@ -16,6 +16,14 @@ import graft.text.TextAnalysis
   */
 object Pipeline {
 
+  /** Spread CPU-heavy signature computation across all cores: the
+    * documents table arrives as one small parquet split locally (and
+    * as file-sized splits on a cluster), but MinHash/SimHash cost is
+    * per-ROW cpu, not per-byte — repartitioning the raw text (cheap,
+    * it is the narrowest column set) lets every core hash. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + quality metrics (one scan, zero shuffle).
     "q_text_stats" -> ((s, dir) => {
@@ -40,7 +48,7 @@ object Pipeline {
 
     // Winnowing-style rolling-hash fingerprint (min shingle hash).
     "q_doc_fingerprint" -> ((s, dir) => {
-      documents(s, dir).select(
+      spread(documents(s, dir)).select(
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text"), 8).as("fingerprint"))
         .orderBy(asc("doc_id"))
@@ -57,7 +65,7 @@ object Pipeline {
 
     // EXACT 3-gram Jaccard near-dup pairs via inverted shingle index.
     "q_near_dup_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(documents(s, dir), "text", "doc_id",
+      Dedup.jaccardPairs(spread(documents(s, dir)), "text", "doc_id",
         n = 3, threshold = 0.3)
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
@@ -84,14 +92,14 @@ object Pipeline {
     // MinHash+LSH near-dups (approximate; rows-only driver check —
     // recall vs the exact Jaccard pairs is asserted in DedupSpec).
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashNearDups(documents(s, dir), "text", "doc_id",
+      Dedup.minhashNearDups(spread(documents(s, dir)), "text", "doc_id",
         k = 64, bands = 16, n = 3, threshold = 0.3)
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
     // SimHash hamming-distance candidates (approximate; rows-only).
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashCandidatePairs(documents(s, dir), "text", "doc_id",
+      Dedup.simhashCandidatePairs(spread(documents(s, dir)), "text", "doc_id",
         maxDist = 3)
         .groupBy()
         .agg(count(lit(1)).as("n_pairs"),
