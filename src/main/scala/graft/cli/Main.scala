@@ -52,12 +52,14 @@ object Main {
 
   private final case class Opts(
       db: String = "", n: Int = 10, calc: String = "identity",
+      incremental: Boolean = false,
       excludes: List[String] = Nil, positional: List[String] = Nil)
 
   private def parseOpts(args: List[String]): Opts = args match {
     case "--db" :: v :: rest => parseOpts(rest).copy(db = v)
     case "--n" :: v :: rest => parseOpts(rest).copy(n = v.toInt)
     case "--calc" :: v :: rest => parseOpts(rest).copy(calc = v)
+    case "--incremental" :: rest => parseOpts(rest).copy(incremental = true)
     case "--exclude" :: v :: rest =>
       val o = parseOpts(rest); o.copy(excludes = v :: o.excludes)
     case p :: rest => val o = parseOpts(rest); o.copy(positional = p :: o.positional)
@@ -69,13 +71,26 @@ object Main {
 
   private def analyze(args: List[String]): Unit = {
     val o = parseOpts(args)
-    require_(o.db.nonEmpty && o.positional.nonEmpty, "analyze --db DIR ROOT")
+    require_(o.db.nonEmpty && o.positional.nonEmpty,
+      "analyze --db DIR [--incremental] ROOT")
     val root = o.positional.head
     val spark = session()
     val t0 = System.currentTimeMillis()
-    val res = Walker.walk(spark, root, exclusions = o.excludes)
-    res.records.cache()
-    val name = Snapshot.write(o.db, res.entries.toDF(), res.errors.toDF())
+    val prevSnapshot =
+      if (o.incremental) Snapshot.latestName(o.db).map(_ =>
+        Snapshot.readFiles(spark, o.db))
+      else None
+    val name = prevSnapshot match {
+      case Some(prev) =>
+        val r = graft.ingest.Incremental.rescan(spark, root, prev, o.excludes)
+        println(s"incremental: ${r.summary}")
+        val errs = { import spark.implicits._; Seq.empty[graft.model.ScanError].toDF() }
+        Snapshot.write(o.db, r.entries, errs)
+      case None =>
+        val res = Walker.walk(spark, root, exclusions = o.excludes)
+        res.records.cache()
+        Snapshot.write(o.db, res.entries.toDF(), res.errors.toDF())
+    }
     val files = Snapshot.readFiles(spark, o.db)
     val nFiles = files.where(!col("is_dir")).count()
     val nDirs = files.where(col("is_dir")).count()

@@ -39,9 +39,23 @@ import graft.model.{FileEntry, ScanError}
   */
 object Walker {
 
-  /** Unified walk record: exactly one of entry/error is set. One pass
-    * over the tree yields both the fact table and the error table. */
-  final case class Record(entry: Option[FileEntry], error: Option[ScanError])
+  /** Unified walk record: exactly one of entry/error is set; `reused`
+    * marks a directory row whose children were NOT statted because its
+    * (mtime, mode) matched the previous snapshot (incremental mode).
+    * One pass over the tree yields both the fact table and the error
+    * table. */
+  final case class Record(entry: Option[FileEntry], error: Option[ScanError],
+      reused: Boolean = false)
+
+  /** Previous-snapshot metadata for incremental re-scan: for each dir,
+    * (mtime ms, mode, n_entries) plus its child directories — enough
+    * to skip per-file lstat under unchanged dirs AND keep descending
+    * without re-listing. */
+  final case class PrevDirs(meta: Map[String, (Long, Int, Long)],
+      childDirs: Map[String, Seq[String]]) extends Serializable
+  object PrevDirs {
+    val empty: PrevDirs = PrevDirs(Map.empty, Map.empty)
+  }
 
   final case class Result(records: Dataset[Record]) {
     def entries: Dataset[FileEntry] = {
@@ -54,6 +68,14 @@ object Walker {
       import spark.implicits._
       records.flatMap(_.error)
     }
+    /** Entries as a DataFrame with the per-row `reused` flag. */
+    def entriesWithReuse: org.apache.spark.sql.DataFrame = {
+      val spark = records.sparkSession
+      import spark.implicits._
+      records.flatMap(r => r.entry.map(e => (e, r.reused)))
+        .select(org.apache.spark.sql.functions.col("_1.*"),
+          org.apache.spark.sql.functions.col("_2").as("reused"))
+    }
   }
 
   def walk(
@@ -61,11 +83,13 @@ object Walker {
       root: String,
       exclusions: Seq[String] = Nil,
       seedDepth: Int = 2,
-      parallelism: Int = 0): Result = {
+      parallelism: Int = 0,
+      prev: PrevDirs = PrevDirs.empty): Result = {
     import spark.implicits._
     val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
     val rootPath = Paths.get(root).toAbsolutePath.normalize
     val exPatterns = exclusions // keep as strings: Regex is not serializable-stable
+    val bcPrev = spark.sparkContext.broadcast(prev)
 
     // Driver-side seeding: levels [0, seedDepth) are walked here; dirs
     // at seedDepth become executor work units.
@@ -73,7 +97,7 @@ object Walker {
     val seeds = mutable.ArrayBuffer.empty[String]
     val exRes = exPatterns.map(_.r)
     def seed(dir: Path, depth: Int): Unit = {
-      val (records, subdirs) = walkOneDir(dir, depth, exRes)
+      val (records, subdirs) = walkOneDir(dir, depth, exRes, prev)
       driverRecords ++= records
       if (depth + 1 >= seedDepth) seeds ++= subdirs.map(_.toString)
       else subdirs.foreach(d => seed(d, depth + 1))
@@ -84,14 +108,15 @@ object Walker {
       .repartition(math.max(1, math.min(par, math.max(1, seeds.size))))
     val walked = seedDs.mapPartitions { it =>
       val ex = exPatterns.map(_.r)
-      it.flatMap(dir => walkSubtree(Paths.get(dir), ex))
+      it.flatMap(dir => walkSubtree(Paths.get(dir), ex, bcPrev.value))
     }
     Result(walked.union(spark.createDataset(driverRecords.toSeq)))
   }
 
   /** Iteratively walk a subtree (explicit stack — no recursion-depth
     * limit), streaming records as they are produced. */
-  private def walkSubtree(start: Path, exclusions: Seq[Regex]): Iterator[Record] = {
+  private def walkSubtree(start: Path, exclusions: Seq[Regex],
+      prev: PrevDirs): Iterator[Record] = {
     val startDepth = start.getNameCount
     val stack = mutable.Stack[(Path, Int)]((start, startDepth))
     new Iterator[Record] {
@@ -99,7 +124,7 @@ object Walker {
       private def refill(): Unit =
         while (pending.isEmpty && stack.nonEmpty) {
           val (dir, depth) = stack.pop()
-          val (records, subdirs) = walkOneDir(dir, depth, exclusions)
+          val (records, subdirs) = walkOneDir(dir, depth, exclusions, prev)
           subdirs.foreach(d => stack.push((d, depth + 1)))
           pending = records.toList
         }
@@ -114,25 +139,48 @@ object Walker {
     * count) plus rows for child files and errors for unstat-able
     * children; child dirs are returned for traversal. `depth` is the
     * absolute path depth (used only relatively downstream).
+    *
+    * Incremental fast path: when the dir's freshly-statted
+    * (mtime, mode) equals the previous snapshot's, children are NOT
+    * listed or statted (the expensive syscall fan-out) — the dir row
+    * is emitted `reused = true` and child dirs come from the previous
+    * snapshot's structure (an unchanged POSIX dir mtime implies an
+    * unchanged child list, reference prefixinfo.go:110-116).
     */
-  private def walkOneDir(dir: Path, depth: Int,
-      exclusions: Seq[Regex]): (Seq[Record], Seq[Path]) = {
+  private def walkOneDir(dir: Path, depth: Int, exclusions: Seq[Regex],
+      prev: PrevDirs): (Seq[Record], Seq[Path]) = {
     val records = Vector.newBuilder[Record]
     val subdirs = Vector.newBuilder[Path]
     try {
-      val children = {
-        val s = Files.list(dir)
-        try s.iterator().asScala.toVector.sortBy(_.toString) finally s.close()
+      val dirStat = statEntry(dir, depth)
+      val unchanged = dirStat match {
+        case Right(r) => prev.meta.get(dir.toString).exists {
+          case (mt, md, _) => mt == r.mod_time.getTime && md == r.mode
+        }
+        case Left(_) => false
       }
-      statEntry(dir, depth) match {
-        case Right(r) => records += Record(Some(r.copy(n_entries = children.size.toLong)), None)
-        case Left(e) => records += Record(None, Some(e))
-      }
-      children.filterNot(c => excluded(c.toString, exclusions)).foreach { c =>
-        statEntry(c, depth + 1) match {
-          case Right(r) if r.is_dir => subdirs += c
-          case Right(r) => records += Record(Some(r), None)
+      if (unchanged) {
+        val Right(r) = dirStat: @unchecked
+        val nEntries = prev.meta(dir.toString)._3
+        records += Record(Some(r.copy(n_entries = nEntries)), None, reused = true)
+        prev.childDirs.getOrElse(dir.toString, Nil)
+          .filterNot(c => excluded(c, exclusions))
+          .foreach(c => subdirs += Paths.get(c))
+      } else {
+        val children = {
+          val s = Files.list(dir)
+          try s.iterator().asScala.toVector.sortBy(_.toString) finally s.close()
+        }
+        dirStat match {
+          case Right(r) => records += Record(Some(r.copy(n_entries = children.size.toLong)), None)
           case Left(e) => records += Record(None, Some(e))
+        }
+        children.filterNot(c => excluded(c.toString, exclusions)).foreach { c =>
+          statEntry(c, depth + 1) match {
+            case Right(r) if r.is_dir => subdirs += c
+            case Right(r) => records += Record(Some(r), None)
+            case Left(e) => records += Record(None, Some(e))
+          }
         }
       }
     } catch {
