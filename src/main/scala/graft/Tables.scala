@@ -29,11 +29,27 @@ object Tables {
     * TimestampType column — the same truncation DuckDB applies, so oracle
     * comparisons agree.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRange(spark, sfDir, None, None)
+
+  /** Events with an optional time-range applied to the RAW nanosecond
+    * column BEFORE the µs conversion: a predicate on the derived
+    * timestamp cannot reach the parquet scan, but on the raw int64 it
+    * pushes down and prunes row groups via min/max stats — at 100 TB
+    * of events this is the difference between scanning a day and
+    * scanning the archive.
+    */
+  def eventsRange(spark: SparkSession, sfDir: String,
+      fromUtc: Option[String], untilUtc: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    def nanosOf(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+    var df = table(spark, sfDir, "events")
+    fromUtc.foreach(t => df = df.where(col("ts") >= nanosOf(t)))
+    untilUtc.foreach(t => df = df.where(col("ts") < nanosOf(t)))
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expr.FileOperands
 import graft.ingest.{Snapshot, Walker}
 import graft.reports.Reports
-import graft.stats.{Calculator, Stats}
+import graft.stats.{Calculator, Stats, StatsArtifact}
 
 /** CLI mirroring the reference's command surface (main.go:46-114):
   *
@@ -39,6 +39,8 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "analyze" :: rest => analyze(rest)
     case "find" :: rest => find(rest)
+    case "stats" :: "view" :: rest => statsView(rest)
+    case "stats" :: "compute" :: rest => stats(rest)
     case "stats" :: rest => stats(rest)
     case "errors" :: rest => listTable(rest, Snapshot.readErrors(_, _))
     case "logs" :: rest => logs(rest)
@@ -121,7 +123,7 @@ object Main {
 
   private def stats(args: List[String]): Unit = {
     val o = parseOpts(args)
-    require_(o.db.nonEmpty, "stats --db DIR [--n N] [--calc C] EXPR...")
+    require_(o.db.nonEmpty, "stats compute --db DIR [--n N] [--calc C] EXPR...")
     val expr = o.positional.reverse.mkString(" ")
     val spark = session()
     val files = Snapshot.readFiles(spark, o.db)
@@ -129,7 +131,28 @@ object Main {
     val m = ops.compile(expr)
     val c = Stats.compute(files, prefixMatch = m, entryMatch = m,
       calc = Calculator.parse(o.calc))
+    val name = StatsArtifact.write(o.db, c, "/", expr)
+    println(s"stats artifact: $name")
     println(Reports.markdown(c.totals, s"Totals for '$expr'"))
+    Stats.rankedMetrics.foreach { metric =>
+      println(Reports.markdown(
+        Stats.topPrefixes(c.perPrefix, metric, o.n), s"Top ${o.n} by $metric"))
+    }
+    println(Reports.markdown(
+      c.perUser.orderBy(desc("bytes")).limit(o.n), "Usage by user"))
+    println(Reports.markdown(
+      c.perGroup.orderBy(desc("bytes")).limit(o.n), "Usage by group"))
+    spark.stop()
+  }
+
+  /** `stats view`: render the latest persisted artifact — no
+    * recompute (reference stats.go:178-234). */
+  private def statsView(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty, "stats view --db DIR [--n N]")
+    val spark = session()
+    val c = StatsArtifact.read(spark, o.db)
+    println(Reports.markdown(c.totals, "Totals"))
     Stats.rankedMetrics.foreach { metric =>
       println(Reports.markdown(
         Stats.topPrefixes(c.perPrefix, metric, o.n), s"Top ${o.n} by $metric"))

@@ -176,7 +176,10 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val hashed = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh64"))
+    // Native codegen'd expression (bit-identical to the declarative
+    // simhash64; equivalence asserted in DedupSpec).
+    val hashed = df.select(col(idCol).as("doc"),
+      graft.functions.SimHash64Expr.simhash64(df.sparkSession, col(textCol)).as("sh64"))
     val banded = hashed.select(col("doc"), col("sh64"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)), i =>
         call_function("shiftrightunsigned", col("sh64"), i * width)

@@ -27,11 +27,12 @@ object Events {
         .orderBy(asc("user_id"))
     }),
 
-    // Time-range filter (reference internal/util.go:20-43) + grouped agg.
+    // Time-range filter (reference internal/util.go:20-43) + grouped
+    // agg; the range lands on the raw int64 nanos so it pushes into
+    // the parquet scan (row-group pruning) instead of filtering after
+    // the timestamp conversion.
     "q_events_time_range" -> ((s, dir) => {
-      events(s, dir)
-        .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      eventsRange(s, dir, Some("2024-01-10 00:00:00"), Some("2024-01-20 00:00:00"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))

@@ -79,6 +79,14 @@ class DedupSpec extends SparkSpec {
     assert(interDoc.max > 12) // unrelated docs drift far
   }
 
+  test("native simhash expression is bit-identical to the declarative form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(
+      Dedup.simhash64(col("text")).as("declarative"),
+      graft.functions.SimHash64Expr.simhash64(spark, col("text")).as("native"))
+    assert(both.where(col("declarative") =!= col("native")).count() == 0)
+  }
+
   test("simhash pigeonhole join finds all pairs within maxDist") {
     val pairs = Dedup.simhashCandidatePairs(corpus, "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
