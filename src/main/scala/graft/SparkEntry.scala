@@ -30,7 +30,8 @@ object SparkEntry {
       Seq(
         (Relational.queries, Relational.oracle),
         (Events.queries, Events.oracle),
-        (Pipeline.queries, Pipeline.oracle))
+        (Pipeline.queries, Pipeline.oracle),
+        (Extended.queries, Extended.oracle))
     val queries: Map[String, (SparkSession, String) => DataFrame] =
       modules.map(_._1).reduce(_ ++ _)
     val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

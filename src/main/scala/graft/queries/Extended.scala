@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.expr.BoolExpr
+import graft.similarity.Similarity
+
+/** Second wave of oracle-verified operators: set operations, distinct
+  * aggregation, hierarchical rollup, the boolean-expression DSL
+  * compiled against a relational schema (proving the expr→Column
+  * compiler inside the correctness gate), and embedding cosine
+  * near-dup pairs.
+  */
+object Extended {
+
+  /** Operand registry mapping the reference's DSL syntax onto lineitem
+    * columns — demonstrates that the predicate language is
+    * schema-agnostic: operands are just named Column factories
+    * (reference RegisterOperand, expression.go:40-46). */
+  private def lineitemOperands(name: String): String => Column = name match {
+    case "qty-larger" => v => col("l_quantity") > v.toDouble
+    case "qty-smaller" => v => col("l_quantity") < v.toDouble
+    case "flag" => v => col("l_returnflag") === v
+    case "status" => v => col("l_linestatus") === v
+    case "shipped-before" => v => col("l_shipdate") < lit(v).cast("timestamp")
+    case "shipped-after" => v => col("l_shipdate") >= lit(v).cast("timestamp")
+    case other => throw BoolExpr.ParseException(s"unknown operand '$other'")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.6 set operations (beyond the reference's single anti-join):
+    // intersect / except / union of customer key sets.
+    "q_set_ops" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val highValue = o.where(col("o_totalprice") > 350000).select(col("o_custkey")).distinct()
+      val recent = o.where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      val both = highValue.intersect(recent)
+      val onlyHigh = highValue.except(recent)
+      val either = highValue.union(recent).distinct()
+      both.agg(count(lit(1)).as("n_both"))
+        .crossJoin(onlyHigh.agg(count(lit(1)).as("n_only_high")))
+        .crossJoin(either.agg(count(lit(1)).as("n_either")))
+    }),
+
+    // Distinct aggregation (expand on A-class aggregates).
+    "q_distinct_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(asc("l_returnflag"))
+    }),
+
+    // Hierarchical rollup over the region/nation dimension (free from
+    // Catalyst; the reference has no grouping-sets analogue).
+    "q_rollup_revenue" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    // P4: the reference's boolean DSL, parsed + compiled to Columns,
+    // filtering lineitem inside the oracle-checked gate.
+    "q_expr_dsl" -> ((s, dir) => {
+      val predicate = BoolExpr.compile(
+        "qty-larger=45 && ( flag=R || flag=A ) && ! shipped-before=1996-01-01",
+        lineitemOperands)
+      lineitem(s, dir)
+        .where(predicate)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("qty"), col("l_returnflag"))
+        .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+    }),
+
+    // Embedding cosine near-dup pairs — exact baseline (the RP-LSH
+    // approximate path is asserted against this in SimilaritySpec).
+    "q_cosine_near_dup" -> ((s, dir) => {
+      Similarity.cosineNearDups(embeddings(s, dir), "embedding", "vec_id", 0.45)
+        .orderBy(asc("id_a"), asc("id_b"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_set_ops" ->
+      """WITH hv AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 350000),
+        |rc AS (SELECT DISTINCT o_custkey FROM orders
+        |       WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT * FROM hv INTERSECT SELECT * FROM rc)) AS n_both,
+        |  (SELECT count(*) FROM (SELECT * FROM hv EXCEPT SELECT * FROM rc)) AS n_only_high,
+        |  (SELECT count(*) FROM (SELECT * FROM hv UNION SELECT * FROM rc)) AS n_either""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_expr_dsl" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity, 2) AS qty, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND (l_returnflag = 'R' OR l_returnflag = 'A')
+        |  AND NOT (l_shipdate < TIMESTAMP '1996-01-01')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_cosine_near_dup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.em, b.em), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.em, b.em), 4) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

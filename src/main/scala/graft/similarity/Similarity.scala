@@ -107,4 +107,62 @@ object Similarity {
       .withColumn("s", cosine(col("qvec"), col("cvec")))
       .orderBy(desc("s")).limit(nprobe)
       .select(col("centroid_id"))
+
+  /** Embedding near-dup pairs: EXACT all-pairs cosine ≥ threshold.
+    * O(n²) — the correctness baseline and fine below ~10⁵ vectors;
+    * the scale path is [[rpLshNearDups]]. */
+  def cosineNearDups(corpus: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Random-hyperplane (sign) LSH signature: bit p = sign of
+    * ⟨v, h_p⟩ where hyperplane components are deterministic hash noise
+    * in [-1, 1). P[bit differs] = angle/π, so near-identical vectors
+    * share almost all bits. One aggregate pass over dimensions. */
+  def rpLshSignature(vec: Column, planes: Int = 64): Column = {
+    val planeIdx = sequence(lit(0), lit(planes - 1))
+    val dots = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) =>
+        struct(v.cast("double").as("v"), i.as("i"))),
+      array_repeat(lit(0.0), planes),
+      (acc, e) => zip_with(acc, planeIdx, (a, p) =>
+        a + e.getField("v") *
+          ((pmod(xxhash64(e.getField("i"), p), lit(2000)).cast("double") - 1000.0) / 1000.0)))
+    aggregate(
+      zip_with(dots, planeIdx, (d, p) =>
+        when(d > 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Approximate cosine near-dups: RP-LSH signature → pigeonhole
+    * chunk join (same trick as SimHash) → exact cosine verify on the
+    * candidates only. Candidate count is bounded by bucket collisions,
+    * not corpus². */
+  def rpLshNearDups(corpus: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, maxBitDiff: Int = 3): DataFrame = {
+    val chunks = maxBitDiff + 1
+    val width = 64 / chunks
+    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      rpLshSignature(col(vecCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("v"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)), i =>
+        call_function("shiftrightunsigned", col("sig"), i * width)
+          .bitwiseAND((1L << width) - 1))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    banded.as("x").join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .distinct()
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

@@ -47,6 +47,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("RP-LSH near-dups: full recall in its operating envelope (cos ≥ ~0.99)") {
+    // RP-LSH + pigeonhole targets NEAR-IDENTICAL vectors: at cosine c
+    // each bit flips with prob arccos(c)/π, so hamming ≤ 3 of 64 needs
+    // c ≈ 0.99+. Plant such pairs: 15 bases, each with a tiny-noise
+    // twin; unrelated bases are well separated.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val bases = (0 until 15).map(_ => Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq((i.toLong, b),
+        (100L + i, b.map(v => v + (rnd.nextFloat() - 0.5f) * 0.01f)))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDups(corpus, "embedding", "vec_id", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 15, s"fixture should plant 15 pairs, got $exact")
+    val approx = Similarity.rpLshNearDups(corpus, "embedding", "vec_id", 0.99,
+      maxBitDiff = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "verification must kill false positives")
+    assert(approx == exact, s"missed: ${exact -- approx}")
+  }
+
   test("IVF with enough probes matches brute force; fewer probes scan less") {
     val cents = Similarity.ivfCentroids(corpus, "embedding", "vec_id", 6)
     val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", cents)
