@@ -35,6 +35,13 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native codegen'd cosine (bit-identical to [[cosine]]; see
+    * graft.functions.CosineSimExpr) — used by every DataFrame-level
+    * operator here because the declarative form pays interpreted
+    * per-element lambda evaluation in the O(pairs × dim) hot loops. */
+  private def ncos(df: DataFrame, a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr.cosineSim(df.sparkSession, a, b)
+
   /** Exact top-k by cosine for a single query vector, supplied as a
     * one-row DataFrame (id, vec). The query side is broadcast; the
     * corpus is scanned once; orderBy+limit compiles to
@@ -44,7 +51,7 @@ object Similarity {
       query: DataFrame, k: Int): DataFrame = {
     val q = broadcast(query.select(col("qvec")))
     corpus.crossJoin(q)
-      .withColumn("score", round(cosine(col(vecCol), col("qvec")), 4))
+      .withColumn("score", round(ncos(corpus, col(vecCol), col("qvec")), 4))
       .select(col(idCol), col("score"))
       .orderBy(desc("score"), asc(idCol))
       .limit(k)
@@ -59,7 +66,7 @@ object Similarity {
     val joined = corpus.crossJoin(
         broadcast(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))))
       .where(col(idCol) =!= col("query_id"))
-      .withColumn("score", round(cosine(col(vecCol), col("qvec")), 4))
+      .withColumn("score", round(ncos(corpus, col(vecCol), col("qvec")), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc(idCol))
     joined.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
@@ -116,7 +123,7 @@ object Similarity {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(ncos(corpus, col("va"), col("vb")), 4))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -161,7 +168,7 @@ object Similarity {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.v").as("va"), col("y.v").as("vb"))
       .distinct()
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(ncos(corpus, col("va"), col("vb")), 4))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
