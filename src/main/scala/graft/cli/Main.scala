@@ -39,6 +39,7 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "analyze" :: rest => analyze(rest)
     case "find" :: rest => find(rest)
+    case "reports" :: rest => reports(rest)
     case "stats" :: "view" :: rest => statsView(rest)
     case "stats" :: "compute" :: rest => stats(rest)
     case "stats" :: rest => stats(rest)
@@ -161,6 +162,35 @@ object Main {
       c.perUser.orderBy(desc("bytes")).limit(o.n), "Usage by user"))
     println(Reports.markdown(
       c.perGroup.orderBy(desc("bytes")).limit(o.n), "Usage by group"))
+    spark.stop()
+  }
+
+  /** `reports --db DIR --out DIR`: write the TSV/JSON/Markdown report
+    * file tree from the latest stats artifact + flip a `latest`
+    * pointer (reference writeReportFiles, reports.go:128-229). */
+  private def reports(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty && o.positional.nonEmpty, "reports --db DIR OUTDIR")
+    val outBase = o.positional.head
+    val spark = session()
+    val c = StatsArtifact.read(spark, o.db)
+    val name = StatsArtifact.latestName(o.db).getOrElse("unknown")
+    val dir = java.nio.file.Paths.get(outBase, name)
+    java.nio.file.Files.createDirectories(dir)
+    def emit(base: String, df: org.apache.spark.sql.DataFrame, title: String): Unit = {
+      java.nio.file.Files.writeString(dir.resolve(s"$base.tsv"), Reports.tsv(df))
+      java.nio.file.Files.writeString(dir.resolve(s"$base.json"), Reports.jsonLines(df))
+      java.nio.file.Files.writeString(dir.resolve(s"$base.md"), Reports.markdown(df, title))
+    }
+    emit("totals", c.totals, "Totals")
+    Stats.rankedMetrics.foreach { m =>
+      emit(s"top_$m", Stats.topPrefixes(c.perPrefix, m, o.n), s"Top ${o.n} by $m")
+    }
+    emit("by_user", c.perUser.orderBy(desc("bytes")).limit(o.n), "Usage by user")
+    emit("by_group", c.perGroup.orderBy(desc("bytes")).limit(o.n), "Usage by group")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outBase, "latest"), name)
+    println(s"reports written to $dir")
     spark.stop()
   }
 

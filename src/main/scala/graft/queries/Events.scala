@@ -39,6 +39,26 @@ object Events {
         .orderBy(asc("event_type"))
     }),
 
+    // Sessionization in batch: a session breaks after a 30-minute gap;
+    // lag + conditional cumulative sum assigns session ids (the
+    // streaming twin uses flatMapGroupsWithState, graft.streaming).
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(asc("user_id"))
+    }),
+
     // Batch form of the streaming hourly tumbling-window aggregation.
     "q_events_hourly" -> ((s, dir) => {
       events(s, dir)
@@ -64,6 +84,19 @@ object Events {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |         OR epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM seq)
+        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_hourly" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
         |  event_type, count(*) AS n_events,

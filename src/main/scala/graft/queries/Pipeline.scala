@@ -54,6 +54,17 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Token budgeting: BPE-ish subword counts + quality score per
+    // language — the "how many training tokens do we have" query.
+    "q_token_budget" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(TextAnalysis.approxBpeTokenCount(col("text"))).as("approx_bpe_tokens"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("word_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(asc("lang"))
+    }),
+
     // Exact dedup by normalized text hash.
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(documents(s, dir), "text", "doc_id")
@@ -143,6 +154,15 @@ object Pipeline {
         |                      for i in range(1, length(text) - 6)])
         |  END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      """SELECT lang,
+        |  sum(list_sum([1 + CAST(floor(length(w) / 4.0) AS BIGINT)
+        |                for w in regexp_split_to_array(trim(lower(text)), '\s+')]))
+        |    AS approx_bpe_tokens,
+        |  sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |    AS word_tokens,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """WITH groups AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,

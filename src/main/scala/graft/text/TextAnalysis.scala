@@ -23,7 +23,7 @@ object TextAnalysis {
   def approxBpeTokenCount(text: Column): Column = {
     val words = tokens(text)
     aggregate(words, lit(0L),
-      (acc, w) => acc + lit(1L) + (length(w).cast("long") / 4L))
+      (acc, w) => acc + lit(1L) + floor(length(w) / lit(4.0)).cast("long"))
   }
 
   private def countMatches(text: Column, pattern: String): Column =
