@@ -115,6 +115,28 @@ object Pipeline {
         .groupBy()
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(min(col("hamming")), lit(-1L)).as("min_hamming"))
+    }),
+
+    // IVF-indexed ANN (approximate; rows-only — equivalence to brute
+    // force at nprobe=all is asserted in SimilaritySpec).
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id", 16)
+      val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id", cents)
+      val query = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.ivfTopK(assigned, "embedding", "vec_id", query, 10, cents,
+        nprobe = 4)
+    }),
+
+    // Multimodal plumbing (rows-only): binary payloads + typed
+    // metadata, batched stub feature extraction (see graft.multimodal;
+    // schema/pruning/determinism asserted in MultimodalSpec).
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(documents(s, dir))
+      val feats = graft.multimodal.Multimodal.extractFeatures(media).toDF()
+      feats.groupBy(col("feature_dim"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("checksum")).as("checksum_sum"))
     })
   )
 

@@ -39,6 +39,14 @@ class MultimodalSpec extends SparkSpec {
     assert(one.map(_.getAs[Long]("offset_ms")).max <= dur)
   }
 
+  test("formatSize renders decimal and binary units") {
+    import graft.reports.Reports
+    assert(Reports.formatSize(512) == "512 B")
+    assert(Reports.formatSize(1500) == "1.5 KB")
+    assert(Reports.formatSize(1536, binary = true) == "1.5 KiB")
+    assert(Reports.formatSize(2L * 1000 * 1000 * 1000) == "2.0 GB")
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(tmp)
