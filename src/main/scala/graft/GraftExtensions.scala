@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{CosineSimExpr, SimHash64Expr}
+
+/** Session-extension wiring for cluster deployments: registers the
+  * native expressions into every session built with
+  *
+  * {{{
+  * --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`), making `simhash64` and
+  * `cosine_sim` first-class SQL functions without per-session
+  * registration calls. Local code paths that own the session use the
+  * equivalent `SimHash64Expr.register` / `CosineSimExpr.register`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimExpr(exprs(0), exprs(1))))
+  }
+}
