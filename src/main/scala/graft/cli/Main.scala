@@ -45,21 +45,29 @@ object Main {
     case "stats" :: rest => stats(rest)
     case "errors" :: rest => listTable(rest, Snapshot.readErrors(_, _))
     case "logs" :: rest => logs(rest)
+    case "config" :: file :: Nil =>
+      graft.config.Config.load(file).foreach(println)
+    case "database" :: "locate" :: file :: path :: Nil =>
+      graft.config.Config.forPath(graft.config.Config.load(file), path) match {
+        case Some(c) => println(c.database)
+        case None => System.err.println(s"no config matches $path"); sys.exit(1)
+      }
     case "expression-syntax" :: Nil => println(expressionSyntax)
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: analyze|find|stats|errors|logs|expression-syntax")
+        "usage: analyze|find|stats|reports|errors|logs|config|database locate|expression-syntax")
       sys.exit(2)
   }
 
   private final case class Opts(
       db: String = "", n: Int = 10, calc: String = "identity",
-      incremental: Boolean = false,
+      incremental: Boolean = false, config: String = "",
       excludes: List[String] = Nil, positional: List[String] = Nil)
 
   private def parseOpts(args: List[String]): Opts = args match {
     case "--db" :: v :: rest => parseOpts(rest).copy(db = v)
+    case "--config" :: v :: rest => parseOpts(rest).copy(config = v)
     case "--n" :: v :: rest => parseOpts(rest).copy(n = v.toInt)
     case "--calc" :: v :: rest => parseOpts(rest).copy(calc = v)
     case "--incremental" :: rest => parseOpts(rest).copy(incremental = true)
@@ -73,10 +81,23 @@ object Main {
     if (!cond) { System.err.println(msg); sys.exit(2) }
 
   private def analyze(args: List[String]): Unit = {
-    val o = parseOpts(args)
-    require_(o.db.nonEmpty && o.positional.nonEmpty,
-      "analyze --db DIR [--incremental] ROOT")
-    val root = o.positional.head
+    val o0 = parseOpts(args)
+    require_(o0.positional.nonEmpty,
+      "analyze [--db DIR | --config FILE] [--incremental] ROOT")
+    val root = o0.positional.head
+    // --config resolves db/exclusions for the root by longest prefix
+    // (reference LookupPrefix, internal/util.go:45-56); explicit flags win.
+    val o = if (o0.config.isEmpty) o0 else {
+      graft.config.Config.forPath(
+        graft.config.Config.load(o0.config), root) match {
+        case Some(c) => o0.copy(
+          db = if (o0.db.nonEmpty) o0.db else c.database,
+          excludes = if (o0.excludes.nonEmpty) o0.excludes else c.exclusions.toList)
+        case None =>
+          System.err.println(s"no config entry matches $root"); sys.exit(1)
+      }
+    }
+    require_(o.db.nonEmpty, "analyze: no --db and no config match")
     val spark = session()
     val t0 = System.currentTimeMillis()
     val prevSnapshot =

@@ -120,8 +120,12 @@ object Similarity {
     * the scale path is [[rpLshNearDups]]. */
   def cosineNearDups(corpus: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // Cast float→double ONCE per vector before the pair join — inside
+    // the join it would run once per PAIR (n²/2 array copies).
+    val a = corpus.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("va"))
+    val b = corpus.select(col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("vb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .withColumn("cos", round(ncos(corpus, col("va"), col("vb")), 4))
       .where(col("cos") >= threshold)

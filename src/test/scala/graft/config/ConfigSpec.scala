@@ -1,0 +1,46 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stats.Calculator
+
+class ConfigSpec extends AnyFunSuite {
+
+  private val yaml =
+    """- prefix: /data
+      |  database: /var/graft/data
+      |  parallelism: 16
+      |- prefix: /data/projects
+      |  database: /var/graft/projects
+      |  seed_depth: 3
+      |  exclusions: ["\\.git/", "\\.snapshot/"]
+      |  calculator: "block:4096"
+      |  count_hardlink_as_files: true
+      |""".stripMargin
+
+  test("parses entries with defaults") {
+    val cfgs = Config.parse(yaml)
+    assert(cfgs.length == 2)
+    assert(cfgs.head == PrefixConfig("/data", "/var/graft/data", parallelism = 16))
+    val p = cfgs(1)
+    assert(p.seedDepth == 3)
+    assert(p.exclusions == Seq("\\.git/", "\\.snapshot/"))
+    assert(p.calc == Calculator.Block(4096))
+    assert(p.countHardlinkAsFiles)
+  }
+
+  test("longest-prefix match is component-wise") {
+    val cfgs = Config.parse(yaml)
+    assert(Config.forPath(cfgs, "/data/projects/x/y").get.prefix == "/data/projects")
+    assert(Config.forPath(cfgs, "/data/other").get.prefix == "/data")
+    assert(Config.forPath(cfgs, "/data").get.prefix == "/data")
+    // /data/projectsX must NOT match /data/projects (config.go:54-65)
+    assert(Config.forPath(cfgs, "/data/projectsX").get.prefix == "/data")
+    assert(Config.forPath(cfgs, "/elsewhere").isEmpty)
+  }
+
+  test("malformed config throws") {
+    assertThrows[IllegalArgumentException](Config.parse("just a string"))
+    assertThrows[IllegalArgumentException](Config.parse("- database: /x"))
+  }
+}

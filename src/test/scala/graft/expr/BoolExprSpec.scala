@@ -99,4 +99,27 @@ class BoolExprSpec extends SparkSpec {
   test("unknown operand throws") {
     assertThrows[ParseException](ops.compile("frobnicate=1"))
   }
+
+  test("hardlink operand matches a real file's (device, inode)") {
+    // port of the reference ops_test.go hardlink case: stat the target
+    // on the driver, compare per row (hardlinks_op.go:38-48)
+    val f = java.nio.file.Files.createTempFile("graft-hl", ".dat")
+    java.nio.file.Files.write(f, "x".getBytes)
+    val attrs = java.nio.file.Files
+      .readAttributes(f, "unix:dev,ino").asInstanceOf[java.util.Map[String, Any]]
+    val dev = attrs.get("dev").asInstanceOf[Number].longValue
+    val ino = attrs.get("ino").asInstanceOf[Number].longValue
+    val withHl = FileOperands(hardlinkStat = p =>
+      if (p == f.toString) Some((dev, ino)) else None)
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      fe("/r/link1", isDir = false, 1, 100, 2).copy(device = dev, inode = ino),
+      fe("/r/other", isDir = false, 1, 100, 2).copy(device = dev, inode = ino + 1)).toDF()
+    val got = rows.where(withHl.compile(s"hardlink=${f.toString}"))
+      .select("path").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("/r/link1"))
+    // unknown target matches nothing
+    assert(rows.where(withHl.compile("hardlink=/nope")).count() == 0)
+  }
 }
