@@ -59,6 +59,20 @@ object Events {
         .orderBy(asc("user_id"))
     }),
 
+    // Skew-proof two-phase salted aggregation (graft.ops.Skew): same
+    // result as a plain groupBy — the oracle proves it — but the wide
+    // stage fans each hot key across 8 sub-groups.
+    "q_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedAgg(events(s, dir), Seq("event_type"), salts = 8, Seq(
+        ("n_events", count(lit(1)), sum(col("n_events"))),
+        ("total_value", sum(col("value")), sum(col("total_value"))),
+        ("max_value", max(col("value")), max(col("max_value")))))
+        .select(col("event_type"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"),
+          round(col("max_value"), 2).as("max_value"))
+        .orderBy(asc("event_type"))
+    }),
+
     // Batch form of the streaming hourly tumbling-window aggregation.
     "q_events_hourly" -> ((s, dir) => {
       events(s, dir)
@@ -84,6 +98,11 @@ object Events {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH seq AS (
         |  SELECT user_id, ts, event_id,
