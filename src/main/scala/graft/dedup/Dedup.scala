@@ -55,7 +55,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.3, maxShingleDf: Long = 0): DataFrame = {
-    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    val withSh = df.select(col(idCol).as("doc"),
+      graft.functions.ShingleExprs.wordShingles(df.sparkSession, col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inverted0 = withSh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
     val inverted =
@@ -96,6 +97,14 @@ object Dedup {
     * interpreted evaluations of split/lower/concat per ROW.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc"),
+      graft.functions.ShingleExprs.minhashSig(df.sparkSession, col(textCol), k, n)
+        .as("sig"))
+
+  /** Declarative MinHash (kept as the reference implementation the
+    * native kernel is asserted against; see DedupSpec). */
+  def minhashSignaturesDeclarative(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, n: Int = 3): DataFrame = {
     val seeds = sequence(lit(0), lit(k - 1))
     df.select(col(idCol).as("doc"),
@@ -134,7 +143,8 @@ object Dedup {
       threshold: Double = 0.3): DataFrame = {
     val sigs = minhashSignatures(df, textCol, idCol, k, n)
     val cands = lshCandidatePairs(sigs, bands)
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    val sh = df.select(col(idCol).as("doc"),
+      graft.functions.ShingleExprs.wordShingles(df.sparkSession, col(textCol), n).as("sh"))
     cands
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

@@ -1,0 +1,124 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the dedup signature pipeline — the
+  * word-shingle and MinHash computations whose declarative forms pay
+  * interpreted per-element lambda evaluation (higher-order functions
+  * never codegen).
+  *
+  * Both are bit-identical to the declarative forms in
+  * [[graft.dedup.Dedup]] (equivalence asserted on the real corpus in
+  * DedupSpec): tokens are `trim.toLowerCase.split("\\s+")`, a shingle
+  * is n consecutive tokens joined by one space, shingles are
+  * first-occurrence-distinct, and MinHash hash i of shingle s is
+  * `xxhash64(s, i)` = XXH64(bytes, seed=42) chained into
+  * XXH64(int i).
+  */
+object ShingleKernels {
+
+  def shingles(text: UTF8String, n: Int): Array[UTF8String] = {
+    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    val out = new mutable.LinkedHashSet[String]
+    if (toks.length < n) out += toks.mkString(" ")
+    else {
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out += sb.toString
+        i += 1
+      }
+    }
+    out.iterator.map(UTF8String.fromString).toArray
+  }
+
+  def shingleArray(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(shingles(text, n).asInstanceOf[Array[Any]])
+
+  /** MinHash signature straight from the text: k minima over the
+    * distinct shingles. Matches xxhash64(shingle, seed) semantics:
+    * fold bytes with seed 42, then the INT seed index. */
+  def minhashSig(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val sh = shingles(text, n)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var s = 0
+    while (s < sh.length) {
+      val u = sh(s)
+      val base = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+        u.numBytes(), 42L)
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashInt(i, base)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleKernels.shingleArray(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels.shingleArray($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleKernels.minhashSig(input.asInstanceOf[UTF8String], k, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels.minhashSig($c, $k, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+object ShingleExprs {
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShinglesExpr(exprs.head, litInt(exprs(1))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSigExpr(exprs.head, litInt(exprs(1)),
+        litInt(exprs(2))), "scala_udf")
+  }
+
+  def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("word_shingles", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def minhashSig(spark: SparkSession, text: Column, k: Int, n: Int): Column = {
+    register(spark)
+    call_function("minhash_sig", text, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(n))
+  }
+}

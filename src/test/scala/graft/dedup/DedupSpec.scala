@@ -79,6 +79,19 @@ class DedupSpec extends SparkSpec {
     assert(interDoc.max > 12) // unrelated docs drift far
   }
 
+  test("native shingle + minhash kernels are bit-identical to declarative forms") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = docs.select(
+      Dedup.shingles(col("text"), 3).as("decl"),
+      graft.functions.ShingleExprs.wordShingles(spark, col("text"), 3).as("nat"))
+    assert(sh.where(col("decl") =!= col("nat")).count() == 0)
+    val sig = Dedup.minhashSignaturesDeclarative(docs, "text", "doc_id")
+      .withColumnRenamed("sig", "decl")
+      .join(Dedup.minhashSignatures(docs, "text", "doc_id")
+        .withColumnRenamed("sig", "nat"), Seq("doc"))
+    assert(sig.where(col("decl") =!= col("nat")).count() == 0)
+  }
+
   test("native simhash expression is bit-identical to the declarative form") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val both = docs.select(
