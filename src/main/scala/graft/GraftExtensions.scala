@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimExpr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, MinHashSigExpr, SimHash64Expr, WordShinglesExpr}
 
 /** Session-extension wiring for cluster deployments: registers the
   * native expressions into every session built with
@@ -30,5 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimExpr(exprs(0), exprs(1))))
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval().asInstanceOf[Number].intValue
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShinglesExpr(exprs.head, litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSigExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))))
   }
 }
