@@ -63,6 +63,7 @@ object Main {
   private final case class Opts(
       db: String = "", n: Int = 10, calc: String = "identity",
       incremental: Boolean = false, config: String = "",
+      user: Option[Long] = None, group: Option[Long] = None,
       excludes: List[String] = Nil, positional: List[String] = Nil)
 
   private def parseOpts(args: List[String]): Opts = args match {
@@ -71,6 +72,8 @@ object Main {
     case "--n" :: v :: rest => parseOpts(rest).copy(n = v.toInt)
     case "--calc" :: v :: rest => parseOpts(rest).copy(calc = v)
     case "--incremental" :: rest => parseOpts(rest).copy(incremental = true)
+    case "--user" :: v :: rest => parseOpts(rest).copy(user = Some(v.toLong))
+    case "--group" :: v :: rest => parseOpts(rest).copy(group = Some(v.toLong))
     case "--exclude" :: v :: rest =>
       val o = parseOpts(rest); o.copy(excludes = v :: o.excludes)
     case p :: rest => val o = parseOpts(rest); o.copy(positional = p :: o.positional)
@@ -171,9 +174,22 @@ object Main {
     * recompute (reference stats.go:178-234). */
   private def statsView(args: List[String]): Unit = {
     val o = parseOpts(args)
-    require_(o.db.nonEmpty, "stats view --db DIR [--n N]")
+    require_(o.db.nonEmpty, "stats view --db DIR [--n N] [--user UID] [--group GID]")
     val spark = session()
     val c = StatsArtifact.read(spark, o.db)
+    // --user/--group restrict the view to one id's rows (reference
+    // stats.go:178-234)
+    (o.user, o.group) match {
+      case (Some(u), _) =>
+        println(Reports.markdown(
+          c.perUser.where(col("uid") === u), s"Totals for uid $u"))
+        spark.stop(); return
+      case (_, Some(g)) =>
+        println(Reports.markdown(
+          c.perGroup.where(col("gid") === g), s"Totals for gid $g"))
+        spark.stop(); return
+      case _ =>
+    }
     println(Reports.markdown(c.totals, "Totals"))
     Stats.rankedMetrics.foreach { metric =>
       println(Reports.markdown(
