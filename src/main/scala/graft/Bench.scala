@@ -27,26 +27,44 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     // Warmup: full pass over every query (also fails fast on breakage).
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).foreach(_ => ())
       catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+        failed += n
+        System.err.println(s"[bench] warmup $n FAILED: ${e.getMessage}")
       }
     }
-    val results = names.map { n =>
-      val times = (1 to runs).map { _ =>
+    // A failed query is reported as failed, never as a time-to-crash.
+    val results = names.filterNot(failed).flatMap { n =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(n)(spark, sfDir).foreach(_ => ()) }
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          SparkEntry.queries(n)(spark, sfDir).foreach(_ => ())
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          failed += n
+          System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+          None
+        }
       }
-      n -> times.min
+      if (times.isEmpty) None else Some(n -> times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    // Belt and braces: the JSON goes to stdout (sole machine-readable
+    // line; build.sbt routes forked output straight through, no [info]
+    // prefix) AND to bench.json in the repo root.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
+    println(json)
     spark.stop()
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
   }
 }

@@ -71,7 +71,13 @@ object Multimodal {
     val total = math.max(1f, payload.length.toFloat)
     var c = 0L
     var j = 0
-    while (j < payload.length) { c = c * 31 + (payload(j) & 0xff); j += 1 }
+    // Bounded rolling hash: mask to 31 bits each step so downstream
+    // sums over billions of rows stay far from Long range (Spark 4
+    // ANSI mode makes sum() overflow a hard error, not a wrap).
+    while (j < payload.length) {
+      c = (c * 31 + (payload(j) & 0xff)) & 0x7fffffffL
+      j += 1
+    }
     MediaFeatures(id, 16, bins.map(_ / total), c)
   }
 

@@ -114,7 +114,7 @@ object Events {
         |         OR epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT > 1800
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM seq)
-        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_hourly" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,

@@ -85,6 +85,29 @@ object Extended {
     "q_cosine_near_dup" -> ((s, dir) => {
       Similarity.cosineNearDups(embeddings(s, dir), "embedding", "vec_id", 0.45)
         .orderBy(asc("id_a"), asc("id_b"))
+    }),
+
+    // The SCALE path for embedding near-dup: RP-LSH signature →
+    // pigeonhole bucket join → exact cosine verify on candidates only.
+    // Candidate count is bounded by bucket collisions, not corpus² —
+    // this is the plan you'd run at 100 TB (recall envelope asserted
+    // in SimilaritySpec). The synthetic embeddings contain no
+    // near-identical pairs (max pair cosine ≈ 0.51–0.60 by SF), so the
+    // query plants ground truth: every vector gets a twin with a
+    // deterministic ±0.1% per-dimension perturbation (cosine ≈
+    // 0.999999); the LSH path must recover exactly the (v, twin)
+    // pairs — no cross join anywhere in the plan.
+    "q_cosine_near_dup_lsh" -> ((s, dir) => {
+      val base = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val twins = base.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0f) +
+            (pmod(col("vec_id") + i, lit(3)) - 1).cast("float") * lit(0.001f)))
+          .as("embedding"))
+      Similarity.rpLshNearDups(base.unionByName(twins), "embedding", "vec_id",
+        threshold = 0.999)
+        .orderBy(asc("id_a"), asc("id_b"))
     })
   )
 

@@ -75,9 +75,14 @@ object Pipeline {
     }),
 
     // EXACT 3-gram Jaccard near-dup pairs via inverted shingle index.
+    // maxShingleDf is the scale safety valve: a shingle in d docs emits
+    // O(d²) join rows, so boilerplate shingles must be dropped before
+    // pairing at 100 TB. The cutoff (8) sits above the sf0.01 corpus
+    // max df (7, measured), so the DuckDB oracle — which has no cutoff
+    // — still matches exactly at the verify scale.
     "q_near_dup_jaccard" -> ((s, dir) => {
       Dedup.jaccardPairs(spread(documents(s, dir)), "text", "doc_id",
-        n = 3, threshold = 0.3)
+        n = 3, threshold = 0.3, maxShingleDf = 8)
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
@@ -137,6 +142,24 @@ object Pipeline {
       feats.groupBy(col("feature_dim"))
         .agg(count(lit(1)).as("n_media"),
           sum(col("checksum")).as("checksum_sum"))
+    }),
+
+    // Metadata-only multimodal stats — the payload column must never
+    // be read (columnar pruning; asserted via ReadSchema in
+    // MultimodalSpec). Fully SQL-expressible, so oracle-checked.
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(documents(s, dir))
+      graft.multimodal.Multimodal.metadataStats(media)
+        .orderBy(asc("kind"))
+    }),
+
+    // Frame sampling plan (explode-shaped; a real decoder would seek
+    // the container at each offset). Oracle-checked: the offsets are
+    // pure arithmetic on metadata.
+    "q_frame_samples" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(documents(s, dir))
+      graft.multimodal.Multimodal.sampleFrames(media, everyMs = 1000L)
+        .orderBy(asc("media_id"), asc("frame_idx"))
     })
   )
 
@@ -179,9 +202,9 @@ object Pipeline {
     "q_token_budget" ->
       """SELECT lang,
         |  sum(list_sum([1 + CAST(floor(length(w) / 4.0) AS BIGINT)
-        |                for w in regexp_split_to_array(trim(lower(text)), '\s+')]))
+        |                for w in regexp_split_to_array(trim(lower(text)), '\s+')]))::BIGINT
         |    AS approx_bpe_tokens,
-        |  sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |  sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))::BIGINT
         |    AS word_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -191,8 +214,8 @@ object Pipeline {
         |         count(*) AS n_copies
         |  FROM documents GROUP BY 1)
         |SELECT count(*) AS n_groups,
-        |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-        |  sum(n_copies - 1) AS n_redundant_docs
+        |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+        |  sum(n_copies - 1)::BIGINT AS n_redundant_docs
         |FROM groups""".stripMargin,
     "q_near_dup_jaccard" ->
       """WITH sh AS (
@@ -213,6 +236,21 @@ object Pipeline {
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) AS score
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |  count(*) AS n_media,
+        |  sum(n_chars * 10)::BIGINT AS total_duration_ms,
+        |  max(n_chars % 640) AS max_width
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_frame_samples" ->
+      """SELECT media_id,
+        |  CAST(offset_ms // 1000 AS INTEGER) AS frame_idx, offset_ms
+        |FROM (SELECT doc_id AS media_id,
+        |        unnest(generate_series(0, (n_chars * 10)::BIGINT, 1000)) AS offset_ms
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "q_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
         |           FROM embeddings WHERE vec_id < 5),

@@ -216,9 +216,9 @@ object Relational {
         |FROM ranked""".stripMargin,
     "q_du_calc" ->
       """SELECT l_returnflag,
-        |  sum(sz) AS identity_bytes,
-        |  sum(((sz + 511) // 512) * 512) AS block512_bytes,
-        |  sum(((sz + 4095) // 4096) * 4096) AS block4096_bytes
+        |  sum(sz)::BIGINT AS identity_bytes,
+        |  sum(((sz + 511) // 512) * 512)::BIGINT AS block512_bytes,
+        |  sum(((sz + 4095) // 4096) * 4096)::BIGINT AS block4096_bytes
         |FROM (SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS sz
         |      FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin,

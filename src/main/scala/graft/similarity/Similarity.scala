@@ -73,27 +73,55 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rk"))
   }
 
-  /** Deterministic IVF "centroids": the first `c` corpus vectors by id.
-    * (A production index would run k-means;  the index structure,
-    * assignment, and probe path — the parts that matter for scale —
-    * are identical.) */
-  def ivfCentroids(corpus: DataFrame, vecCol: String, idCol: String, c: Int): DataFrame =
-    // The seed vector's own id doubles as the cell id — deterministic
-    // across re-evaluations (monotonically_increasing_id is not, and a
-    // plan evaluated twice must agree on cell ids).
-    corpus.orderBy(asc(idCol)).limit(c)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+  /** Deterministic k-means IVF centroids: seeded with the first `c`
+    * corpus vectors by id, then `iters` Lloyd iterations run as
+    * DataFrame jobs (assignment = broadcast argmax, means = one
+    * partial+final aggregate over exploded dimensions — both
+    * distributed; nothing proportional to the corpus ever reaches the
+    * driver). The resulting c×dim centroid table IS collected — it is
+    * what gets broadcast to every probe anyway — which also pins the
+    * cell ids: re-evaluating a downstream plan reuses the same
+    * materialized centroids instead of re-running the job. */
+  def ivfCentroids(corpus: DataFrame, vecCol: String, idCol: String, c: Int,
+      iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: DataFrame = corpus.orderBy(asc(idCol)).limit(c)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+      .toDF("centroid_id", "cvec")
+    for (_ <- 1 to iters) {
+      val means = ivfAssign(corpus, vecCol, idCol, cents)
+        .select(col("centroid_id"), posexplode(col(vecCol).cast("array<double>")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), e => e.getField("m")).as("mean_vec"))
+      // A cluster that empties keeps its previous centroid.
+      cents = cents.withColumnRenamed("cvec", "prev")
+        .join(means, Seq("centroid_id"), "left")
+        .select($"centroid_id", coalesce($"mean_vec", $"prev").as("cvec"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+        .toDF("centroid_id", "cvec")
+    }
+    cents
+  }
 
   /** Assign every corpus vector to its nearest centroid: broadcast the
     * centroid array, argmax cosine via a single array expression — no
-    * shuffle, no explode. */
+    * shuffle, no explode. Per-centroid scoring goes through the native
+    * cosine kernel (the lambda here only routes struct fields; the
+    * O(dim) loop is codegen'd). */
   def ivfAssign(corpus: DataFrame, vecCol: String, idCol: String,
       centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids.agg(
       collect_list(struct(col("centroid_id"), col("cvec"))).as("cents")))
     corpus.crossJoin(cents)
       .withColumn("scored", transform(col("cents"), c =>
-        struct(cosine(col(vecCol), c.getField("cvec")).as("s"),
+        struct(ncos(corpus, col(vecCol), c.getField("cvec")).as("s"),
           c.getField("centroid_id").as("cid"))))
       .withColumn("centroid_id", array_max(col("scored")).getField("cid"))
       .drop("cents", "scored")
@@ -111,7 +139,7 @@ object Similarity {
   def ivfAssignQuery(query: DataFrame, centroids: DataFrame,
       nprobe: Int): DataFrame =
     query.crossJoin(centroids)
-      .withColumn("s", cosine(col("qvec"), col("cvec")))
+      .withColumn("s", ncos(query, col("qvec"), col("cvec")))
       .orderBy(desc("s")).limit(nprobe)
       .select(col("centroid_id"))
 

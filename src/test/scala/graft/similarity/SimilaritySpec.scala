@@ -81,6 +81,14 @@ class SimilaritySpec extends SparkSpec {
       nprobe = 6).collect().map(_.getLong(0)).toSeq
     assert(ivfAll == brute, "nprobe=all must equal brute force")
 
+    // k-means centroids + a PARTIAL probe: recall stays high because
+    // the Lloyd iterations pull cells onto the true clusters, so the
+    // query's top cells cover its whole cluster.
+    val ivf2 = Similarity.ivfTopK(assigned, "embedding", "vec_id", q, 5, cents,
+      nprobe = 2).collect().map(_.getLong(0)).toSet
+    assert(brute.toSet.intersect(ivf2).size >= 4,
+      s"nprobe=2 recall too low: $ivf2 vs $brute")
+
     // With one representative centroid per cluster, probing the single
     // nearest cell recovers the exact answer (brute's top-5 are all
     // cluster-0): the recall/nprobe tradeoff working as designed.

@@ -27,11 +27,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cell_eq(a, b) -> bool:
-    if isinstance(a, float) or isinstance(b, float):
-        if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
-            return (a is None or math.isnan(a)) and (b is None or (isinstance(b, float) and math.isnan(b)))
-        return math.isclose(float(a), float(b), rel_tol=0, abs_tol=1e-9)
-    return a == b
+    """STRICT equality, emulating the driver's hash compare: values
+    hash by their string rendering, so int64 0 vs float64 0.0 MUST
+    differ (that exact laxity hid 4 driver-red typing bugs in round
+    1), while int32 1 vs int64 1 both render "1" and match."""
+    return str(a) == str(b)
 
 
 def main():
