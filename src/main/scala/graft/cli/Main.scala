@@ -1,9 +1,12 @@
 package graft.cli
 
+import java.nio.file.{Files, LinkOption, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.FileOperands
+import graft.ids.IdMaps
 import graft.ingest.{Snapshot, Walker}
 import graft.reports.Reports
 import graft.stats.{Calculator, Stats, StatsArtifact}
@@ -11,12 +14,15 @@ import graft.stats.{Calculator, Stats, StatsArtifact}
 /** CLI mirroring the reference's command surface (main.go:46-114):
   *
   * {{{
-  * analyze  --db DIR ROOT [--exclude RE]...      scan a tree → snapshot
-  * find     --db DIR EXPR...                     filtered enumeration
-  * stats    --db DIR [--n N] [--calc C] EXPR...  totals + top-N
-  * errors   --db DIR                             scan error rows
-  * logs     --db DIR                             scan run log
-  * expression-syntax                             operand help
+  * analyze  --db DIR ROOT [--exclude RE]... [--keep N]   scan a tree → snapshot
+  * find     --db DIR [ROOT] EXPR...                      filtered enumeration
+  * stats    --db DIR [--n N] [--calc C] EXPR...          totals + top-N
+  * stats view --db DIR [--user U] [--group G]            render latest artifact
+  * reports  --db DIR OUTDIR [--keep N]                   report file tree
+  * errors   --db DIR [--since D|--from T] [--to T]       scan error rows
+  * logs     --db DIR [--since D|--from T] [--to T]       scan run log
+  * database prune --db DIR --keep N                      retention
+  * expression-syntax                                     operand help
   * }}}
   *
   * Run via: sbt "runMain graft.cli.Main <cmd> ...".
@@ -36,6 +42,24 @@ object Main {
     s
   }
 
+  /** OS user/group database, loaded once per invocation (reference
+    * usernames/usergroups.go:26-60). */
+  lazy val idMaps: IdMaps = IdMaps.fromOS()
+
+  /** Expression operands wired to the OS id maps and a real
+    * `hardlink=path` target resolver (reference hardlinks_op.go:38-48
+    * stats the target on the driver). */
+  private def operands(): FileOperands = FileOperands(
+    userByName = idMaps.userByName,
+    groupByName = idMaps.groupByName,
+    hardlinkStat = p =>
+      try {
+        val a = Files.readAttributes(Paths.get(p), "unix:*",
+          LinkOption.NOFOLLOW_LINKS)
+        Some((a.get("dev").asInstanceOf[Number].longValue(),
+          a.get("ino").asInstanceOf[Number].longValue()))
+      } catch { case _: Exception => None })
+
   def main(args: Array[String]): Unit = args.toList match {
     case "analyze" :: rest => analyze(rest)
     case "find" :: rest => find(rest)
@@ -43,8 +67,10 @@ object Main {
     case "stats" :: "view" :: rest => statsView(rest)
     case "stats" :: "compute" :: rest => stats(rest)
     case "stats" :: rest => stats(rest)
-    case "errors" :: rest => listTable(rest, Snapshot.readErrors(_, _))
-    case "logs" :: rest => logs(rest)
+    case "errors" :: rest => listTimestamped(rest, Snapshot.readErrors(_, _), "when")
+    case "logs" :: rest =>
+      listTimestamped(rest,
+        (s, db) => s.read.parquet(s"$db/scan_log").orderBy("start"), "start")
     case "config" :: file :: Nil =>
       graft.config.Config.load(file).foreach(println)
     case "database" :: "locate" :: file :: path :: Nil =>
@@ -52,28 +78,38 @@ object Main {
         case Some(c) => println(c.database)
         case None => System.err.println(s"no config matches $path"); sys.exit(1)
       }
+    case "database" :: "prune" :: rest => prune(rest)
     case "expression-syntax" :: Nil => println(expressionSyntax)
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: analyze|find|stats|reports|errors|logs|config|database locate|expression-syntax")
+        "usage: analyze|find|stats|reports|errors|logs|config|database locate|database prune|expression-syntax")
       sys.exit(2)
   }
 
   private final case class Opts(
-      db: String = "", n: Int = 10, calc: String = "identity",
+      db: String = "", n: Int = 10, calc: Option[String] = None,
       incremental: Boolean = false, config: String = "",
-      user: Option[Long] = None, group: Option[Long] = None,
+      user: Option[String] = None, group: Option[String] = None,
+      since: Option[String] = None, from: Option[String] = None,
+      to: Option[String] = None, keep: Option[Int] = None,
+      hardlinksAsFiles: Boolean = false,
       excludes: List[String] = Nil, positional: List[String] = Nil)
 
   private def parseOpts(args: List[String]): Opts = args match {
     case "--db" :: v :: rest => parseOpts(rest).copy(db = v)
     case "--config" :: v :: rest => parseOpts(rest).copy(config = v)
     case "--n" :: v :: rest => parseOpts(rest).copy(n = v.toInt)
-    case "--calc" :: v :: rest => parseOpts(rest).copy(calc = v)
+    case "--calc" :: v :: rest => parseOpts(rest).copy(calc = Some(v))
     case "--incremental" :: rest => parseOpts(rest).copy(incremental = true)
-    case "--user" :: v :: rest => parseOpts(rest).copy(user = Some(v.toLong))
-    case "--group" :: v :: rest => parseOpts(rest).copy(group = Some(v.toLong))
+    case "--user" :: v :: rest => parseOpts(rest).copy(user = Some(v))
+    case "--group" :: v :: rest => parseOpts(rest).copy(group = Some(v))
+    case "--since" :: v :: rest => parseOpts(rest).copy(since = Some(v))
+    case "--from" :: v :: rest => parseOpts(rest).copy(from = Some(v))
+    case "--to" :: v :: rest => parseOpts(rest).copy(to = Some(v))
+    case "--keep" :: v :: rest => parseOpts(rest).copy(keep = Some(v.toInt))
+    case "--hardlinks-as-files" :: rest =>
+      parseOpts(rest).copy(hardlinksAsFiles = true)
     case "--exclude" :: v :: rest =>
       val o = parseOpts(rest); o.copy(excludes = v :: o.excludes)
     case p :: rest => val o = parseOpts(rest); o.copy(positional = p :: o.positional)
@@ -83,10 +119,29 @@ object Main {
   private def require_(cond: Boolean, msg: String): Unit =
     if (!cond) { System.err.println(msg); sys.exit(2) }
 
+  /** Prepend a resolved `<idCol>_name` column (reference
+    * stats.go:213-218 renders names, falling back to the numeric id).
+    * The map is a constant expression — resolution never shuffles. */
+  private def withName(df: DataFrame, idCol: String,
+      byId: Map[Long, String]): DataFrame = {
+    val nameCol = s"${idCol}_name"
+    val named =
+      if (byId.isEmpty) df.withColumn(nameCol, col(idCol).cast("string"))
+      else df.withColumn(nameCol,
+        coalesce(element_at(typedLit(byId), col(idCol)), col(idCol).cast("string")))
+    named.select((nameCol +: df.columns.toSeq).map(col): _*)
+  }
+
+  private def resolveIdOrDie(v: String, resolve: String => Option[Long],
+      kind: String): Long =
+    resolve(v).getOrElse {
+      System.err.println(s"unknown $kind '$v'"); sys.exit(1); 0L
+    }
+
   private def analyze(args: List[String]): Unit = {
     val o0 = parseOpts(args)
     require_(o0.positional.nonEmpty,
-      "analyze [--db DIR | --config FILE] [--incremental] ROOT")
+      "analyze [--db DIR | --config FILE] [--incremental] [--keep N] ROOT")
     val root = o0.positional.head
     // --config resolves db/exclusions for the root by longest prefix
     // (reference LookupPrefix, internal/util.go:45-56); explicit flags win.
@@ -118,16 +173,24 @@ object Main {
         res.records.cache()
         Snapshot.write(o.db, res.entries.toDF(), res.errors.toDF())
     }
+    // One aggregation pass over the fresh snapshot for the summary
+    // line (files/dirs/bytes as conditional sums), plus the error
+    // count from its own table.
     val files = Snapshot.readFiles(spark, o.db)
-    val nFiles = files.where(!col("is_dir")).count()
-    val nDirs = files.where(col("is_dir")).count()
+    val row = files.agg(
+      sum(when(!col("is_dir"), 1L).otherwise(0L)),
+      sum(when(col("is_dir"), 1L).otherwise(0L)),
+      coalesce(sum(when(!col("is_dir"), col("size"))), lit(0L))).collect()(0)
+    val (nFiles, nDirs, bytes) = (row.getLong(0), row.getLong(1), row.getLong(2))
     val nErr = Snapshot.readErrors(spark, o.db).count()
-    val bytes = files.where(!col("is_dir")).agg(coalesce(sum("size"), lit(0L)))
-      .collect()(0).getLong(0)
     import spark.implicits._
     Snapshot.appendLog(spark, o.db, Seq(graft.model.ScanLog(
       new java.sql.Timestamp(t0), new java.sql.Timestamp(System.currentTimeMillis()),
       root, nDirs, nFiles, nErr, bytes)).toDF())
+    o.keep.foreach { k =>
+      val gone = Snapshot.prune(o.db, k)
+      if (gone.nonEmpty) println(s"pruned ${gone.size} snapshots: ${gone.mkString(", ")}")
+    }
     println(s"snapshot $name: $nDirs prefixes, $nFiles files, " +
       s"${Reports.formatSize(bytes)}, $nErr errors")
     spark.stop()
@@ -135,28 +198,70 @@ object Main {
 
   private def find(args: List[String]): Unit = {
     val o = parseOpts(args)
-    require_(o.db.nonEmpty, "find --db DIR EXPR...")
-    val expr = o.positional.reverse.mkString(" ")
+    require_(o.db.nonEmpty, "find --db DIR [ROOT] EXPR...")
+    // First positional starting with '/' is the ROOT restriction
+    // (reference find.go:75-96 seeks to the root key and stops at the
+    // range end); the rest is the boolean expression.
+    val (root, exprToks) = o.positional.reverse match {
+      case r :: rest if r.startsWith("/") => (Some(r.stripSuffix("/")), rest)
+      case toks => (None, toks)
+    }
+    val expr = exprToks.mkString(" ")
     val spark = session()
     val files = Snapshot.readFiles(spark, o.db)
-    val m = FileOperands().compile(expr)
+    val m = operands().compile(expr)
     // Ordered enumeration, streamed to stdout (reference find.go:75-96).
-    files.where(m).select("path").orderBy("path")
+    findFrame(files, root, m)
       .toLocalIterator().forEachRemaining(r => println(r.getString(0)))
     spark.stop()
   }
 
+  /** The `find` plan: optional subtree restriction + expression. The
+    * root predicate is a literal prefix comparison → parquet
+    * StringStartsWith pushdown; with path-sorted row groups
+    * (Snapshot.write) min/max stats prune whole row groups — the
+    * Spark analogue of the reference's key-range seek
+    * (find.go:75-96). */
+  private[cli] def findFrame(files: DataFrame, root: Option[String],
+      m: org.apache.spark.sql.Column): DataFrame = {
+    val scoped = root match {
+      case Some(r) =>
+        files.where(col("path") === r || col("path").startsWith(r + "/"))
+      case None => files
+    }
+    scoped.where(m).select("path").orderBy("path")
+  }
+
   private def stats(args: List[String]): Unit = {
-    val o = parseOpts(args)
+    val o0 = parseOpts(args)
+    // --config resolves db/calculator/count_hardlink_as_files for a
+    // ROOT positional by longest prefix (reference stats.go:126 +
+    // config.go:29); explicit flags win.
+    val (o, cfgCalc, cfgHardlinks, root) =
+      if (o0.config.isEmpty) (o0, None, None, "/")
+      else {
+        require_(o0.positional.nonEmpty, "stats --config FILE ROOT [EXPR...]")
+        val r = o0.positional.head
+        graft.config.Config.forPath(graft.config.Config.load(o0.config), r) match {
+          case Some(c) => (
+            o0.copy(db = if (o0.db.nonEmpty) o0.db else c.database,
+              positional = o0.positional.tail),
+            Some(c.calculator), Some(c.countHardlinkAsFiles), r)
+          case None =>
+            System.err.println(s"no config entry matches $r"); sys.exit(1)
+        }
+      }
     require_(o.db.nonEmpty, "stats compute --db DIR [--n N] [--calc C] EXPR...")
     val expr = o.positional.reverse.mkString(" ")
+    val calc = o.calc.orElse(cfgCalc).getOrElse("identity")
+    val hardlinksAsFiles = o.hardlinksAsFiles || cfgHardlinks.getOrElse(false)
     val spark = session()
     val files = Snapshot.readFiles(spark, o.db)
-    val ops = FileOperands()
-    val m = ops.compile(expr)
+    val m = operands().compile(expr)
     val c = Stats.compute(files, prefixMatch = m, entryMatch = m,
-      calc = Calculator.parse(o.calc))
-    val name = StatsArtifact.write(o.db, c, "/", expr)
+      calc = Calculator.parse(calc),
+      countHardlinkDupsAsFiles = hardlinksAsFiles)
+    val name = StatsArtifact.write(o.db, c, root, expr)
     println(s"stats artifact: $name")
     println(Reports.markdown(c.totals, s"Totals for '$expr'"))
     Stats.rankedMetrics.foreach { metric =>
@@ -164,9 +269,11 @@ object Main {
         Stats.topPrefixes(c.perPrefix, metric, o.n), s"Top ${o.n} by $metric"))
     }
     println(Reports.markdown(
-      c.perUser.orderBy(desc("bytes")).limit(o.n), "Usage by user"))
+      withName(c.perUser.orderBy(desc("bytes")).limit(o.n), "uid", idMaps.userById),
+      "Usage by user"))
     println(Reports.markdown(
-      c.perGroup.orderBy(desc("bytes")).limit(o.n), "Usage by group"))
+      withName(c.perGroup.orderBy(desc("bytes")).limit(o.n), "gid", idMaps.groupById),
+      "Usage by group"))
     spark.stop()
   }
 
@@ -174,19 +281,32 @@ object Main {
     * recompute (reference stats.go:178-234). */
   private def statsView(args: List[String]): Unit = {
     val o = parseOpts(args)
-    require_(o.db.nonEmpty, "stats view --db DIR [--n N] [--user UID] [--group GID]")
+    require_(o.db.nonEmpty,
+      "stats view --db DIR [--n N] [--user UID|NAME] [--group GID|NAME]")
     val spark = session()
     val c = StatsArtifact.read(spark, o.db)
-    // --user/--group restrict the view to one id's rows (reference
-    // stats.go:178-234)
+    // --user/--group restrict the view to one id's rows; names resolve
+    // through the OS maps (reference stats.go:178-234 + usergroups.go).
     (o.user, o.group) match {
-      case (Some(u), _) =>
+      case (Some(uv), _) =>
+        val u = resolveIdOrDie(uv, idMaps.resolveUser, "user")
         println(Reports.markdown(
-          c.perUser.where(col("uid") === u), s"Totals for uid $u"))
+          withName(c.perUser.where(col("uid") === u), "uid", idMaps.userById),
+          s"Totals for user ${idMaps.userName(u)} (uid $u)"))
+        println(Reports.markdown(
+          c.perUserPrefix.where(col("uid") === u)
+            .orderBy(desc("bytes"), asc("prefix")).limit(o.n).drop("uid"),
+          s"Top ${o.n} prefixes for user ${idMaps.userName(u)}"))
         spark.stop(); return
-      case (_, Some(g)) =>
+      case (_, Some(gv)) =>
+        val g = resolveIdOrDie(gv, idMaps.resolveGroup, "group")
         println(Reports.markdown(
-          c.perGroup.where(col("gid") === g), s"Totals for gid $g"))
+          withName(c.perGroup.where(col("gid") === g), "gid", idMaps.groupById),
+          s"Totals for group ${idMaps.groupName(g)} (gid $g)"))
+        println(Reports.markdown(
+          c.perGroupPrefix.where(col("gid") === g)
+            .orderBy(desc("bytes"), asc("prefix")).limit(o.n).drop("gid"),
+          s"Top ${o.n} prefixes for group ${idMaps.groupName(g)}"))
         spark.stop(); return
       case _ =>
     }
@@ -196,55 +316,124 @@ object Main {
         Stats.topPrefixes(c.perPrefix, metric, o.n), s"Top ${o.n} by $metric"))
     }
     println(Reports.markdown(
-      c.perUser.orderBy(desc("bytes")).limit(o.n), "Usage by user"))
+      withName(c.perUser.orderBy(desc("bytes")).limit(o.n), "uid", idMaps.userById),
+      "Usage by user"))
     println(Reports.markdown(
-      c.perGroup.orderBy(desc("bytes")).limit(o.n), "Usage by group"))
+      withName(c.perGroup.orderBy(desc("bytes")).limit(o.n), "gid", idMaps.groupById),
+      "Usage by group"))
     spark.stop()
   }
 
-  /** `reports --db DIR --out DIR`: write the TSV/JSON/Markdown report
-    * file tree from the latest stats artifact + flip a `latest`
-    * pointer (reference writeReportFiles, reports.go:128-229). */
+  /** `reports --db DIR OUTDIR [--keep N]`: write the TSV/JSON/Markdown
+    * report file tree from the latest stats artifact — aggregate
+    * tables plus one file per top user/group (reference
+    * writeReportFiles, reports.go:128-229, markdown.go:32-371) — flip
+    * the `latest` pointer, and optionally prune old report dirs
+    * (reports.go:268-296). */
   private def reports(args: List[String]): Unit = {
     val o = parseOpts(args)
-    require_(o.db.nonEmpty && o.positional.nonEmpty, "reports --db DIR OUTDIR")
+    require_(o.db.nonEmpty && o.positional.nonEmpty,
+      "reports --db DIR OUTDIR [--keep N]")
     val outBase = o.positional.head
     val spark = session()
     val c = StatsArtifact.read(spark, o.db)
     val name = StatsArtifact.latestName(o.db).getOrElse("unknown")
     val dir = java.nio.file.Paths.get(outBase, name)
+    writeReportTree(c, dir, o.n, idMaps)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outBase, "latest"), name)
+    o.keep.foreach { k =>
+      val gone = graft.ingest.Retention.prune(outBase, k, protect = Some(name))
+      if (gone.nonEmpty) println(s"pruned ${gone.size} report dirs")
+    }
+    println(s"reports written to $dir")
+    spark.stop()
+  }
+
+  /** Write the full report file tree under `dir`: aggregate tables in
+    * TSV/JSON/Markdown plus one markdown file per top-N user/group
+    * (reference writeReportFiles, reports.go:128-229 +
+    * markdown.go:32-371). Ids are bounded by `n` and the per-id frames
+    * come from the artifact — bounded collects, no per-id Spark
+    * jobs. */
+  private[cli] def writeReportTree(c: Stats.Computed,
+      dir: java.nio.file.Path, n: Int, ids: IdMaps): Unit = {
     java.nio.file.Files.createDirectories(dir)
-    def emit(base: String, df: org.apache.spark.sql.DataFrame, title: String): Unit = {
+    def emit(base: String, df: DataFrame, title: String): Unit = {
       java.nio.file.Files.writeString(dir.resolve(s"$base.tsv"), Reports.tsv(df))
       java.nio.file.Files.writeString(dir.resolve(s"$base.json"), Reports.jsonLines(df))
       java.nio.file.Files.writeString(dir.resolve(s"$base.md"), Reports.markdown(df, title))
     }
     emit("totals", c.totals, "Totals")
     Stats.rankedMetrics.foreach { m =>
-      emit(s"top_$m", Stats.topPrefixes(c.perPrefix, m, o.n), s"Top ${o.n} by $m")
+      emit(s"top_$m", Stats.topPrefixes(c.perPrefix, m, n), s"Top $n by $m")
     }
-    emit("by_user", c.perUser.orderBy(desc("bytes")).limit(o.n), "Usage by user")
-    emit("by_group", c.perGroup.orderBy(desc("bytes")).limit(o.n), "Usage by group")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outBase, "latest"), name)
-    println(s"reports written to $dir")
-    spark.stop()
+    emit("by_user",
+      withName(c.perUser.orderBy(desc("bytes")).limit(n), "uid", ids.userById),
+      "Usage by user")
+    emit("by_group",
+      withName(c.perGroup.orderBy(desc("bytes")).limit(n), "gid", ids.groupById),
+      "Usage by group")
+    def perIdTree(subdir: String, perId: DataFrame, perIdPrefix: DataFrame,
+        idCol: String, nameOf: Long => String): Unit = {
+      val top = perId.orderBy(desc("bytes")).limit(n)
+        .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+      if (top.isEmpty) return
+      val totalsById = perId.where(col(idCol).isin(top: _*))
+        .collect().map(r => r.getLong(r.fieldIndex(idCol)) -> r).toMap
+      val prefixRows = perIdPrefix.where(col(idCol).isin(top: _*))
+        .orderBy(desc("bytes"), asc("prefix")).collect()
+        .groupBy(r => r.getLong(r.fieldIndex(idCol)))
+      val cols = perId.columns
+      val pcols = perIdPrefix.columns.filterNot(_ == idCol)
+      top.foreach { id =>
+        val idName = nameOf(id)
+        val sb = new StringBuilder(s"# Usage report for $idName ($idCol $id)\n\n")
+        totalsById.get(id).foreach { r =>
+          sb.append(cols.mkString("| ", " | ", " |\n"))
+          sb.append(cols.map(_ => "---").mkString("| ", " | ", " |\n"))
+          sb.append(cols.indices.map(i => Option(r.get(i)).map(_.toString)
+            .getOrElse("")).mkString("| ", " | ", " |\n"))
+        }
+        sb.append(s"\n## Top prefixes\n\n")
+        sb.append(pcols.mkString("| ", " | ", " |\n"))
+        sb.append(pcols.map(_ => "---").mkString("| ", " | ", " |\n"))
+        prefixRows.getOrElse(id, Array.empty).take(n).foreach { r =>
+          sb.append(pcols.map(cn => Option(r.get(r.fieldIndex(cn)))
+            .map(_.toString).getOrElse("")).mkString("| ", " | ", " |\n"))
+        }
+        val at = dir.resolve(subdir)
+        java.nio.file.Files.createDirectories(at)
+        java.nio.file.Files.writeString(at.resolve(s"$id-$idName.md"), sb.toString)
+      }
+    }
+    perIdTree("by_user", c.perUser, c.perUserPrefix, "uid", ids.userName)
+    perIdTree("by_group", c.perGroup, c.perGroupPrefix, "gid", ids.groupName)
   }
 
-  private def listTable(args: List[String],
-      read: (SparkSession, String) => DataFrame): Unit = {
+  /** `database prune --db DIR --keep N`: retention for snapshots and
+    * stats artifacts (reference reports.go:268-296 semantics applied
+    * to the database). */
+  private def prune(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty && o.keep.nonEmpty, "database prune --db DIR --keep N")
+    val k = o.keep.get
+    val snaps = Snapshot.prune(o.db, k)
+    val arts = StatsArtifact.prune(o.db, k)
+    println(s"pruned ${snaps.size} snapshots, ${arts.size} stats artifacts")
+  }
+
+  private def listTimestamped(args: List[String],
+      read: (SparkSession, String) => DataFrame, tsCol: String): Unit = {
     val o = parseOpts(args)
     require_(o.db.nonEmpty, "--db DIR required")
     val spark = session()
-    println(Reports.tsv(read(spark, o.db)))
-    spark.stop()
-  }
-
-  private def logs(args: List[String]): Unit = {
-    val o = parseOpts(args)
-    require_(o.db.nonEmpty, "logs --db DIR")
-    val spark = session()
-    println(Reports.tsv(spark.read.parquet(s"${o.db}/scan_log").orderBy("start")))
+    val df = read(spark, o.db)
+    // --since/--from/--to compile to literal timestamp bounds → parquet
+    // predicate pushdown on the log/error scan (reference util.go:20-43).
+    val ranged = TimeFlags.predicate(tsCol, o.since, o.from, o.to)
+      .map(df.where).getOrElse(df)
+    println(Reports.tsv(ranged))
     spark.stop()
   }
 
@@ -259,8 +448,8 @@ object Main {
       |  smaller=N        size <= N bytes
       |  dir-larger=N     directory with more than N entries
       |  dir-smaller=N    directory with fewer than N entries
-      |  user=UID|NAME    owned by user
-      |  group=GID|NAME   owned by group
+      |  user=UID|NAME    owned by user (names resolve via /etc/passwd)
+      |  group=GID|NAME   owned by group (names resolve via /etc/group)
       |  hardlink=PATH    same (device, inode) as PATH
       |""".stripMargin
 }

@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   *      an immutable snapshot gets J1 for free — the anti-join below
   *      only REPORTS deletions).
   *
-  * The previous snapshot's dir metadata travels as a broadcast
-  * (path → meta + child dirs); at 10⁹ files there are ~10⁷ dirs ≈ a
-  * few hundred MB — near the top of the broadcast range; beyond that,
-  * ship per-subtree slices keyed by the walk seeds instead.
+  * The previous snapshot's dir metadata never moves through the
+  * driver: the walker keys each dir row by its seed-ancestor path and
+  * shuffles per-seed slices directly to the walking tasks — at 10⁹
+  * files / ~10⁷ dirs each task holds only its own subtree's index
+  * (see Walker.walk's prevDirs path).
   */
 object Incremental {
 
@@ -41,24 +42,20 @@ object Incremental {
 
   final case class Result(entries: DataFrame, summary: ChangeSummary)
 
-  /** Build the walker's previous-dir index from a snapshot DataFrame. */
-  def prevDirsOf(prev: DataFrame): Walker.PrevDirs = {
-    val dirs = prev.where(col("is_dir"))
-      .select(col("path"), col("parent"), unix_millis(col("mod_time")),
+  /** The previous snapshot's dir rows in the walker's DirMeta shape —
+    * stays a DataFrame; the walker ships per-seed slices of it to
+    * executors (no driver collect of the full index). */
+  def prevDirFrame(prev: DataFrame): DataFrame =
+    prev.where(col("is_dir"))
+      .select(col("path"), col("parent"),
+        unix_millis(col("mod_time")).as("mt_ms"),
         col("mode"), col("n_entries"))
-      .collect()
-    Walker.PrevDirs(
-      meta = dirs.map(r => r.getString(0) ->
-        ((r.getLong(2), r.getInt(3), r.getLong(4)))).toMap,
-      childDirs = dirs.groupBy(_.getString(1))
-        .map { case (p, rows) => p -> rows.map(_.getString(0)).toSeq })
-  }
 
   /** Re-scan `root` against the previous snapshot's entries. */
   def rescan(spark: SparkSession, root: String, prev: DataFrame,
       exclusions: Seq[String] = Nil, seedDepth: Int = 2): Result = {
     val walked = Walker.walk(spark, root, exclusions, seedDepth,
-      prev = prevDirsOf(prev))
+      prevDirs = Some(prevDirFrame(prev)))
     walked.records.cache()
     val entries = walked.entriesWithReuse.cache()
 

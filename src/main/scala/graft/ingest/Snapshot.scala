@@ -48,6 +48,16 @@ object Snapshot {
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim) else None
   }
 
+  /** All snapshots, newest first (reference reports.go:268-282's
+    * candidate listing, applied to snapshots). */
+  def candidates(base: String): Seq[String] =
+    Retention.candidates(s"$base/snapshots")
+
+  /** Keep the newest `keep` snapshots (the LATEST target always
+    * survives); returns deleted names. Reference reports.go:284-296. */
+  def prune(base: String, keep: Int): Seq[String] =
+    Retention.prune(s"$base/snapshots", keep, protect = latestName(base))
+
   def readFiles(spark: SparkSession, base: String, snapshot: Option[String] = None): DataFrame = {
     val name = snapshot.orElse(latestName(base)).getOrElse(
       throw new IllegalStateException(s"no snapshot under $base"))

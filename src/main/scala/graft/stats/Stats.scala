@@ -40,7 +40,13 @@ object Stats {
       perGroup: DataFrame,
       /** one row per prefix (input to rankings; reference computes these
         * per-prefix folds as heap inputs, report_stats.go:231-245) */
-      perPrefix: DataFrame)
+      perPrefix: DataFrame,
+      /** one row per (uid, prefix) — feeds the per-user report file
+        * trees (reference PerIDStats, report_stats.go:34-39, consumed
+        * by writeReportFiles, reports.go:128-229) */
+      perUserPrefix: DataFrame,
+      /** one row per (gid, prefix) */
+      perGroupPrefix: DataFrame)
 
   // sum() over zero rows is NULL in SQL; the reference's zero-value
   // Totals struct means empty must aggregate to 0 (totals.go:17-27).
@@ -118,6 +124,12 @@ object Stats {
       perUser = contrib.groupBy(col("uid")).agg(aggCols.head, aggCols.tail: _*),
       perGroup = contrib.groupBy(col("gid")).agg(aggCols.head, aggCols.tail: _*),
       perPrefix = contrib.groupBy(col("agg_prefix").as("prefix"))
+        .agg(aggCols.head, aggCols.tail: _*),
+      perUserPrefix = contrib
+        .groupBy(col("uid"), col("agg_prefix").as("prefix"))
+        .agg(aggCols.head, aggCols.tail: _*),
+      perGroupPrefix = contrib
+        .groupBy(col("gid"), col("agg_prefix").as("prefix"))
         .agg(aggCols.head, aggCols.tail: _*))
   }
 

@@ -28,6 +28,8 @@ object StatsArtifact {
     computed.perUser.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/per_user")
     computed.perGroup.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/per_group")
     computed.perPrefix.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/per_prefix")
+    computed.perUserPrefix.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/per_user_prefix")
+    computed.perGroupPrefix.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/per_group_prefix")
     def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     Files.createDirectories(Paths.get(base, "stats"))
     Files.writeString(Paths.get(dir, "meta.json"),
@@ -43,6 +45,15 @@ object StatsArtifact {
     else None
   }
 
+  /** All artifacts, newest first. */
+  def candidates(base: String): Seq[String] =
+    graft.ingest.Retention.candidates(s"$base/stats")
+
+  /** Keep the newest `keep` artifacts (LATEST target survives);
+    * returns deleted names. Reference reports.go:284-296 semantics. */
+  def prune(base: String, keep: Int): Seq[String] =
+    graft.ingest.Retention.prune(s"$base/stats", keep, protect = latestName(base))
+
   def read(spark: SparkSession, base: String,
       name: Option[String] = None): Stats.Computed = {
     val n = name.orElse(latestName(base)).getOrElse(
@@ -52,6 +63,8 @@ object StatsArtifact {
       totals = spark.read.parquet(s"$dir/totals"),
       perUser = spark.read.parquet(s"$dir/per_user"),
       perGroup = spark.read.parquet(s"$dir/per_group"),
-      perPrefix = spark.read.parquet(s"$dir/per_prefix"))
+      perPrefix = spark.read.parquet(s"$dir/per_prefix"),
+      perUserPrefix = spark.read.parquet(s"$dir/per_user_prefix"),
+      perGroupPrefix = spark.read.parquet(s"$dir/per_group_prefix"))
   }
 }

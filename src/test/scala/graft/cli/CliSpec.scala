@@ -1,0 +1,114 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.FileOperands
+import graft.ids.IdMaps
+import graft.ingest.Walker
+import graft.stats.Stats
+
+/** CLI building blocks: find's subtree restriction (+ its parquet
+  * pushdown), --since/--from/--to range compilation, and the per-id
+  * report file tree (reference find.go:75-96, internal/util.go:20-43,
+  * reports.go:128-229).
+  */
+class CliSpec extends SparkSpec {
+
+  private def snapshotOf(treeFiles: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val root = Files.createTempDirectory("graft-cli")
+    treeFiles.foreach { case (rel, content) =>
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes)
+    }
+    val df = Walker.walk(spark, root.toString, seedDepth = 1).entries.toDF()
+    df.withColumn("path", regexp_replace(col("path"), root.toString, ""))
+      .withColumn("parent", regexp_replace(col("parent"), root.toString, ""))
+  }
+
+  test("find root restriction: only the subtree, and not sibling prefixes") {
+    val files = snapshotOf(Map(
+      "a/x.txt" -> "1", "a/y.log" -> "22",
+      "ab/z.txt" -> "333", // sibling whose name shares the prefix string
+      "b/w.txt" -> "4444"))
+    val m = FileOperands().compile("name=*.txt")
+    val got = Main.findFrame(files, Some("/a"), m)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("/a/x.txt")) // /ab/z.txt must NOT match /a
+  }
+
+  test("find root predicate pushes down to the parquet scan") {
+    val dir = Files.createTempDirectory("graft-clip").toString
+    snapshotOf(Map("a/x.txt" -> "1", "b/y.txt" -> "2"))
+      .write.parquet(s"$dir/files")
+    val files = spark.read.parquet(s"$dir/files")
+    val plan = Main.findFrame(files, Some("/a"), lit(true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("StartsWith"),
+      s"expected StartsWith in PushedFilters:\n$plan")
+  }
+
+  test("TimeFlags: durations, instants, and range predicate") {
+    import java.time.Instant
+    assert(TimeFlags.parseDuration("90s").toSeconds == 90)
+    assert(TimeFlags.parseDuration("24h").toHours == 24)
+    assert(TimeFlags.parseDuration("7d").toDays == 7)
+    intercept[IllegalArgumentException](TimeFlags.parseDuration("nope"))
+    intercept[IllegalArgumentException](TimeFlags.parseTime("not-a-time"))
+
+    import spark.implicits._
+    val rows = Seq(
+      ("old", java.sql.Timestamp.from(Instant.parse("2026-01-01T00:00:00Z"))),
+      ("mid", java.sql.Timestamp.from(Instant.parse("2026-02-01T00:00:00Z"))),
+      ("new", java.sql.Timestamp.from(Instant.parse("2026-03-01T00:00:00Z"))))
+      .toDF("tag", "start")
+    def names(p: Option[org.apache.spark.sql.Column]): Set[String] =
+      p.map(rows.where).getOrElse(rows).select("tag")
+        .collect().map(_.getString(0)).toSet
+
+    assert(names(TimeFlags.predicate("start", None, None, None)) ==
+      Set("old", "mid", "new"))
+    assert(names(TimeFlags.predicate("start", None,
+      Some("2026-01-15"), Some("2026-02-15"))) == Set("mid"))
+    // --since is relative to an injected "now".
+    val now = () => Instant.parse("2026-03-02T00:00:00Z")
+    assert(names(TimeFlags.predicate("start", Some("48h"), None, None,
+      now)) == Set("new"))
+    intercept[IllegalArgumentException](
+      TimeFlags.predicate("start", Some("1h"), Some("2026-01-01"), None))
+  }
+
+  test("report tree: aggregate tables plus per-user/per-group files") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def entry(path: String, parent: String, isDir: Boolean, size: Long,
+        uid: Long, gid: Long) =
+      graft.model.FileEntry(path, parent, path.split("/").last, 1, isDir,
+        size, (size + 511) / 512, if (isDir) 0x4000 else 0x8000,
+        new Timestamp(1700000000000L), uid, gid, 1L,
+        scala.util.hashing.MurmurHash3.stringHash(path).toLong, 1L, 0L)
+    val files = Seq(
+      entry("/r", "", isDir = true, 0, 0, 0),
+      entry("/r/a.dat", "/r", isDir = false, 100, 1000, 50),
+      entry("/r/b.dat", "/r", isDir = false, 900, 1001, 50)).toDF()
+    val c = Stats.compute(files)
+    val ids = IdMaps(Map(1000L -> "alice", 1001L -> "bob"), Map(50L -> "staff"))
+    val dir = Files.createTempDirectory("graft-report")
+    Main.writeReportTree(c, dir, n = 10, ids = ids)
+
+    assert(Files.exists(dir.resolve("totals.md")))
+    assert(Files.exists(dir.resolve("by_user.tsv")))
+    // Names resolved in the aggregate table.
+    val byUser = Files.readString(dir.resolve("by_user.md"))
+    assert(byUser.contains("alice") && byUser.contains("bob"))
+    // One file per user/group, named id-name, carrying top prefixes.
+    val bobMd = Files.readString(dir.resolve("by_user/1001-bob.md"))
+    assert(bobMd.contains("# Usage report for bob (uid 1001)"))
+    assert(bobMd.contains("/r")) // his top prefix
+    assert(bobMd.contains("900")) // his bytes
+    assert(Files.exists(dir.resolve("by_group/50-staff.md")))
+  }
+}
