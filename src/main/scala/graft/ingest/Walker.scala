@@ -247,12 +247,11 @@ object Walker {
           case Right(r) => records += Record(Some(r.copy(n_entries = children.size.toLong)), None)
           case Left(e) => records += Record(None, Some(e))
         }
-        children.filterNot(c => excluded(c.toString, exclusions)).foreach { c =>
-          statEntry(c, depth + 1) match {
-            case Right(r) if r.is_dir => subdirs += c
-            case Right(r) => records += Record(Some(r), None)
-            case Left(e) => records += Record(None, Some(e))
-          }
+        val kept = children.filterNot(c => excluded(c.toString, exclusions))
+        kept.zip(statChildren(kept, depth + 1)).foreach {
+          case (c, Right(r)) if r.is_dir => subdirs += c
+          case (_, Right(r)) => records += Record(Some(r), None)
+          case (_, Left(e)) => records += Record(None, Some(e))
         }
       }
     } catch {
@@ -261,6 +260,36 @@ object Walker {
     }
     (records.result(), subdirs.result())
   }
+
+  /** S2: bounded async stat pool (reference asyncstat,
+    * analyze.go:214-222 + vendored cloudeng.io/file/filewalk/asyncstat:
+    * a fixed goroutine pool absorbs lstat latency). One static pool
+    * per executor JVM, shared by every walking task, so total stat
+    * concurrency stays bounded no matter how many tasks run — sized
+    * for blocking IO, not CPU. On local disk this is near-neutral; on
+    * a network filesystem (the reference's Lustre target) per-call
+    * latencies of ~1 ms make it the difference between ~1k and ~10k
+    * stats/s per executor. */
+  private val statPoolSize: Int =
+    math.min(64, Runtime.getRuntime.availableProcessors * 2)
+  private lazy val statPool =
+    java.util.concurrent.Executors.newFixedThreadPool(statPoolSize,
+      r => { val t = new Thread(r, "graft-stat"); t.setDaemon(true); t })
+  /** Below this many children the submit overhead beats the latency
+    * win; stat sequentially. */
+  private val parallelStatThreshold = 16
+
+  /** Stat `paths` preserving order; parallel through the shared pool
+    * when the batch is large enough. */
+  private def statChildren(paths: Vector[Path],
+      depth: Int): Vector[Either[ScanError, FileEntry]] =
+    if (paths.size < parallelStatThreshold) paths.map(statEntry(_, depth))
+    else paths
+      .map(p => statPool.submit(
+        new java.util.concurrent.Callable[Either[ScanError, FileEntry]] {
+          def call(): Either[ScanError, FileEntry] = statEntry(p, depth)
+        }))
+      .map(_.get())
 
   private def excluded(path: String, exclusions: Seq[Regex]): Boolean =
     exclusions.exists(_.findFirstIn(path).isDefined)

@@ -82,6 +82,27 @@ class WalkerSpec extends SparkSpec {
     assert(paths.exists(_.contains("d0-0")))
   }
 
+  test("wide directory (parallel stat path) walks identically") {
+    // 100 children crosses parallelStatThreshold: the shared stat pool
+    // stats them concurrently; results must be complete, ordered by
+    // the fact table's own keys, and error-free.
+    val root = Files.createTempDirectory("graft-wide")
+    for (i <- 0 until 90) Files.write(root.resolve(f"w$i%03d"), ("z" * (i % 7 + 1)).getBytes)
+    for (i <- 0 until 10) {
+      val d = root.resolve(f"wd$i")
+      Files.createDirectory(d)
+      Files.write(d.resolve("inner"), "q".getBytes)
+    }
+    val res = Walker.walk(spark, root.toString, seedDepth = 1)
+    val entries = res.entries.collect()
+    assert(res.errors.collect().isEmpty)
+    assert(entries.count(!_.is_dir) == 100) // 90 wide + 10 inner
+    assert(entries.count(_.is_dir) == 11)
+    assert(entries.map(_.path).distinct.length == entries.length)
+    val sizes = entries.filter(e => e.name.startsWith("w") && !e.is_dir && e.depth == 1)
+    assert(sizes.forall(e => e.size == e.name.drop(1).toInt % 7 + 1))
+  }
+
   test("seedDepth does not change the result set") {
     val (root, _, _) = buildTree()
     val a = Walker.walk(spark, root.toString, seedDepth = 1)
