@@ -86,20 +86,25 @@ object Similarity {
       iters: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // Dimension probed once (not in the schema); the means aggregate
+    // below is generated per-dimension.
+    val dim = corpus.select(size(col(vecCol))).as[Int].head()
     var cents: DataFrame = corpus.orderBy(asc(idCol)).limit(c)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
       .toDF("centroid_id", "cvec")
     for (_ <- 1 to iters) {
+      // Element-wise means as one wide codegen'd aggregate: dim × avg()
+      // columns in a single partial+final shuffle — no posexplode (which
+      // would shuffle n × dim rows) and no second aggregation.
+      val avgCols = (0 until dim).map(i =>
+        avg(element_at(col(vecCol), i + 1).cast("double")).as(s"m$i"))
       val means = ivfAssign(corpus, vecCol, idCol, cents)
-        .select(col("centroid_id"), posexplode(col(vecCol).cast("array<double>")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
         .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .agg(avgCols.head, avgCols.tail: _*)
         .select(col("centroid_id"),
-          transform(col("pm"), e => e.getField("m")).as("mean_vec"))
+          array((0 until dim).map(i => col(s"m$i")): _*).as("mean_vec"))
       // A cluster that empties keeps its previous centroid.
       cents = cents.withColumnRenamed("cvec", "prev")
         .join(means, Seq("centroid_id"), "left")
@@ -163,7 +168,13 @@ object Similarity {
   /** Random-hyperplane (sign) LSH signature: bit p = sign of
     * ⟨v, h_p⟩ where hyperplane components are deterministic hash noise
     * in [-1, 1). P[bit differs] = angle/π, so near-identical vectors
-    * share almost all bits. One aggregate pass over dimensions. */
+    * share almost all bits. One aggregate pass over dimensions.
+    *
+    * This declarative form is the REFERENCE implementation (its
+    * nested lambdas evaluate interpreted, dim × planes steps per row);
+    * operators use the bit-identical native kernel
+    * [[graft.functions.RpLshSigExpr]] — equivalence asserted in
+    * SimilaritySpec. */
   def rpLshSignature(vec: Column, planes: Int = 64): Column = {
     val planeIdx = sequence(lit(0), lit(planes - 1))
     val dots = aggregate(
@@ -182,24 +193,42 @@ object Similarity {
   /** Approximate cosine near-dups: RP-LSH signature → pigeonhole
     * chunk join (same trick as SimHash) → exact cosine verify on the
     * candidates only. Candidate count is bounded by bucket collisions,
-    * not corpus². */
+    * not corpus².
+    *
+    * Scale shape: the banded frame carries only (id, sig) — 16 bytes —
+    * so the 4× explode never multiplies embedding payload through the
+    * bucket shuffle. A pair colliding in several chunks is emitted
+    * once, from its FIRST colliding chunk (a signature-arithmetic
+    * filter on the joined row), replacing a distinct() that would
+    * shuffle the candidate set again. Vectors re-attach by id only for
+    * the surviving candidates. */
   def rpLshNearDups(corpus: DataFrame, vecCol: String, idCol: String,
       threshold: Double, maxBitDiff: Int = 3): DataFrame = {
     val chunks = maxBitDiff + 1
     val width = 64 / chunks
-    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      rpLshSignature(col(vecCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("v"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)), i =>
-        call_function("shiftrightunsigned", col("sig"), i * width)
-          .bitwiseAND((1L << width) - 1))))
+    def keyOf(sig: Column, c: Column): Column =
+      call_function("shiftrightunsigned", sig, c * width)
+        .bitwiseAND((1L << width) - 1)
+    val sigs = corpus.select(col(idCol).as("id"),
+      graft.functions.RpLshSigExpr.rpLshSig(corpus.sparkSession,
+        col(vecCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => keyOf(col("sig"), c))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
-    banded.as("x").join(banded.as("y"),
+    val priorChunks = filter(sequence(lit(0), lit(chunks - 1)),
+      c => c < col("x.chunk"))
+    val cand = banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"))
-      .distinct()
+      .where(!exists(priorChunks,
+        c => keyOf(col("x.sig"), c) === keyOf(col("y.sig"), c)))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val va = corpus.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("va"))
+    val vb = corpus.select(col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", round(ncos(corpus, col("va"), col("vb")), 4))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

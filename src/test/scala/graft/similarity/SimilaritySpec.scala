@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkSpec {
     assert(approx == exact, s"missed: ${exact -- approx}")
   }
 
+  test("native RP-LSH signature is bit-identical to the declarative form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16 + i % 5)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val both = df.select(col("vec_id"),
+      Similarity.rpLshSignature(col("embedding")).as("decl"),
+      graft.functions.RpLshSigExpr.rpLshSig(spark, col("embedding")).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"vec ${r.getLong(0)}: decl=${r.getLong(1).toBinaryString} " +
+          s"native=${r.getLong(2).toBinaryString}")
+    }
+  }
+
   test("IVF with enough probes matches brute force; fewer probes scan less") {
     val cents = Similarity.ivfCentroids(corpus, "embedding", "vec_id", 6)
     val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", cents)
