@@ -40,7 +40,7 @@ object Pipeline {
     // Language-ID by stopword-score argmax, grouped for compactness.
     "q_lang_id" -> ((s, dir) => {
       documents(s, dir)
-        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .select(graft.functions.LangIdExpr.langId(s, col("text")).as("lang_pred"))
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(asc("lang_pred"))

@@ -1,0 +1,44 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.LangIdExpr
+
+/** Native lang_id kernel ≡ the declarative regexp_count form on edge
+  * cases the single-pass scanner must get right: word boundaries
+  * inside larger words, punctuation/underscore/digit adjacency, CJK
+  * short-circuit, ties, and empty/stopword-free text.
+  */
+class TextSpec extends SparkSpec {
+
+  test("native lang_id matches the declarative langId") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "The cat and the dog sat in the garden with a ball",
+      "Le chat est dans la maison et les oiseaux dans les arbres",
+      "El perro corre por el parque con los gatos como siempre",
+      "Der Hund ist nicht mit der Katze und das ist gut",
+      "THE AND OF TO uppercase shouting still counts",
+      "theory android often into ThisThat witherless", // substrings must NOT count
+      "the_x and7 of2 to3 in_ is9 that_x with_y",      // _ and digits extend the word run
+      "x the y 这是中文 the the the",                    // CJK wins regardless of scores
+      "nothing matches here whatsoever",
+      "le la the and 0 0",                             // en/fr tie: 2 v 2 -> first in order
+      "")
+      .toDF("text")
+    val both = docs.select(
+      TextAnalysis.langId(col("text")).as("decl"),
+      LangIdExpr.langId(spark, col("text")).as("native"),
+      col("text")).collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"'${r.getString(2)}': decl=${r.getString(0)} native=${r.getString(1)}")
+    }
+    // And the specific expectations, so BOTH forms are pinned.
+    val natives = both.map(_.getString(1)).toSeq
+    assert(natives == Seq("en", "fr", "es", "de", "en", "und", "und", "zh",
+      "und", "en", "und"), natives.toString)
+  }
+}
