@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimExpr, LangIdExpr, MinHashSigExpr, RpLshSigExpr, SimHash64Expr, WordShinglesExpr}
+import graft.functions.{CosineSimExpr, LangIdExpr, MinHashSigExpr, MinMd5FingerprintExpr, RpLshSigExpr, SimHash64Expr, WordShinglesExpr}
 
 /** Session-extension wiring for cluster deployments: registers the
   * native expressions into every session built with
@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShinglesExpr(exprs.head, litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("min_md5_fingerprint"),
+      new ExpressionInfo(classOf[MinMd5FingerprintExpr].getName,
+        "min_md5_fingerprint"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinMd5FingerprintExpr(exprs.head, litInt(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),

@@ -50,7 +50,8 @@ object Pipeline {
     "q_doc_fingerprint" -> ((s, dir) => {
       spread(documents(s, dir)).select(
         col("doc_id"),
-        TextAnalysis.fingerprintMd5(col("text"), 8).as("fingerprint"))
+        graft.functions.MinMd5FingerprintExpr
+          .minMd5Fingerprint(s, col("text"), 8).as("fingerprint"))
         .orderBy(asc("doc_id"))
     }),
 

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.LangIdExpr
+import graft.functions.{LangIdExpr, MinMd5FingerprintExpr}
 
 /** Native lang_id kernel ≡ the declarative regexp_count form on edge
   * cases the single-pass scanner must get right: word boundaries
@@ -40,5 +40,29 @@ class TextSpec extends SparkSpec {
     val natives = both.map(_.getString(1)).toSeq
     assert(natives == Seq("en", "fr", "es", "de", "en", "und", "und", "zh",
       "und", "en", "und"), natives.toString)
+  }
+
+  test("native min-md5 fingerprint matches the declarative form") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaa",                  // identical windows
+      "exactly8",                          // len == k: single window
+      "short",                             // len < k: whole-text md5
+      "",                                  // empty
+      "naïve café — déjà vu über alles",   // multibyte UTF-8
+      "中文字符串也要分窗口哈希正确处理",       // CJK, 3-byte chars
+      "emoji 😀 surrogate pair inside text") // supplementary
+      .toDF("text")
+    val both = docs.select(
+      TextAnalysis.fingerprintMd5(col("text"), 8).as("decl"),
+      MinMd5FingerprintExpr.minMd5Fingerprint(spark, col("text"), 8)
+        .as("native"),
+      col("text")).collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"'${r.getString(2)}': decl=${r.getString(0)} native=${r.getString(1)}")
+    }
   }
 }
