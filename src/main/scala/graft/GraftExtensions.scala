@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimExpr, LangIdExpr, MinHashSigExpr, MinMd5FingerprintExpr, RpLshSigExpr, SimHash64Expr, WordShinglesExpr}
+import graft.functions.{CosineSimExpr, LangIdExpr, MinHashSigExpr, MinMd5FingerprintExpr, RpLshSigExpr, SimHash64Expr, TextStatsExpr, WordShinglesExpr}
 
 /** Session-extension wiring for cluster deployments: registers the
   * native expressions into every session built with
@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShinglesExpr(exprs.head, litInt(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextStatsExpr(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("min_md5_fingerprint"),
       new ExpressionInfo(classOf[MinMd5FingerprintExpr].getName,

@@ -27,13 +27,21 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + quality metrics (one scan, zero shuffle).
     "q_text_stats" -> ((s, dir) => {
-      val m = TextAnalysis.qualityMetrics(col("text")).toMap
-      documents(s, dir).select(
-        col("doc_id"),
-        m("n_tokens").as("n_tokens"),
-        m("alpha_ratio").as("alpha_ratio"),
-        m("space_ratio").as("space_ratio"),
-        m("mean_word_len").as("mean_word_len"))
+      // One native pass per document ([tokens, alpha, space, chars]);
+      // the ratios are the same arithmetic the declarative
+      // qualityMetrics applies (equivalence pinned in TextSpec).
+      val st = graft.functions.TextStatsExpr.textStats(s, col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), st.as("st"))
+        .select(
+          col("doc_id"),
+          element_at(col("st"), 1).as("n_tokens"),
+          round(element_at(col("st"), 2).cast("double") /
+            element_at(col("st"), 4).cast("double"), 4).as("alpha_ratio"),
+          round(element_at(col("st"), 3).cast("double") /
+            element_at(col("st"), 4).cast("double"), 4).as("space_ratio"),
+          round((element_at(col("st"), 4) - element_at(col("st"), 3)).cast("double") /
+            element_at(col("st"), 1).cast("double"), 4).as("mean_word_len"))
         .orderBy(asc("doc_id"))
     }),
 
@@ -58,10 +66,13 @@ object Pipeline {
     // Token budgeting: BPE-ish subword counts + quality score per
     // language — the "how many training tokens do we have" query.
     "q_token_budget" -> ((s, dir) => {
+      // Token counts from the single-pass native kernel (equivalence
+      // with the declarative forms pinned in TextSpec).
+      val st = graft.functions.TextStatsExpr.textStats(s, col("text"))
       documents(s, dir)
         .groupBy(col("lang"))
-        .agg(sum(TextAnalysis.approxBpeTokenCount(col("text"))).as("approx_bpe_tokens"),
-          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("word_tokens"),
+        .agg(sum(element_at(st, 5)).as("approx_bpe_tokens"),
+          sum(element_at(st, 1)).as("word_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy(asc("lang"))
     }),

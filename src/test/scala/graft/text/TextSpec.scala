@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.{LangIdExpr, MinMd5FingerprintExpr}
+import graft.functions.{LangIdExpr, MinMd5FingerprintExpr, TextStatsExpr}
 
 /** Native lang_id kernel ≡ the declarative regexp_count form on edge
   * cases the single-pass scanner must get right: word boundaries
@@ -40,6 +40,46 @@ class TextSpec extends SparkSpec {
     val natives = both.map(_.getString(1)).toSeq
     assert(natives == Seq("en", "fr", "es", "de", "en", "und", "und", "zh",
       "und", "en", "und"), natives.toString)
+  }
+
+  test("native text_stats matches the declarative metrics") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "The quick brown fox 123!",
+      "  leading and trailing spaces  ",
+      "\ttab-led line\n",     // tab/newline are NOT trimmed -> empty tokens
+      "a",
+      " ",                      // all-space -> trim to empty -> 1 token
+      "multi   space   runs",
+      "naïve café 中文 mixed")
+      .toDF("text")
+    val m = TextAnalysis.qualityMetrics(col("text")).toMap
+    val st = TextStatsExpr.textStats(spark, col("text"))
+    val both = docs.select(
+      m("n_tokens").as("d_tok"), element_at(st, 1).as("n_tok"),
+      m("alpha_ratio").as("d_alpha"),
+      round(element_at(st, 2).cast("double") /
+        element_at(st, 4).cast("double"), 4).as("n_alpha"),
+      m("space_ratio").as("d_space"),
+      round(element_at(st, 3).cast("double") /
+        element_at(st, 4).cast("double"), 4).as("n_space"),
+      m("mean_word_len").as("d_mwl"),
+      round((element_at(st, 4) - element_at(st, 3)).cast("double") /
+        element_at(st, 1).cast("double"), 4).as("n_mwl"),
+      col("text")).collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"tokens: '${r.getString(8)}'")
+      assert(r.getDouble(2) == r.getDouble(3), s"alpha: '${r.getString(8)}'")
+      assert(r.getDouble(4) == r.getDouble(5), s"space: '${r.getString(8)}'")
+      assert(r.getDouble(6) == r.getDouble(7), s"mwl: '${r.getString(8)}'")
+    }
+    val bpe = docs.select(
+      TextAnalysis.approxBpeTokenCount(col("text")).as("decl"),
+      element_at(st, 5).as("native"), col("text")).collect()
+    bpe.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"bpe: '${r.getString(2)}'")
+    }
   }
 
   test("native min-md5 fingerprint matches the declarative form") {
