@@ -61,10 +61,24 @@ object EventStream {
         }).toDF()
   }
 
+  /** Streaming exact dedup: keep the first occurrence of each key
+    * within the watermark horizon (the streaming twin of the batch
+    * exact dedup — dedup state is one compact row per distinct key
+    * inside the horizon, bounded by key cardinality × horizon, never
+    * by stream volume; expired keys are dropped with the watermark).
+    * For document streams the key would be the normalized-text hash;
+    * for events, the event id. */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run a parquet-backed streaming query into an in-memory sink until
     * all available input is processed (test/dev harness). */
   def runToMemory(spark: SparkSession, sourceDir: String, name: String,
-      transform: DataFrame => DataFrame): StreamingQuery = {
+      transform: DataFrame => DataFrame,
+      outputMode: OutputMode = OutputMode.Complete()): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
@@ -72,7 +86,7 @@ object EventStream {
       .parquet(sourceDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = transform(raw).writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

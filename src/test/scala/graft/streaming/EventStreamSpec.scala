@@ -30,4 +30,28 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming dedup keeps one row per key, equal to batch distinct") {
+    val dir = "/root/testdata/sf0.001"
+    // Duplicate the whole source file: every event arrives twice.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events_b.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString, "deduped",
+      df => EventStream.dedupByKey(df, Seq("event_id"), "1 hour")
+        .select(col("event_id")),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT event_id FROM deduped")
+      .collect().map(_.getLong(0))
+    val batchIds = graft.Tables.events(spark, dir)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(streamed.length == batchIds.length,
+      s"streamed ${streamed.length} vs batch distinct ${batchIds.length}")
+    assert(streamed.toSet == batchIds.toSet)
+  }
 }
