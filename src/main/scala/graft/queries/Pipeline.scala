@@ -77,6 +77,34 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // PII scrubbing (C4/RefinedWeb-style cleaning): count and redact
+    // emails + URLs. The synthetic corpus contains neither, so the
+    // query PLANTS them deterministically (doc_id % 5 → an email,
+    // doc_id % 7 → a URL, some docs get both) and the oracle replays
+    // the same injection — the redaction must find exactly what was
+    // planted. URLs redact before emails so a user@host URL can't be
+    // double-counted. Zero-shuffle scan-stage work.
+    "q_pii_scrub" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^\\s]+"
+      val planted = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" see https://example.org/doc/"), col("doc_id"), lit(" page")))
+            .otherwise(lit(""))).as("text"))
+      planted.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(urlRe)).cast("long").as("n_urls"),
+        length(regexp_replace(
+          regexp_replace(col("text"), urlRe, "<URL>"),
+          emailRe, "<EMAIL>")).cast("long").as("clean_len"))
+        .orderBy(asc("doc_id"))
+    }),
+
     // Exact dedup by normalized text hash.
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(documents(s, dir), "text", "doc_id")
@@ -211,6 +239,24 @@ object Pipeline {
         |                      for i in range(1, length(text) - 6)])
         |  END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' contact user' || doc_id || '@example.com now'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ' see https://example.org/doc/' || doc_id || ' page'
+        |            ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+'))::BIGINT AS n_urls,
+        |  length(regexp_replace(
+        |    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))::BIGINT AS clean_len
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "q_token_budget" ->
       """SELECT lang,
         |  sum(list_sum([1 + CAST(floor(length(w) / 4.0) AS BIGINT)
