@@ -77,6 +77,19 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Quality filtering — the gate a training pipeline applies before
+    // spending tokens: per-lang doc counts surviving the composite
+    // quality score threshold. Score formula mirrored in the oracle.
+    "q_quality_filter" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_pass"),
+          round(avg(col("q")), 4).as("avg_quality"))
+        .orderBy(asc("lang"))
+    }),
+
     // PII scrubbing (C4/RefinedWeb-style cleaning): count and redact
     // emails + URLs. The synthetic corpus contains neither, so the
     // query PLANTS them deterministically (doc_id % 5 → an email,
@@ -239,6 +252,23 @@ object Pipeline {
         |                      for i in range(1, length(text) - 6)])
         |  END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text), 4) AS alpha_ratio,
+        |    round(len(regexp_extract_all(text, '\s'))::DOUBLE / length(text), 4) AS space_ratio,
+        |    round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mwl
+        |  FROM documents),
+        |q AS (
+        |  SELECT lang,
+        |    round(least(1.0, alpha_ratio * 0.6 + space_ratio * 2.0 * 0.2 +
+        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4) AS q
+        |  FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        |  round(avg(q), 4) AS avg_quality
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pii_scrub" ->
       """WITH planted AS (
         |  SELECT doc_id,
