@@ -79,6 +79,7 @@ object Main {
         case None => System.err.println(s"no config matches $path"); sys.exit(1)
       }
     case "database" :: "prune" :: rest => prune(rest)
+    case "database" :: "list" :: rest => listArtifacts(rest)
     case "expression-syntax" :: Nil => println(expressionSyntax)
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
@@ -421,6 +422,22 @@ object Main {
     val snaps = Snapshot.prune(o.db, k)
     val arts = StatsArtifact.prune(o.db, k)
     println(s"pruned ${snaps.size} snapshots, ${arts.size} stats artifacts")
+  }
+
+  /** `database list --db DIR`: timestamped snapshot/artifact
+    * candidates, newest first, LATEST marked (reference
+    * reports.go:268-282's candidate listing). */
+  private def listArtifacts(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty, "database list --db DIR")
+    def show(kind: String, names: Seq[String], latest: Option[String]): Unit = {
+      println(s"$kind:")
+      names.foreach(n => println(
+        s"  $n${if (latest.contains(n)) "  (LATEST)" else ""}"))
+    }
+    show("snapshots", Snapshot.candidates(o.db), Snapshot.latestName(o.db))
+    show("stats artifacts", StatsArtifact.candidates(o.db),
+      StatsArtifact.latestName(o.db))
   }
 
   private def listTimestamped(args: List[String],

@@ -104,6 +104,22 @@ class IncrementalSpec extends SparkSpec {
     assert(paths(res.entries) == paths(fullWalk(root)))
   }
 
+  test("seedDepth=2 rescan: per-seed slices key correctly one level down") {
+    // Exercises the slice-keying path where the seed-ancestor is NOT
+    // the walk root's direct child list: prev dirs must land in the
+    // slice of their depth-2 ancestor, and the driver's shallow index
+    // covers depths 0-2.
+    val root = buildTree()
+    val prev = snapshotNow(root)
+    Files.write(root.resolve("d0-0/d1-1").resolve("f-extra"), "zz".getBytes)
+    val res = Incremental.rescan(spark, root.toString, prev, seedDepth = 2)
+    val s = res.summary
+    assert(s.prefixes_changed == 1) // only the touched leaf
+    assert(s.prefixes_unchanged == 6)
+    assert(s.files_reused == 18) // 6 untouched dirs x 3 files
+    assert(paths(res.entries) == paths(fullWalk(root)))
+  }
+
   test("mode change invalidates reuse") {
     val root = buildTree()
     val prev = snapshotNow(root)
