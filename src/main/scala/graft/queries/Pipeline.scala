@@ -119,8 +119,16 @@ object Pipeline {
     }),
 
     // Exact dedup by normalized text hash.
+    // The synthetic corpus has zero duplicate docs, so the query PLANTS
+    // them (every doc_id % 10 == 0 contributes a whitespace-variant
+    // copy — same text after normalization) and the oracle replays the
+    // injection: the dedup must find exactly the planted groups.
     "q_dedup_exact" -> ((s, dir) => {
-      Dedup.exact(documents(s, dir), "text", "doc_id")
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), col("text"), lit(" ")).as("text"))
+      Dedup.exact(base.unionByName(copies), "text", "doc_id")
         .groupBy()
         .agg(count(lit(1)).as("n_groups"),
           sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
@@ -297,10 +305,14 @@ object Pipeline {
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
-      """WITH groups AS (
+      """WITH planted AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT '  ' || text || ' ' AS text FROM documents WHERE doc_id % 10 = 0),
+        |groups AS (
         |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
         |         count(*) AS n_copies
-        |  FROM documents GROUP BY 1)
+        |  FROM planted GROUP BY 1)
         |SELECT count(*) AS n_groups,
         |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
         |  sum(n_copies - 1)::BIGINT AS n_redundant_docs
