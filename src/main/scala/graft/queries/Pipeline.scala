@@ -82,7 +82,7 @@ object Pipeline {
     // quality score threshold. Score formula mirrored in the oracle.
     "q_quality_filter" -> ((s, dir) => {
       documents(s, dir)
-        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .withColumn("q", TextAnalysis.qualityScoreFast(s, col("text")))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_pass"),

@@ -51,10 +51,28 @@ object TextAnalysis {
     * (pure arithmetic over the metrics above). */
   def qualityScore(text: Column): Column = {
     val m = qualityMetrics(text).toMap
-    val wordLenOk = when(m("mean_word_len").between(3.0, 10.0), 1.0).otherwise(0.5)
+    scoreOf(m("alpha_ratio"), m("space_ratio"), m("mean_word_len"))
+  }
+
+  /** The same score computed from the single-pass native counts
+    * ([[graft.functions.TextStatsExpr]]) instead of three regex scans —
+    * identical output (same ratios, same rounding points; asserted in
+    * TextSpec). */
+  def qualityScoreFast(spark: org.apache.spark.sql.SparkSession,
+      text: Column): Column = {
+    val st = graft.functions.TextStatsExpr.textStats(spark, text)
+    def el(i: Int): Column = element_at(st, i)
+    scoreOf(
+      round(el(2).cast("double") / el(4).cast("double"), 4),
+      round(el(3).cast("double") / el(4).cast("double"), 4),
+      round((el(4) - el(3)).cast("double") / el(1).cast("double"), 4))
+  }
+
+  private def scoreOf(alphaRatio: Column, spaceRatio: Column,
+      meanWordLen: Column): Column = {
+    val wordLenOk = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     round(least(lit(1.0),
-      m("alpha_ratio") * 0.6 + m("space_ratio") * lit(2.0) * 0.2 +
-        wordLenOk * 0.2), 4)
+      alphaRatio * 0.6 + spaceRatio * lit(2.0) * 0.2 + wordLenOk * 0.2), 4)
   }
 
   /** Stopword inventories for the n-gram/stopword language-ID

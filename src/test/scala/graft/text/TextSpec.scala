@@ -80,6 +80,13 @@ class TextSpec extends SparkSpec {
     bpe.foreach { r =>
       assert(r.getLong(0) == r.getLong(1), s"bpe: '${r.getString(2)}'")
     }
+    val score = docs.select(
+      TextAnalysis.qualityScore(col("text")).as("decl"),
+      TextAnalysis.qualityScoreFast(spark, col("text")).as("native"),
+      col("text")).collect()
+    score.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"score: '${r.getString(2)}'")
+    }
   }
 
   test("native min-md5 fingerprint matches the declarative form") {
