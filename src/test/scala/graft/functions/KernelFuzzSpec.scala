@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Seeded fuzz over the native kernels: every kernel must equal its
+  * declarative reference on a few hundred adversarial random inputs
+  * (mixed whitespace kinds, unicode, stopwords embedded in junk,
+  * pathological repetition) — one Spark job per kernel pair, not one
+  * per case.
+  */
+class KernelFuzzSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  private def randomText(): String = {
+    val alphabet =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789" +
+        "     \t\n..,;:!?'\"()-_@/%中文字éüñß日本語 "
+    val words = Seq("the", "and", "les", "est", "las", "der", "und", "mit",
+      "theory", "into", "x_y", "a1")
+    val n = rnd.nextInt(200)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (rnd.nextInt(8) == 0) {
+        sb.append(words(rnd.nextInt(words.length))).append(' ')
+        i += 4
+      } else {
+        sb.append(alphabet.charAt(rnd.nextInt(alphabet.length)))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  test("text kernels equal their declarative forms on 300 fuzz strings") {
+    val s = spark
+    import s.implicits._
+    val docs = ((0 until 300).map(_ => randomText()) ++
+      Seq("", " ", "\t", "exact8ch")).toDF("text")
+    val st = TextStatsExpr.textStats(spark, col("text"))
+    val m = TextAnalysis.qualityMetrics(col("text")).toMap
+    val bad = docs.select(
+      col("text"),
+      TextAnalysis.langId(col("text")).as("d_lang"),
+      LangIdExpr.langId(spark, col("text")).as("n_lang"),
+      m("n_tokens").as("d_tok"), element_at(st, 1).as("n_tok"),
+      TextAnalysis.approxBpeTokenCount(col("text")).as("d_bpe"),
+      element_at(st, 5).as("n_bpe"),
+      TextAnalysis.fingerprintMd5(col("text"), 8).as("d_fp"),
+      MinMd5FingerprintExpr.minMd5Fingerprint(spark, col("text"), 8).as("n_fp"))
+      .where(col("d_lang") =!= col("n_lang") ||
+        col("d_tok") =!= col("n_tok") ||
+        col("d_bpe") =!= col("n_bpe") ||
+        col("d_fp") =!= col("n_fp"))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).map(_.toString).mkString("\n"))
+  }
+
+  test("rp_lsh_sig equals the declarative signature on 200 fuzz vectors") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(1 + rnd.nextInt(64))(rnd.nextFloat() * 20 - 10))
+    }.toDF("id", "v")
+    val bad = vecs.select(
+      col("id"),
+      Similarity.rpLshSignature(col("v")).as("decl"),
+      RpLshSigExpr.rpLshSig(spark, col("v")).as("native"))
+      .where(col("decl") =!= col("native"))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).map(_.toString).mkString("\n"))
+  }
+}
