@@ -187,7 +187,10 @@ object Pipeline {
     // force at nprobe=all is asserted in SimilaritySpec).
     "q_ann_ivf" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id", 16)
+      // Quantizer trains on a 25% hash sample (the at-scale recipe);
+      // assignment and probing run over the full corpus.
+      val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id", 16,
+        trainPct = 25)
       val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id", cents)
       val query = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.ivfTopK(assigned, "embedding", "vec_id", query, 10, cents,

@@ -82,10 +82,19 @@ object Similarity {
     * what gets broadcast to every probe anyway — which also pins the
     * cell ids: re-evaluating a downstream plan reuses the same
     * materialized centroids instead of re-running the job. */
+  /** @param trainPct percent of the corpus (deterministic hash sample
+    *   on the id) the Lloyd iterations train on; 100 = full corpus.
+    *   At scale this is how IVF quantizers are actually built — k-means
+    *   over a bounded sample, then ONE full-corpus assignment pass —
+    *   so training cost stays flat as the corpus grows. */
   def ivfCentroids(corpus: DataFrame, vecCol: String, idCol: String, c: Int,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5, trainPct: Int = 100): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(trainPct >= 1 && trainPct <= 100, s"trainPct $trainPct")
+    val train =
+      if (trainPct >= 100) corpus
+      else corpus.where(pmod(xxhash64(col(idCol)), lit(100)) < trainPct)
     // Dimension probed once (not in the schema); the means aggregate
     // below is generated per-dimension.
     val dim = corpus.select(size(col(vecCol))).as[Int].head()
@@ -100,7 +109,7 @@ object Similarity {
       // would shuffle n × dim rows) and no second aggregation.
       val avgCols = (0 until dim).map(i =>
         avg(element_at(col(vecCol), i + 1).cast("double")).as(s"m$i"))
-      val means = ivfAssign(corpus, vecCol, idCol, cents)
+      val means = ivfAssign(train, vecCol, idCol, cents)
         .groupBy(col("centroid_id"))
         .agg(avgCols.head, avgCols.tail: _*)
         .select(col("centroid_id"),

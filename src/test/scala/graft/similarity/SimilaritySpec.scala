@@ -107,6 +107,18 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.toSet.intersect(ivf2).size >= 4,
       s"nprobe=2 recall too low: $ivf2 vs $brute")
 
+    // Sampled training (the at-scale quantizer recipe): centroids from
+    // a 50% hash sample still index the full corpus — nprobe=all stays
+    // exact because probing everything is brute force regardless of
+    // centroid quality.
+    val centsS = Similarity.ivfCentroids(corpus, "embedding", "vec_id", 6,
+      trainPct = 50)
+    val assignedS = Similarity.ivfAssign(corpus, "embedding", "vec_id", centsS)
+    assert(assignedS.count() == 60)
+    val ivfS = Similarity.ivfTopK(assignedS, "embedding", "vec_id", q, 5,
+      centsS, nprobe = 6).collect().map(_.getLong(0)).toSeq
+    assert(ivfS == brute, "sampled-training nprobe=all must equal brute force")
+
     // With one representative centroid per cluster, probing the single
     // nearest cell recovers the exact answer (brute's top-5 are all
     // cluster-0): the recall/nprobe tradeoff working as designed.
