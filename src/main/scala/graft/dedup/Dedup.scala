@@ -85,6 +85,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Decontamination screen (train/eval overlap): corpus docs sharing
+    * at least `minShared` distinct word n-grams with any benchmark
+    * doc. The benchmark side is an eval set — small by definition — so
+    * its distinct shingles broadcast, and the corpus side is one
+    * explode + broadcast join + partial aggregate: the corpus text
+    * never shuffles, and cost scales with corpus shingle count, not
+    * with corpus × benchmark. */
+  def contaminated(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 5, minShared: Long = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    def sh(df: DataFrame): Column =
+      graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
+    val corpusSh = corpus.select(col(idCol).as("doc_id"),
+      explode(sh(corpus)).as("shingle"))
+    val benchSh = bench.select(explode(sh(bench)).as("shingle")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("shingle"))
+      // wordShingles is distinct per doc, so count(*) = distinct shared
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature: k independent hash functions simulated by
     * seeding xxhash64 with the hash index (Broder's scheme). Output:
     * `sig` ARRAY<BIGINT> of length k.

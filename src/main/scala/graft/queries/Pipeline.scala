@@ -135,6 +135,18 @@ object Pipeline {
           sum(col("n_copies") - 1).as("n_redundant_docs"))
     }),
 
+    // Decontamination screen: which corpus docs share any 5-gram with
+    // the "benchmark" set (the five lowest-id docs stand in for an
+    // eval set — they flag themselves plus any genuine overlap). The
+    // benchmark's distinct shingles broadcast; corpus text never
+    // shuffles.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.contaminated(docs, docs.where(col("doc_id") < 5),
+        "text", "doc_id", n = 5)
+        .orderBy(asc("doc_id"))
+    }),
+
     // EXACT 3-gram Jaccard near-dup pairs via inverted shingle index.
     // maxShingleDf is the scale safety valve: a shingle in d docs emits
     // O(d²) join rows, so boilerplate shingles must be dropped before
@@ -320,6 +332,21 @@ object Pipeline {
         |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
         |  sum(n_copies - 1)::BIGINT AS n_redundant_docs
         |FROM groups""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |            for i in range(1, len(w) - 3)] END) AS ws
+        |  FROM w),
+        |bench AS (SELECT DISTINCT unnest(ws) AS shingle FROM sh WHERE doc_id < 5),
+        |corpus AS (SELECT doc_id, unnest(ws) AS shingle FROM sh)
+        |SELECT doc_id, count(*)::BIGINT AS n_shared
+        |FROM corpus JOIN bench USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_near_dup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
