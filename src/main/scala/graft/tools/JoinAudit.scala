@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: one line per declared query naming any cartesian /
+  * nested-loop join nodes in its physical plan. Broadcast nested loops
+  * against intentionally tiny sides (single-query-row topK, planted
+  * LSH twins) are expected; anything else is a scale bug.
+  */
+object JoinAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, q) =>
+      try {
+        // sparkPlan, not executedPlan: AdaptiveSparkPlanExec exposes
+        // no children to collect until executed, which would make the
+        // audit vacuously "clean".
+        val plan = q(spark, sfDir).queryExecution.sparkPlan
+        val risky = plan.collectWithSubqueries {
+          case p if p.nodeName.contains("Cartesian") ||
+            p.nodeName.contains("NestedLoop") => p.nodeName
+        }
+        println(s"AUDIT $n: ${if (risky.isEmpty) "clean" else risky.mkString(", ")}")
+      } catch {
+        case e: Throwable => println(s"AUDIT $n: ERROR ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
