@@ -152,7 +152,10 @@ object Pipeline {
     // O(d²) join rows, so boilerplate shingles must be dropped before
     // pairing at 100 TB. The cutoff (8) sits above the sf0.01 corpus
     // max df (7, measured), so the DuckDB oracle — which has no cutoff
-    // — still matches exactly at the verify scale.
+    // — still matches exactly at the verify scale. At sf0.1 the max df
+    // is 25 (measured): the cutoff activates there and prunes the
+    // hottest inverted-index rows — the designed recall/cost tradeoff
+    // taking over as the corpus grows.
     "q_near_dup_jaccard" -> ((s, dir) => {
       Dedup.jaccardPairs(spread(documents(s, dir)), "text", "doc_id",
         n = 3, threshold = 0.3, maxShingleDf = 8)
