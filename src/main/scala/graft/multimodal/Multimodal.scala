@@ -91,6 +91,43 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "offset_ms")
 
+  /** STUB: batched resize for image payloads — emits a new media row
+    * with scaled metadata and a deterministic "resized" payload (every
+    * `stride`-th byte, stride = ceil of the area ratio; a real
+    * implementation swaps in a pixel resampler — the batched
+    * mapPartitions shape, the metadata rewrite, and the payload
+    * shrink-in-flight are the real parts). Non-image rows pass through
+    * untouched, so the operator composes in a mixed-media pipeline. */
+  def resize(media: DataFrame, maxWidth: Int, maxHeight: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"),
+      col("meta.mime"), col("meta.width"), col("meta.height"),
+      col("meta.duration_ms"))
+      .as[(Long, String, Array[Byte], String, Int, Int, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, kind, payload, mime, w, h, dur) =>
+          if (kind != "image" || (w <= maxWidth && h <= maxHeight))
+            MediaRow(id, kind, payload, MediaMeta(mime, w, h, dur))
+          else {
+            val scale = math.min(
+              maxWidth.toDouble / math.max(1, w),
+              maxHeight.toDouble / math.max(1, h))
+            val nw = math.max(1, math.floor(w * scale).toInt)
+            val nh = math.max(1, math.floor(h * scale).toInt)
+            // STUB: real code resamples pixels; the fake keeps every
+            // stride-th byte so payload bytes shrink with the area.
+            val stride = math.max(1, math.ceil(
+              (w.toLong * h).toDouble / math.max(1L, nw.toLong * nh)).toInt)
+            val out = Array.ofDim[Byte]((payload.length + stride - 1) / stride)
+            var i = 0
+            while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+            MediaRow(id, kind, out, MediaMeta(mime, nw, nh, dur))
+          }
+        }
+      }
+  }
+
   /** Metadata-only projection: never touches the payload column (the
     * parquet reader prunes it — assert via ReadSchema in explain). */
   def metadataStats(media: DataFrame): DataFrame =

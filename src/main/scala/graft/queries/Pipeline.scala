@@ -232,6 +232,20 @@ object Pipeline {
         .orderBy(asc("kind"))
     }),
 
+    // Batched resize: images over 320x240 scale down (metadata AND
+    // payload bytes shrink in flight); other media pass through.
+    // Oracle-checked — the stub's arithmetic (scale, floor dims,
+    // stride subsampling) is exactly SQL-expressible.
+    "q_media_resize" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(documents(s, dir))
+      graft.multimodal.Multimodal.resize(media, 320, 240).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          max(col("meta.width")).as("max_width"),
+          sum(length(col("payload"))).as("total_bytes"))
+        .orderBy(asc("kind"))
+    }),
+
     // Frame sampling plan (explode-shaped; a real decoder would seek
     // the container at each offset). Oracle-checked: the offsets are
     // pure arithmetic on metadata.
@@ -377,6 +391,34 @@ object Pipeline {
         |  sum(n_chars * 10)::BIGINT AS total_duration_ms,
         |  max(n_chars % 640) AS max_width
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    strlen(text)::BIGINT AS plen,
+        |    (n_chars % 640)::INT AS w, (n_chars % 480)::INT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT media_id, kind, plen, w, h,
+        |    CASE WHEN kind = 'image' AND (w > 320 OR h > 240)
+        |      THEN least(320.0 / greatest(1, w), 240.0 / greatest(1, h))
+        |      ELSE NULL END AS scale
+        |  FROM m),
+        |rr AS (
+        |  SELECT media_id, kind,
+        |    CASE WHEN scale IS NULL THEN w
+        |         ELSE greatest(1, floor(w * scale)::INT) END AS nw,
+        |    CASE WHEN scale IS NULL THEN plen
+        |         ELSE ceil(plen::DOUBLE / greatest(1,
+        |           ceil((w::BIGINT * h)::DOUBLE /
+        |             greatest(1, greatest(1, floor(w * scale)::INT)::BIGINT *
+        |               greatest(1, floor(h * scale)::INT)::BIGINT))::BIGINT))::BIGINT
+        |    END AS nplen
+        |  FROM r)
+        |SELECT kind, count(*) AS n_media, max(nw) AS max_width,
+        |  sum(nplen)::BIGINT AS total_bytes
+        |FROM rr GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_frame_samples" ->
       """SELECT media_id,
         |  CAST(offset_ms // 1000 AS INTEGER) AS frame_idx, offset_ms

@@ -17,6 +17,33 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == 500)
   }
 
+  test("resize scales oversize images down, passes everything else through") {
+    val resized = Multimodal.resize(media, 320, 240).collect()
+      .map(r => r.media_id -> r).toMap
+    val before = media.select(col("media_id"), col("kind"),
+      length(col("payload")), col("meta.width"), col("meta.height")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(resized.size == before.length)
+    var shrunk = 0
+    before.foreach { case (id, kind, plen, w, h) =>
+      val r = resized(id)
+      if (kind != "image" || (w <= 320 && h <= 240)) {
+        assert(r.meta.width == w && r.meta.height == h &&
+          r.payload.length == plen, s"media $id must pass through")
+      } else {
+        shrunk += 1
+        assert(r.meta.width <= 320 && r.meta.height <= 240,
+          s"media $id not within bounds: ${r.meta}")
+        assert(r.payload.length < plen, s"media $id payload must shrink")
+        // aspect ratio preserved within integer-floor tolerance
+        val scale = math.min(320.0 / w, 240.0 / h)
+        assert(r.meta.width == math.max(1, math.floor(w * scale).toInt))
+        assert(r.meta.height == math.max(1, math.floor(h * scale).toInt))
+      }
+    }
+    assert(shrunk > 0, "fixture should include oversize images")
+  }
+
   test("feature extraction is batched, deterministic, and normalized") {
     val feats = Multimodal.extractFeatures(media)
     val rows = feats.collect()
