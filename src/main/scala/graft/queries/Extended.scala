@@ -87,6 +87,21 @@ object Extended {
         .orderBy(asc("id_a"), asc("id_b"))
     }),
 
+    // Int8 scalar quantization round-trip: per-vector reconstruction
+    // cosine after quantize→dequantize. The 4× storage cut is the
+    // at-scale win; this query proves recall survives it (cos ≈ 1.0
+    // per vector), with the arithmetic mirrored in DuckDB.
+    "q_embed_quantize" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qz = Similarity.quantizeInt8(col("embedding"))
+      emb.select(col("vec_id"), col("embedding"), qz.as("qz"))
+        .select(col("vec_id"),
+          round(graft.functions.CosineSimExpr.cosineSim(s,
+            col("embedding"), Similarity.dequantize(col("qz"))), 4)
+            .as("recon_cos"))
+        .orderBy(asc("vec_id"))
+    }),
+
     // The SCALE path for embedding near-dup: RP-LSH signature →
     // pigeonhole bucket join → exact cosine verify on candidates only.
     // Candidate count is bounded by bucket collisions, not corpus² —
@@ -142,6 +157,16 @@ object Extended {
         |WHERE l_quantity > 45 AND (l_returnflag = 'R' OR l_returnflag = 'A')
         |  AND NOT (l_shipdate < TIMESTAMP '1996-01-01')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |      FROM e),
+        |d AS (SELECT vec_id, v,
+        |        list_transform(v, x -> round(x / greatest(scale, 1e-30)) * scale) AS dv
+        |      FROM s)
+        |SELECT vec_id, round(list_cosine_similarity(v, dv), 4) AS recon_cos
+        |FROM d ORDER BY vec_id""".stripMargin,
     "q_cosine_near_dup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

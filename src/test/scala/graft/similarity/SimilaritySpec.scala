@@ -70,6 +70,33 @@ class SimilaritySpec extends SparkSpec {
     assert(approx == exact, s"missed: ${exact -- approx}")
   }
 
+  test("int8 quantization: bounded element error, near-perfect cosine") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 6 - 3))).toDF("id", "v")
+    val qz = Similarity.quantizeInt8(col("v"))
+    val rows = vecs.select(col("id"), col("v"), qz.as("qz"),
+      Similarity.dequantize(qz).as("dv")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val scale = r.getStruct(2).getDouble(0)
+      val qs = r.getStruct(2).getSeq[Int](1)
+      val dv = r.getSeq[Double](3)
+      assert(qs.forall(q => q >= -127 && q <= 127), s"q out of range: $qs")
+      v.zip(dv).foreach { case (x, d) =>
+        assert(math.abs(x - d) <= scale / 2 + 1e-9,
+          s"elem error ${math.abs(x - d)} > scale/2 ${scale / 2}")
+      }
+    }
+    // recon cosine stays ≈ 1 (this is why int8 is safe for cosine work)
+    val cos = vecs.select(
+      graft.functions.CosineSimExpr.cosineSim(spark, col("v"),
+        Similarity.dequantize(qz))).collect().map(_.getDouble(0))
+    assert(cos.forall(_ > 0.9995), s"min recon cos ${cos.min}")
+  }
+
   test("native RP-LSH signature is bit-identical to the declarative form") {
     val s = spark
     import s.implicits._
