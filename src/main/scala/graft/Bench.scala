@@ -49,7 +49,9 @@ object Bench {
           None
         }
       }
-      if (times.isEmpty) None else Some(n -> times.min)
+      // A query that failed ANY timed run is only ever reported as
+      // failed — never under "queries" with a min over surviving runs.
+      if (times.isEmpty || failed(n)) None else Some(n -> times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

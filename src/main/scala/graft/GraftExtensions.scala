@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo, Lower}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{CosineSimExpr, LangIdExpr, MinHashSigExpr, MinMd5FingerprintExpr, RpLshSigExpr, SimHash64Expr, TextStatsExpr, WordShinglesExpr}
 
@@ -20,6 +21,12 @@ import graft.functions.{CosineSimExpr, LangIdExpr, MinHashSigExpr, MinMd5Fingerp
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // The builders must replicate the Column wrappers' preprocessing:
+    // the kernels read ArrayData.getDouble / expect lowercased text, so
+    // a raw float-array or mixed-case input through SQL would silently
+    // produce garbage (no cast/lower happens inside the kernels).
+    def toDoubles(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      Cast(e, ArrayType(DoubleType))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
@@ -29,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimExpr(exprs(0), exprs(1))))
+        CosineSimExpr(toDoubles(exprs(0)), toDoubles(exprs(1)))))
     def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
       e.eval().asInstanceOf[Number].intValue
     ext.injectFunction((
@@ -52,12 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LangIdExpr(exprs.head)))
+        LangIdExpr(Lower(exprs.head))))
     ext.injectFunction((
       FunctionIdentifier("rp_lsh_sig"),
       new ExpressionInfo(classOf[RpLshSigExpr].getName, "rp_lsh_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RpLshSigExpr(exprs.head)))
+        RpLshSigExpr(toDoubles(exprs.head))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),

@@ -88,7 +88,7 @@ object Main {
       sys.exit(2)
   }
 
-  private final case class Opts(
+  private[cli] final case class Opts(
       db: String = "", n: Int = 10, calc: Option[String] = None,
       incremental: Boolean = false, config: String = "",
       user: Option[String] = None, group: Option[String] = None,
@@ -97,7 +97,9 @@ object Main {
       hardlinksAsFiles: Boolean = false,
       excludes: List[String] = Nil, positional: List[String] = Nil)
 
-  private def parseOpts(args: List[String]): Opts = args match {
+  // positional accumulates in COMMAND-LINE order: the recursion
+  // parses the tail first and prepends the head (foldRight shape).
+  private[cli] def parseOpts(args: List[String]): Opts = args match {
     case "--db" :: v :: rest => parseOpts(rest).copy(db = v)
     case "--config" :: v :: rest => parseOpts(rest).copy(config = v)
     case "--n" :: v :: rest => parseOpts(rest).copy(n = v.toInt)
@@ -126,10 +128,15 @@ object Main {
   private def withName(df: DataFrame, idCol: String,
       byId: Map[Long, String]): DataFrame = {
     val nameCol = s"${idCol}_name"
+    // try_element_at, not element_at: ANSI mode (Spark 4 default)
+    // makes element_at THROW on a missing map key, so a uid absent
+    // from /etc/passwd would crash the report instead of rendering
+    // numerically.
     val named =
       if (byId.isEmpty) df.withColumn(nameCol, col(idCol).cast("string"))
       else df.withColumn(nameCol,
-        coalesce(element_at(typedLit(byId), col(idCol)), col(idCol).cast("string")))
+        coalesce(try_element_at(typedLit(byId), col(idCol)),
+          col(idCol).cast("string")))
     named.select((nameCol +: df.columns.toSeq).map(col): _*)
   }
 
@@ -203,7 +210,7 @@ object Main {
     // First positional starting with '/' is the ROOT restriction
     // (reference find.go:75-96 seeks to the root key and stops at the
     // range end); the rest is the boolean expression.
-    val (root, exprToks) = o.positional.reverse match {
+    val (root, exprToks) = o.positional match {
       case r :: rest if r.startsWith("/") => (Some(r.stripSuffix("/")), rest)
       case toks => (None, toks)
     }
@@ -253,7 +260,7 @@ object Main {
         }
       }
     require_(o.db.nonEmpty, "stats compute --db DIR [--n N] [--calc C] EXPR...")
-    val expr = o.positional.reverse.mkString(" ")
+    val expr = o.positional.mkString(" ")
     val calc = o.calc.orElse(cfgCalc).getOrElse("identity")
     val hardlinksAsFiles = o.hardlinksAsFiles || cfgHardlinks.getOrElse(false)
     val spark = session()

@@ -95,11 +95,11 @@ object Dedup {
   def contaminated(corpus: DataFrame, bench: DataFrame, textCol: String,
       idCol: String, n: Int = 5, minShared: Long = 1): DataFrame = {
     val spark = corpus.sparkSession
-    def sh(df: DataFrame): Column =
+    val shingleCol =
       graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
     val corpusSh = corpus.select(col(idCol).as("doc_id"),
-      explode(sh(corpus)).as("shingle"))
-    val benchSh = bench.select(explode(sh(bench)).as("shingle")).distinct()
+      explode(shingleCol).as("shingle"))
+    val benchSh = bench.select(explode(shingleCol).as("shingle")).distinct()
     corpusSh.join(broadcast(benchSh), Seq("shingle"))
       // wordShingles is distinct per doc, so count(*) = distinct shared
       .groupBy(col("doc_id"))

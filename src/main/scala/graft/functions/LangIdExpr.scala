@@ -53,12 +53,23 @@ object LangIdExpr {
     m
   }
 
-  private def isWordChar(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-      (c >= '0' && c <= '9') || c == '_'
+  /** The \b word-character set Spark's regexp actually uses (probed
+    * empirically on this JVM; matches JDK UnicodeProp.WORD): letters —
+    * Unicode, not just ASCII — decimal digits, combining marks,
+    * connector punctuation, and the zero-width joiners. A stopword
+    * glued to é/ß/中/a combining mark therefore has NO boundary and
+    * must not count. */
+  private def isWordCp(cp: Int): Boolean =
+    Character.isAlphabetic(cp) || Character.isDigit(cp) || {
+      val t = Character.getType(cp)
+      t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+        t == Character.COMBINING_SPACING_MARK ||
+        t == Character.CONNECTOR_PUNCTUATION
+    } || cp == 0x200C || cp == 0x200D
 
   /** Static kernel shared by interpreted eval and generated code;
-    * `text` must already be lowercased. */
+    * `text` must already be lowercased. Iterates CODEPOINTS (regex
+    * boundaries are codepoint-based). */
   def compute(text: UTF8String): UTF8String = {
     val s = text.toString
     val n = s.length
@@ -67,20 +78,16 @@ object LangIdExpr {
     var i = 0
     var start = -1
     while (i <= n) {
-      val w = i < n && isWordChar(s.charAt(i))
+      val cp = if (i < n) s.codePointAt(i) else -1
+      if (cp >= 0x4e00 && cp <= 0x9fff) cjk = true
+      val w = i < n && isWordCp(cp)
       if (w) { if (start < 0) start = i }
-      else {
-        if (start >= 0) {
-          val li = wordLang.get(s.substring(start, i))
-          if (li != null) counts(li.intValue()) += 1
-          start = -1
-        }
-        if (i < n) {
-          val c = s.charAt(i)
-          if (c >= 0x4e00 && c <= 0x9fff) cjk = true
-        }
+      else if (start >= 0) {
+        val li = wordLang.get(s.substring(start, i))
+        if (li != null) counts(li.intValue()) += 1
+        start = -1
       }
-      i += 1
+      i += (if (i < n) Character.charCount(cp) else 1)
     }
     if (cjk) return UTF8String.fromString("zh")
     var best = 0L

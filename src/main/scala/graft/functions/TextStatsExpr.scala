@@ -74,7 +74,12 @@ object TextStatsExpr {
         val w = j == hi || isWs(s.charAt(j))
         if (!w && !inRun) { tokens += 1; inRun = true; runStart = j }
         else if (w && inRun) {
-          bpeOverflow += s.codePointCount(runStart, j) / 4
+          // The declarative form measures tokens of lower(text);
+          // lowercasing can CHANGE codepoint count (U+0130 İ → "i"+
+          // combining dot), so the run must be lowercased before
+          // measuring. Same fallback as UTF8String.toLowerCase.
+          val run = s.substring(runStart, j).toLowerCase
+          bpeOverflow += run.codePointCount(0, run.length) / 4
           inRun = false
         }
         j += 1

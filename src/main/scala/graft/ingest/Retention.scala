@@ -41,7 +41,10 @@ object Retention {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
+    // NOFOLLOW: a symlink to a directory must be unlinked, never
+    // descended — following it would delete data OUTSIDE the pruned
+    // tree.
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val s = Files.list(p)
       try s.iterator().asScala.toSeq.foreach(deleteRecursively) finally s.close()
     }

@@ -59,12 +59,26 @@ object StatsArtifact {
     val n = name.orElse(latestName(base)).getOrElse(
       throw new IllegalStateException(s"no stats artifact under $base"))
     val dir = s"$base/stats/$n"
+    val perUser = spark.read.parquet(s"$dir/per_user")
+    val perGroup = spark.read.parquet(s"$dir/per_group")
+    // Artifacts written before the per-(id, prefix) frames existed
+    // lack these tables; degrade to empty frames with the right
+    // schema instead of failing every view/report on an old database.
+    def perIdPrefixOrEmpty(path: String, perId: org.apache.spark.sql.DataFrame,
+        idCol: String): org.apache.spark.sql.DataFrame =
+      if (Files.exists(Paths.get(path))) spark.read.parquet(path)
+      else {
+        import org.apache.spark.sql.functions.{col, lit}
+        val rest = perId.columns.filterNot(_ == idCol)
+        perId.limit(0).withColumn("prefix", lit(""))
+          .select((Seq(idCol, "prefix") ++ rest).map(col): _*)
+      }
     Stats.Computed(
       totals = spark.read.parquet(s"$dir/totals"),
-      perUser = spark.read.parquet(s"$dir/per_user"),
-      perGroup = spark.read.parquet(s"$dir/per_group"),
+      perUser = perUser,
+      perGroup = perGroup,
       perPrefix = spark.read.parquet(s"$dir/per_prefix"),
-      perUserPrefix = spark.read.parquet(s"$dir/per_user_prefix"),
-      perGroupPrefix = spark.read.parquet(s"$dir/per_group_prefix"))
+      perUserPrefix = perIdPrefixOrEmpty(s"$dir/per_user_prefix", perUser, "uid"),
+      perGroupPrefix = perIdPrefixOrEmpty(s"$dir/per_group_prefix", perGroup, "gid"))
   }
 }

@@ -29,6 +29,15 @@ class CliSpec extends SparkSpec {
       .withColumn("parent", regexp_replace(col("parent"), root.toString, ""))
   }
 
+  test("parseOpts keeps positionals in command-line order") {
+    // Regression: positionals accumulate foldRight-style; a stray
+    // .reverse turned `find /a name=x || name=y` into a reversed
+    // token stream that the expression parser rejected.
+    val o = Main.parseOpts(List("--db", "/db", "/a", "name=x", "||", "name=y"))
+    assert(o.db == "/db")
+    assert(o.positional == List("/a", "name=x", "||", "name=y"))
+  }
+
   test("find root restriction: only the subtree, and not sibling prefixes") {
     val files = snapshotOf(Map(
       "a/x.txt" -> "1", "a/y.log" -> "22",

@@ -17,9 +17,11 @@ class KernelFuzzSpec extends SparkSpec {
   private val rnd = new scala.util.Random(20260812L)
 
   private def randomText(): String = {
+    // İ (U+0130) lowercases to TWO codepoints — the nastiest case for
+    // any kernel that must match lower()-based token measuring.
     val alphabet =
       "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789" +
-        "     \t\n..,;:!?'\"()-_@/%中文字éüñß日本語 "
+        "     \t\n..,;:!?'\"()-_@/%中文字éüñß日本語İ "
     val words = Seq("the", "and", "les", "est", "las", "der", "und", "mit",
       "theory", "into", "x_y", "a1")
     val n = rnd.nextInt(200)

@@ -36,6 +36,19 @@ class IdMapsSpec extends AnyFunSuite {
     assert(ids.groupName(50L) == "staff")
   }
 
+  test("duplicate NAME with different ids: first file entry wins") {
+    val dupName =
+      """svc:x:200:1::/:/bin/false
+        |svc:x:300:1:later dup, must lose:/:/bin/false
+        |other:x:400:1::/:/bin/false
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("passwd", "")
+    java.nio.file.Files.writeString(f, dupName)
+    val ids = IdMaps.fromOS(f.toString, "/nonexistent/group")
+    assert(ids.resolveUser("svc").contains(200L))
+    assert(ids.userName(200L) == "svc" && ids.userName(300L) == "svc")
+  }
+
   test("fromOS degrades to empty maps on unreadable files") {
     val ids = IdMaps.fromOS("/nonexistent/passwd", "/nonexistent/group")
     assert(ids.userById.isEmpty && ids.groupById.isEmpty)
