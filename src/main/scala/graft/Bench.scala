@@ -26,7 +26,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_QUERIES=a,b,c limits the run (local iteration only;
+    // the driver leaves it unset and benches everything).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // Warmup: full pass over every query (also fails fast on breakage).
     names.foreach { n =>

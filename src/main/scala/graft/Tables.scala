@@ -53,4 +53,12 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** The documents/embeddings parquet are single splits (one row
+    * group), so a per-row CPU-heavy stage reading them directly runs
+    * in ONE task. Repartition to the cluster's parallelism first; on
+    * real multi-file data the scan is already split and this round
+    * robin is a cheap rebalance. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

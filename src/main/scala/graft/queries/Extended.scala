@@ -83,7 +83,10 @@ object Extended {
     // Embedding cosine near-dup pairs — exact baseline (the RP-LSH
     // approximate path is asserted against this in SimilaritySpec).
     "q_cosine_near_dup" -> ((s, dir) => {
-      Similarity.cosineNearDups(embeddings(s, dir), "embedding", "vec_id", 0.45)
+      // spread: the n²/2 pair scoring parallelizes over the streamed
+      // side's partitions — a single-split corpus would score serially.
+      Similarity.cosineNearDups(spread(embeddings(s, dir)), "embedding",
+        "vec_id", 0.45)
         .orderBy(asc("id_a"), asc("id_b"))
     }),
 
@@ -92,7 +95,7 @@ object Extended {
     // at-scale win; this query proves recall survives it (cos ≈ 1.0
     // per vector), with the arithmetic mirrored in DuckDB.
     "q_embed_quantize" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
+      val emb = spread(embeddings(s, dir))
       val qz = Similarity.quantizeInt8(col("embedding"))
       emb.select(col("vec_id"), col("embedding"), qz.as("qz"))
         .select(col("vec_id"),

@@ -16,13 +16,9 @@ import graft.text.TextAnalysis
   */
 object Pipeline {
 
-  /** Spread CPU-heavy signature computation across all cores: the
-    * documents table arrives as one small parquet split locally (and
-    * as file-sized splits on a cluster), but MinHash/SimHash cost is
-    * per-ROW cpu, not per-byte — repartitioning the raw text (cheap,
-    * it is the narrowest column set) lets every core hash. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  // spread (graft.Tables): CPU-heavy per-row stages over the
+  // single-split documents/embeddings parquet must repartition first
+  // so every core works.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + quality metrics (one scan, zero shuffle).
@@ -203,10 +199,11 @@ object Pipeline {
     "q_ann_ivf" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       // Quantizer trains on a 25% hash sample (the at-scale recipe);
-      // assignment and probing run over the full corpus.
+      // assignment and probing run over the full corpus, spread so the
+      // per-row argmax-cosine scoring uses every core.
       val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id", 16,
         trainPct = 25)
-      val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id", cents)
+      val assigned = Similarity.ivfAssign(spread(emb), "embedding", "vec_id", cents)
       val query = emb.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.ivfTopK(assigned, "embedding", "vec_id", query, 10, cents,
         nprobe = 4)

@@ -73,55 +73,77 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rk"))
   }
 
-  /** Deterministic k-means IVF centroids: seeded with the first `c`
-    * corpus vectors by id, then `iters` Lloyd iterations run as
-    * DataFrame jobs (assignment = broadcast argmax, means = one
-    * partial+final aggregate over exploded dimensions — both
-    * distributed; nothing proportional to the corpus ever reaches the
-    * driver). The resulting c×dim centroid table IS collected — it is
-    * what gets broadcast to every probe anyway — which also pins the
-    * cell ids: re-evaluating a downstream plan reuses the same
-    * materialized centroids instead of re-running the job. */
-  /** @param trainPct percent of the corpus (deterministic hash sample
-    *   on the id) the Lloyd iterations train on; 100 = full corpus.
-    *   At scale this is how IVF quantizers are actually built — k-means
-    *   over a bounded sample, then ONE full-corpus assignment pass —
-    *   so training cost stays flat as the corpus grows. */
+  /** Deterministic k-means IVF centroids, trained the way production
+    * IVF quantizers are built (faiss recipe): a BOUNDED deterministic
+    * sample of the corpus is collected once, the Lloyd iterations run
+    * locally on the driver (the sample is ≤ `maxTrain` × dim doubles —
+    * megabytes, independent of corpus size), and the full corpus is
+    * touched only by the ONE distributed assignment pass in
+    * [[ivfAssign]]. The previous shape — each Lloyd iteration as its
+    * own distributed job — paid 2·iters job launches + shuffles to
+    * move megabytes; training cost now stays flat as the corpus grows
+    * and the cluster runs exactly one pass over the data.
+    *
+    * Seeding: the first `c` sample vectors by id. The sample itself is
+    * deterministic — hash-filtered by `trainPct`, then the `maxTrain`
+    * smallest rows by (xxhash64(id), id), which compiles to
+    * TakeOrderedAndProject (bounded heap per partition, driver merge).
+    *
+    * @param trainPct percent of the corpus (deterministic hash sample
+    *   on the id) eligible for training; 100 = whole corpus eligible.
+    * @param maxTrain hard cap on collected training vectors; 64k of
+    *   dim-64 doubles ≈ 33 MB driver-side.
+    */
   def ivfCentroids(corpus: DataFrame, vecCol: String, idCol: String, c: Int,
-      iters: Int = 5, trainPct: Int = 100): DataFrame = {
+      iters: Int = 5, trainPct: Int = 100, maxTrain: Int = 1 << 16): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(trainPct >= 1 && trainPct <= 100, s"trainPct $trainPct")
-    val train =
+    val eligible =
       if (trainPct >= 100) corpus
       else corpus.where(pmod(xxhash64(col(idCol)), lit(100)) < trainPct)
-    // Dimension probed once (not in the schema); the means aggregate
-    // below is generated per-dimension.
-    val dim = corpus.select(size(col(vecCol))).as[Int].head()
-    var cents: DataFrame = corpus.orderBy(asc(idCol)).limit(c)
+    val sample: Array[(Long, Array[Double])] = eligible
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(maxTrain)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-      .toDF("centroid_id", "cvec")
-    for (_ <- 1 to iters) {
-      // Element-wise means as one wide codegen'd aggregate: dim × avg()
-      // columns in a single partial+final shuffle — no posexplode (which
-      // would shuffle n × dim rows) and no second aggregation.
-      val avgCols = (0 until dim).map(i =>
-        avg(element_at(col(vecCol), i + 1).cast("double")).as(s"m$i"))
-      val means = ivfAssign(train, vecCol, idCol, cents)
-        .groupBy(col("centroid_id"))
-        .agg(avgCols.head, avgCols.tail: _*)
-        .select(col("centroid_id"),
-          array((0 until dim).map(i => col(s"m$i")): _*).as("mean_vec"))
-      // A cluster that empties keeps its previous centroid.
-      cents = cents.withColumnRenamed("cvec", "prev")
-        .join(means, Seq("centroid_id"), "left")
-        .select($"centroid_id", coalesce($"mean_vec", $"prev").as("cvec"))
-        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
-        .toDF("centroid_id", "cvec")
+      .as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "empty training sample")
+    val train = sample.map(_._2)
+    var cents: Array[Array[Double]] =
+      sample.sortBy(_._1).take(c).map(_._2.clone())
+    val norms = train.map(v => math.sqrt(v.map(x => x * x).sum))
+    def cos(v: Array[Double], vn: Double, u: Array[Double]): Double = {
+      var d = 0.0; var un = 0.0; var i = 0
+      while (i < v.length) { d += v(i) * u(i); un += u(i) * u(i); i += 1 }
+      if (vn == 0 || un == 0) 0.0 else d / (vn * math.sqrt(un))
     }
-    cents
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](train(0).length))
+      val counts = new Array[Long](cents.length)
+      var r = 0
+      while (r < train.length) {
+        var best = 0; var bestS = Double.NegativeInfinity; var ci = 0
+        while (ci < cents.length) {
+          val s0 = cos(train(r), norms(r), cents(ci))
+          // ties keep the HIGHER cell id, mirroring the distributed
+          // argmax (array_max over struct(score, cid)).
+          if (s0 > bestS || (s0 == bestS && ci > best)) { bestS = s0; best = ci }
+          ci += 1
+        }
+        val s = sums(best); val v = train(r); var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        r += 1
+      }
+      // A cluster that empties keeps its previous centroid.
+      cents = cents.zipWithIndex.map { case (prev, ci) =>
+        if (counts(ci) == 0) prev
+        else sums(ci).map(_ / counts(ci))
+      }
+    }
+    cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("centroid_id", "cvec")
   }
 
   /** Assign every corpus vector to its nearest centroid: broadcast the
