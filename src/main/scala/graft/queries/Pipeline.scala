@@ -86,6 +86,38 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Gopher/C4-style repetition rules: duplicate-word fraction (pure
+    // per-row array arithmetic, zero shuffle) + top-bigram coverage —
+    // the fraction of the document taken by its most frequent word
+    // bigram. The explode → two-level aggregate shape keeps map-side
+    // partial aggregation; the shuffle carries (doc_id, gram) pairs,
+    // never the document text.
+    "q_repetition" -> ((s, dir) => {
+      documents(s, dir).select(col("doc_id"),
+          TextAnalysis.dupWordFrac(col("text")).as("dup_word_frac"),
+          explode(TextAnalysis.wordBigrams(col("text"))).as("gram"))
+        .groupBy(col("doc_id"), col("dup_word_frac"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("dup_word_frac"))
+        .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_grams"))
+        .select(col("doc_id"), col("dup_word_frac"),
+          round(col("max_c").cast("double") / col("n_grams").cast("double"), 4)
+            .as("top_bigram_frac"))
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Embedding-space document clustering: bounded-sample k-means
+    // centroids + ONE distributed assignment pass → cluster histogram
+    // (rows-only; assignment semantics are spec'd in SimilaritySpec).
+    "q_doc_clusters" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id", 8)
+      Similarity.ivfAssign(spread(emb), "embedding", "vec_id", cents)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(asc("centroid_id"))
+    }),
+
     // PII scrubbing (C4/RefinedWeb-style cleaning): count and redact
     // emails + URLs. The synthetic corpus contains neither, so the
     // query PLANTS them deterministically (doc_id % 5 → an email,
@@ -289,6 +321,21 @@ object Pipeline {
         |                      for i in range(1, length(text) - 6)])
         |  END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS dup_word_frac,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS grams
+        |  FROM t),
+        |g AS (SELECT doc_id, dup_word_frac, unnest(grams) AS gram FROM d),
+        |c AS (SELECT doc_id, dup_word_frac, gram, count(*) AS c
+        |      FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, dup_word_frac,
+        |  round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+        |FROM c GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q_quality_filter" ->
       """WITH m AS (
         |  SELECT lang,

@@ -102,6 +102,24 @@ object TextAnalysis {
     when(countMatches(text, "[\\x{4e00}-\\x{9fff}]") > 0, lit("zh")).otherwise(pick)
   }
 
+  /** Gopher-style repetition signal: fraction of word occurrences that
+    * repeat an earlier word (1 − distinct/total). Pure per-row array
+    * arithmetic — no shuffle; runs inside the scan stage. */
+  def dupWordFrac(text: Column): Column = {
+    val w = tokens(text)
+    round(lit(1.0) -
+      size(array_distinct(w)).cast("double") / size(w).cast("double"), 4)
+  }
+
+  /** Word bigrams ("a b", "b c", …) of the lowercased text — the unit
+    * for the top-n-gram repetition rule (the fraction of the document
+    * covered by its most frequent bigram). */
+  def wordBigrams(text: Column): Column = {
+    val w = tokens(text)
+    transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+  }
+
   /** Winnowing-style document fingerprint: the minimum hash over all
     * character k-shingles. Content moves/edits far from the minimum
     * shingle leave the fingerprint unchanged — the classic rolling-hash

@@ -89,6 +89,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals: dup-word fraction and word bigrams") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a b a b a", 3.0 / 5, Seq("a b", "b a", "a b", "b a")),
+      ("x y z", 0.0, Seq("x y", "y z")),
+      ("SAME same Same", 2.0 / 3, Seq("same same", "same same")))
+      .toDF("text", "want_frac", "want_grams")
+    docs.select(TextAnalysis.dupWordFrac(col("text")).as("f"),
+        TextAnalysis.wordBigrams(col("text")).as("g"),
+        col("want_frac"), col("want_grams"), col("text")).collect()
+      .foreach { r =>
+        assert(r.getDouble(0) == math.rint(r.getDouble(2) * 1e4) / 1e4,
+          s"dupWordFrac '${r.getString(4)}'")
+        assert(r.getSeq[String](1) == r.getSeq[String](3),
+          s"bigrams '${r.getString(4)}': ${r.getSeq[String](1)}")
+      }
+  }
+
   test("native min-md5 fingerprint matches the declarative form") {
     val s = spark
     import s.implicits._
