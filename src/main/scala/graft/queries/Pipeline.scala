@@ -118,6 +118,51 @@ object Pipeline {
         .orderBy(asc("centroid_id"))
     }),
 
+    // Domain/language mixture reweighting: per-language sampling
+    // weight = target fraction / actual fraction — the knob a pipeline
+    // turns to hit a target training mixture. One aggregation; the
+    // whole-frame window runs over the POST-AGG frame (one row per
+    // language, tiny by definition).
+    "q_mixture_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val targets = Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.15,
+        "es" -> 0.15, "fr" -> 0.1)
+      documents(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+        .withColumn("target_frac", element_at(typedLit(targets), col("lang")))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs") / col("total"), 4).as("actual_frac"),
+          col("target_frac"),
+          round(col("target_frac") / (col("n_docs") / col("total")), 4)
+            .as("weight"))
+        .orderBy(asc("lang"))
+    }),
+
+    // Context-window packing: documents pack greedily into fixed
+    // token-budget bins per language via a cumulative-sum window (the
+    // distributable form of sequential packing — bin boundaries come
+    // from the running total, deterministic in doc_id order). The
+    // window and both aggregations share the lang hash partitioning,
+    // so the whole query is ONE shuffle.
+    "q_context_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 512L
+      val w = Window.partitionBy(col("lang")).orderBy(asc("doc_id"))
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("bin",
+          floor((sum(col("tok")).over(w) - col("tok")) / budget))
+        .groupBy(col("lang"), col("bin"))
+        .agg(sum(col("tok")).as("bin_tokens"))
+        .groupBy(col("lang"))
+        .agg((max(col("bin")) + 1L).as("n_bins"),
+          sum(col("bin_tokens")).as("total_tokens"),
+          round(avg(col("bin_tokens")) / budget, 4).as("avg_fill"))
+        .orderBy(asc("lang"))
+    }),
+
     // PII scrubbing (C4/RefinedWeb-style cleaning): count and redact
     // emails + URLs. The synthetic corpus contains neither, so the
     // query PLANTS them deterministically (doc_id % 5 → an email,
@@ -321,6 +366,36 @@ object Pipeline {
         |                      for i in range(1, length(text) - 6)])
         |  END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mixture_weights" ->
+      """WITH c AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT lang, n_docs, sum(n_docs) OVER () AS total,
+        |        CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2
+        |          WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+        |          WHEN 'fr' THEN 0.1 END::DOUBLE AS target_frac
+        |      FROM c)
+        |SELECT lang, n_docs,
+        |  round(n_docs::DOUBLE / total, 4) AS actual_frac,
+        |  target_frac,
+        |  round(target_frac / (n_docs::DOUBLE / total), 4) AS weight
+        |FROM t ORDER BY lang""".stripMargin,
+    "q_context_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, tok,
+        |    floor((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) - tok)
+        |          / 512.0)::BIGINT AS bin
+        |  FROM d),
+        |p AS (
+        |  SELECT lang, bin, sum(tok)::BIGINT AS bin_tokens
+        |  FROM b GROUP BY 1, 2)
+        |SELECT lang, (max(bin) + 1)::BIGINT AS n_bins,
+        |  sum(bin_tokens)::BIGINT AS total_tokens,
+        |  round(avg(bin_tokens) / 512.0, 4) AS avg_fill
+        |FROM p GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
