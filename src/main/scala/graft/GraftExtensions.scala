@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo, Lower}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CosineSimExpr, LangIdExpr, MinHashSigExpr, MinMd5FingerprintExpr, RpLshSigExpr, SimHash64Expr, TextStatsExpr, WordShinglesExpr}
+import graft.functions.{CosineSimExpr, LangIdExpr, MinHashSigExpr, MinMd5FingerprintExpr, RepetitionExpr, RpLshSigExpr, SimHash64Expr, TextStatsExpr, WordShinglesExpr}
 
 /** Session-extension wiring for cluster deployments: registers the
   * native expressions into every session built with
@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TextStatsExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionExpr].getName, "repetition_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RepetitionExpr(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("min_md5_fingerprint"),
       new ExpressionInfo(classOf[MinMd5FingerprintExpr].getName,

@@ -86,23 +86,24 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
-    // Gopher/C4-style repetition rules: duplicate-word fraction (pure
-    // per-row array arithmetic, zero shuffle) + top-bigram coverage —
-    // the fraction of the document taken by its most frequent word
-    // bigram. The explode → two-level aggregate shape keeps map-side
-    // partial aggregation; the shuffle carries (doc_id, gram) pairs,
-    // never the document text.
+    // Gopher/C4-style repetition rules: duplicate-word fraction and
+    // top-bigram coverage — the fraction of the document taken by its
+    // most frequent word bigram. ONE native pass per document
+    // (RepetitionExpr: [n_words, n_distinct, n_grams, max_bigram]):
+    // per-doc hash counting bounded by document length, zero shuffle —
+    // vs the declarative explode → aggregate reference that shuffles a
+    // row per bigram occurrence (equivalence asserted in TextSpec).
+    // Docs with no bigrams drop, matching the explode form.
     "q_repetition" -> ((s, dir) => {
-      documents(s, dir).select(col("doc_id"),
-          TextAnalysis.dupWordFrac(col("text")).as("dup_word_frac"),
-          explode(TextAnalysis.wordBigrams(col("text"))).as("gram"))
-        .groupBy(col("doc_id"), col("dup_word_frac"), col("gram"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("dup_word_frac"))
-        .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_grams"))
-        .select(col("doc_id"), col("dup_word_frac"),
-          round(col("max_c").cast("double") / col("n_grams").cast("double"), 4)
-            .as("top_bigram_frac"))
+      val r = graft.functions.RepetitionExpr.repetitionStats(s, col("text"))
+      spread(documents(s, dir))
+        .select(col("doc_id"), r.as("r"))
+        .where(element_at(col("r"), 3) >= 1L)
+        .select(col("doc_id"),
+          round(lit(1.0) - element_at(col("r"), 2).cast("double") /
+            element_at(col("r"), 1).cast("double"), 4).as("dup_word_frac"),
+          round(element_at(col("r"), 4).cast("double") /
+            element_at(col("r"), 3).cast("double"), 4).as("top_bigram_frac"))
         .orderBy(asc("doc_id"))
     }),
 

@@ -113,11 +113,21 @@ object TextAnalysis {
 
   /** Word bigrams ("a b", "b c", …) of the lowercased text — the unit
     * for the top-n-gram repetition rule (the fraction of the document
-    * covered by its most frequent bigram). */
+    * covered by its most frequent bigram). Guarded: below two words
+    * there are no bigrams (`sequence(1, 0)` would count DOWN and the
+    * out-of-range element_at throws under ANSI).
+    *
+    * This is the declarative REFERENCE form; `element_at(w, i)` inside
+    * the lambda re-evaluates the whole split per element — O(words²)
+    * splits per document. Operators use the single-pass native kernel
+    * [[graft.functions.RepetitionExpr]] (equivalence asserted in
+    * TextSpec). */
   def wordBigrams(text: Column): Column = {
     val w = tokens(text)
-    transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Winnowing-style document fingerprint: the minimum hash over all

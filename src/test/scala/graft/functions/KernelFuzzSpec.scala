@@ -63,6 +63,41 @@ class KernelFuzzSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(3).map(_.toString).mkString("\n"))
   }
 
+  test("repetition_stats equals the declarative explode pipeline on fuzz strings") {
+    val s = spark
+    import s.implicits._
+    // 903 "one" has no bigram (must drop on both paths); 902 "\t"
+    // splits to two EMPTY tokens whose single bigram is " ".
+    val docs = ((0 until 200).map(i => (i.toLong, randomText())) ++
+      Seq((900L, ""), (901L, " "), (902L, "\t"), (903L, "one"),
+        (904L, "a a b a a")))
+      .toDF("doc_id", "text")
+    val decl = docs.select(col("doc_id"),
+        TextAnalysis.dupWordFrac(col("text")).as("f"),
+        explode(TextAnalysis.wordBigrams(col("text"))).as("gram"))
+      .groupBy(col("doc_id"), col("f"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("f"))
+      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_grams"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val re = RepetitionExpr.repetitionStats(spark, col("text"))
+    val native = docs.select(col("doc_id"), re.as("r"))
+      .where(element_at(col("r"), 3) >= 1L)
+      .select(col("doc_id"),
+        round(lit(1.0) - element_at(col("r"), 2).cast("double") /
+          element_at(col("r"), 1).cast("double"), 4).as("f"),
+        element_at(col("r"), 4).as("max_c"),
+        element_at(col("r"), 3).as("n_grams"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(decl.keySet == native.keySet,
+      s"docs differ: ${decl.keySet.diff(native.keySet)} / ${native.keySet.diff(decl.keySet)}")
+    val bad = decl.collect { case (id, v) if native(id) != v =>
+      s"doc $id: decl=$v native=${native(id)}" }
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
   test("rp_lsh_sig equals the declarative signature on 200 fuzz vectors") {
     val s = spark
     import s.implicits._
