@@ -174,7 +174,8 @@ object Pipeline {
     "q_pii_scrub" -> ((s, dir) => {
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val urlRe = "https?://[^\\s]+"
-      val planted = documents(s, dir).select(col("doc_id"),
+      // spread: three regex passes per row on a single-split source.
+      val planted = spread(documents(s, dir)).select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 5 === 0,
             concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
