@@ -80,11 +80,12 @@ object Main {
       }
     case "database" :: "prune" :: rest => prune(rest)
     case "database" :: "list" :: rest => listArtifacts(rest)
+    case "diff" :: rest => diffSnapshots(rest)
     case "expression-syntax" :: Nil => println(expressionSyntax)
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: analyze|find|stats|reports|errors|logs|config|database locate|database prune|expression-syntax")
+        "usage: analyze|find|stats|reports|errors|logs|config|diff|database locate|database prune|expression-syntax")
       sys.exit(2)
   }
 
@@ -445,6 +446,46 @@ object Main {
     show("snapshots", Snapshot.candidates(o.db), Snapshot.latestName(o.db))
     show("stats artifacts", StatsArtifact.candidates(o.db),
       StatsArtifact.latestName(o.db))
+  }
+
+  /** `diff --db DIR [OLD [NEW]] [--n N]`: what changed between two
+    * snapshots — added/removed/changed entries and net byte movement.
+    * Defaults to the two newest snapshots. Beyond the reference (which
+    * only rescans in place); see [[graft.ingest.SnapshotDiff]]. */
+  private def diffSnapshots(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty, "diff --db DIR [OLD [NEW]] [--n N]")
+    val (oldName, newName) = o.positional match {
+      case a :: b :: Nil => (a, b)
+      case a :: Nil =>
+        val latest = Snapshot.latestName(o.db).getOrElse {
+          System.err.println(s"no snapshots under ${o.db}"); sys.exit(1)
+        }
+        (a, latest)
+      case Nil =>
+        Snapshot.candidates(o.db) match {
+          case Seq(newer, older, _*) => (older, newer)
+          case _ =>
+            System.err.println(s"need two snapshots under ${o.db}"); sys.exit(1)
+        }
+      case _ =>
+        System.err.println("diff --db DIR [OLD [NEW]] [--n N]"); sys.exit(2)
+    }
+    val spark = session()
+    val d = graft.ingest.SnapshotDiff.diff(
+      Snapshot.readFiles(spark, o.db, Some(oldName)),
+      Snapshot.readFiles(spark, o.db, Some(newName))).cache()
+    println(s"diff $oldName -> $newName")
+    println(Reports.markdown(graft.ingest.SnapshotDiff.summary(d), "Churn"))
+    println(Reports.markdown(
+      d.where(!col("is_dir"))
+        .orderBy(desc("size_delta"), asc("path")).limit(o.n),
+      s"Top ${o.n} by size delta"))
+    println(Reports.markdown(
+      d.where(!col("is_dir"))
+        .orderBy(asc("size_delta"), asc("path")).limit(o.n),
+      s"Bottom ${o.n} by size delta"))
+    spark.stop()
   }
 
   private def listTimestamped(args: List[String],
