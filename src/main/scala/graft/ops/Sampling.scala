@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash sampling — the reproducible substitute for
+  * `rand()` in a training-data pipeline: the same row is in or out of
+  * the sample on every run, on every engine, regardless of
+  * partitioning. The coin is the first 4 hex digits of md5(id), a
+  * uniform draw from [0, 16^4), compared lexicographically against a
+  * per-stratum threshold string (hex compares identically as a string
+  * and as a number). md5 rather than xxhash64 because the oracle
+  * engine computes the identical digest, so sampling decisions are
+  * bit-reproducible across engines.
+  *
+  * Stratified rates are the mixture-control knob: downsample
+  * over-represented strata (lang, source domain) at read time without
+  * ever shuffling — the predicate is scan-stage, zero-shuffle work
+  * that composes with parquet filter pushdown.
+  */
+object Sampling {
+
+  /** True iff this row is in the sample at `rate` (0.0 to 1.0), keyed
+    * by `id`'s string form. */
+  def sampleAt(id: Column, rate: Double): Column =
+    coin(id) < lit(threshold(rate))
+
+  /** Per-stratum sampling predicate: `rates` maps stratum values to
+    * rates; strata not in the map keep everything (rate 1.0). */
+  def stratifiedAt(id: Column, stratum: Column,
+      rates: Map[String, Double]): Column = {
+    val thresholds = rates.map { case (k, r) => k -> threshold(r) }
+    coin(id) < coalesce(try_element_at(typedLit(thresholds), stratum),
+      lit("g"))
+  }
+
+  /** Filter to the stratified sample. */
+  def stratified(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame =
+    df.where(stratifiedAt(col(idCol), col(stratumCol), rates))
+
+  private def coin(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 4)
+
+  /** 4-hex-digit threshold: rows with coin < threshold are sampled, so
+    * the sampled fraction is round(rate * 16^4) / 16^4 (exact for
+    * rates that are multiples of 1/65536). */
+  private[ops] def threshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    val n = math.round(rate * 65536.0).toInt
+    if (n >= 65536) "g" // sentinel above every 4-hex string
+    else f"$n%04x"
+  }
+}

@@ -73,6 +73,51 @@ object Events {
         .orderBy(asc("event_type"))
     }),
 
+    // As-of join (graft.ops.AsOfJoin): every purchase aligned to the
+    // user's most recent click at-or-before it — one shuffle on
+    // user_id, no range-join blowup. Clicks pre-aggregate to one row
+    // per (user, ts) so the match is deterministic; the oracle is
+    // DuckDB's native ASOF JOIN, proving the union-and-sweep plan
+    // implements exactly the textbook semantics.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.ops.AsOfJoin.asof(purchases, clicks, "user_id", "ts",
+        Seq("click_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("asof_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          coalesce(round(sum(col("asof_click_value")), 2), lit(0.0))
+            .as("matched_value"))
+        .orderBy(asc("user_id"))
+    }),
+
+    // Interval range join (graft.ops.RangeJoin): events vs overlapping
+    // campaign windows (stride 3 d, length 5 d — most events match two
+    // campaigns), bucketed into 5-day bins so the plan is an EQUI-join
+    // both sides shuffle into, not the BroadcastNestedLoopJoin a bare
+    // `p BETWEEN start AND end` would plan. The oracle is the plain
+    // inequality join.
+    "q_range_join" -> ((s, dir) => {
+      val epoch0 = 1704067200L // 2024-01-01 00:00:00 UTC
+      val campaigns = s.range(10).select(
+        col("id").as("campaign_id"),
+        (lit(epoch0) + col("id") * (3L * 86400)).as("start_epoch"),
+        (lit(epoch0) + col("id") * (3L * 86400) + 5L * 86400).as("end_epoch"))
+      val points = events(s, dir)
+        .select(unix_timestamp(col("ts")).as("p_epoch"), col("value"))
+      graft.ops.RangeJoin.byBinning(points, "p_epoch",
+        campaigns, "start_epoch", "end_epoch", binWidth = 5L * 86400)
+        .groupBy(col("campaign_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(asc("campaign_id"))
+    }),
+
     // Batch form of the streaming hourly tumbling-window aggregation.
     "q_events_hourly" -> ((s, dir) => {
       events(s, dir)
@@ -116,6 +161,28 @@ object Events {
         |  FROM seq)
         |SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, count(*) AS n_purchases,
+        |  sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        |  coalesce(round(sum(c.click_value), 2), 0.0) AS matched_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      """WITH c AS (
+        |  SELECT i AS campaign_id,
+        |    1704067200 + i * 259200 AS start_epoch,
+        |    1704067200 + i * 259200 + 432000 AS end_epoch
+        |  FROM range(10) t(i)),
+        |e AS (SELECT epoch(ts)::BIGINT AS p, value FROM events)
+        |SELECT campaign_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM e JOIN c ON p >= start_epoch AND p < end_epoch
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_hourly" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
         |  event_type, count(*) AS n_events,

@@ -193,6 +193,38 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Deterministic stratified sampling (graft.ops.Sampling): per-lang
+    // md5-hash sampling rates — the reproducible mixture-control knob.
+    // The predicate is scan-stage, zero-shuffle work; the oracle
+    // replays the identical md5 coin, proving the sample is
+    // bit-reproducible across engines.
+    "q_stratified_sample" -> ((s, dir) => {
+      val rates = Map("en" -> 0.25, "zh" -> 0.5, "de" -> 0.75, "es" -> 0.5)
+      val in = graft.ops.Sampling.stratifiedAt(col("doc_id"), col("lang"), rates)
+      documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(in, 1L).otherwise(0L)).as("n_sampled"),
+          round(sum(when(in, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 4).as("sample_frac"))
+        .orderBy(asc("lang"))
+    }),
+
+    // Vocabulary building: corpus-wide token frequencies, top 20. The
+    // explode shuffles one row per token OCCURRENCE only until the
+    // map-side partial aggregation collapses it to one row per
+    // distinct token per partition; the final top-k is a
+    // TakeOrderedAndProject, never a global sort.
+    "q_vocab" -> ((s, dir) => {
+      documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(desc("n_occurrences"), asc("token"))
+        .limit(20)
+    }),
+
     // Exact dedup by normalized text hash.
     // The synthetic corpus has zero duplicate docs, so the query PLANTS
     // them (every doc_id % 10 == 0 contributes a whitespace-variant
@@ -225,15 +257,15 @@ object Pipeline {
     // EXACT 3-gram Jaccard near-dup pairs via inverted shingle index.
     // maxShingleDf is the scale safety valve: a shingle in d docs emits
     // O(d²) join rows, so boilerplate shingles must be dropped before
-    // pairing at 100 TB. The cutoff (8) sits above the sf0.01 corpus
-    // max df (7, measured), so the DuckDB oracle — which has no cutoff
-    // — still matches exactly at the verify scale. At sf0.1 the max df
-    // is 25 (measured): the cutoff activates there and prunes the
-    // hottest inverted-index rows — the designed recall/cost tradeoff
-    // taking over as the corpus grows.
+    // pairing at 100 TB. The cutoff (10) sits above the measured max
+    // shingle df at both verify scales (9 at sf0.001, 7 at sf0.01), so
+    // the DuckDB oracle — which has no cutoff — still matches exactly
+    // there. At sf0.1 the max df is 25 (measured): the cutoff
+    // activates and prunes the hottest inverted-index rows — the
+    // designed recall/cost tradeoff taking over as the corpus grows.
     "q_near_dup_jaccard" -> ((s, dir) => {
       Dedup.jaccardPairs(spread(documents(s, dir)), "text", "doc_id",
-        n = 3, threshold = 0.3, maxShingleDf = 8)
+        n = 3, threshold = 0.3, maxShingleDf = 10)
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
@@ -457,6 +489,24 @@ object Pipeline {
         |    AS word_tokens,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) <
+        |      CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '8000'
+        |                WHEN 'de' THEN 'c000' WHEN 'es' THEN '8000'
+        |                ELSE 'g' END
+        |    THEN 1 ELSE 0 END AS s
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(s)::BIGINT AS n_sampled,
+        |  round(sum(s)::DOUBLE / count(*), 4) AS sample_frac
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vocab" ->
+      """SELECT token, count(*) AS n_occurrences
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
     "q_dedup_exact" ->
       """WITH planted AS (
         |  SELECT text FROM documents

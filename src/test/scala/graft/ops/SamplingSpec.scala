@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  test("threshold encoding") {
+    assert(Sampling.threshold(0.0) == "0000")
+    assert(Sampling.threshold(0.25) == "4000")
+    assert(Sampling.threshold(0.5) == "8000")
+    assert(Sampling.threshold(0.75) == "c000")
+    assert(Sampling.threshold(1.0) == "g")
+    intercept[IllegalArgumentException](Sampling.threshold(1.5))
+  }
+
+  test("sample rate lands near the target and is deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 20000).map(_.toLong).toDF("id")
+    val n = df.where(Sampling.sampleAt(col("id"), 0.25)).count()
+    // md5 is uniform; 20k draws at p=.25 → sd ≈ 61, assert ±5 sd
+    assert(math.abs(n - 5000L) < 310, s"rate off: $n/20000")
+    val n2 = df.where(Sampling.sampleAt(col("id"), 0.25)).count()
+    assert(n == n2)
+    // monotone: the 25% sample is a subset of the 50% sample
+    val ids25 = df.where(Sampling.sampleAt(col("id"), 0.25))
+      .collect().map(_.getLong(0)).toSet
+    val ids50 = df.where(Sampling.sampleAt(col("id"), 0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids25.subsetOf(ids50))
+  }
+
+  test("stratified: per-stratum rates; unmapped strata keep everything") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 9000).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("id", "grp")
+    val out = Sampling.stratified(df, "id", "grp",
+      Map("a" -> 0.1, "b" -> 0.9))
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("a") - 300L) < 90, out.toString) // 3000 × .1
+    assert(math.abs(out("b") - 2700L) < 90, out.toString) // 3000 × .9
+    assert(out("c") == 3000L) // unmapped → rate 1.0
+  }
+
+  test("rate 0 keeps nothing; rate 1 keeps everything") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(_.toLong).toDF("id")
+    assert(df.where(Sampling.sampleAt(col("id"), 0.0)).count() == 0L)
+    assert(df.where(Sampling.sampleAt(col("id"), 1.0)).count() == 100L)
+  }
+}
