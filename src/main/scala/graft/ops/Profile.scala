@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiler — the data-quality summary a pipeline runs before
+  * trusting a new drop: per-column counts, null rate, cardinality,
+  * moments, and quantiles.
+  *
+  * Two modes:
+  *   - `approx = false` (exact): counts/min/max/moments for ALL columns
+  *     come from ONE codegen'd aggregation pass; then ONE distributed
+  *     sort of the melted (column, value) pairs powers BOTH exact
+  *     interpolated quantiles for every column (rank lookup +
+  *     interpolation — the `quantile_cont` definition) and every exact
+  *     distinct count (a run-boundary count over the sorted partitions,
+  *     stitched at partition edges). Deliberately avoids two Catalyst
+  *     shapes that fall over at scale: the `percentile` aggregate (a
+  *     per-partition map of every distinct value, merged
+  *     single-threaded — measured 10+ s on one high-cardinality double
+  *     column) and multi-column `count_distinct` (an Expand that
+  *     replicates the input once per column). Every stage is
+  *     cluster-parallel; only rank probes and per-partition summaries
+  *     reach the driver. Profiling n columns costs one scan + one
+  *     sort, not n of each.
+  *   - `approx = true`: HyperLogLog `approx_count_distinct` + KLL-style
+  *     `percentile_approx` — constant-size sketches, ONE aggregation
+  *     pass total, no sort: the shape for profiling 100 TB routinely.
+  *     Accuracy vs exact is asserted in ProfileSpec.
+  */
+object Profile {
+
+  /** One output row per profiled numeric column: (col_name, n, n_null,
+    * n_distinct, min, max, mean, stddev, p50, p95), numerics rounded
+    * to 4 decimals for cross-engine comparison. */
+  def numeric(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    def r4(c: Column): Column = round(c, 4)
+    val total = count(lit(1))
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(
+        count(v).as(s"${c}__n"),
+        (total - count(v)).as(s"${c}__n_null"),
+        r4(min(v)).as(s"${c}__min"),
+        r4(max(v)).as(s"${c}__max"),
+        r4(avg(v)).as(s"${c}__mean"),
+        r4(stddev_samp(v)).as(s"${c}__stddev")) ++
+        (if (approx)
+          Seq(approx_count_distinct(v, rsd = 0.02).as(s"${c}__n_distinct"),
+            r4(percentile_approx(v, lit(0.5), lit(10000))).as(s"${c}__p50"),
+            r4(percentile_approx(v, lit(0.95), lit(10000))).as(s"${c}__p95"))
+         else Nil)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def stat(c: String, s: String): Any = row.get(row.fieldIndex(s"${c}__$s"))
+
+    // (n_distinct, p50, p95) per column
+    val ordered: Map[String, (Long, Option[Double], Option[Double])] =
+      if (approx) cols.map { c =>
+        c -> ((stat(c, "n_distinct").asInstanceOf[Long],
+          Option(stat(c, "p50")).map(_.asInstanceOf[Double]),
+          Option(stat(c, "p95")).map(_.asInstanceOf[Double])))
+      }.toMap
+      else {
+        val ns = cols.map(c => stat(c, "n").asInstanceOf[Long])
+        val stats = sortedStats(df, cols, ns, Seq(0.5, 0.95))
+        cols.indices.map { i =>
+          val (nd, qs) = stats(i)
+          cols(i) -> ((nd, qs(0).map(round4), qs(1).map(round4)))
+        }.toMap
+      }
+
+    // bounded driver-side assembly: one row per profiled column
+    val out = cols.map { c =>
+      val (nd, p50, p95) = ordered(c)
+      Row(c, stat(c, "n"), stat(c, "n_null"), nd,
+        stat(c, "min"), stat(c, "max"), stat(c, "mean"), stat(c, "stddev"),
+        p50.orNull, p95.orNull)
+    }
+    val schema = StructType(
+      StructField("col_name", StringType, nullable = false) +:
+        Seq("n", "n_null", "n_distinct").map(StructField(_, LongType)) ++:
+        Seq("min", "max", "mean", "stddev", "p50", "p95")
+          .map(StructField(_, DoubleType)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out, 1), schema)
+      .orderBy(asc("col_name"))
+  }
+
+  /** ONE distributed sort of the melted (columnIndex, value) pairs →
+    * per column: (exact distinct count, exact interpolated quantiles).
+    *
+    * Quantiles: the global sort key is (col, value), so column i's
+    * values occupy the contiguous index range starting at
+    * Σ n(j), j<i; its rank-r order statistic is the melted row at
+    * global index offset(i)+r — fetched with one filter-collect of
+    * ≤ 2·|ps| rows per column. Distinct: runs within each sorted
+    * partition, counted per column, minus one per partition edge whose
+    * neighbor ends on the same (col, value) — only a per-partition
+    * summary reaches the driver. */
+  private def sortedStats(df: DataFrame, cols: Seq[String], ns: Seq[Long],
+      ps: Seq[Double]): Seq[(Long, Seq[Option[Double]])] = {
+    val k = cols.size
+    // melt + sort in Tungsten (codegen'd, off-heap) — an RDD tuple
+    // sort of the same rows measured ~1.5× slower from boxing
+    val stackExpr = s"stack($k, " + cols.zipWithIndex
+      .map { case (c, i) => s"$i, cast(`$c` as double)" }
+      .mkString(", ") + ") as (ci, v)"
+    val sorted = df.selectExpr(stackExpr)
+      .where(col("v").isNotNull)
+      .orderBy(asc("ci"), asc("v"))
+    val indexed = sorted.rdd
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .zipWithIndex()
+      .map { case ((ci, v), gi) => (gi, ci, v) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val offsets = ns.scanLeft(0L)(_ + _)
+      // global indices of the bracketing order statistics per column
+      val targets = cols.indices.map { i =>
+        ps.map { p =>
+          if (ns(i) == 0) None
+          else {
+            val h = p * (ns(i) - 1)
+            Some((h, offsets(i) + math.floor(h).toLong,
+              offsets(i) + math.ceil(h).toLong))
+          }
+        }
+      }
+      val needed = targets.flatten.flatten.flatMap(t => Seq(t._2, t._3)).toSet
+      val picked = indexed.filter(t => needed.contains(t._1))
+        .map(t => t._1 -> t._3).collectAsMap()
+      // (partitionId, firstKey, lastKey, runs per column)
+      val parts = indexed.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val runs = new scala.collection.mutable.HashMap[Int, Long]()
+          val h = it.next()
+          var ci = h._2
+          var v = h._3
+          val first = (ci, v)
+          runs(ci) = 1L
+          while (it.hasNext) {
+            val (_, ci2, v2) = it.next()
+            if (ci2 != ci || v2 != v) runs(ci2) = runs.getOrElse(ci2, 0L) + 1L
+            ci = ci2; v = v2
+          }
+          Iterator((pid, first, (ci, v), runs.toMap))
+        }
+      }.collect().sortBy(_._1)
+      val overlap = new scala.collection.mutable.HashMap[Int, Long]()
+      parts.sliding(2).foreach {
+        case Array(a, b) if a._3 == b._2 =>
+          overlap(b._2._1) = overlap.getOrElse(b._2._1, 0L) + 1L
+        case _ =>
+      }
+      cols.indices.map { i =>
+        val nd = parts.iterator.map(_._4.getOrElse(i, 0L)).sum -
+          overlap.getOrElse(i, 0L)
+        val qs = targets(i).map(_.map { case (h, lo, hi) =>
+          // lo/hi are GLOBAL indices; the interpolation fraction is the
+          // column-LOCAL h minus its own floor
+          val vLo = picked(lo)
+          val frac = h - math.floor(h)
+          if (lo == hi) vLo else vLo + frac * (picked(hi) - vLo)
+        })
+        (nd, qs)
+      }
+    } finally indexed.unpersist(blocking = false)
+  }
+
+  /** Spark SQL `round(x, 4)` semantics (HALF_UP on the decimal form). */
+  private def round4(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

@@ -225,6 +225,21 @@ object Pipeline {
         .limit(20)
     }),
 
+    // Space-Saving heavy hitters (graft.ops.HeavyHitters): dominant
+    // tokens via a capacity-bounded sketch — O(partitions × capacity)
+    // through the shuffle regardless of vocabulary size, vs q_vocab's
+    // exact per-token shuffle. The corpus vocabulary (31 tokens,
+    // measured) is under the 64-counter capacity, so the sketch is
+    // provably exact here and the oracle is plain exact counts; the
+    // sketch's bounds under eviction pressure (capacity ≪ cardinality)
+    // are asserted on zipf data in HeavyHittersSpec.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val tokens = documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      graft.ops.HeavyHitters.topK(tokens, "token", capacity = 64, k = 10)
+    }),
+
     // Exact dedup by normalized text hash.
     // The synthetic corpus has zero duplicate docs, so the query PLANTS
     // them (every doc_id % 10 == 0 contributes a whitespace-variant
@@ -507,6 +522,12 @@ object Pipeline {
         |      FROM documents)
         |WHERE token <> ''
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT token AS item, count(*) AS est_count, 0::BIGINT AS max_err
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin,
     "q_dedup_exact" ->
       """WITH planted AS (
         |  SELECT text FROM documents

@@ -151,10 +151,52 @@ object Relational {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
         .orderBy(asc("order_date"), asc("o_orderkey"))
         .limit(100)
+    }),
+
+    // Column profiler (graft.ops.Profile): every statistic for every
+    // column in ONE aggregation pass. Exact mode here (the
+    // oracle-checkable baseline); the approx mode — HLL cardinality +
+    // sketch quantiles, the shape that profiles 100 TB in one pass —
+    // is equivalence-tested against this in ProfileSpec.
+    "q_profile" -> ((s, dir) => {
+      graft.ops.Profile.numeric(lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
+        |    count(*) - count(l_quantity) AS n_null,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    round(min(l_quantity), 4) AS min, round(max(l_quantity), 4) AS max,
+        |    round(avg(l_quantity), 4) AS mean,
+        |    round(stddev_samp(l_quantity), 4) AS stddev,
+        |    round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |    round(quantile_cont(l_quantity, 0.95), 4) AS p95
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(l_extendedprice),
+        |    count(*) - count(l_extendedprice),
+        |    count(DISTINCT l_extendedprice),
+        |    round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+        |    round(avg(l_extendedprice), 4),
+        |    round(stddev_samp(l_extendedprice), 4),
+        |    round(quantile_cont(l_extendedprice, 0.5), 4),
+        |    round(quantile_cont(l_extendedprice, 0.95), 4)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount),
+        |    count(*) - count(l_discount),
+        |    count(DISTINCT l_discount),
+        |    round(min(l_discount), 4), round(max(l_discount), 4),
+        |    round(avg(l_discount), 4),
+        |    round(stddev_samp(l_discount), 4),
+        |    round(quantile_cont(l_discount, 0.5), 4),
+        |    round(quantile_cont(l_discount, 0.95), 4)
+        |  FROM lineitem)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
     "q_agg_totals" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
