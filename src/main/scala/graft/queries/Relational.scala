@@ -153,6 +153,19 @@ object Relational {
         .limit(100)
     }),
 
+    // K3 again as the SCALE form: per-key top-N through the bounded-
+    // heap aggregate (graft.ops.TopK) — map-side heaps mean the
+    // shuffle carries ≤ k rows per (key, partition) instead of every
+    // ranked row sorting through the q_topn_per_group window. Same
+    // oracle proves result equality.
+    "q_topn_heap" -> ((s, dir) => {
+      val byPart = lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      graft.ops.TopK.byScore(byPart, Seq("l_returnflag"), "qty", "l_partkey", 3)
+        .orderBy(asc("l_returnflag"), asc("rk"))
+    }),
+
     // Column profiler (graft.ops.Profile): every statistic for every
     // column in ONE aggregation pass. Exact mode here (the
     // oracle-checkable baseline); the approx mode — HLL cardinality +
@@ -165,6 +178,14 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_topn_heap" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_partkey, qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY qty DESC, l_partkey) AS rk
+        |  FROM (SELECT l_returnflag, l_partkey, round(sum(l_quantity),2) AS qty
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin,
     "q_profile" ->
       """WITH p AS (
         |  SELECT 'l_quantity' AS col_name, count(l_quantity) AS n,
