@@ -2,6 +2,8 @@ package graft.cli
 
 import java.nio.file.{Files, LinkOption, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +65,8 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "analyze" :: rest => analyze(rest)
     case "find" :: rest => find(rest)
+    case "reports" :: "locate" :: rest => reportsLocate(rest)
+    case "reports" :: "generate" :: rest => reports(rest)
     case "reports" :: rest => reports(rest)
     case "stats" :: "view" :: rest => statsView(rest)
     case "stats" :: "compute" :: rest => stats(rest)
@@ -85,7 +89,7 @@ object Main {
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: analyze|find|stats|reports|errors|logs|config|diff|database locate|database prune|expression-syntax")
+        "usage: analyze|find|stats|reports [generate|locate]|errors|logs|config|diff|database locate|database prune|expression-syntax")
       sys.exit(2)
   }
 
@@ -95,7 +99,7 @@ object Main {
       user: Option[String] = None, group: Option[String] = None,
       since: Option[String] = None, from: Option[String] = None,
       to: Option[String] = None, keep: Option[Int] = None,
-      hardlinksAsFiles: Boolean = false,
+      hardlinksAsFiles: Boolean = false, extension: Option[String] = None,
       excludes: List[String] = Nil, positional: List[String] = Nil)
 
   // positional accumulates in COMMAND-LINE order: the recursion
@@ -114,6 +118,7 @@ object Main {
     case "--keep" :: v :: rest => parseOpts(rest).copy(keep = Some(v.toInt))
     case "--hardlinks-as-files" :: rest =>
       parseOpts(rest).copy(hardlinksAsFiles = true)
+    case "--extension" :: v :: rest => parseOpts(rest).copy(extension = Some(v))
     case "--exclude" :: v :: rest =>
       val o = parseOpts(rest); o.copy(excludes = v :: o.excludes)
     case p :: rest => val o = parseOpts(rest); o.copy(positional = p :: o.positional)
@@ -418,6 +423,41 @@ object Main {
     }
     perIdTree("by_user", c.perUser, c.perUserPrefix, "uid", ids.userName)
     perIdTree("by_group", c.perGroup, c.perGroupPrefix, "gid", ids.groupName)
+  }
+
+  /** `reports locate OUTDIR [--n N] [--extension EXT]`: the n most
+    * recent timestamped report dirs with their files, as one JSON
+    * array (reference reports.go:257-302) — the machine-readable hook
+    * a dashboard polls to find what to render. No Spark session. */
+  private def reportsLocate(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.positional.nonEmpty, "reports locate OUTDIR [--n N] [--extension EXT]")
+    println(locateJson(o.positional.head, o.n, o.extension))
+  }
+
+  private[cli] def locateJson(base: String, n: Int,
+      ext: Option[String]): String = {
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    val entries = graft.ingest.Retention.candidates(base).take(n).map { name =>
+      val dir = java.nio.file.Paths.get(base, name)
+      val s = java.nio.file.Files.walk(dir)
+      val files =
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(dir.relativize(_).toString)
+          .filter(f => ext.forall(f.endsWith))
+          .toSeq.sorted
+        finally s.close()
+      // dir names are yyyyMMdd'T'HHmmss.SSS in UTC → RFC3339 report_time
+      val t = java.time.LocalDateTime.parse(name,
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss.SSS"))
+        .atOffset(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      s"""{"report_time":"${esc(t)}","report_dir":"${esc(name)}","files":[""" +
+        files.map(f => s""""${esc(f)}"""").mkString(",") + "]}"
+    }
+    entries.mkString("[", ",", "]")
   }
 
   /** `database prune --db DIR --keep N`: retention for snapshots and

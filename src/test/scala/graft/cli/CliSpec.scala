@@ -120,4 +120,32 @@ class CliSpec extends SparkSpec {
     assert(bobMd.contains("900")) // his bytes
     assert(Files.exists(dir.resolve("by_group/50-staff.md")))
   }
+
+  test("reports locate: newest-first JSON with file lists and ext filter") {
+    val base = Files.createTempDirectory("graft-locate")
+    def mk(name: String, files: Seq[String]): Unit = {
+      val d = base.resolve(name)
+      Files.createDirectories(d.resolve("sub"))
+      files.foreach(f => Files.write(d.resolve(f), "x".getBytes))
+    }
+    mk("20260101T000000.000", Seq("totals.md", "totals.tsv"))
+    mk("20260102T000000.000", Seq("totals.md", "sub/a.json"))
+    Files.createDirectories(base.resolve("not-a-report"))
+
+    val js = Main.locateJson(base.toString, 2, None)
+    // newest first; non-timestamped dirs ignored; nested files relative
+    val i1 = js.indexOf("20260102T000000.000")
+    val i2 = js.indexOf("20260101T000000.000")
+    assert(i1 >= 0 && i2 > i1)
+    assert(js.contains(""""report_time":"2026-01-02T00:00:00Z""""))
+    assert(js.contains("sub/a.json"))
+    assert(!js.contains("not-a-report"))
+
+    val md = Main.locateJson(base.toString, 2, Some(".md"))
+    assert(md.contains("totals.md") && !md.contains("totals.tsv") &&
+      !md.contains("a.json"))
+
+    val one = Main.locateJson(base.toString, 1, None)
+    assert(one.contains("20260102") && !one.contains("20260101"))
+  }
 }
