@@ -92,16 +92,20 @@ object HeavyHitters {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Hitter]]()
     }
 
+  /** The sketch as an untyped aggregate column — usable in any
+    * `groupBy().agg(...)`, batch OR Structured Streaming (the state
+    * store then holds ONE capacity-bounded sketch per group). Result
+    * type: array<struct<item, est_count, max_err>>, best first. */
+  def sketch(itemCol: org.apache.spark.sql.Column, capacity: Int): org.apache.spark.sql.Column =
+    udaf(agg(capacity), Encoders.STRING)(itemCol.cast("string"))
+
   /** Top `k` estimated heavy hitters of `itemCol` (count desc, item
     * asc). */
-  def topK(df: DataFrame, itemCol: String, capacity: Int, k: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(itemCol).cast("string")).as[String]
-      .select(agg(capacity).toColumn)
-      .flatMap(identity _)
-      .toDF()
+  def topK(df: DataFrame, itemCol: String, capacity: Int, k: Int): DataFrame =
+    df.groupBy()
+      .agg(sketch(col(itemCol), capacity).as("__hitters"))
+      .select(explode(col("__hitters")).as("h"))
+      .select(col("h.item"), col("h.est_count"), col("h.max_err"))
       .orderBy(desc("est_count"), asc("item"))
       .limit(k)
-  }
 }

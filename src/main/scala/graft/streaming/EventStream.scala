@@ -74,6 +74,20 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Continuous heavy hitters: the Space-Saving sketch
+    * (graft.ops.HeavyHitters) as a streaming aggregate. Streaming
+    * state is ONE capacity-bounded sketch — constant size however many
+    * distinct items or events flow through — where a plain
+    * `groupBy(item).count()` would grow state with cardinality
+    * forever. Complete output mode re-emits the current top set each
+    * trigger. */
+  def topItems(events: DataFrame, itemCol: String,
+      capacity: Int): DataFrame =
+    events.groupBy()
+      .agg(graft.ops.HeavyHitters.sketch(col(itemCol), capacity).as("__hitters"))
+      .select(explode(col("__hitters")).as("h"))
+      .select(col("h.item"), col("h.est_count"), col("h.max_err"))
+
   /** Run a parquet-backed streaming query into an in-memory sink until
     * all available input is processed (test/dev harness). */
   def runToMemory(spark: SparkSession, sourceDir: String, name: String,

@@ -54,4 +54,24 @@ class EventStreamSpec extends SparkSpec {
       s"streamed ${streamed.length} vs batch distinct ${batchIds.length}")
     assert(streamed.toSet == batchIds.toSet)
   }
+
+  test("streaming heavy hitters equal batch exact counts (no-eviction regime)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-hh")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString,
+      "hot_types", EventStream.topItems(_, "event_type", capacity = 16))
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT * FROM hot_types ORDER BY est_count DESC, item")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), 0L))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
 }
