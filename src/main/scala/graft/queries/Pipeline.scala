@@ -225,6 +225,61 @@ object Pipeline {
         .limit(20)
     }),
 
+    // Context-window chunking: split every document into 128-token
+    // windows with 16-token overlap (stride 112) — the pretokenization
+    // step that turns documents into training sequences. Pure
+    // arithmetic on the native token count → explode; zero shuffle
+    // before the final ordering. A doc shorter than one window is one
+    // chunk.
+    "q_doc_chunks" -> ((s, dir) => {
+      val win = 128L
+      val stride = 112L
+      val st = graft.functions.TextStatsExpr.textStats(s, col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), element_at(st, 1).as("tok"))
+        .withColumn("n_chunks",
+          when(col("tok") <= win, 1L)
+            .otherwise(ceil((col("tok") - win).cast("double") / stride)
+              .cast("long") + 1L))
+        .select(col("doc_id"), col("tok"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride).as("start_tok"),
+          least(col("chunk_idx") * stride + win, col("tok")).as("end_tok"))
+        .orderBy(asc("doc_id"), asc("chunk_idx"))
+    }),
+
+    // Inverse-document-frequency term weighting: top-3 salient terms
+    // per document. Uses the RATIONAL idf (n_docs/df) rather than
+    // ln(n_docs/df): IEEE-754 division and multiplication are
+    // bit-exact across engines, so the oracle matches to the digit,
+    // where libm vs JVM `ln` could differ in the last ulp right at a
+    // rounding boundary. Shape: token explode → two partial+final
+    // aggs (tf, df) → broadcast-sized df join → per-doc top-3 window.
+    "q_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir)
+      val nDocs = docs.count().toDouble
+      val terms = docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .where(length(col("term")) > 0)
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), asc("term"))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .withColumn("score",
+          round(col("tf") * (lit(nDocs) / col("df")), 4))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rk"))
+        .orderBy(asc("doc_id"), asc("rk"))
+    }),
+
     // Space-Saving heavy hitters (graft.ops.HeavyHitters): dominant
     // tokens via a capacity-bounded sketch — O(partitions × capacity)
     // through the shuffle regardless of vocabulary size, vs q_vocab's
@@ -522,6 +577,41 @@ object Pipeline {
         |      FROM documents)
         |WHERE token <> ''
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    CASE WHEN tok <= 128 THEN 1
+        |         ELSE ceil((tok - 128) / 112.0)::BIGINT + 1 END AS n_chunks
+        |  FROM d),
+        |u AS (
+        |  SELECT doc_id, tok,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  chunk_idx * 112 AS start_tok,
+        |  least(chunk_idx * 112 + 128, tok) AS end_tok
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tt GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tt GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * (n.n_docs / df.df), 4) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * (n.n_docs / df.df), 4) DESC, tf.term) AS rk
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, df, score, rk FROM s
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT token AS item, count(*) AS est_count, 0::BIGINT AS max_err
         |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
