@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the resolution
+  * step every dedup pipeline ends with: near-dup PAIRS (from MinHash /
+  * SimHash / Jaccard) become duplicate CLUSTERS, and min-id-per-
+  * component is the canonical representative to keep.
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts
+  * labeled with itself; each round, every vertex takes the min of its
+  * own label and its neighbors' labels; stop when a round changes
+  * nothing. Rounds needed ≈ component diameter — near-dup clusters
+  * are shallow (a handful of hops), so convergence is fast no matter
+  * how many clusters exist.
+  *
+  * Scale shape per round: one edge⋈label join (hash, on the vertex
+  * id) + one min-aggregate + one label join — all equi-operations
+  * AQE can replan; nothing is ever collected. Lineage is truncated
+  * every round with localCheckpoint, or each iteration's plan would
+  * nest the previous one (exponential planning by round 10). The
+  * driver sees only the per-round changed-count (one long).
+  */
+object ConnectedComponents {
+
+  /** (id, component) for every vertex in `edges`; component = the
+    * minimum vertex id reachable. `maxIter` bounds pathological chain
+    * graphs (propagation halves distance per round on stars, but a
+    * pure path of length L needs L rounds; 50 covers any plausible
+    * dedup cluster). */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    // undirected: keep both directions once
+    val undirected = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = undirected.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor messages: for vertex a, the labels of everyone it
+      // touches; then the round's label = min(own, best message)
+      val msgs = undirected
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("label")).as("msg"))
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("msg"), col("label"))).as("label"),
+          (col("msg") < col("label")).as("changed"))
+        .localCheckpoint(eager = true)
+      converged = next.where(col("changed")).limit(1).isEmpty
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Per-component summary: size and canonical (minimum) id. */
+  def summary(comps: DataFrame): DataFrame =
+    comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+}

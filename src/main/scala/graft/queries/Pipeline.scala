@@ -345,6 +345,20 @@ object Pipeline {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
+    // Dedup-group resolution: near-dup PAIRS → duplicate CLUSTERS via
+    // connected components (graft.ops.ConnectedComponents, iterative
+    // min-label propagation — rounds ≈ cluster diameter, shallow for
+    // near-dup graphs). component = min doc_id = the canonical doc a
+    // pipeline keeps. The oracle recomputes the same clusters with a
+    // recursive CTE.
+    "q_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(spread(documents(s, dir)), "text",
+        "doc_id", n = 3, threshold = 0.3, maxShingleDf = 10)
+      graft.ops.ConnectedComponents.summary(
+        graft.ops.ConnectedComponents.components(pairs, "doc_a", "doc_b"))
+        .orderBy(asc("component"))
+    }),
+
     // ANN: exact top-10 cosine neighbors of vec_id 0 (brute-force
     // baseline; IVF path covered in SimilaritySpec).
     "q_ann_topk" -> ((s, dir) => {
@@ -666,6 +680,30 @@ object Pipeline {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_groups" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] END) AS ws
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.3),
+        |nodes AS (SELECT doc_a AS id FROM e UNION SELECT doc_b FROM e),
+        |reach AS (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.a, CASE WHEN e.doc_a = r.b THEN e.doc_b ELSE e.doc_a END
+        |    FROM r JOIN e ON e.doc_a = r.b OR e.doc_b = r.b)
+        |  SELECT * FROM r),
+        |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
+        |SELECT component, count(*)::BIGINT AS n_members
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) AS score
