@@ -345,6 +345,19 @@ object Pipeline {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
+    // Per-source quotas: keep the best 2 docs per source domain by
+    // quality — the curation knob that stops one crawl domain from
+    // dominating the mixture. Runs through the bounded-heap top-N
+    // aggregate (graft.ops.TopK): ≤ k rows per (source, partition)
+    // shuffle, no window sort. Ranked on the ROUNDED score (oracle
+    // parity rule).
+    "q_source_quota" -> ((s, dir) => {
+      val scored = documents(s, dir).select(col("source"), col("doc_id"),
+        round(TextAnalysis.qualityScoreFast(s, col("text")), 4).as("q"))
+      graft.ops.TopK.byScore(scored, Seq("source"), "q", "doc_id", 2)
+        .orderBy(asc("source"), asc("rk"))
+    }),
+
     // Dedup-group resolution: near-dup PAIRS → duplicate CLUSTERS via
     // connected components (graft.ops.ConnectedComponents, iterative
     // min-label propagation — rounds ≈ cluster diameter, shallow for
@@ -680,6 +693,25 @@ object Pipeline {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_source_quota" ->
+      """WITH m AS (
+        |  SELECT source, doc_id,
+        |    round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text), 4) AS alpha_ratio,
+        |    round(len(regexp_extract_all(text, '\s'))::DOUBLE / length(text), 4) AS space_ratio,
+        |    round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mwl
+        |  FROM documents),
+        |qq AS (
+        |  SELECT source, doc_id,
+        |    round(least(1.0, alpha_ratio * 0.6 + space_ratio * 2.0 * 0.2 +
+        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4) AS q
+        |  FROM m),
+        |r AS (
+        |  SELECT source, doc_id, q,
+        |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+        |  FROM qq)
+        |SELECT source, q, doc_id, rk FROM r WHERE rk <= 2
+        |ORDER BY source, rk""".stripMargin,
     "q_dedup_groups" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
