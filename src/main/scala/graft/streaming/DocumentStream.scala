@@ -40,4 +40,24 @@ object DocumentStream {
       minQuality: Double): DataFrame =
     scoreAndGate(spark,
       spark.readStream.schema(docSchema).parquet(sourceDir), minQuality)
+
+  /** Deterministic stratified sampling + context-chunk planning as a
+    * streaming stage. Both are pure scan-stage expressions: the md5
+    * sampling coin (graft.ops.Sampling) needs no state, so a given
+    * document samples identically in batch, in streaming, and on
+    * every re-run — the property that makes streaming curation
+    * reproducible and replayable. Emits one row per kept doc with its
+    * chunk count under a (win, stride) token windowing. */
+  def sampleAndChunk(spark: SparkSession, docs: DataFrame,
+      rates: Map[String, Double], win: Long = 128L,
+      stride: Long = 112L): DataFrame = {
+    val st: Column = graft.functions.TextStatsExpr.textStats(spark, col("text"))
+    docs
+      .where(graft.ops.Sampling.stratifiedAt(col("doc_id"), col("lang"), rates))
+      .select(col("doc_id"), col("lang"), element_at(st, 1).as("tok"))
+      .withColumn("n_chunks",
+        when(col("tok") <= win, 1L)
+          .otherwise(ceil((col("tok") - win).cast("double") / stride)
+            .cast("long") + 1L))
+  }
 }
