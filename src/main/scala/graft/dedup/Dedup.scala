@@ -107,6 +107,41 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[contaminated]]'s scale path: same semantics, same output, but
+    * the benchmark membership test broadcasts BITS instead of strings.
+    * A Bloom filter built over the benchmark shingles
+    * ([[BloomFilters]]) prefilters the corpus shingles with a
+    * pure-Column probe (codegen'd, zero shuffle); only the survivors —
+    * true overlaps plus the ~fpp false-positive fraction — pay the
+    * exact confirm join, which removes every false positive. The
+    * result is therefore EXACTLY [[contaminated]]'s (same DuckDB
+    * oracle), while the broadcast cost drops from Σ|shingle strings|
+    * to m bits — the difference between "cannot ship the eval suite to
+    * executors" and ~180 MB at 10⁸ benchmark n-grams. */
+  def contaminatedBloom(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 5, minShared: Long = 1,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val shingleCol =
+      graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
+    // The bench side is small relative to the corpus (it is the eval
+    // suite); computing it twice (count + confirm join) costs two
+    // passes over the SMALL side, not the corpus.
+    val benchSh = bench.select(explode(shingleCol).as("shingle")).distinct()
+    val nBench = math.max(1L, benchSh.count())
+    val bloom = BloomFilters.build(benchSh, "shingle", nBench, fpp)
+    val corpusSh = corpus.select(col(idCol).as("doc_id"),
+      explode(shingleCol).as("shingle"))
+    corpusSh.where(bloom.mightContain(col("shingle")))
+      // exact confirm: a plain shuffle join sized by the SURVIVORS —
+      // deliberately not a broadcast, because at the scale where the
+      // bloom matters the bench string set is too big to broadcast.
+      .join(benchSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature: k independent hash functions simulated by
     * seeding xxhash64 with the hash index (Broder's scheme). Output:
     * `sig` ARRAY<BIGINT> of length k.

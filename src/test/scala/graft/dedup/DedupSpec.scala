@@ -100,6 +100,28 @@ class DedupSpec extends SparkSpec {
     assert(both.where(col("declarative") =!= col("native")).count() == 0)
   }
 
+  test("bloom filter: no false negatives, bounded false positives") {
+    val s = spark
+    import s.implicits._
+    val members = (0 until 500).map(i => s"member_$i").toDF("key")
+    val bloom = BloomFilters.build(members, "key", 500, fpp = 0.01)
+    // every member passes (bloom property: zero false negatives)
+    assert(members.where(bloom.mightContain(col("key"))).count() == 500)
+    // non-members pass at ~fpp; allow generous slack over 1%
+    val nonMembers = (0 until 2000).map(i => s"other_$i").toDF("key")
+    val fp = nonMembers.where(bloom.mightContain(col("key"))).count()
+    assert(fp <= 100, s"false-positive count $fp out of 2000 (expected ~20)")
+  }
+
+  test("bloom-prefiltered decontamination equals the exact screen") {
+    val bench = corpus.where(col("doc_id") < 5)
+    val exact = Dedup.contaminated(corpus, bench, "text", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = Dedup.contaminatedBloom(corpus, bench, "text", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloomed == exact)
+  }
+
   test("simhash pigeonhole join finds all pairs within maxDist") {
     val pairs = Dedup.simhashCandidatePairs(corpus, "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
