@@ -286,6 +286,16 @@ object Pipeline {
         .orderBy(asc("doc_id"), asc("rk"))
     }),
 
+    // Corpus-trained bigram LM scoring (graft.text.LangModel): the
+    // KenLM-perplexity stand-in — mean p(w_i | w_{i-1}) per document
+    // under the corpus's own bigram counts. One corpus explode, counts
+    // derived without a second pass, rational probabilities for
+    // cross-engine exactness.
+    "q_lm_bigram" -> ((s, dir) => {
+      graft.text.LangModel.bigramDocScore(documents(s, dir), "text", "doc_id")
+        .orderBy(asc("doc_id"))
+    }),
+
     // Space-Saving heavy hitters (graft.ops.HeavyHitters): dominant
     // tokens via a capacity-bounded sketch — O(partitions × capacity)
     // through the shuffle regardless of vocabulary size, vs q_vocab's
@@ -326,6 +336,19 @@ object Pipeline {
     "q_decontaminate" -> ((s, dir) => {
       val docs = documents(s, dir)
       Dedup.contaminated(docs, docs.where(col("doc_id") < 5),
+        "text", "doc_id", n = 5)
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Decontamination at eval-suite scale: Bloom-bits prefilter +
+    // exact confirm join — bit-identical output to q_decontaminate
+    // (the bloom's false positives die in the confirm join), so it
+    // shares the exact oracle. The broadcast is m BITS, not shingle
+    // strings — the shape that still works when the held-out suite has
+    // 10^8 n-grams.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.contaminatedBloom(docs, docs.where(col("doc_id") < 5),
         "text", "doc_id", n = 5)
         .orderBy(asc("doc_id"))
     }),
@@ -645,6 +668,21 @@ object Pipeline {
         |  FROM tf JOIN df USING (term), n)
         |SELECT doc_id, term, tf, df, score, rk FROM s
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_lm_bigram" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+        |  FROM w WHERE len(w) >= 2),
+        |bb AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS prev FROM b),
+        |cb AS (SELECT bigram, count(*)::BIGINT AS c_bigram FROM bb GROUP BY 1),
+        |cs AS (SELECT prev, count(*)::BIGINT AS c_start FROM bb GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(c_bigram::DOUBLE / c_start), 4) AS avg_bigram_prob
+        |FROM bb JOIN cb USING (bigram) JOIN cs USING (prev)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT token AS item, count(*) AS est_count, 0::BIGINT AS max_err
         |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -665,6 +703,23 @@ object Pipeline {
         |  sum(n_copies - 1)::BIGINT AS n_redundant_docs
         |FROM groups""".stripMargin,
     "q_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |            for i in range(1, len(w) - 3)] END) AS ws
+        |  FROM w),
+        |bench AS (SELECT DISTINCT unnest(ws) AS shingle FROM sh WHERE doc_id < 5),
+        |corpus AS (SELECT doc_id, unnest(ws) AS shingle FROM sh)
+        |SELECT doc_id, count(*)::BIGINT AS n_shared
+        |FROM corpus JOIN bench USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Bloom prefilter + exact confirm ≡ exact overlap, so the oracle
+    // is the same SQL as q_decontaminate.
+    "q_decontaminate_bloom" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
         |  FROM documents),
