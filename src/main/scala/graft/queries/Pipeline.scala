@@ -446,6 +446,26 @@ object Pipeline {
         nprobe = 4)
     }),
 
+    // Product-quantized ANN (approximate; rows-only — kernel
+    // arithmetic and recall vs exact cosine are asserted in PqSpec).
+    // The corpus compresses to m=8 codes/vector; the query scores
+    // every code row with 8 table lookups (no dot products) through
+    // the native ADC kernel, overfetches 4k candidates, and
+    // exact-rescores only those (faiss refine shape).
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val model = graft.similarity.Pq.train(emb, "embedding", "vec_id",
+        m = 8, ksub = 16)
+      val rest = emb.where(col("vec_id") =!= 0)
+      val enc = graft.similarity.Pq.encode(spread(rest), "embedding", "vec_id",
+        model)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      graft.similarity.Pq.adcTopKRefined(enc, rest, "embedding", "vec_id",
+        model, q, 10)
+    }),
+
     // Multimodal plumbing (rows-only): binary payloads + typed
     // metadata, batched stub feature extraction (see graft.multimodal;
     // schema/pruning/determinism asserted in MultimodalSpec).
