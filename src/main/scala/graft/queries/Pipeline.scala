@@ -466,6 +466,25 @@ object Pipeline {
         model, q, 10)
     }),
 
+    // Semantic dedup (SemDeDup; rows-only — subset/recall/dedup
+    // semantics asserted in SemanticDedupSpec): plant near-identical
+    // twins, cluster with the IVF quantizer, pair ONLY within cells
+    // (equi-join on centroid_id, never a cross join), resolve groups,
+    // count survivors. Output: one row per duplicate group.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val base = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val twins = base.where(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+      val corpus = spread(base.unionByName(twins))
+      val cents = Similarity.ivfCentroids(corpus, "embedding", "vec_id", 8)
+      val pairs = graft.similarity.SemanticDedup.clusterPairs(corpus,
+        "embedding", "vec_id", cents, 0.999)
+      graft.ops.ConnectedComponents.summary(
+        graft.similarity.SemanticDedup.dupGroups(pairs))
+        .orderBy(asc("component"))
+    }),
+
     // Multimodal plumbing (rows-only): binary payloads + typed
     // metadata, batched stub feature extraction (see graft.multimodal;
     // schema/pruning/determinism asserted in MultimodalSpec).
