@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.text.TextAnalysis
 
@@ -40,6 +41,72 @@ object DocumentStream {
       minQuality: Double): DataFrame =
     scoreAndGate(spark,
       spark.readStream.schema(docSchema).parquet(sourceDir), minQuality)
+
+  /** State per LSH bucket: the documents currently inside the horizon,
+    * with their arrival time for pruning. */
+  final case class BucketState(docs: List[(Long, Long)])
+  final case class NearDupCand(doc_a: Long, doc_b: Long, band: Int,
+      bucket: Long)
+
+  /** Streaming MinHash-LSH near-dup CANDIDATES — the streaming twin of
+    * [[graft.dedup.Dedup.lshCandidatePairs]]: as documents arrive,
+    * each one's banded signature buckets join against the documents
+    * already seen in the same bucket within `horizonMs`.
+    *
+    * State story (the part that must survive an unbounded stream):
+    * keyed state holds (doc_id, ts) per occupied bucket — NOT text,
+    * NOT signatures — and every invocation prunes entries older than
+    * the horizon, so state is bounded by (docs inside horizon) × bands
+    * regardless of total stream volume. Banding math is expression-
+    * identical to the batch path, so within one horizon the emitted
+    * candidate set equals the batch candidate set exactly (asserted in
+    * DocumentStreamSpec); a pair colliding in several bands emits
+    * per-band — downstream exact verification dedups, same contract as
+    * the batch pipeline's distinct().
+    *
+    * `docs` must carry (doc_id, text, ts TIMESTAMP). */
+  def nearDupCandidateStream(spark: SparkSession, docs: DataFrame,
+      k: Int = 64, bands: Int = 16, n: Int = 3,
+      horizonMs: Long = 3600L * 1000): DataFrame = {
+    import spark.implicits._
+    val sig = graft.functions.ShingleExprs.minhashSig(spark, col("text"), k, n)
+    // Banding expression mirrors Dedup.lshCandidatePairs verbatim so
+    // bucket ids are bit-identical between batch and streaming.
+    val rowsPerBand = size(col("sig")) / bands
+    val banded = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
+        sig.as("sig"))
+      .select(col("doc_id"), col("ts_ms"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(concat_ws("_",
+            bnd, concat_ws(",", slice(col("sig"),
+              bnd * rowsPerBand + 1, rowsPerBand).cast("array<string>")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .as[(Long, Long, Int, Long)]
+    banded.groupByKey { case (_, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+            state: GroupState[BucketState]) => {
+          val arrived = rows.map(r => (r._1, r._2)).toSeq
+            .sortBy { case (doc, ts) => (ts, doc) }
+          var held = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = Seq.newBuilder[NearDupCand]
+          arrived.foreach { case (doc, ts) =>
+            held = held.filter { case (d, t) =>
+              t >= ts - horizonMs && d != doc }
+            held.foreach { case (d, _) =>
+              out += NearDupCand(math.min(d, doc), math.max(d, doc),
+                key._1, key._2)
+            }
+            held = (doc, ts) :: held
+          }
+          state.update(BucketState(held))
+          out.result().iterator
+        }).toDF()
+  }
 
   /** Deterministic stratified sampling + context-chunk planning as a
     * streaming stage. Both are pure scan-stage expressions: the md5

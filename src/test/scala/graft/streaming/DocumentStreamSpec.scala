@@ -43,6 +43,78 @@ class DocumentStreamSpec extends SparkSpec {
     assert(batch.size < all, s"gate dropped nothing ($all docs)")
   }
 
+  test("streaming LSH candidates equal the batch candidate pairs") {
+    val s = spark
+    import s.implicits._
+    // DedupSpec-style corpus: planted near-dups + exact copies
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta".split(" ")
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map { i =>
+      i.toLong -> (0 until 25).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val dups = (0 until 8).map { i => (100L + i) -> base(i)._2 }
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-neardup")
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(streamDir.resolve("in").toString)
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(streamDir.resolve("in").toString)
+    val q = DocumentStream.nearDupCandidateStream(spark, src,
+        k = 64, bands = 16, n = 3)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("neardup_cands")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT DISTINCT doc_a, doc_b FROM neardup_cands")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.dedup.Dedup.lshCandidatePairs(
+        graft.dedup.Dedup.minhashSignatures(corpus, "text", "doc_id",
+          k = 64, n = 3), bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
+    // the planted exact copies must all be candidates
+    (0 until 8).foreach { i =>
+      assert(streamed.contains((i.toLong, 100L + i)), s"missing copy pair $i")
+    }
+  }
+
+  test("near-dup horizon: pairs outside the window never emit") {
+    val s = spark
+    import s.implicits._
+    val text = "same words in every copy of this document here"
+    val corpus = Seq(
+      (1L, text, "2026-01-01 00:00:00"),
+      (2L, text, "2026-01-01 00:30:00"), // inside 1h of doc 1
+      (3L, text, "2026-01-01 02:00:00")  // outside 1h of both
+    ).toDF("doc_id", "text", "ts0")
+      .withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-horizon")
+    corpus.coalesce(1).write.mode("overwrite")
+      .parquet(streamDir.resolve("in").toString)
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(streamDir.resolve("in").toString)
+    val q = DocumentStream.nearDupCandidateStream(spark, src,
+        k = 64, bands = 16, n = 3, horizonMs = 3600L * 1000)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("neardup_horizon")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val pairs = spark.sql("SELECT DISTINCT doc_a, doc_b FROM neardup_horizon")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("streaming sampling + chunk planning equals batch, bit-for-bit") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-docs2")
