@@ -286,6 +286,49 @@ object Pipeline {
         .orderBy(asc("doc_id"), asc("rk"))
     }),
 
+    // Per-language exact interpolated quantiles of the quality score
+    // (quantile_cont semantics — Spark's `percentile` aggregate equals
+    // DuckDB's quantile_cont definition). Safe use of the exact
+    // percentile aggregate: the input is ROUNDED to 4 decimals, so
+    // per-partition state is bounded by ≤10⁴ distinct values per
+    // group, not by row count (the high-cardinality blowup documented
+    // in the build notes cannot happen).
+    "q_quality_quantile" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("lang"),
+          round(TextAnalysis.qualityScoreFast(s, col("text")), 4).as("q"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(q, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(q, 0.9D)"), 4).as("p90"))
+        .orderBy(asc("lang"))
+    }),
+
+    // Quantile-BUCKET assignment without a window: decile boundaries
+    // come from ONE percentile aggregate per language; every document
+    // then buckets itself with 9 scan-stage comparisons against the
+    // broadcast boundary array. The ntile() alternative is an
+    // unbounded sort window over a 5-key partition — pure skew at
+    // scale (measured in the build notes); this shape is one agg + one
+    // broadcast join however big the corpus. Boundaries are rounded
+    // before comparison so both engines bucket identically.
+    "q_quality_buckets" -> ((s, dir) => {
+      val scored = documents(s, dir)
+        .select(col("lang"),
+          round(TextAnalysis.qualityScoreFast(s, col("text")), 4).as("q"))
+      val bounds = scored.groupBy(col("lang")).agg(
+        expr("transform(percentile(q, array(0.1D,0.2D,0.3D,0.4D,0.5D," +
+          "0.6D,0.7D,0.8D,0.9D)), x -> round(x, 4))").as("bs"))
+      scored.join(broadcast(bounds), Seq("lang"))
+        .withColumn("bucket",
+          (lit(1) + size(filter(col("bs"), b => col("q") > b))).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("q")), 4).as("min_q"),
+          round(max(col("q")), 4).as("max_q"))
+        .orderBy(asc("lang"), asc("bucket"))
+    }),
+
     // Corpus-trained bigram LM scoring (graft.text.LangModel): the
     // KenLM-perplexity stand-in — mean p(w_i | w_{i-1}) per document
     // under the corpus's own bigram counts. One corpus explode, counts
@@ -707,6 +750,51 @@ object Pipeline {
         |  FROM tf JOIN df USING (term), n)
         |SELECT doc_id, term, tf, df, score, rk FROM s
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_quality_quantile" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text), 4) AS alpha_ratio,
+        |    round(len(regexp_extract_all(text, '\s'))::DOUBLE / length(text), 4) AS space_ratio,
+        |    round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mwl
+        |  FROM documents),
+        |q AS (
+        |  SELECT lang,
+        |    round(least(1.0, alpha_ratio * 0.6 + space_ratio * 2.0 * 0.2 +
+        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4) AS q
+        |  FROM m)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(q, 0.5), 4) AS p50,
+        |  round(quantile_cont(q, 0.9), 4) AS p90
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quality_buckets" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text), 4) AS alpha_ratio,
+        |    round(len(regexp_extract_all(text, '\s'))::DOUBLE / length(text), 4) AS space_ratio,
+        |    round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mwl
+        |  FROM documents),
+        |q AS (
+        |  SELECT lang,
+        |    round(least(1.0, alpha_ratio * 0.6 + space_ratio * 2.0 * 0.2 +
+        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4) AS qq
+        |  FROM m),
+        |b AS (
+        |  SELECT lang,
+        |    [round(quantile_cont(qq, 0.1), 4), round(quantile_cont(qq, 0.2), 4),
+        |     round(quantile_cont(qq, 0.3), 4), round(quantile_cont(qq, 0.4), 4),
+        |     round(quantile_cont(qq, 0.5), 4), round(quantile_cont(qq, 0.6), 4),
+        |     round(quantile_cont(qq, 0.7), 4), round(quantile_cont(qq, 0.8), 4),
+        |     round(quantile_cont(qq, 0.9), 4)] AS bs
+        |  FROM q GROUP BY 1),
+        |a AS (
+        |  SELECT q.lang, q.qq,
+        |    (1 + len(list_filter(b.bs, x -> q.qq > x)))::BIGINT AS bucket
+        |  FROM q JOIN b USING (lang))
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  round(min(qq), 4) AS min_q, round(max(qq), 4) AS max_q
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_lm_bigram" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
