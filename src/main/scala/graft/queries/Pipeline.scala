@@ -528,6 +528,22 @@ object Pipeline {
         .orderBy(asc("component"))
     }),
 
+    // IVF-PQ composed index (approximate; rows-only — all-cells ≡
+    // refined-PQ equivalence and small-nprobe recall asserted in
+    // IvfPqSpec): cells prune WHICH rows scan, codes shrink WHAT
+    // scans, refine restores exact scores for the survivors.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val rest = spread(emb.where(col("vec_id") =!= 0))
+      val index = graft.similarity.IvfPq.build(rest, "embedding", "vec_id",
+        c = 16, m = 8, ksub = 16)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      graft.similarity.IvfPq.topK(index, rest, "embedding", "vec_id", q,
+        k = 10, nprobe = 4)
+    }),
+
     // Multimodal plumbing (rows-only): binary payloads + typed
     // metadata, batched stub feature extraction (see graft.multimodal;
     // schema/pruning/determinism asserted in MultimodalSpec).
