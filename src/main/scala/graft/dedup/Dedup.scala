@@ -142,6 +142,35 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Cross-document EXACT substring-duplication scan (the "dedup
+    * repeated spans" signal from the public train-data-dedup
+    * literature): an L-token window is duplicated if its exact token
+    * sequence occurs more than once in the corpus — any document, any
+    * position. Per document: window count, duplicated-window count,
+    * duplicated fraction — the score used to drop or trim documents
+    * dominated by corpus-wide boilerplate.
+    *
+    * Shape: ONE explode into per-position windows (native kernel, not
+    * a per-element lambda), one partial+final count per distinct
+    * window, one join back, one per-doc aggregate — the same
+    * shuffle profile as tf-idf. At 100 TB the window STRINGS would be
+    * replaced by xxhash64(window) through the shuffle (collision odds
+    * ~n²/2⁶⁴); kept as strings here so the DuckDB oracle is exact. */
+  def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val win = graft.functions.ShingleExprs.wordWindows(spark, col(textCol),
+      windowTokens)
+    val occ = df.select(col(idCol).as("doc_id"), explode(win).as("w"))
+    val counts = occ.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    occ.join(counts, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_windows"),
+        round(sum(when(col("c") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("dup_frac"))
+  }
+
   /** MinHash signature: k independent hash functions simulated by
     * seeding xxhash64 with the hash index (Broder's scheme). Output:
     * `sig` ARRAY<BIGINT> of length k.

@@ -45,6 +45,29 @@ object ShingleKernels {
   def shingleArray(text: UTF8String, n: Int): ArrayData =
     new GenericArrayData(shingles(text, n).asInstanceOf[Array[Any]])
 
+  /** ALL n-token windows in position order (non-distinct — one entry
+    * per position, unlike [[shingles]]): the unit of the cross-doc
+    * substring-duplication scan, where every occurrence must count. A
+    * doc shorter than n tokens is one window. */
+  def windows(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    val out: Array[Any] =
+      if (toks.length < n) Array(UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val arr = new Array[Any](toks.length - n + 1)
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          arr(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature straight from the text: k minima over the
     * distinct shingles. Matches xxhash64(shingle, seed) semantics:
     * fold bytes with seed 42, then the INT seed index. */
@@ -83,6 +106,21 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class WordWindowsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_windows"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleKernels.windows(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels.windows($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindowsExpr =
+    copy(child = newChild)
+}
+
 case class MinHashSigExpr(child: Expression, k: Int, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -109,6 +147,9 @@ object ShingleExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSigExpr(exprs.head, litInt(exprs(1)),
         litInt(exprs(2))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_windows", exprs => WordWindowsExpr(exprs.head, litInt(exprs(1))),
+      "scala_udf")
   }
 
   def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
@@ -120,5 +161,10 @@ object ShingleExprs {
     register(spark)
     call_function("minhash_sig", text, org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  def wordWindows(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("word_windows", text, org.apache.spark.sql.functions.lit(n))
   }
 }

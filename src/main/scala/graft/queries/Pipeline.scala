@@ -371,6 +371,20 @@ object Pipeline {
           sum(col("n_copies") - 1).as("n_redundant_docs"))
     }),
 
+    // Cross-document exact substring duplication (10-token windows):
+    // the synthetic corpus has no cross-doc exact spans, so the query
+    // PLANTS full copies (doc_id % 10 == 0 → a copy at id+100000) and
+    // the oracle replays the injection — planted docs must score
+    // dup_frac 1.0, everything else 0.
+    "q_dup_spans" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.dupSpanStats(spread(base.unionByName(copies)), "text", "doc_id",
+        windowTokens = 10)
+        .orderBy(asc("doc_id"))
+    }),
+
     // Decontamination screen: which corpus docs share any 5-gram with
     // the "benchmark" set (the five lowest-id docs stand in for an
     // eval set — they flag themselves plus any genuine overlap). The
@@ -845,6 +859,28 @@ object Pipeline {
         |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
         |  sum(n_copies - 1)::BIGINT AS n_redundant_docs
         |FROM groups""".stripMargin,
+    "q_dup_spans" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM planted),
+        |wins AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(w) < 10 THEN [array_to_string(w, ' ')]
+        |      ELSE [array_to_string(w[i:i+9], ' ')
+        |            for i in range(1, len(w) - 8)] END) AS win
+        |  FROM w),
+        |c AS (SELECT win, count(*)::BIGINT AS c FROM wins GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_windows,
+        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+        |  round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+        |    AS dup_frac
+        |FROM wins JOIN c USING (win)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w

@@ -100,6 +100,33 @@ class DedupSpec extends SparkSpec {
     assert(both.where(col("declarative") =!= col("native")).count() == 0)
   }
 
+  test("word windows: per-position, non-distinct, short-doc fallback") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b a b a"), (2L, "x y")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      graft.functions.ShingleExprs.wordWindows(s, col("text"), 3).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b a", "b a b", "a b a")) // repeats kept
+    assert(got(2L) == Seq("x y")) // shorter than one window
+  }
+
+  test("dupSpanStats: full copies score 1.0, partial overlap in between") {
+    val s = spark
+    import s.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8"     // 6 windows at L=3
+    val b = "w1 w2 w3 w4 z5 z6 z7 z8"     // shares the first 2 windows with a
+    val df = Seq(0L -> a, 1L -> a, 2L -> b, 3L -> "u1 u2 u3 u4")
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(df, "text", "doc_id", windowTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((6L, 6L, 1.0)))  // full copy of doc 1
+    assert(got(1L) == ((6L, 6L, 1.0)))
+    assert(got(2L) == ((6L, 2L, 0.3333))) // only the shared prefix windows
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("bloom filter: no false negatives, bounded false positives") {
     val s = spark
     import s.implicits._
