@@ -142,6 +142,31 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Provenance-priority exact dedup — the multi-source curation rule:
+    * when identical (normalized) content appears in several crawls,
+    * keep the copy from the MOST TRUSTED source (lowest priority
+    * value), ties broken by min id. One partial+final aggregate: the
+    * argmin over (priority, id) rides a single packed BIGINT
+    * `priority·idBound + id` through the shuffle — no window, no
+    * second pass, and the packing arithmetic is integer-exact in any
+    * engine, which keeps the DuckDB oracle bit-identical.
+    *
+    * @param idBound exclusive upper bound on ids (packing base). */
+  def exactByPriority(df: DataFrame, textCol: String, idCol: String,
+      prioCol: String, idBound: Long = 1000000L): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.withColumn("text_hash", md5(norm))
+      .groupBy(col("text_hash"))
+      .agg(
+        min(col(prioCol).cast("long") * idBound + col(idCol)).as("packed"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col(prioCol)).as("n_sources"))
+      .select(
+        pmod(col("packed"), lit(idBound)).as("canonical_id"),
+        expr(s"packed div $idBound").as("canonical_prio"),
+        col("n_copies"), col("n_sources"))
+  }
+
   /** Cross-document EXACT substring-duplication scan (the "dedup
     * repeated spans" signal from the public train-data-dedup
     * literature): an L-token window is duplicated if its exact token

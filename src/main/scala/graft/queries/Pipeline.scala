@@ -371,6 +371,23 @@ object Pipeline {
           sum(col("n_copies") - 1).as("n_redundant_docs"))
     }),
 
+    // Provenance-priority dedup: identical content across sources
+    // keeps the most-trusted copy (lowest numeric source suffix, ties
+    // by min id). Plants a low-trust 'src99' copy of every 10th doc;
+    // every planted group must resolve back to the original.
+    "q_dedup_priority" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"),
+        col("source"))
+      val copies = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+          lit("src99").as("source"))
+      val planted = base.unionByName(copies)
+        .withColumn("prio", substring(col("source"), 4, 10).cast("long"))
+      Dedup.exactByPriority(planted, "text", "doc_id", "prio")
+        .where(col("n_copies") > 1)
+        .orderBy(asc("canonical_id"))
+    }),
+
     // Cross-document exact substring duplication (10-token windows):
     // the synthetic corpus has no cross-doc exact spans, so the query
     // PLANTS full copies (doc_id % 10 == 0 → a copy at id+100000) and
@@ -859,6 +876,24 @@ object Pipeline {
         |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
         |  sum(n_copies - 1)::BIGINT AS n_redundant_docs
         |FROM groups""".stripMargin,
+    "q_dedup_priority" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, 'src99' AS source
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |h AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+        |    CAST(substr(source, 4) AS BIGINT) AS prio, doc_id
+        |  FROM planted),
+        |g AS (
+        |  SELECT text_hash, min(prio * 1000000 + doc_id) AS packed,
+        |    count(*)::BIGINT AS n_copies,
+        |    count(DISTINCT prio)::BIGINT AS n_sources
+        |  FROM h GROUP BY 1)
+        |SELECT (packed % 1000000)::BIGINT AS canonical_id,
+        |  (packed // 1000000)::BIGINT AS canonical_prio, n_copies, n_sources
+        |FROM g WHERE n_copies > 1 ORDER BY canonical_id""".stripMargin,
     "q_dup_spans" ->
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents

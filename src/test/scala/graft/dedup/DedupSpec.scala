@@ -127,6 +127,22 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("priority dedup keeps the lowest (priority, id) copy per group") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (5L, "Hello  World", 3L),  // same normalized text, worst source
+      (6L, "hello   world ", 1L), // best source, lower id → canonical
+      (7L, "hello world", 1L),    // best source, higher id
+      (8L, "unique text", 2L)
+    ).toDF("doc_id", "text", "prio")
+    val got = Dedup.exactByPriority(df, "text", "doc_id", "prio")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((6L, 1L, 3L, 2L), (8L, 2L, 1L, 1L)))
+  }
+
   test("bloom filter: no false negatives, bounded false positives") {
     val s = spark
     import s.implicits._
