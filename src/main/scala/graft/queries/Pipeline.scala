@@ -73,6 +73,25 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // REAL BPE token budgeting (rows-only — merge order, train/apply
+    // consistency, and kernel-vs-driver agreement are asserted in
+    // BpeSpec): vocabulary induced driver-side on a bounded sample
+    // (the merge loop is inherently sequential), then ONE distributed
+    // counting pass through the codegen'd kernel with the rank table
+    // embedded at plan-build time.
+    "q_bpe_budget" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val merges = graft.text.Bpe.train(docs, "text", "doc_id", nMerges = 64)
+      spread(docs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.Bpe.tokenCount(s, col("text"), merges))
+            .as("bpe_tokens"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("word_tokens"))
+        .orderBy(asc("lang"))
+    }),
+
     // Quality filtering — the gate a training pipeline applies before
     // spending tokens: per-lang doc counts surviving the composite
     // quality score threshold. Score formula mirrored in the oracle.
