@@ -312,14 +312,22 @@ object Pipeline {
     // per-partition state is bounded by ≤10⁴ distinct values per
     // group, not by row count (the high-cardinality blowup documented
     // in the build notes cannot happen).
+    // Quantiles run on the INTEGER-SCALED grid (q × 10⁴ as BIGINT):
+    // interpolated medians of even-sized groups land exactly between
+    // two grid points, and on the double grid that midpoint is an
+    // inexact 0.xxxx5 that Spark (shortest-repr HALF_UP) and DuckDB
+    // (binary-value round) round to DIFFERENT sides — measured at
+    // sf0.001. Integer endpoints make the .5 midpoint exactly
+    // representable, so both engines agree to the bit.
     "q_quality_quantile" -> ((s, dir) => {
       documents(s, dir)
         .select(col("lang"),
-          round(TextAnalysis.qualityScoreFast(s, col("text")), 4).as("q"))
+          round(TextAnalysis.qualityScoreFast(s, col("text")) * 10000, 0)
+            .cast("long").as("qs"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(expr("percentile(q, 0.5D)"), 4).as("p50"),
-          round(expr("percentile(q, 0.9D)"), 4).as("p90"))
+          round(expr("percentile(qs, 0.5D)"), 4).as("p50_q4"),
+          round(expr("percentile(qs, 0.9D)"), 4).as("p90_q4"))
         .orderBy(asc("lang"))
     }),
 
@@ -332,19 +340,22 @@ object Pipeline {
     // broadcast join however big the corpus. Boundaries are rounded
     // before comparison so both engines bucket identically.
     "q_quality_buckets" -> ((s, dir) => {
+      // Same integer-scaled grid as q_quality_quantile (see comment
+      // there): boundaries interpolate between exact integers.
       val scored = documents(s, dir)
         .select(col("lang"),
-          round(TextAnalysis.qualityScoreFast(s, col("text")), 4).as("q"))
+          round(TextAnalysis.qualityScoreFast(s, col("text")) * 10000, 0)
+            .cast("long").as("qs"))
       val bounds = scored.groupBy(col("lang")).agg(
-        expr("transform(percentile(q, array(0.1D,0.2D,0.3D,0.4D,0.5D," +
+        expr("transform(percentile(qs, array(0.1D,0.2D,0.3D,0.4D,0.5D," +
           "0.6D,0.7D,0.8D,0.9D)), x -> round(x, 4))").as("bs"))
       scored.join(broadcast(bounds), Seq("lang"))
         .withColumn("bucket",
-          (lit(1) + size(filter(col("bs"), b => col("q") > b))).cast("long"))
+          (lit(1) + size(filter(col("bs"), b => col("qs") > b))).cast("long"))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
-          round(min(col("q")), 4).as("min_q"),
-          round(max(col("q")), 4).as("max_q"))
+          min(col("qs")).as("min_q4"),
+          max(col("qs")).as("max_q4"))
         .orderBy(asc("lang"), asc("bucket"))
     }),
 
@@ -826,12 +837,13 @@ object Pipeline {
         |  FROM documents),
         |q AS (
         |  SELECT lang,
-        |    round(least(1.0, alpha_ratio * 0.6 + space_ratio * 2.0 * 0.2 +
-        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4) AS q
+        |    CAST(round(round(least(1.0, alpha_ratio * 0.6 + space_ratio * 2.0 * 0.2 +
+        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4)
+        |      * 10000) AS BIGINT) AS qs
         |  FROM m)
         |SELECT lang, count(*) AS n_docs,
-        |  round(quantile_cont(q, 0.5), 4) AS p50,
-        |  round(quantile_cont(q, 0.9), 4) AS p90
+        |  round(quantile_cont(qs, 0.5), 4) AS p50_q4,
+        |  round(quantile_cont(qs, 0.9), 4) AS p90_q4
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quality_buckets" ->
       """WITH m AS (
@@ -843,23 +855,24 @@ object Pipeline {
         |  FROM documents),
         |q AS (
         |  SELECT lang,
-        |    round(least(1.0, alpha_ratio * 0.6 + space_ratio * 2.0 * 0.2 +
-        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4) AS qq
+        |    CAST(round(round(least(1.0, alpha_ratio * 0.6 + space_ratio * 2.0 * 0.2 +
+        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4)
+        |      * 10000) AS BIGINT) AS qs
         |  FROM m),
         |b AS (
         |  SELECT lang,
-        |    [round(quantile_cont(qq, 0.1), 4), round(quantile_cont(qq, 0.2), 4),
-        |     round(quantile_cont(qq, 0.3), 4), round(quantile_cont(qq, 0.4), 4),
-        |     round(quantile_cont(qq, 0.5), 4), round(quantile_cont(qq, 0.6), 4),
-        |     round(quantile_cont(qq, 0.7), 4), round(quantile_cont(qq, 0.8), 4),
-        |     round(quantile_cont(qq, 0.9), 4)] AS bs
+        |    [round(quantile_cont(qs, 0.1), 4), round(quantile_cont(qs, 0.2), 4),
+        |     round(quantile_cont(qs, 0.3), 4), round(quantile_cont(qs, 0.4), 4),
+        |     round(quantile_cont(qs, 0.5), 4), round(quantile_cont(qs, 0.6), 4),
+        |     round(quantile_cont(qs, 0.7), 4), round(quantile_cont(qs, 0.8), 4),
+        |     round(quantile_cont(qs, 0.9), 4)] AS bs
         |  FROM q GROUP BY 1),
         |a AS (
-        |  SELECT q.lang, q.qq,
-        |    (1 + len(list_filter(b.bs, x -> q.qq > x)))::BIGINT AS bucket
+        |  SELECT q.lang, q.qs,
+        |    (1 + len(list_filter(b.bs, x -> q.qs > x)))::BIGINT AS bucket
         |  FROM q JOIN b USING (lang))
         |SELECT lang, bucket, count(*) AS n_docs,
-        |  round(min(qq), 4) AS min_q, round(max(qq), 4) AS max_q
+        |  min(qs) AS min_q4, max(qs) AS max_q4
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_lm_bigram" ->
       """WITH w AS (
