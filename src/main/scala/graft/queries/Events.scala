@@ -118,6 +118,24 @@ object Events {
         .orderBy(asc("campaign_id"))
     }),
 
+    // SLIDING windows (1 h window, 15 min slide): every event lands in
+    // 4 overlapping windows — the smoothing shape streaming dashboards
+    // use. Spark's window() explodes each row into its windows before
+    // ONE partial+final aggregate (replication factor = window/slide =
+    // 4, bounded by the ratio, never by data volume). The oracle
+    // rebuilds the same epoch-aligned window-start series and joins —
+    // proving Spark's window assignment to the second.
+    "q_events_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(unix_timestamp(col("window.start")).as("win_epoch"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy(asc("win_epoch"), asc("event_type"))
+        .limit(300)
+    }),
+
     // Batch form of the streaming hourly tumbling-window aggregation.
     "q_events_hourly" -> ((s, dir) => {
       events(s, dir)
@@ -183,6 +201,22 @@ object Events {
         |  round(sum(value), 2) AS total_value
         |FROM e JOIN c ON p >= start_epoch AND p < end_epoch
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_sliding" ->
+      """WITH b AS (SELECT min(ts) AS a, max(ts) AS z FROM events),
+        |s AS (
+        |  SELECT unnest(generate_series(
+        |    make_timestamp((((floor(epoch(a) / 900) * 900)::BIGINT - 2700)
+        |      * 1000000)::BIGINT),
+        |    make_timestamp((epoch(z) * 1000000)::BIGINT),
+        |    INTERVAL 15 MINUTE)) AS ws
+        |  FROM b),
+        |j AS (
+        |  SELECT epoch(s.ws)::BIGINT AS win_epoch, e.event_type, e.value
+        |  FROM events e JOIN s ON e.ts >= s.ws
+        |    AND e.ts < s.ws + INTERVAL 60 MINUTE)
+        |SELECT win_epoch, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 300""".stripMargin,
     "q_events_hourly" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
         |  event_type, count(*) AS n_events,
