@@ -28,6 +28,19 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** SLIDING windows (1 h / 15 min) with watermark — the streaming
+    * twin of q_events_sliding. State per (window × type) key; the 4×
+    * window replication is bounded by window/slide, and expired
+    * windows age out with the watermark. */
+  def slidingTotals(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("win_epoch"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Per-user running session state via flatMapGroupsWithState: emits a
     * session row when a user is idle past `gapMs` (reference has no
     * streaming analogue; this is the KeyValueGroupedDataset custom

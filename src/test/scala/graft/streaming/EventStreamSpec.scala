@@ -31,6 +31,29 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming sliding-window totals equal the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sliding")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString,
+      "sliding_totals", EventStream.slidingTotals)
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT * FROM sliding_totals ORDER BY win_epoch, event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("win_epoch"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(asc("win_epoch"), asc("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming dedup keeps one row per key, equal to batch distinct") {
     val dir = "/root/testdata/sf0.001"
     // Duplicate the whole source file: every event arrives twice.
