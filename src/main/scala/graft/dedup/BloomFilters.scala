@@ -34,10 +34,20 @@ import org.apache.spark.sql.functions._
 object BloomFilters {
 
   final case class Bloom(words: Array[Long], numBits: Long, k: Int) {
-    /** Pure-Column membership probe: k word lookups + bit tests against
-      * the literal words array — codegen'd, zero shuffle. False
-      * positive rate ≈ (1 - e^{-kn/m})^k; never a false negative. */
-    def mightContain(key: Column): Column = {
+    /** Membership probe through the native kernel
+      * ([[graft.functions.BloomProbeExpr]]): the key hashes ONCE and
+      * the k positions walk in a loop — vs 2k full string hashes for
+      * the Column form below (conjuncts don't share subexpressions in
+      * FilterExec). False positive rate ≈ (1 - e^{-kn/m})^k; never a
+      * false negative. */
+    def mightContain(spark: org.apache.spark.sql.SparkSession,
+        key: Column): Column =
+      graft.functions.BloomProbeExpr.mightContain(spark, key, words,
+        numBits, k)
+
+    /** Declarative reference twin of the kernel probe (bit-equivalence
+      * asserted in DedupSpec). */
+    def mightContainColumns(key: Column): Column = {
       val wordsLit = typedLit(words.toSeq)
       (0 until k).map { j =>
         val pos = probePos(key, j, numBits)

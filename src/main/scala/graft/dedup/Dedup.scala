@@ -124,15 +124,17 @@ object Dedup {
     val spark = corpus.sparkSession
     val shingleCol =
       graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
-    // The bench side is small relative to the corpus (it is the eval
-    // suite); computing it twice (count + confirm join) costs two
-    // passes over the SMALL side, not the corpus.
+    // Materialize the bench shingles ONCE (localCheckpoint) — three
+    // consumers follow (count, bloom build, confirm join), and at the
+    // eval-suite scale this function exists for, re-exploding the
+    // suite three times would be two redundant heavyweight jobs.
     val benchSh = bench.select(explode(shingleCol).as("shingle")).distinct()
+      .localCheckpoint(eager = true)
     val nBench = math.max(1L, benchSh.count())
     val bloom = BloomFilters.build(benchSh, "shingle", nBench, fpp)
     val corpusSh = corpus.select(col(idCol).as("doc_id"),
       explode(shingleCol).as("shingle"))
-    corpusSh.where(bloom.mightContain(col("shingle")))
+    corpusSh.where(bloom.mightContain(spark, col("shingle")))
       // exact confirm: a plain shuffle join sized by the SURVIVORS —
       // deliberately not a broadcast, because at the scale where the
       // bloom matters the bench string set is too big to broadcast.
@@ -154,11 +156,21 @@ object Dedup {
     * @param idBound exclusive upper bound on ids (packing base). */
   def exactByPriority(df: DataFrame, textCol: String, idCol: String,
       prioCol: String, idBound: Long = 1000000L): DataFrame = {
+    require(idBound > 0, s"idBound $idBound")
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // Packing is only an argmin encoding if 0 ≤ id < idBound and
+    // prio ≥ 0 — fail LOUDLY on violation instead of decoding a
+    // nonexistent canonical id.
+    val packed = when(
+      col(idCol) >= 0 && col(idCol) < idBound && col(prioCol) >= 0,
+      col(prioCol).cast("long") * idBound + col(idCol))
+      .otherwise(raise_error(concat(
+        lit(s"exactByPriority: id/prio outside packing range (idBound=$idBound): "),
+        col(idCol).cast("string"), lit("/"), col(prioCol).cast("string"))))
     df.withColumn("text_hash", md5(norm))
       .groupBy(col("text_hash"))
       .agg(
-        min(col(prioCol).cast("long") * idBound + col(idCol)).as("packed"),
+        min(packed).as("packed"),
         count(lit(1)).as("n_copies"),
         count_distinct(col(prioCol)).as("n_sources"))
       .select(

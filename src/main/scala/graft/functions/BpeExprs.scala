@@ -57,8 +57,11 @@ object BpeKernels {
     syms
   }
 
+  // Spark split/trim semantics (space-only trim, keep-empties split) —
+  // empty tokens encode to zero symbols, so edge whitespace cannot
+  // shift counts against the declarative token column.
   private def words(text: UTF8String): Array[String] =
-    text.toString.trim.toLowerCase.split("\\s+")
+    ShingleKernels.sparkTokens(text)
 
   /** Total BPE token count of a text. */
   def countTokens(text: UTF8String, ranks: Ranks): Long = {

@@ -25,8 +25,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleKernels {
 
+  /** Tokens with SPARK's split/trim semantics, per the build notes:
+    * SQL `trim` strips SPACES only (Java `String.trim` strips all
+    * ≤ U+0020), and `split(s, re)` uses limit -1, keeping the empty
+    * edge segments a leading/trailing NON-SPACE whitespace char
+    * produces. Bit-compatible with the declarative
+    * `split(lower(trim(text)), "\\s+")` on every input, not just
+    * space-trimmed ones. */
+  def sparkTokens(text: UTF8String): Array[String] = {
+    val s = text.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s.substring(lo, hi).toLowerCase.split("\\s+", -1)
+  }
+
   def shingles(text: UTF8String, n: Int): Array[UTF8String] = {
-    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    val toks = sparkTokens(text)
     val out = new mutable.LinkedHashSet[String]
     if (toks.length < n) out += toks.mkString(" ")
     else {
@@ -50,7 +66,7 @@ object ShingleKernels {
     * substring-duplication scan, where every occurrence must count. A
     * doc shorter than n tokens is one window. */
   def windows(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    val toks = sparkTokens(text)
     val out: Array[Any] =
       if (toks.length < n) Array(UTF8String.fromString(toks.mkString(" ")))
       else {

@@ -34,29 +34,25 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64Expr {
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    * Tokenizes with SPARK's split/trim semantics via
+    * [[ShingleKernels.sparkTokens]] — including the EMPTY edge tokens
+    * non-space whitespace produces, which the declarative
+    * `split(lower(trim(text)), "\\s+")` twin hashes too. */
   def compute(text: UTF8String): Long = {
-    val s = text.toString.trim.toLowerCase
+    val toks = ShingleKernels.sparkTokens(text)
     val sums = new Array[Int](64)
-    var start = 0
-    var i = 0
-    val n = s.length
-    while (i <= n) {
-      val atWs = i == n || Character.isWhitespace(s.charAt(i))
-      if (atWs) {
-        if (i > start) {
-          val tok = UTF8String.fromString(s.substring(start, i))
-          val h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset,
-            tok.numBytes(), 42L)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-            b += 1
-          }
-        }
-        start = i + 1
+    var t = 0
+    while (t < toks.length) {
+      val tok = UTF8String.fromString(toks(t))
+      val h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset,
+        tok.numBytes(), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
       }
-      i += 1
+      t += 1
     }
     var out = 0L
     var b = 0

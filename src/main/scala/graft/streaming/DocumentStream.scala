@@ -42,42 +42,56 @@ object DocumentStream {
     scoreAndGate(spark,
       spark.readStream.schema(docSchema).parquet(sourceDir), minQuality)
 
-  /** State per LSH bucket: the documents currently inside the horizon,
-    * with their arrival time for pruning. */
-  final case class BucketState(docs: List[(Long, Long)])
+  /** State per LSH bucket: the documents currently inside the horizon
+    * (with event times), plus the bucket's high-water mark for pruning
+    * and timeout scheduling. */
+  final case class BucketState(docs: List[(Long, Long)], maxTs: Long)
   final case class NearDupCand(doc_a: Long, doc_b: Long, band: Int,
       bucket: Long)
 
   /** Streaming MinHash-LSH near-dup CANDIDATES — the streaming twin of
     * [[graft.dedup.Dedup.lshCandidatePairs]]: as documents arrive,
     * each one's banded signature buckets join against the documents
-    * already seen in the same bucket within `horizonMs`.
+    * already seen in the same bucket within `horizonMs` of EVENT time.
     *
-    * State story (the part that must survive an unbounded stream):
-    * keyed state holds (doc_id, ts) per occupied bucket — NOT text,
-    * NOT signatures — and every invocation prunes entries older than
-    * the horizon, so state is bounded by (docs inside horizon) × bands
-    * regardless of total stream volume. Banding math is expression-
-    * identical to the batch path, so within one horizon the emitted
-    * candidate set equals the batch candidate set exactly (asserted in
+    * Correctness under disorder: a pair emits only when the two
+    * documents' event times differ by at most the horizon — checked
+    * per pair in BOTH directions, so a late row cannot pair with a
+    * far-future row merely because it arrived after it. An entry is
+    * evicted only once the WATERMARK passes its ts + horizon: the
+    * watermark bounds how late a row can still arrive, so only then
+    * is no future pairing possible (pruning at the bucket's own
+    * high-water mark would evict entries that in-flight late rows may
+    * legitimately pair with).
+    *
+    * State story: keyed state holds (doc_id, ts) per occupied
+    * bucket — not text, not signatures — pruned on every arrival AND
+    * expired by event-time timeout: when the watermark passes a
+    * bucket's high-water mark + horizon, the whole entry is removed.
+    * Buckets touched once do not linger forever; state is bounded by
+    * (docs inside horizon + watermark delay) × bands, regardless of
+    * stream history. Banding math is expression-identical to the
+    * batch path, so within one horizon the emitted candidate set
+    * equals the batch candidate set exactly (asserted in
     * DocumentStreamSpec); a pair colliding in several bands emits
-    * per-band — downstream exact verification dedups, same contract as
-    * the batch pipeline's distinct().
+    * per-band — downstream exact verification dedups, same contract
+    * as the batch pipeline's distinct().
     *
     * `docs` must carry (doc_id, text, ts TIMESTAMP). */
   def nearDupCandidateStream(spark: SparkSession, docs: DataFrame,
       k: Int = 64, bands: Int = 16, n: Int = 3,
-      horizonMs: Long = 3600L * 1000): DataFrame = {
+      horizonMs: Long = 3600L * 1000,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     val sig = graft.functions.ShingleExprs.minhashSig(spark, col("text"), k, n)
     // Banding expression mirrors Dedup.lshCandidatePairs verbatim so
     // bucket ids are bit-identical between batch and streaming.
     val rowsPerBand = size(col("sig")) / bands
     val banded = docs
-      .select(col("doc_id").cast("long").as("doc_id"),
-        (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
         sig.as("sig"))
-      .select(col("doc_id"), col("ts_ms"),
+      .select(col("doc_id"), col("ts"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(concat_ws("_",
@@ -85,26 +99,45 @@ object DocumentStream {
               bnd * rowsPerBand + 1, rowsPerBand).cast("array<string>")))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-      .as[(Long, Long, Int, Long)]
+      .as[(Long, java.sql.Timestamp, Int, Long)]
     banded.groupByKey { case (_, _, band, bucket) => (band, bucket) }
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
             state: GroupState[BucketState]) => {
-          val arrived = rows.map(r => (r._1, r._2)).toSeq
-            .sortBy { case (doc, ts) => (ts, doc) }
-          var held = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = Seq.newBuilder[NearDupCand]
-          arrived.foreach { case (doc, ts) =>
-            held = held.filter { case (d, t) =>
-              t >= ts - horizonMs && d != doc }
-            held.foreach { case (d, _) =>
-              out += NearDupCand(math.min(d, doc), math.max(d, doc),
-                key._1, key._2)
+          if (state.hasTimedOut) {
+            // watermark passed maxTs + horizon: nothing in this bucket
+            // can ever pair again
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrived = rows.map(r => (r._1, r._2.getTime)).toSeq
+              .sortBy { case (doc, ts) => (ts, doc) }
+            val prev = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
+            val watermarkMs = state.getCurrentWatermarkMs()
+            // evict only entries no future row can pair with: arrivals
+            // have ts ≥ watermark, so t is dead once t + horizon < W
+            var held = prev.docs.filter { case (_, t) =>
+              t + horizonMs >= watermarkMs }
+            var maxTs = prev.maxTs
+            val out = Seq.newBuilder[NearDupCand]
+            arrived.foreach { case (doc, ts) =>
+              maxTs = math.max(maxTs, ts)
+              held = held.filter { case (d, _) => d != doc }
+              held.foreach { case (d, t) =>
+                if (math.abs(ts - t) <= horizonMs)
+                  out += NearDupCand(math.min(d, doc), math.max(d, doc),
+                    key._1, key._2)
+              }
+              held = (doc, ts) :: held
             }
-            held = (doc, ts) :: held
+            state.update(BucketState(held, maxTs))
+            // a batch of only very-late rows could put maxTs + horizon
+            // behind the watermark, which setTimeoutTimestamp rejects
+            state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, watermarkMs + 1))
+            out.result().iterator
           }
-          state.update(BucketState(held))
-          out.result().iterator
         }).toDF()
   }
 

@@ -44,9 +44,14 @@ object Bpe {
     // weighted by occurrence count
     val wordFreq = new mutable.HashMap[String, Long]()
     texts.foreach { t =>
-      t.trim.toLowerCase.split("\\s+").foreach { w =>
-        if (w.nonEmpty) wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
-      }
+      // same tokenization as the apply kernel (ShingleKernels
+      // .sparkTokens); empty edge tokens carry no symbols, so they
+      // contribute nothing to training either
+      graft.functions.ShingleKernels
+        .sparkTokens(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .foreach { w =>
+          if (w.nonEmpty) wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
+        }
     }
     var seqs: Array[(Array[String], Long)] =
       wordFreq.toArray.sortBy(_._1).map { case (w, f) =>

@@ -149,11 +149,17 @@ class DedupSpec extends SparkSpec {
     val members = (0 until 500).map(i => s"member_$i").toDF("key")
     val bloom = BloomFilters.build(members, "key", 500, fpp = 0.01)
     // every member passes (bloom property: zero false negatives)
-    assert(members.where(bloom.mightContain(col("key"))).count() == 500)
+    assert(members.where(bloom.mightContain(s, col("key"))).count() == 500)
     // non-members pass at ~fpp; allow generous slack over 1%
     val nonMembers = (0 until 2000).map(i => s"other_$i").toDF("key")
-    val fp = nonMembers.where(bloom.mightContain(col("key"))).count()
+    val fp = nonMembers.where(bloom.mightContain(s, col("key"))).count()
     assert(fp <= 100, s"false-positive count $fp out of 2000 (expected ~20)")
+    // the native probe kernel is bit-identical to the declarative
+    // Column probe on members and non-members alike
+    val both = members.unionByName(nonMembers)
+      .select(bloom.mightContain(s, col("key")).as("kernel"),
+        bloom.mightContainColumns(col("key")).as("declarative"))
+    assert(both.where(col("kernel") =!= col("declarative")).count() == 0)
   }
 
   test("bloom-prefiltered decontamination equals the exact screen") {

@@ -115,6 +115,61 @@ class DocumentStreamSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("near-dup horizon holds for LATE rows arriving in later batches") {
+    val s = spark
+    import s.implicits._
+    val text = "same words in every copy of this document here"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-late")
+    val in = java.nio.file.Files.createDirectory(streamDir.resolve("in"))
+    // batch 1: docs at 00:00 and 02:00; batch 2 (separate file,
+    // maxFilesPerTrigger=1): a LATE doc at 00:30 — within 1h of doc 1,
+    // but 1.5h from doc 3. Pruning against the current (late) row's ts
+    // would keep doc 3 and emit the out-of-horizon pair (2,3).
+    def writeOne(rows: Seq[(Long, String, String)], name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-one")
+      rows.toDF("doc_id", "text", "ts0")
+        .withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("d").toString)
+      val part = java.nio.file.Files.list(tmp.resolve("d")).iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var found: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) found = p
+      }
+      val target = in.resolve(name)
+      java.nio.file.Files.copy(found, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(Seq((1L, text, "2026-01-01 00:00:00"),
+      (3L, text, "2026-01-01 02:00:00")), "a.parquet", t0 - 60000)
+    writeOne(Seq((2L, text, "2026-01-01 00:30:00")), "b.parquet", t0)
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    // 3h watermark delay: the late row must reach state, not be
+    // watermark-dropped — the horizon check alone must reject (2,3)
+    val q = DocumentStream.nearDupCandidateStream(spark, src,
+        k = 64, bands = 16, n = 3, horizonMs = 3600L * 1000,
+        watermarkDelay = "3 hours")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("neardup_late")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val pairs = spark.sql("SELECT DISTINCT doc_a, doc_b FROM neardup_late")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val progress = q.recentProgress.map(p =>
+      s"batch=${p.batchId} in=${p.numInputRows}").mkString("; ")
+    assert(pairs == Set((1L, 2L)), s"got $pairs [$progress]")
+  }
+
   test("streaming sampling + chunk planning equals batch, bit-for-bit") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-docs2")
