@@ -499,6 +499,44 @@ object Pipeline {
         .orderBy(asc("component"))
     }),
 
+    // The SCALE-path dedup-group pipeline end-to-end: MinHash+LSH
+    // candidates → exact Jaccard verify on candidates only →
+    // connected components → cluster summary. Same output shape as
+    // q_dedup_groups but no inverted-index self-join anywhere — the
+    // plan a 100 TB run would use (rows-only; recall vs the exact
+    // pipeline asserted in DedupSpec).
+    "q_dedup_groups_lsh" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(spread(documents(s, dir)), "text",
+        "doc_id", k = 64, bands = 16, n = 3, threshold = 0.3)
+      graft.ops.ConnectedComponents.summary(
+        graft.ops.ConnectedComponents.components(pairs, "doc_a", "doc_b"))
+        .orderBy(asc("component"))
+    }),
+
+    // Ingest-time incremental dedup: a NEW batch screens against the
+    // EXISTING corpus by normalized-text hash — only 32-byte hashes of
+    // the batch and corpus meet in the anti-join, never text. The
+    // batch plants known duplicates (docs % 7 == 0 re-ingested with
+    // new ids); survivors are exactly the non-planted batch docs.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val corpus = documents(s, dir).select(col("doc_id"), col("text"))
+      val newBatch = corpus.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(lit(" "), col("text")).as("text"))
+        .unionByName(corpus.where(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            concat(col("text"), lit(" NEW CONTENT APPENDED")).as("text")))
+      def h(c: org.apache.spark.sql.Column) =
+        md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+      val survivors = newBatch
+        .join(corpus.select(h(col("text")).as("text_hash")).distinct(),
+          h(col("text")) === col("text_hash"), "left_anti")
+      survivors.groupBy()
+        .agg(count(lit(1)).as("n_new"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+    }),
+
     // ANN: exact top-10 cosine neighbors of vec_id 0 (brute-force
     // baseline; IVF path covered in SimilaritySpec).
     "q_ann_topk" -> ((s, dir) => {
@@ -980,6 +1018,23 @@ object Pipeline {
         |SELECT doc_id, count(*)::BIGINT AS n_shared
         |FROM corpus JOIN bench USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |nb AS (
+        |  SELECT doc_id + 500000 AS doc_id, ' ' || text AS text
+        |  FROM corpus WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, text || ' NEW CONTENT APPENDED' AS text
+        |  FROM corpus WHERE doc_id % 7 = 1),
+        |ch AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM corpus),
+        |sv AS (
+        |  SELECT nb.* FROM nb
+        |  WHERE md5(regexp_replace(lower(trim(nb.text)), '\s+', ' ', 'g'))
+        |    NOT IN (SELECT h FROM ch))
+        |SELECT count(*) AS n_new, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM sv""".stripMargin,
     "q_near_dup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
