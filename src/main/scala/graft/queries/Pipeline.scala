@@ -229,6 +229,22 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Top BPE SUBWORDS corpus-wide (rows-only; tokenizer semantics
+    // asserted in BpeSpec): the learned-vocabulary usage view — what
+    // the corpus actually spends its token budget on. Same shape as
+    // q_vocab but over the distributed BPE tokenizer's output.
+    "q_vocab_bpe" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val merges = graft.text.Bpe.train(docs, "text", "doc_id", nMerges = 64)
+      spread(docs)
+        .select(explode(graft.text.Bpe.tokenize(s, col("text"), merges))
+          .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(desc("n_occurrences"), asc("token"))
+        .limit(20)
+    }),
+
     // Vocabulary building: corpus-wide token frequencies, top 20. The
     // explode shuffles one row per token OCCURRENCE only until the
     // map-side partial aggregation collapses it to one row per

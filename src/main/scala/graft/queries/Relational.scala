@@ -174,6 +174,16 @@ object Relational {
     "q_profile" -> ((s, dir) => {
       graft.ops.Profile.numeric(lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+
+    // The SKETCH profiler path (rows-only; tolerance vs exact asserted
+    // in ProfileSpec): HyperLogLog distincts + KLL-style approximate
+    // quantiles — ONE aggregation pass, constant-size state, no sort.
+    // This is the shape 100 TB profiling runs routinely; the bench
+    // contrast against the exact q_profile is the point.
+    "q_profile_approx" -> ((s, dir) => {
+      graft.ops.Profile.numeric(lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), approx = true)
     })
   )
 
