@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * held-out suite (every benchmark the lab must exclude — easily 10⁸
   * distinct n-grams) cannot broadcast gigabytes of strings. The Bloom
   * filter compresses membership to m BITS (1.2 GB of shingle strings →
-  * ~180 MB of bits at 1% fp for 10⁸ keys), restoring the
+  * ~120 MB of bits at 1% fp for 10⁸ keys), restoring the
   * broadcast-sized prefilter; the (rare) false positives are removed by
   * an exact confirm join that only the SURVIVORS pay for. Net shuffle:
   * corpus text never moves, only the ~fp-fraction of corpus shingles

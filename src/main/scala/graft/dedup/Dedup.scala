@@ -167,12 +167,20 @@ object Dedup {
       .otherwise(raise_error(concat(
         lit(s"exactByPriority: id/prio outside packing range (idBound=$idBound): "),
         col(idCol).cast("string"), lit("/"), col(prioCol).cast("string"))))
-    df.withColumn("text_hash", md5(norm))
-      .groupBy(col("text_hash"))
+    // Two-stage rather than count_distinct(prio) alongside min/count
+    // in one aggregate: the mixed distinct/non-distinct form plans an
+    // Expand (every corpus row ×2 before the shuffle). Pre-aggregating
+    // per (hash, prio) map-side combines to distinct groups, then the
+    // per-hash rollup derives n_sources as a plain count — same
+    // result, no row replication anywhere.
+    val perPrio = df.withColumn("text_hash", md5(norm))
+      .groupBy(col("text_hash"), col(prioCol))
+      .agg(min(packed).as("p_packed"), count(lit(1)).as("p_copies"))
+    perPrio.groupBy(col("text_hash"))
       .agg(
-        min(packed).as("packed"),
-        count(lit(1)).as("n_copies"),
-        count_distinct(col(prioCol)).as("n_sources"))
+        min(col("p_packed")).as("packed"),
+        sum(col("p_copies")).as("n_copies"),
+        count(lit(1)).as("n_sources"))
       .select(
         pmod(col("packed"), lit(idBound)).as("canonical_id"),
         expr(s"packed div $idBound").as("canonical_prio"),
@@ -309,21 +317,30 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
+    def keyOf(sig: Column, c: Column): Column =
+      call_function("shiftrightunsigned", sig, c * width)
+        .bitwiseAND((1L << width) - 1)
     // Native codegen'd expression (bit-identical to the declarative
     // simhash64; equivalence asserted in DedupSpec).
     val hashed = df.select(col(idCol).as("doc"),
       graft.functions.SimHash64Expr.simhash64(df.sparkSession, col(textCol)).as("sh64"))
     val banded = hashed.select(col("doc"), col("sh64"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)), i =>
-        call_function("shiftrightunsigned", col("sh64"), i * width)
-          .bitwiseAND((1L << width) - 1))))
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => keyOf(col("sh64"), c))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    // A pair agreeing on several chunks is emitted once, from its
+    // FIRST agreeing chunk — a signature-arithmetic filter on the
+    // joined row (same trick as Similarity.rpLshNearDups), replacing
+    // a distinct() that would shuffle the whole candidate set again.
+    val priorChunks = filter(sequence(lit(0), lit(chunks - 1)),
+      c => c < col("x.chunk"))
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
           col("x.doc") < col("y.doc"))
+      .where(!exists(priorChunks,
+        c => keyOf(col("x.sh64"), c) === keyOf(col("y.sh64"), c)))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
         hamming64(col("x.sh64"), col("y.sh64")).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxDist)
   }
 

@@ -68,13 +68,19 @@ object BloomProbeExpr {
       "scala_udf")
 
   /** Column entry point; registers a filter-specific function name so
-    * concurrent filters don't clobber each other's bit arrays (hex
-    * digest — a raw hashCode can be negative, which is not a valid
-    * SQL identifier). */
+    * concurrent filters don't clobber each other's bit arrays. The
+    * name is keyed on a 64-bit XXH64 digest of the whole filter state
+    * (words + numBits + k) — a 32-bit java hashCode gave two distinct
+    * filters a real chance of colliding, and the later
+    * createOrReplaceTempFunction would silently rebind the earlier
+    * plan's probe to the wrong bit array. */
   def mightContain(spark: SparkSession, key: Column, words: Array[Long],
       numBits: Long, k: Int): Column = {
-    val digest = java.lang.Integer.toHexString(java.util.Arrays.hashCode(words))
-    val name = s"bloom_might_contain_${digest}_$k"
+    var d = XXH64.hashLong(numBits, 42L)
+    d = XXH64.hashLong(k.toLong, d)
+    var i = 0
+    while (i < words.length) { d = XXH64.hashLong(words(i), d); i += 1 }
+    val name = s"bloom_might_contain_${java.lang.Long.toHexString(d)}"
     register(spark, name, words, numBits, k)
     call_function(name, key)
   }

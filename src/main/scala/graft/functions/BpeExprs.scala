@@ -30,10 +30,27 @@ object BpeKernels {
     m
   }
 
+  /** Seed symbols: one per Unicode CODE POINT. Iterating chars would
+    * split UTF-16 surrogate pairs, turning any non-BMP character
+    * (emoji, supplementary CJK) into two lone-surrogate symbols that
+    * UTF8String mangles to replacement bytes — and letting distinct
+    * words collide. Used by both the trainer and the kernel so the
+    * two stay mutually consistent. */
+  def seedSymbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** BPE symbols of one word under the rank table. */
   def encodeWord(word: String, ranks: Ranks): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var syms = word.map(_.toString).toArray
+    var syms = seedSymbols(word)
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue

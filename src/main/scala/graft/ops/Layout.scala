@@ -34,8 +34,23 @@ object Layout {
       .sortBy(bucketCol)
       .saveAsTable(tableName)
 
-  /** True if the executed plan of `df` contains no shuffle — the
-    * property co-bucketed joins must exhibit. */
+  /** True if the executed plan of `df` contains no SHUFFLE — the
+    * property co-bucketed joins must exhibit. Collects
+    * ShuffleExchangeLike nodes specifically: a substring match on
+    * "Exchange" would also hit BroadcastExchange, misreporting a
+    * (shuffle-free) broadcast-join plan. AQE wraps the real plan in
+    * AdaptiveSparkPlanExec, whose inner plan is a FIELD, not a child —
+    * tree collection must recurse through it explicitly. */
   def isExchangeFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    noShuffle(df.queryExecution.executedPlan)
+
+  private def noShuffle(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    p.collectWithSubqueries {
+      case _: ShuffleExchangeLike => false
+      case a: AdaptiveSparkPlanExec => noShuffle(a.executedPlan)
+    }.forall(identity)
+  }
 }

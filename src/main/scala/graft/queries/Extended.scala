@@ -45,13 +45,22 @@ object Extended {
         .crossJoin(either.agg(count(lit(1)).as("n_either")))
     }),
 
-    // Distinct aggregation (expand on A-class aggregates).
+    // Distinct aggregation (expand on A-class aggregates). Two
+    // countDistincts in ONE aggregate make Catalyst plan an Expand
+    // that replicates every fact row ×3 before the shuffle — the
+    // known multi-distinct blowup. Instead each distinct count runs
+    // as its own two-stage aggregate (partial distinct map-side, so
+    // the shuffle carries distinct (flag, key) pairs, not rows), and
+    // the three 3-row results broadcast-join back together. Three
+    // column-pruned scans beat one scan tripled through the shuffle.
     "q_distinct_agg" -> ((s, dir) => {
-      lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          count(lit(1)).as("n_rows"))
+      val li = lineitem(s, dir)
+      val parts = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_parts"))
+      val supps = li.select(col("l_returnflag"), col("l_suppkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_supps"))
+      val rows = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      parts.join(supps, Seq("l_returnflag")).join(rows, Seq("l_returnflag"))
         .orderBy(asc("l_returnflag"))
     }),
 

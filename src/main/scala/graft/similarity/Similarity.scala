@@ -2,7 +2,6 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (ARRAY<FLOAT>), with three tiers:
@@ -11,7 +10,8 @@ import org.apache.spark.sql.expressions.Window
   *     query row + TakeOrderedAndProject; linear scan, zero shuffle.
   *     The correctness baseline.
   *   - [[knnJoin]]: exact brute force for a (small) query SET —
-  *     broadcast the queries, one window per query id. Cost is
+  *     broadcast the queries, rank per query with a bounded-heap
+  *     aggregate (≤ k rows per (query, partition) shuffle). Cost is
   *     |queries| × |corpus| dot products; fine for ≤10³ queries even
   *     against 10⁹ vectors because it stays inside one scan.
   *   - [[ivfTopK]]: the scale path — IVF (inverted-file) index:
@@ -58,18 +58,23 @@ object Similarity {
   }
 
   /** Exact k-NN join: for every query row, its k nearest corpus rows.
-    * Queries broadcast; per-query ranking via window (partition count =
-    * |queries|, each partition ≤ |corpus| — repartition beforehand if
-    * |queries| is tiny and the corpus is huge; AQE handles the rest). */
+    * Queries broadcast; per-query ranking via the bounded-heap TopK
+    * aggregate (graft.ops.TopK.byScore) rather than a
+    * `row_number().over(partitionBy(query_id))` window: a window would
+    * funnel the scored corpus×queries frame into |queries| reducer
+    * partitions for the sort — pure skew when queries are few and the
+    * corpus is huge, and AQE cannot split a window partition. The heap
+    * form map-side combines, so the shuffle carries ≤ k rows per
+    * (query, partition) and nothing is globally sorted. Ranking ties
+    * ((score desc, id asc)) match row_number semantics exactly. */
   def knnJoin(corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(
+    val scored = corpus.crossJoin(
         broadcast(queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))))
       .where(col(idCol) =!= col("query_id"))
       .withColumn("score", round(ncos(corpus, col(vecCol), col("qvec")), 4))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc(idCol))
-    joined.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
+      .select(col("query_id"), col("score"), col(idCol))
+    graft.ops.TopK.byScore(scored, Seq("query_id"), "score", idCol, k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rk"))
   }
 

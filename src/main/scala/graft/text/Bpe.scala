@@ -53,9 +53,11 @@ object Bpe {
           if (w.nonEmpty) wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1L
         }
     }
+    // seed symbols by CODE POINT (shared with the kernel) — char-wise
+    // seeding would split surrogate pairs on non-BMP text
     var seqs: Array[(Array[String], Long)] =
       wordFreq.toArray.sortBy(_._1).map { case (w, f) =>
-        (w.map(_.toString).toArray, f)
+        (graft.functions.BpeKernels.seedSymbols(w), f)
       }
     val merges = Seq.newBuilder[String]
     var m = 0

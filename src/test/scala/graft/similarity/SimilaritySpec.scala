@@ -37,6 +37,12 @@ class SimilaritySpec extends SparkSpec {
     val qs = corpus.where(col("vec_id").isin(0L, 20L, 40L))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val res = Similarity.knnJoin(corpus, "embedding", "vec_id", qs, "qe", "qid", 3)
+    // Scale guard: ranking must go through the bounded-heap aggregate,
+    // never a per-query window (|queries| reducer partitions = skew).
+    val windows = res.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"knnJoin plan must not contain a Window: $windows")
     val byQuery = res.collect().groupBy(_.getLong(0))
     assert(byQuery.keySet == Set(0L, 20L, 40L))
     byQuery.foreach { case (qid, rows) =>
