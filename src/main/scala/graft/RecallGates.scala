@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.dedup.Dedup
+import graft.similarity.{IvfPq, Pq, Similarity}
+
+/** Recall/equivalence gates for the approximate query paths, run
+  * inside [[Verify]] so the local correctness gate is strictly
+  * stronger than the driver's rows-only check: the 13 queries without
+  * a SQL oracle would otherwise stay "green" in CORRECTNESS even if
+  * LSH recall silently cratered. Each gate re-asserts, against the
+  * actual verify-scale data, the property its ScalaTest spec proves on
+  * fixtures (DedupSpec / SimilaritySpec / PqSpec / IvfPqSpec /
+  * SemanticDedupSpec):
+  *
+  *   - minhash_highj_recall — MinHash+LSH must recover (nearly) all
+  *     high-Jaccard (≥ 0.8) exact pairs; j=0.8 candidates survive a
+  *     (k=64, b=16) banding with P(miss) ≈ 2e-4.
+  *   - rplsh_twin_recall — RP-LSH near-dup must recover every planted
+  *     ±0.1%-perturbation twin (its operating envelope, cos ≈ 1).
+  *   - simhash_pigeonhole — the chunk-join candidates must EQUAL the
+  *     brute-force hamming ≤ 3 pair set (pigeonhole is exact, not
+  *     approximate; any gap is a banding bug).
+  *   - pq_refined_recall — ADC + exact-rescore top-10 vs brute cosine.
+  *   - ivf_probeall — probing ALL cells must equal brute force (cell
+  *     pruning is the only approximation IVF adds).
+  *   - ivfpq_allcells — IVF-PQ at nprobe=all must equal the refined-PQ
+  *     answer on the same model.
+  *   - semantic_dedup_groups — every planted twin resolves into a
+  *     duplicate group (one group per twin).
+  *
+  * All inputs are bounded: `maxDocs`/`maxVecs` cap the corpus slice by
+  * id so the brute-force comparisons stay O(cap²) regardless of SF.
+  */
+object RecallGates {
+
+  final case class Gate(name: String, value: Double, floor: Double) {
+    def pass: Boolean = value >= floor
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col(df.columns(0)).cast("long"), col(df.columns(1)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recallOf(exact: Set[(Long, Long)],
+      approx: Set[(Long, Long)]): Double =
+    if (exact.isEmpty) 1.0
+    else exact.count(approx.contains).toDouble / exact.size
+
+  def run(spark: SparkSession, sfDir: String, maxDocs: Long = 2000,
+      maxVecs: Long = 2000): Seq[Gate] = {
+    val docs = documents(spark, sfDir)
+      .where(col("doc_id") < maxDocs).select(col("doc_id"), col("text"))
+    val emb = embeddings(spark, sfDir)
+      .where(col("vec_id") < maxVecs).select(col("vec_id"), col("embedding"))
+
+    // MinHash+LSH recall on high-jaccard exact pairs.
+    val exactHighJ = pairSet(
+      Dedup.jaccardPairs(spread(docs), "text", "doc_id", n = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b")))
+    val minhash = pairSet(
+      Dedup.minhashNearDups(spread(docs), "text", "doc_id",
+        k = 64, bands = 16, n = 3, threshold = 0.3)
+        .where(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b")))
+    val g1 = Gate("minhash_highj_recall", recallOf(exactHighJ, minhash), 0.95)
+
+    // RP-LSH twin recall (the q_cosine_near_dup_lsh construction).
+    val twins = emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0f) +
+          (pmod(col("vec_id") + i, lit(3)) - 1).cast("float") * lit(0.001f)))
+        .as("embedding"))
+    val nBase = emb.count()
+    val lshPairs = pairSet(
+      Similarity.rpLshNearDups(emb.unionByName(twins), "embedding", "vec_id",
+        threshold = 0.999).select(col("id_a"), col("id_b")))
+    val twinsFound = lshPairs.count { case (a, b) => b == a + 1000000L }
+    val g2 = Gate("rplsh_twin_recall",
+      if (nBase == 0) 1.0 else twinsFound.toDouble / nBase, 0.999)
+
+    // SimHash pigeonhole candidates ≡ brute-force hamming ≤ 3 pairs.
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SimHash64Expr.simhash64(spark, col("text")).as("sh"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val brute = pairSet(a.crossJoin(b)
+      .where(col("doc_a") < col("doc_b") &&
+        bit_count(col("sha").bitwiseXOR(col("shb"))) <= 3)
+      .select(col("doc_a"), col("doc_b")))
+    val cand = pairSet(
+      Dedup.simhashCandidatePairs(spread(docs), "text", "doc_id", maxDist = 3)
+        .select(col("doc_a"), col("doc_b")))
+    val g3 = Gate("simhash_pigeonhole",
+      if (brute == cand) 1.0 else recallOf(brute, cand), 1.0)
+
+    // ANN gates share one exact baseline: brute top-10 for vec 0.
+    val query = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val rest = emb.where(col("vec_id") =!= 0)
+    val exactTop = Similarity.topK(rest, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val qArr = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+
+    val model = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
+    val enc = Pq.encode(spread(rest), "embedding", "vec_id", model)
+    val refined = Pq.adcTopKRefined(enc, rest, "embedding", "vec_id",
+      model, qArr, 10).collect().map(_.getLong(0)).toSeq
+    // Floor 0.75, not PqSpec's 0.9: the synthetic embeddings are
+    // near-uniform (pair cosines ~0.5-0.6, tiny top-k margins — the
+    // worst case for ADC + bounded overfetch); measured 0.80 here,
+    // while the clustered-fixture spec holds ≥ 0.9. The gate's job is
+    // to catch a recall COLLAPSE (kernel/codebook regression → ~0.1),
+    // not to re-grade data hardness.
+    val g4 = Gate("pq_refined_recall",
+      exactTop.toSet.intersect(refined.toSet).size.toDouble /
+        math.max(1, exactTop.size), 0.75)
+
+    val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id", 16)
+    val assigned = Similarity.ivfAssign(spread(emb), "embedding", "vec_id", cents)
+    val ivfAll = Similarity.ivfTopK(assigned.where(col("vec_id") =!= 0),
+      "embedding", "vec_id", query, 10, cents, nprobe = 16)
+      .collect().map(_.getLong(0)).toSeq
+    val g5 = Gate("ivf_probeall", if (ivfAll == exactTop) 1.0 else 0.0, 1.0)
+
+    val index = IvfPq.build(spread(rest), "embedding", "vec_id",
+      c = 16, m = 8, ksub = 16)
+    val encIdx = Pq.encode(spread(rest), "embedding", "vec_id", index.model)
+    val refinedIdx = Pq.adcTopKRefined(encIdx, rest, "embedding", "vec_id",
+      index.model, qArr, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfpqAll = IvfPq.topK(index, rest, "embedding", "vec_id", qArr,
+      k = 10, nprobe = 16).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val g6 = Gate("ivfpq_allcells", if (ivfpqAll == refinedIdx) 1.0 else 0.0, 1.0)
+
+    // Semantic dedup: planted twins must all land in duplicate groups.
+    val semBase = emb
+    val semTwins = semBase.where(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+    val nPlanted = semTwins.count()
+    val semCorpus = spread(semBase.unionByName(semTwins))
+    val semCents = Similarity.ivfCentroids(semCorpus, "embedding", "vec_id", 8)
+    val semPairs = graft.similarity.SemanticDedup.clusterPairs(semCorpus,
+      "embedding", "vec_id", semCents, 0.999)
+    val nGroups = graft.ops.ConnectedComponents.summary(
+      graft.similarity.SemanticDedup.dupGroups(semPairs)).count()
+    val g7 = Gate("semantic_dedup_groups",
+      if (nPlanted == 0) 1.0 else nGroups.toDouble / nPlanted, 1.0)
+
+    Seq(g1, g2, g3, g4, g5, g6, g7)
+  }
+}

@@ -37,6 +37,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Recall gates for the approximate paths (queries with no SQL
+    // oracle): assert spec-level recall/equivalence on the verify-scale
+    // data and FAIL the gate (non-zero exit) on violation — the driver's
+    // rows-only check would stay green through a silent recall collapse.
+    val gates = RecallGates.run(spark, sfDir)
+    gates.foreach { g =>
+      val status = if (g.pass) "PASS" else "FAIL"
+      println(f"[recall] ${g.name}%-24s value=${g.value}%.4f floor=${g.floor}%.3f $status")
+    }
     spark.stop()
+    if (gates.exists(!_.pass)) {
+      System.err.println(s"[verify] recall gate FAILED: " +
+        gates.filterNot(_.pass).map(_.name).mkString(", "))
+      sys.exit(1)
+    }
   }
 }
