@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.FileOperands
 import graft.ids.IdMaps
-import graft.ingest.{Snapshot, Walker}
+import graft.ingest.{ResumableWalk, Snapshot, Walker}
 import graft.reports.Reports
 import graft.stats.{Calculator, Stats, StatsArtifact}
 
@@ -183,9 +183,23 @@ object Main {
         val errs = { import spark.implicits._; Seq.empty[graft.model.ScanError].toDF() }
         Snapshot.write(o.db, r.entries, errs)
       case None =>
-        val res = Walker.walk(spark, root, exclusions = o.excludes)
+        // First scan: resumable (per-seed-batch checkpoints under
+        // <db>/_frontier — a killed analyze picks up at the first
+        // uncommitted batch, reference analyze.go:82-87) with live
+        // progress (files/s ticker + slow-scan warnings, reference
+        // progress.go:54-316). The frontier is dropped only after the
+        // snapshot is durably written.
+        val progress = new Walker.WalkProgress(spark)
+        val tick = progress.ticker()
+        val frontier = java.nio.file.Paths.get(o.db, "_frontier").toString
+        val out = try ResumableWalk.walk(spark, root, frontier,
+            exclusions = o.excludes, progress = Some(progress.hooks))
+          finally tick.close()
+        val res = Walker.Result(out.records)
         res.records.cache()
-        Snapshot.write(o.db, res.entries.toDF(), res.errors.toDF())
+        val written = Snapshot.write(o.db, res.entries.toDF(), res.errors.toDF())
+        ResumableWalk.clear(frontier)
+        written
     }
     // One aggregation pass over the fresh snapshot for the summary
     // line (files/dirs/bytes as conditional sums), plus the error

@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.matching.Regex
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.{CollectionAccumulator, LongAccumulator}
 
 import graft.model.{FileEntry, ScanError}
 
@@ -71,6 +72,49 @@ object Walker {
   // compilation with "Private member cannot be accessed").
   final case class SeedSlice(seed: String, dirs: Option[Seq[DirMeta]])
 
+  /** S8-style progress plumbing (reference progress.go:54-316): Spark
+    * accumulators updated from inside every `walkOneDir`, readable on
+    * the driver WHILE the job runs (accumulator updates flow back with
+    * heartbeats), plus per-dir slow-scan warnings (reference flags dirs
+    * taking ≥ 10 s). Ship the hooks — not the WalkProgress wrapper —
+    * into task closures. */
+  final case class ProgressHooks(files: LongAccumulator, dirs: LongAccumulator,
+      slow: CollectionAccumulator[String], slowMs: Long) extends Serializable
+
+  final class WalkProgress(spark: SparkSession, slowMs: Long = 10000) {
+    val hooks: ProgressHooks = ProgressHooks(
+      spark.sparkContext.longAccumulator("graft.walk.files"),
+      spark.sparkContext.longAccumulator("graft.walk.dirs"),
+      spark.sparkContext.collectionAccumulator[String]("graft.walk.slow"),
+      slowMs)
+
+    /** Start a driver-side ticker printing files/s and any new
+      * slow-scan warnings every `intervalMs`. Returns a stop handle;
+      * always `close()` it (it prints a final summary line). */
+    def ticker(out: String => Unit = println,
+        intervalMs: Long = 1000): AutoCloseable = {
+      val t0 = System.nanoTime()
+      val reported = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var running = true
+      def line(): Unit = {
+        val secs = math.max(1e-9, (System.nanoTime() - t0) / 1e9)
+        val f = hooks.files.value; val d = hooks.dirs.value
+        out(f"analyze progress: $d%d dirs, $f%d files, ${f / secs}%.0f files/s")
+        val slow = hooks.slow.value
+        var i = reported.get()
+        while (i < slow.size()) { out(s"analyze slow-scan: ${slow.get(i)}"); i += 1 }
+        reported.set(i)
+      }
+      val th = new Thread(() => {
+        try while (running) { Thread.sleep(intervalMs); if (running) line() }
+        catch { case _: InterruptedException => () }
+      }, "graft-walk-progress")
+      th.setDaemon(true)
+      th.start()
+      () => { running = false; th.interrupt(); line() }
+    }
+  }
+
   final case class Result(records: Dataset[Record]) {
     def entries: Dataset[FileEntry] = {
       val spark = records.sparkSession
@@ -112,7 +156,8 @@ object Walker {
       seedDepth: Int = 2,
       parallelism: Int = 0,
       prev: PrevDirs = PrevDirs.empty,
-      prevDirs: Option[org.apache.spark.sql.DataFrame] = None): Result = {
+      prevDirs: Option[org.apache.spark.sql.DataFrame] = None,
+      progress: Option[ProgressHooks] = None): Result = {
     import org.apache.spark.sql.functions.{array_join, col, collect_list, regexp_replace, size => asize, slice => aslice, split, struct}
     import spark.implicits._
     val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
@@ -134,16 +179,8 @@ object Walker {
 
     // Driver-side seeding: levels [0, seedDepth) are walked here; dirs
     // at seedDepth become executor work units.
-    val driverRecords = mutable.ArrayBuffer.empty[Record]
-    val seeds = mutable.ArrayBuffer.empty[String]
-    val exRes = exPatterns.map(_.r)
-    def seed(dir: Path, depth: Int): Unit = {
-      val (records, subdirs) = walkOneDir(dir, depth, exRes, driverPrev)
-      driverRecords ++= records
-      if (depth + 1 >= seedDepth) seeds ++= subdirs.map(_.toString)
-      else subdirs.foreach(d => seed(d, depth + 1))
-    }
-    seed(rootPath, 0)
+    val (driverRecords, seeds) =
+      driverSeed(rootPath, exPatterns, seedDepth, driverPrev, progress)
 
     val nParts = math.max(1, math.min(par, math.max(1, seeds.size)))
     val walked = prevDirs match {
@@ -162,7 +199,7 @@ object Walker {
           .groupBy(col("seed"))
           .agg(collect_list(struct(col("path"), col("parent"), col("mt_ms"),
             col("mode"), col("n_entries"))).as("dirs"))
-        seeds.toSeq.toDF("seed")
+        seeds.toDF("seed")
           .join(slices, Seq("seed"), "left")
           .as[SeedSlice]
           .repartition(nParts)
@@ -170,25 +207,55 @@ object Walker {
             val ex = exPatterns.map(_.r)
             it.flatMap { s =>
               val local = PrevDirs.fromRows(s.dirs.getOrElse(Nil))
-              walkSubtree(Paths.get(s.seed), ex, local)
+              walkSubtree(Paths.get(s.seed), ex, local, progress)
             }
           }
       case None =>
-        val bcPrev = spark.sparkContext.broadcast(prev)
-        spark.createDataset(seeds.toSeq)
-          .repartition(nParts)
-          .mapPartitions { it =>
-            val ex = exPatterns.map(_.r)
-            it.flatMap(dir => walkSubtree(Paths.get(dir), ex, bcPrev.value))
-          }
+        walkSeeds(spark, seeds, exPatterns, nParts, prev, progress)
     }
-    Result(walked.union(spark.createDataset(driverRecords.toSeq)))
+    Result(walked.union(spark.createDataset(driverRecords)))
+  }
+
+  /** Walk the driver levels [0, seedDepth): returns the records those
+    * levels produce plus the seed-directory paths at seedDepth. Cheap
+    * (thousands of dirs), deterministic, and re-runnable — which is
+    * what lets [[ResumableWalk]] recompute it on resume instead of
+    * persisting driver records. */
+  private[ingest] def driverSeed(rootPath: Path, exclusions: Seq[String],
+      seedDepth: Int, prev: PrevDirs,
+      progress: Option[ProgressHooks] = None): (Seq[Record], Seq[String]) = {
+    val driverRecords = mutable.ArrayBuffer.empty[Record]
+    val seeds = mutable.ArrayBuffer.empty[String]
+    val exRes = exclusions.map(_.r)
+    def seed(dir: Path, depth: Int): Unit = {
+      val (records, subdirs) = walkOneDir(dir, depth, exRes, prev, progress)
+      driverRecords ++= records
+      if (depth + 1 >= seedDepth) seeds ++= subdirs.map(_.toString)
+      else subdirs.foreach(d => seed(d, depth + 1))
+    }
+    seed(rootPath, 0)
+    (driverRecords.toSeq, seeds.toSeq)
+  }
+
+  /** Distributed walk of an explicit seed list (no prev-snapshot
+    * slices). The unit [[ResumableWalk]] batches over. */
+  private[ingest] def walkSeeds(spark: SparkSession, seeds: Seq[String],
+      exclusions: Seq[String], nParts: Int, prev: PrevDirs = PrevDirs.empty,
+      progress: Option[ProgressHooks] = None): Dataset[Record] = {
+    import spark.implicits._
+    val bcPrev = spark.sparkContext.broadcast(prev)
+    spark.createDataset(seeds)
+      .repartition(math.max(1, nParts))
+      .mapPartitions { it =>
+        val ex = exclusions.map(_.r)
+        it.flatMap(dir => walkSubtree(Paths.get(dir), ex, bcPrev.value, progress))
+      }
   }
 
   /** Iteratively walk a subtree (explicit stack — no recursion-depth
     * limit), streaming records as they are produced. */
   private def walkSubtree(start: Path, exclusions: Seq[Regex],
-      prev: PrevDirs): Iterator[Record] = {
+      prev: PrevDirs, progress: Option[ProgressHooks] = None): Iterator[Record] = {
     val startDepth = start.getNameCount
     val stack = mutable.Stack[(Path, Int)]((start, startDepth))
     new Iterator[Record] {
@@ -196,7 +263,7 @@ object Walker {
       private def refill(): Unit =
         while (pending.isEmpty && stack.nonEmpty) {
           val (dir, depth) = stack.pop()
-          val (records, subdirs) = walkOneDir(dir, depth, exclusions, prev)
+          val (records, subdirs) = walkOneDir(dir, depth, exclusions, prev, progress)
           subdirs.foreach(d => stack.push((d, depth + 1)))
           pending = records.toList
         }
@@ -220,7 +287,8 @@ object Walker {
     * unchanged child list, reference prefixinfo.go:110-116).
     */
   private def walkOneDir(dir: Path, depth: Int, exclusions: Seq[Regex],
-      prev: PrevDirs): (Seq[Record], Seq[Path]) = {
+      prev: PrevDirs, progress: Option[ProgressHooks] = None): (Seq[Record], Seq[Path]) = {
+    val t0 = System.nanoTime()
     val records = Vector.newBuilder[Record]
     val subdirs = Vector.newBuilder[Path]
     try {
@@ -258,7 +326,14 @@ object Walker {
       case e: Exception =>
         records += Record(None, Some(ScanError(dir.toString, now(), e.toString)))
     }
-    (records.result(), subdirs.result())
+    val out = records.result()
+    progress.foreach { p =>
+      p.dirs.add(1)
+      p.files.add(out.count(r => r.entry.exists(!_.is_dir)))
+      val ms = (System.nanoTime() - t0) / 1000000
+      if (ms >= p.slowMs) p.slow.add(s"$dir took ${ms} ms")
+    }
+    (out, subdirs.result())
   }
 
   /** S2: bounded async stat pool (reference asyncstat,

@@ -111,4 +111,53 @@ class WalkerSpec extends SparkSpec {
       .entries.collect().map(_.path).sorted
     assert(a.sameElements(b))
   }
+
+  test("progress hooks count the walk and the ticker reports files/s + slow scans") {
+    val (root, expDirs, expFiles) = buildTree()
+    // slowMs = 0: every dir trips the slow-scan warning deterministically.
+    val progress = new Walker.WalkProgress(spark, slowMs = 0)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tick = progress.ticker(
+      out = s => lines.synchronized { lines += s }, intervalMs = 25)
+    try {
+      Walker.walk(spark, root.toString, seedDepth = 2,
+        progress = Some(progress.hooks)).records.count()
+    } finally tick.close()
+    assert(progress.hooks.dirs.value == expDirs.toLong)
+    assert(progress.hooks.files.value == expFiles.toLong)
+    val snap = lines.synchronized(lines.toVector)
+    assert(snap.exists(_.startsWith("analyze progress:")), snap.mkString("\n"))
+    assert(snap.exists(_.startsWith("analyze slow-scan:")), snap.mkString("\n"))
+  }
+
+  test("interrupted first scan resumes from the frontier; result equals one-shot walk") {
+    val (root, _, _) = buildTree()
+    val frontier = Files.createTempDirectory("graft-frontier").toString
+    val full = Walker.walk(spark, root.toString, seedDepth = 2)
+      .entries.collect().map(e => (e.path, e.size, e.is_dir)).toSet
+
+    // "Kill" after 2 of the 4 seed batches (batchSize = 1 → one seed
+    // per batch; buildTree has 4 dirs at seedDepth 2).
+    val first = ResumableWalk.walk(spark, root.toString, frontier,
+      seedDepth = 2, batchSize = 1, maxBatches = 2)
+    assert(first.totalBatches == 4, s"expected 4 seed batches, got $first")
+    assert(first.completedBatches == 2 && !first.complete)
+
+    // Resume: completes the remaining batches WITHOUT re-running the
+    // committed ones (their _SUCCESS markers stay untouched).
+    val b0 = java.nio.file.Paths.get(frontier, "batch-00000", "_SUCCESS")
+    val mtime0 = Files.getLastModifiedTime(b0)
+    val second = ResumableWalk.walk(spark, root.toString, frontier,
+      seedDepth = 2, batchSize = 1)
+    assert(second.complete && second.completedBatches == 4)
+    assert(Files.getLastModifiedTime(b0) == mtime0,
+      "resume must not re-run committed batches")
+
+    val resumed = Walker.Result(second.records)
+      .entries.collect().map(e => (e.path, e.size, e.is_dir)).toSet
+    assert(resumed == full)
+
+    ResumableWalk.clear(frontier)
+    assert(!Files.exists(java.nio.file.Paths.get(frontier)))
+  }
 }
