@@ -402,41 +402,73 @@ object Main {
     emit("by_group",
       withName(c.perGroup.orderBy(desc("bytes")).limit(n), "gid", ids.groupById),
       "Usage by group")
+    // Per-id markdown mirrors the reference's multi-section templates
+    // (markdown.go:32-371): a totals table with human-formatted sizes,
+    // then one ranked top-prefix section PER metric (the same five
+    // metrics the aggregate reports rank by), all from the bounded
+    // collected slice — no extra Spark jobs.
+    def human(metric: String, v: Any): String = v match {
+      case l: java.lang.Long if metric.endsWith("bytes") =>
+        s"${Reports.formatSize(l)} ($l)"
+      case other => Option(other).map(_.toString).getOrElse("")
+    }
     def perIdTree(subdir: String, perId: DataFrame, perIdPrefix: DataFrame,
-        idCol: String, nameOf: Long => String): Unit = {
+        idCol: String, nameOf: Long => String): Seq[(Long, String)] = {
       val top = perId.orderBy(desc("bytes")).limit(n)
         .select(col(idCol)).collect().map(_.getLong(0)).toSeq
-      if (top.isEmpty) return
+      if (top.isEmpty) return Nil
       val totalsById = perId.where(col(idCol).isin(top: _*))
         .collect().map(r => r.getLong(r.fieldIndex(idCol)) -> r).toMap
       val prefixRows = perIdPrefix.where(col(idCol).isin(top: _*))
-        .orderBy(desc("bytes"), asc("prefix")).collect()
-        .groupBy(r => r.getLong(r.fieldIndex(idCol)))
+        .collect().groupBy(r => r.getLong(r.fieldIndex(idCol)))
       val cols = perId.columns
-      val pcols = perIdPrefix.columns.filterNot(_ == idCol)
+      val metrics = Stats.rankedMetrics.filter(perIdPrefix.columns.contains)
       top.foreach { id =>
         val idName = nameOf(id)
         val sb = new StringBuilder(s"# Usage report for $idName ($idCol $id)\n\n")
+        sb.append("## Contents\n\n* [Totals](#totals)\n")
+        metrics.foreach(m => sb.append(s"* [Top $n prefixes by $m](#top-$m)\n"))
+        sb.append("\n## <a id=totals></a> Totals\n\n| Metric | Value |\n| :--- | ---: |\n")
         totalsById.get(id).foreach { r =>
-          sb.append(cols.mkString("| ", " | ", " |\n"))
-          sb.append(cols.map(_ => "---").mkString("| ", " | ", " |\n"))
-          sb.append(cols.indices.map(i => Option(r.get(i)).map(_.toString)
-            .getOrElse("")).mkString("| ", " | ", " |\n"))
+          cols.filterNot(_ == idCol).foreach { cn =>
+            sb.append(s"| $cn | ${human(cn, r.get(r.fieldIndex(cn)))} |\n")
+          }
         }
-        sb.append(s"\n## Top prefixes\n\n")
-        sb.append(pcols.mkString("| ", " | ", " |\n"))
-        sb.append(pcols.map(_ => "---").mkString("| ", " | ", " |\n"))
-        prefixRows.getOrElse(id, Array.empty).take(n).foreach { r =>
-          sb.append(pcols.map(cn => Option(r.get(r.fieldIndex(cn)))
-            .map(_.toString).getOrElse("")).mkString("| ", " | ", " |\n"))
+        val mine = prefixRows.getOrElse(id, Array.empty)
+        metrics.foreach { m =>
+          sb.append(s"\n## <a id=top-$m></a> Top $n prefixes by $m\n\n")
+          sb.append(s"| ${m.capitalize} | Prefix |\n| ---: | :--- |\n")
+          mine.sortBy(r => (-r.getLong(r.fieldIndex(m)),
+              r.getString(r.fieldIndex("prefix"))))
+            .take(n).foreach { r =>
+              sb.append(s"| ${human(m, r.get(r.fieldIndex(m)))} " +
+                s"| ${r.getString(r.fieldIndex("prefix"))} |\n")
+            }
         }
         val at = dir.resolve(subdir)
         java.nio.file.Files.createDirectories(at)
         java.nio.file.Files.writeString(at.resolve(s"$id-$idName.md"), sb.toString)
       }
+      top.map(id => id -> nameOf(id))
     }
-    perIdTree("by_user", c.perUser, c.perUserPrefix, "uid", ids.userName)
-    perIdTree("by_group", c.perGroup, c.perGroupPrefix, "gid", ids.groupName)
+    val users = perIdTree("by_user", c.perUser, c.perUserPrefix, "uid", ids.userName)
+    val groups = perIdTree("by_group", c.perGroup, c.perGroupPrefix, "gid", ids.groupName)
+
+    // Report-tree TOC (reference mdTOC + mdListUsersAndGroups): one
+    // index.md linking every aggregate section and per-id report.
+    val idx = new StringBuilder("# Filesystem usage reports\n\n## Contents\n\n")
+    idx.append("* [Totals](totals.md)\n")
+    Stats.rankedMetrics.foreach(m => idx.append(s"* [Top $n by $m](top_$m.md)\n"))
+    idx.append("* [Usage by user](by_user.md)\n* [Usage by group](by_group.md)\n")
+    if (users.nonEmpty) {
+      idx.append("\n## Per-user reports\n\n")
+      users.foreach { case (id, nm) => idx.append(s"* [$nm](by_user/$id-$nm.md)\n") }
+    }
+    if (groups.nonEmpty) {
+      idx.append("\n## Per-group reports\n\n")
+      groups.foreach { case (id, nm) => idx.append(s"* [$nm](by_group/$id-$nm.md)\n") }
+    }
+    java.nio.file.Files.writeString(dir.resolve("index.md"), idx.toString)
   }
 
   /** `reports locate OUTDIR [--n N] [--extension EXT]`: the n most

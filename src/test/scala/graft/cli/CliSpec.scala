@@ -113,12 +113,26 @@ class CliSpec extends SparkSpec {
     // Names resolved in the aggregate table.
     val byUser = Files.readString(dir.resolve("by_user.md"))
     assert(byUser.contains("alice") && byUser.contains("bob"))
-    // One file per user/group, named id-name, carrying top prefixes.
+    // One file per user/group, named id-name, with the reference's
+    // multi-section template: TOC, totals, one ranked section per
+    // metric (markdown.go:32-371).
     val bobMd = Files.readString(dir.resolve("by_user/1001-bob.md"))
     assert(bobMd.contains("# Usage report for bob (uid 1001)"))
+    assert(bobMd.contains("## Contents"))
+    assert(bobMd.contains("## <a id=totals></a> Totals"))
+    Stats.rankedMetrics.foreach { m =>
+      assert(bobMd.contains(s"## <a id=top-$m></a> Top 10 prefixes by $m"),
+        s"missing section for $m:\n$bobMd")
+    }
     assert(bobMd.contains("/r")) // his top prefix
-    assert(bobMd.contains("900")) // his bytes
+    assert(bobMd.contains("900 B (900)")) // his bytes, human-formatted
     assert(Files.exists(dir.resolve("by_group/50-staff.md")))
+    // index.md links every aggregate table and per-id report.
+    val idx = Files.readString(dir.resolve("index.md"))
+    assert(idx.contains("[Totals](totals.md)"))
+    assert(idx.contains("(top_bytes.md)"))
+    assert(idx.contains("[bob](by_user/1001-bob.md)"))
+    assert(idx.contains("[staff](by_group/50-staff.md)"))
   }
 
   test("reports locate: newest-first JSON with file lists and ext filter") {
