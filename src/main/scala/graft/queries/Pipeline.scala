@@ -141,15 +141,16 @@ object Pipeline {
     // Domain/language mixture reweighting: per-language sampling
     // weight = target fraction / actual fraction — the knob a pipeline
     // turns to hit a target training mixture. One aggregation; the
-    // whole-frame window runs over the POST-AGG frame (one row per
-    // language, tiny by definition).
+    // grand total attaches as a broadcast one-row crossJoin rather
+    // than an unpartitioned window (same tiny post-agg frame, but no
+    // single-partition exchange and no WindowExec all-to-one warning).
     "q_mixture_weights" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val targets = Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.15,
         "es" -> 0.15, "fr" -> 0.1)
-      documents(s, dir).groupBy(col("lang"))
+      val perLang = documents(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"))
-        .withColumn("total", sum(col("n_docs")).over(Window.partitionBy()))
+      perLang
+        .crossJoin(broadcast(perLang.agg(sum(col("n_docs")).as("total"))))
         .withColumn("target_frac", element_at(typedLit(targets), col("lang")))
         .select(col("lang"), col("n_docs"),
           round(col("n_docs") / col("total"), 4).as("actual_frac"),
