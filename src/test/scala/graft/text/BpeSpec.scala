@@ -60,4 +60,47 @@ class BpeSpec extends SparkSpec {
     val totalToks = viaKernel.map(_._2).sum
     assert(totalToks < totalChars, "no merge ever applied")
   }
+
+  test("non-BMP text: code-point seeding keeps surrogate pairs whole") {
+    val s = spark
+    import s.implicits._
+    // Supplementary-plane characters (emoji, supplementary CJK): each is
+    // TWO UTF-16 chars. Char-wise seeding would split the surrogate
+    // pair into two lone-surrogate symbols that UTF8String mangles to
+    // replacement bytes — and distinct words would collide.
+    val fire = new String(Character.toChars(0x1F525)) // 🔥
+    val drop = new String(Character.toChars(0x1F4A7)) // 💧
+    val cjk = new String(Character.toChars(0x20000))  // 𠀀 (ext-B)
+    val docs = Seq(
+      0L -> s"$fire$fire$drop $fire$drop",
+      1L -> s"$cjk$fire $cjk$cjk",
+      2L -> s"ab$fire ab$drop")
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", "doc_id", nMerges = 10)
+    val ranks = BpeKernels.prepare(merges)
+    // Seed symbols are whole code points, never lone surrogates.
+    BpeKernels.seedSymbols(s"$fire$drop$cjk" + "x").foreach { sym =>
+      assert(!sym.exists(Character.isSurrogate) || sym.length == 2,
+        s"split surrogate in '$sym'")
+      assert(sym.codePointCount(0, sym.length) == 1)
+    }
+    val out = df.select(col("doc_id"),
+        BpeExprs.bpeTokenize(s, col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // No token round-trips through UTF8String as replacement chars, and
+    // every token's characters come from the input alphabet.
+    val legal = Set(fire, drop, cjk, "a", "b")
+    out.values.flatten.foreach { tok =>
+      assert(!tok.contains('�'), s"mangled token '$tok'")
+      assert(BpeKernels.seedSymbols(tok).forall(legal.contains),
+        s"token '$tok' contains foreign symbols")
+    }
+    // kernel ≡ driver on the same text (fire-fire merges learned from
+    // doc 0 apply identically in both)
+    docs.foreach { case (id, text) =>
+      val expected = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => BpeKernels.encodeWord(w, ranks)).toSeq
+      assert(out(id) == expected, s"doc $id")
+    }
+  }
 }
