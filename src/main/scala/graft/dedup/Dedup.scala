@@ -216,6 +216,69 @@ object Dedup {
           count(lit(1)), 4).as("dup_frac"))
   }
 
+  /** The TRANSFORM companion to [[dupSpanStats]] (the ExactSubstr-dedup
+    * "remove duplicated spans" step from the public train-data-dedup
+    * literature): every occurrence of a duplicated L-token window is
+    * dropped EXCEPT the corpus-wide first occurrence (min packed
+    * (doc, pos) — deterministic in any engine), and each document is
+    * rebuilt from its surviving tokens. Output per doc: the trimmed
+    * text plus (n_tok, n_dropped, n_kept, drop_frac) — the counts are
+    * integer-exact, so the query form oracle-checks against DuckDB
+    * while the rebuilt text is asserted in DedupSpec.
+    *
+    * Shape: the SAME shuffle profile as [[dupSpanStats]] (one window
+    * explode + one count agg + join back) plus one bounded explode of
+    * covered positions (dup occurrences × L, clipped to doc length)
+    * into a per-doc collect_set — nothing quadratic, nothing
+    * collected. The per-row rebuild (filter over token positions) is
+    * an interpreted lambda, bounded by doc length × |covered|; at
+    * 100 TB the window strings would ride as xxhash64 like
+    * dupSpanStats notes.
+    *
+    * @param posBound exclusive upper bound on window positions, used
+    *   to pack (doc, pos) into one BIGINT for the argmin. */
+  def trimDupSpans(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 10, posBound: Long = 1000000000L): DataFrame = {
+    val spark = df.sparkSession
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val win = graft.functions.ShingleExprs.wordWindows(spark, col(textCol),
+      windowTokens)
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        toks.as("toks"), win.as("wins"))
+      .withColumn("n_tok", size(col("toks")))
+    val occ = base.select(col("doc_id"), col("n_tok"),
+        posexplode(col("wins")))
+      .withColumnRenamed("col", "w")
+    def pk(doc: Column, pos: Column): Column = doc * posBound + pos
+    val counts = occ.groupBy(col("w"))
+      .agg(count(lit(1)).as("c"),
+        min(pk(col("doc_id"), col("pos"))).as("first_pk"))
+    val dupOcc = occ.join(counts.where(col("c") > 1), Seq("w"))
+      .where(pk(col("doc_id"), col("pos")) =!= col("first_pk"))
+    // covered token positions per doc, clipped to the doc's length
+    // (a short doc's single fallback window spans the whole doc)
+    val covered = dupOcc.select(col("doc_id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + (windowTokens - 1), col("n_tok") - 1))).as("cpos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("cpos")).as("covered"))
+    base.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov",
+        coalesce(col("covered"), array().cast("array<int>")))
+      .withColumn("kept", filter(
+        zip_with(col("toks"), sequence(lit(0), col("n_tok") - 1),
+          (t, i) => struct(t.as("t"), i.as("i"))),
+        p => !array_contains(col("cov"), p.getField("i"))))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("kept"), _.getField("t")))
+          .as("trimmed_text"),
+        col("n_tok"),
+        size(col("cov")).as("n_dropped"),
+        (col("n_tok") - size(col("cov"))).as("n_kept"),
+        round(size(col("cov")).cast("double") / col("n_tok"), 4)
+          .as("drop_frac"))
+  }
+
   /** MinHash signature: k independent hash functions simulated by
     * seeding xxhash64 with the hash index (Broder's scheme). Output:
     * `sig` ARRAY<BIGINT> of length k.

@@ -449,6 +449,22 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // The TRANSFORM companion: drop every duplicated L-token window
+    // occurrence except the corpus-wide first (ExactSubstr-style span
+    // removal). Planted full copies (doc_id % 10 → +100000) must trim
+    // to empty; the trimmed text itself is asserted in DedupSpec, and
+    // the integer-exact counts oracle-check here.
+    "q_dup_span_trim" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.trimDupSpans(spread(base.unionByName(copies)), "text", "doc_id",
+        windowTokens = 10)
+        .select(col("doc_id"), col("n_tok"), col("n_dropped"),
+          col("n_kept"), col("drop_frac"))
+        .orderBy(asc("doc_id"))
+    }),
+
     // Decontamination screen: which corpus docs share any 5-gram with
     // the "benchmark" set (the five lowest-id docs stand in for an
     // eval set — they flag themselves plus any genuine overlap). The
@@ -1003,6 +1019,45 @@ object Pipeline {
         |    AS dup_frac
         |FROM wins JOIN c USING (win)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_dup_span_trim" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM planted),
+        |wins AS (
+        |  SELECT doc_id, len(w) AS n_tok, unnest(
+        |    CASE WHEN len(w) < 10 THEN [1]
+        |         ELSE range(1, len(w) - 8) END) AS i, w
+        |  FROM w),
+        |wins2 AS (
+        |  SELECT doc_id, n_tok, i - 1 AS pos,
+        |    CASE WHEN n_tok < 10 THEN array_to_string(w, ' ')
+        |         ELSE array_to_string(w[i:i+9], ' ') END AS win
+        |  FROM wins),
+        |c AS (
+        |  SELECT win, count(*)::BIGINT AS c,
+        |    min(doc_id * 1000000000 + pos) AS first_pk
+        |  FROM wins2 GROUP BY 1),
+        |dup AS (
+        |  SELECT w2.doc_id, w2.pos, w2.n_tok
+        |  FROM wins2 w2 JOIN c USING (win)
+        |  WHERE c.c > 1 AND w2.doc_id * 1000000000 + w2.pos <> c.first_pk),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, cpos FROM (
+        |    SELECT doc_id, unnest(range(pos, least(pos + 10, n_tok))) AS cpos
+        |    FROM dup)),
+        |drops AS (SELECT doc_id, count(*)::BIGINT AS n_dropped
+        |          FROM cov GROUP BY 1)
+        |SELECT t.doc_id, len(t.w)::BIGINT AS n_tok,
+        |  coalesce(d.n_dropped, 0)::BIGINT AS n_dropped,
+        |  (len(t.w) - coalesce(d.n_dropped, 0))::BIGINT AS n_kept,
+        |  round(coalesce(d.n_dropped, 0)::DOUBLE / len(t.w), 4) AS drop_frac
+        |FROM w t LEFT JOIN drops d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w

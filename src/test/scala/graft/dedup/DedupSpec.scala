@@ -171,6 +171,28 @@ class DedupSpec extends SparkSpec {
     assert(bloomed == exact)
   }
 
+  test("trimDupSpans drops duplicated spans, keeping the corpus-wide first occurrence") {
+    val s = spark
+    import s.implicits._
+    val aText = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12" // 12 tokens → 3 windows at L=10
+    val tail = "u1 u2 u3 u4 u5"
+    val df = Seq(
+      (0L, aText),                                  // first occurrences → untouched
+      (1L, aText),                                  // exact copy → fully trimmed
+      (2L, s"t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 $tail"), // shares window pos 0 → prefix dropped
+      (3L, "x1 x2 x3 x4 x5")                        // unique short doc → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimDupSpans(df, "text", "doc_id", windowTokens = 10)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(out(0L) == ((aText, 12, 0, 12)))
+    assert(out(1L) == (("", 12, 12, 0)))
+    assert(out(2L) == ((tail, 15, 10, 5)))
+    assert(out(3L) == (("x1 x2 x3 x4 x5", 5, 0, 5)))
+  }
+
   test("simhash pigeonhole join finds all pairs within maxDist") {
     val pairs = Dedup.simhashCandidatePairs(corpus, "text", "doc_id", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
