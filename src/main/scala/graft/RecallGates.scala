@@ -105,7 +105,7 @@ object RecallGates {
       .collect().map(_.getLong(0)).toSeq
     val qArr = emb.where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
-      .head.getSeq[Double](0).toArray
+      .head().getSeq[Double](0).toArray
 
     val model = Pq.train(emb, "embedding", "vec_id", m = 8, ksub = 16)
     val enc = Pq.encode(spread(rest), "embedding", "vec_id", model)

@@ -67,7 +67,7 @@ object Incremental {
     val reusedDirPaths = currDirs.where(col("reused")).select(col("path"))
     val reusedFiles = prevFiles
       .join(reusedDirPaths.withColumnRenamed("path", "parent"), Seq("parent"), "left_semi")
-    val walkCols = entries.drop("reused").columns
+    val walkCols = entries.drop("reused").columns.toIndexedSeq
     val full = entries.drop("reused")
       .unionByName(reusedFiles.select(walkCols.map(col): _*))
 

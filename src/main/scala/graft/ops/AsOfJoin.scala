@@ -44,7 +44,7 @@ object AsOfJoin {
     val l = left.withColumn("__side", lit(1))
       .select(col(key), col(ts), col("__side"),
         lit(null).cast(r.schema("__r").dataType).as("__r"),
-        struct(leftCols.map(col): _*).as("__l"))
+        struct(leftCols.toIndexedSeq.map(col): _*).as("__l"))
     val lr = l.unionByName(
       r.withColumn("__l", lit(null).cast(l.schema("__l").dataType)))
     val w = Window.partitionBy(col(key)).orderBy(asc(ts), asc("__side"))
@@ -52,7 +52,7 @@ object AsOfJoin {
     lr.select(col("__side"), col("__l"),
         last(col("__r"), ignoreNulls = true).over(w).as("__r"))
       .where(col("__side") === 1)
-      .select(leftCols.map(c => col(s"__l.$c")) ++
+      .select(leftCols.toIndexedSeq.map(c => col(s"__l.$c")) ++
         (col("__r.ts").as("asof_ts") +:
           rightVals.map(v => col(s"__r.$v").as(s"asof_$v"))): _*)
   }

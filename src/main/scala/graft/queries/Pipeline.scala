@@ -636,7 +636,7 @@ object Pipeline {
         model)
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
-        .head.getSeq[Double](0).toArray
+        .head().getSeq[Double](0).toArray
       graft.similarity.Pq.adcTopKRefined(enc, rest, "embedding", "vec_id",
         model, q, 10)
     }),
@@ -671,7 +671,7 @@ object Pipeline {
         c = 16, m = 8, ksub = 16)
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
-        .head.getSeq[Double](0).toArray
+        .head().getSeq[Double](0).toArray
       graft.similarity.IvfPq.topK(index, rest, "embedding", "vec_id", q,
         k = 10, nprobe = 4)
     }),

@@ -76,7 +76,7 @@ object IvfIndex {
       vecCol: String, idCol: String, k: Int, nprobe: Int = 4,
       name: Option[String] = None): DataFrame = {
     val cells = Similarity.ivfAssignQuery(query, centroids(spark, base, name),
-      nprobe).collect().map(_.getLong(0))
+      nprobe).collect().toIndexedSeq.map(_.getLong(0))
     val cand = assigned(spark, base, name)
       .where(col("centroid_id").isin(cells: _*))
     Similarity.topK(cand, vecCol, idCol, query, k)

@@ -32,7 +32,7 @@ class IvfIndexSpec extends SparkSpec {
     val all = IvfIndex.assigned(spark, base)
     val cells = Similarity.ivfAssignQuery(query,
       IvfIndex.centroids(spark, base), 2).collect().map(_.getLong(0))
-    val pruned = all.where(col("centroid_id").isin(cells: _*))
+    val pruned = all.where(col("centroid_id").isin(cells.toIndexedSeq: _*))
     def filesRead(df: org.apache.spark.sql.DataFrame): Long =
       df.select(input_file_name()).distinct().count()
     assert(filesRead(pruned) < filesRead(all),
