@@ -243,9 +243,16 @@ object Dedup {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val win = graft.functions.ShingleExprs.wordWindows(spark, col(textCol),
       windowTokens)
+    // Materialize the tokenized/windowed frame ONCE: three consumers
+    // follow (the window-count aggregate, the dup-occurrence join, and
+    // the final rebuild join), and without the checkpoint each one
+    // re-runs the split + window kernel over the full corpus text —
+    // the same three-consumer reasoning as contaminatedBloom's bench
+    // shingles.
     val base = df.select(col(idCol).cast("long").as("doc_id"),
         toks.as("toks"), win.as("wins"))
       .withColumn("n_tok", size(col("toks")))
+      .localCheckpoint(eager = true)
     val occ = base.select(col("doc_id"), col("n_tok"),
         posexplode(col("wins")))
       .withColumnRenamed("col", "w")
