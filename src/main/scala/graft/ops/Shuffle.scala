@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic corpus shuffle — the "global shuffle before training"
+  * step of a data pipeline: every row gets a stable pseudo-random
+  * position (and optionally a shard assignment derived from it), the
+  * same on every run and every engine, with no RNG state anywhere.
+  *
+  * Plan shape for 100 TB:
+  *   - the shuffle key is `md5(seed | id)` — a pure column expression,
+  *     uniform by construction, reproducible across engines (DuckDB
+  *     computes the identical hex digest, which is what the oracle
+  *     exercises);
+  *   - global positions come from a RANGE-partitioned sort on
+  *     (key, id) + `zipWithIndex` — the same exact-and-parallel rank
+  *     machinery as ops/Profile: every partition sorts locally after
+  *     one range exchange, and zipWithIndex adds one lightweight
+  *     count-per-partition job. A `row_number()` window over the
+  *     whole frame would funnel every row through ONE reducer; this
+  *     never materializes a global sort on a single node.
+  *   - determinism does not depend on the range boundaries (Spark
+  *     samples them at runtime): positions follow only from the TOTAL
+  *     order, and (key, id) is a strict total order because id is
+  *     unique.
+  *
+  * Shard assignment (`shard_id = pos % shards`) gives round-robin
+  * shards of near-equal size — the property training-file writers
+  * want — and stays exact under the deterministic positions.
+  */
+object Shuffle {
+
+  /** Append `shuffle_pos` (0-based global position in seeded shuffle
+    * order) to `df`. `idCol` must be unique — it both seeds the hash
+    * and breaks ties, making the order a strict permutation. */
+  def shuffled(df: DataFrame, idCol: String, seed: Long,
+      partitions: Int = 32): DataFrame = {
+    val sorted = df
+      .withColumn("shuffle_key",
+        md5(concat(lit(seed.toString), lit("|"), col(idCol).cast("string"))))
+      .repartitionByRange(partitions, col("shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("shuffle_key"), col(idCol))
+    val schema = sorted.schema.add("shuffle_pos", LongType, nullable = false)
+    val withPos = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(withPos, schema)
+      .drop("shuffle_key")
+  }
+}

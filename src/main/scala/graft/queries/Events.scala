@@ -146,6 +146,58 @@ object Events {
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(asc("hour_epoch"), asc("event_type"))
         .limit(200)
+    }),
+
+    // Ordered funnel: users whose first view is STRICTLY followed by a
+    // click, then a purchase (each step's timestamp strictly after the
+    // previous step's). Step k+1 needs step k's per-user min timestamp,
+    // which exists only after all of step k is seen — so the funnel is
+    // inherently multi-pass; the scale-shape lever is that every
+    // intermediate is ≤ |users| rows, so each pass is "filtered events
+    // groupBy user_id" (event_type pushes into the scan) with the
+    // previous step BROADCAST into it. Nothing wide ever shuffles: the
+    // corpus-sized frames only aggregate, never join each other.
+    "q_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      def step(of: String, prev: DataFrame, prevT: String, t: String) =
+        ev.where(col("event_type") === of)
+          .join(broadcast(prev), "user_id")
+          .where(col("ts") > col(prevT))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(t))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = step("click", t1, "t1", "t2")
+      val t3 = step("purchase", t2, "t2", "t3")
+      def row(n: Int, name: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("step"), lit(name).as("event_type"),
+            col("n_users"))
+      row(1, "view", t1)
+        .unionByName(row(2, "click", t2))
+        .unionByName(row(3, "purchase", t3))
+        .orderBy(asc("step"))
+    }),
+
+    // Retention cohorts: users grouped by first-active day, counted on
+    // each later active day. `act` is distinct (user, day) — ONE
+    // groupBy-shaped shuffle of the events table; the per-user cohort
+    // frame (≤ |users| rows) broadcasts back into it, and the final
+    // aggregate is bounded by days². A count_distinct(user) would plan
+    // an Expand — distinct-ing (user, day) FIRST makes the final count
+    // a plain count.
+    "q_retention" -> ((s, dir) => {
+      val act = events(s, dir)
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+        .distinct()
+      val coh = act.groupBy(col("user_id"))
+        .agg(min(col("day_epoch")).as("cohort_epoch"))
+      act.join(broadcast(coh), "user_id")
+        .groupBy(col("cohort_epoch"),
+          expr("(day_epoch - cohort_epoch) div 86400").as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(asc("cohort_epoch"), asc("offset_days"))
     })
   )
 
@@ -221,6 +273,36 @@ object Events {
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
         |  event_type, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200""".stripMargin,
+    "q_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM t1
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM t2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM t3
+        |ORDER BY step""".stripMargin,
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch(date_trunc('day', ts))::BIGINT AS day_epoch
+        |  FROM events),
+        |coh AS (
+        |  SELECT user_id, min(day_epoch) AS cohort_epoch FROM act GROUP BY 1)
+        |SELECT cohort_epoch,
+        |  (act.day_epoch - cohort_epoch) // 86400 AS offset_days,
+        |  count(*) AS n_users
+        |FROM act JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -597,6 +597,26 @@ object Pipeline {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
+    // Deterministic seeded corpus shuffle + round-robin shard
+    // assignment (ops/Shuffle): exact global positions from a
+    // range-partitioned sort + zipWithIndex, never a single-partition
+    // row_number window. The oracle replays the identical md5 order in
+    // DuckDB, proving position-for-position parity.
+    "q_corpus_shuffle" -> ((s, dir) => {
+      graft.ops.Shuffle.shuffled(
+          documents(s, dir).select(col("doc_id")), "doc_id", seed = 42L)
+        .select(col("doc_id"), col("shuffle_pos"),
+          pmod(col("shuffle_pos"), lit(8L)).as("shard_id"))
+        .orderBy(asc("shuffle_pos"))
+    }),
+
+    // Exact embedding outliers: the 20 vectors least cosine-similar to
+    // the corpus mean (Similarity.outliers — one mean-building agg
+    // pass, one broadcast, one TakeOrdered scan).
+    "q_embed_outliers" -> ((s, dir) => {
+      Similarity.outliers(embeddings(s, dir), "embedding", "vec_id", 20)
+    }),
+
     // SimHash hamming-distance candidates (approximate; rows-only).
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashCandidatePairs(spread(documents(s, dir)), "text", "doc_id",
@@ -1164,6 +1184,23 @@ object Pipeline {
         |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
         |SELECT component, count(*)::BIGINT AS n_members
         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corpus_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5('42|' || doc_id::VARCHAR), doc_id)
+        |      - 1 AS shuffle_pos
+        |  FROM documents)
+        |SELECT doc_id, shuffle_pos, shuffle_pos % 8 AS shard_id
+        |FROM r ORDER BY shuffle_pos""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+        |      FROM e),
+        |m AS (SELECT i, round(avg(x), 6) AS mx FROM u GROUP BY 1),
+        |mean AS (SELECT list(mx ORDER BY i) AS mv FROM m)
+        |SELECT vec_id, round(list_cosine_similarity(v, mv), 4) AS score
+        |FROM e, mean
+        |ORDER BY score ASC, vec_id LIMIT 20""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) AS score

@@ -57,6 +57,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact elementwise mean of an embedding column, as a ONE-ROW frame
+    * `{qvec: array<double>}`. posexplode feeds a hash aggregate whose
+    * partial (map-side) state is dim (sum, count) pairs per partition,
+    * so the exchange carries partitions × dim rows — corpus size never
+    * crosses the wire, and no driver-side vector math happens at all.
+    * Components round to 6 decimals so a DuckDB oracle consuming the
+    * same mean parses the identical decimal to the identical double
+    * (the cosine kernels on both engines then accumulate the same
+    * values in the same index order → bit-equal scores). */
+  def meanVector(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pm"))
+      .select(transform(col("pm"),
+        p => round(p.getField("mx"), 6)).as("qvec"))
+
+  /** Exact corpus outliers: the k vectors LEAST cosine-similar to the
+    * corpus mean — the cheap first-pass screen for mislabeled /
+    * off-distribution embeddings. One aggregation pass builds the mean
+    * ([[meanVector]]), which broadcasts as a single row; scoring is the
+    * native kernel over one corpus scan; ascending orderBy+limit
+    * compiles to TakeOrderedAndProject (bounded heap per partition,
+    * driver merge) — nothing global ever sorts. */
+  def outliers(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(meanVector(corpus, vecCol))
+    corpus.crossJoin(q)
+      .withColumn("score", round(ncos(corpus, col(vecCol), col("qvec")), 4))
+      .select(col(idCol), col("score"))
+      .orderBy(asc("score"), asc(idCol))
+      .limit(k)
+  }
+
   /** Exact k-NN join: for every query row, its k nearest corpus rows.
     * Queries broadcast; per-query ranking via the bounded-heap TopK
     * aggregate (graft.ops.TopK.byScore) rather than a

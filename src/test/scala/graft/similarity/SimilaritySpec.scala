@@ -164,4 +164,31 @@ class SimilaritySpec extends SparkSpec {
     // and the probed fraction really is one cell, not the corpus
     assert(goodAssigned.where(col("centroid_id") === 0L).count() == 20)
   }
+
+  test("meanVector is the exact elementwise mean, rounded to 6") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 3.0f)),
+      (2L, Seq(3.0f, 1.0f, 0.0f)),
+      (3L, Seq(2.0f, 2.0f, 0.3f))).toDF("vec_id", "embedding")
+    val mean = Similarity.meanVector(df, "embedding")
+      .collect()(0).getSeq[Double](0)
+    assert(mean == Seq(2.0, 1.0, 1.1))
+  }
+
+  test("outliers rank the vector farthest from the corpus mean first") {
+    val s = spark
+    import s.implicits._
+    // 20 vectors clustered around (1, 1, 0); one pointing the other way
+    val base = (1L to 20L).map { i =>
+      (i, Seq(1.0f + (i % 3) * 0.01f, 1.0f - (i % 5) * 0.01f, 0.0f))
+    }
+    val df = (base :+ ((99L, Seq(-1.0f, -1.0f, 0.5f)))).toDF("vec_id", "embedding")
+    val got = Similarity.outliers(df, "embedding", "vec_id", 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 == 99L, s"expected 99 first, got ${got.toSeq}")
+    assert(got.head._2 < 0, "opposite vector must score negative")
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+  }
 }
