@@ -269,15 +269,22 @@ object Dedup {
           least(col("pos") + (windowTokens - 1), col("n_tok") - 1))).as("cpos"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("cpos")).as("covered"))
+    // Rebuild: kept positions via array_except (hash-set difference,
+    // one native call per row, preserves left order) instead of a
+    // filter+array_contains lambda — that shape scans the covered set
+    // once PER TOKEN, O(n_tok × |covered|) interpreted steps on
+    // exactly the duplicate-heavy docs that made the span scan
+    // necessary. element_at inside the transform indexes the
+    // checkpointed toks ATTRIBUTE (O(1) array access), not a
+    // re-evaluated expression.
     base.join(covered, Seq("doc_id"), "left")
       .withColumn("cov",
         coalesce(col("covered"), array().cast("array<int>")))
-      .withColumn("kept", filter(
-        zip_with(col("toks"), sequence(lit(0), col("n_tok") - 1),
-          (t, i) => struct(t.as("t"), i.as("i"))),
-        p => !array_contains(col("cov"), p.getField("i"))))
+      .withColumn("kept_pos",
+        array_except(sequence(lit(0), col("n_tok") - 1), col("cov")))
       .select(col("doc_id"),
-        concat_ws(" ", transform(col("kept"), _.getField("t")))
+        concat_ws(" ", transform(col("kept_pos"),
+          i => element_at(col("toks"), i + 1)))
           .as("trimmed_text"),
         col("n_tok"),
         size(col("cov")).as("n_dropped"),
