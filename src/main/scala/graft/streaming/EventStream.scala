@@ -74,6 +74,56 @@ object EventStream {
         }).toDF()
   }
 
+  /** Per-user streaming funnel state (see [[funnel]]): min view
+    * timestamp is O(1) — a late-arriving earlier view only ever lowers
+    * it — but clicks/purchases must be RETAINED: when a later view
+    * lowers t1, clicks that were ineligible become eligible, and a
+    * min-only click state would have already discarded them. State is
+    * therefore bounded by each user's step-2/3 event count (in
+    * production, by the funnel attribution window via a state timeout),
+    * never by stream volume; views are never stored. */
+  final case class FunnelState(minView: Long, clicks: List[Long],
+      purchases: List[Long], nSeen: Long)
+  final case class FunnelOut(user_id: Long, n_seen: Long,
+      view_us: Option[Long], click_us: Option[Long],
+      purchase_us: Option[Long])
+
+  /** Streaming twin of the batch ordered funnel (q_funnel): per-user
+    * first view, first click strictly after it, first purchase strictly
+    * after that — exact under arbitrary event-time disorder, because
+    * the derived step times are recomputed from retained candidates on
+    * every update instead of being frozen greedily. Emits the user's
+    * current funnel row each time their state changes (`n_seen` is a
+    * monotone per-user version — readers keep the max). */
+  def funnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1).mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      (user: Long, rows: Iterator[(Long, Long, String)],
+          state: GroupState[FunnelState]) => {
+        var st = state.getOption.getOrElse(
+          FunnelState(Long.MaxValue, Nil, Nil, 0L))
+        rows.foreach { case (_, t, tpe) =>
+          st = tpe match {
+            case "view" =>
+              st.copy(minView = math.min(st.minView, t), nSeen = st.nSeen + 1)
+            case "click" =>
+              st.copy(clicks = t :: st.clicks, nSeen = st.nSeen + 1)
+            case "purchase" =>
+              st.copy(purchases = t :: st.purchases, nSeen = st.nSeen + 1)
+            case _ => st.copy(nSeen = st.nSeen + 1)
+          }
+        }
+        state.update(st)
+        val t1 = if (st.minView == Long.MaxValue) None else Some(st.minView)
+        val t2 = t1.flatMap(v => st.clicks.filter(_ > v).minOption)
+        val t3 = t2.flatMap(c => st.purchases.filter(_ > c).minOption)
+        FunnelOut(user, st.nSeen, t1, t2, t3)
+      }).toDF()
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each key
     * within the watermark horizon (the streaming twin of the batch
     * exact dedup — dedup state is one compact row per distinct key
@@ -105,11 +155,15 @@ object EventStream {
     * all available input is processed (test/dev harness). */
   def runToMemory(spark: SparkSession, sourceDir: String, name: String,
       transform: DataFrame => DataFrame,
-      outputMode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+      outputMode: OutputMode = OutputMode.Complete(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
+    val reader = spark.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    val raw = reader
       .parquet(sourceDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = transform(raw).writeStream

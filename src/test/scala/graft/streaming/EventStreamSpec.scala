@@ -78,6 +78,84 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.toSet == batchIds.toSet)
   }
 
+  private def funnelExpected(
+      evs: Seq[(Long, Long, String)]): Map[Long, (Option[Long], Option[Long], Option[Long])] =
+    evs.groupBy(_._1).map { case (u, rows) =>
+      val t1 = rows.collect { case (_, t, "view") => t }.minOption
+      val t2 = t1.flatMap(v =>
+        rows.collect { case (_, t, "click") if t > v => t }.minOption)
+      val t3 = t2.flatMap(c =>
+        rows.collect { case (_, t, "purchase") if t > c => t }.minOption)
+      u -> (t1, t2, t3)
+    }
+
+  private def lastPerUser(table: String): Map[Long, (Option[Long], Option[Long], Option[Long])] =
+    spark.sql(s"SELECT * FROM $table").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val last = rows.maxBy(_.getLong(1))
+        def opt(i: Int): Option[Long] =
+          if (last.isNullAt(i)) None else Some(last.getLong(i))
+        u -> (opt(2), opt(3), opt(4))
+      }
+
+  test("streaming funnel equals the batch step times on real events") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-funnel")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString, "funnel_t",
+      EventStream.funnel(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(120000)
+    val streamed = lastPerUser("funnel_t")
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val expected = funnelExpected(evs)
+    assert(streamed.nonEmpty)
+    assert(streamed == expected)
+  }
+
+  test("streaming funnel: a late earlier view re-opens discarded-looking clicks") {
+    val s = spark
+    import s.implicits._
+    def n(min: Int, sec: Int = 0) = (min * 60L + sec) * 1000000000L +
+      1704067200L * 1000000000L
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-funnel2")
+    // batch 1: the user's click@5 and purchase@6, and a view@10 — the
+    // click precedes the only KNOWN view, so the funnel stalls at view.
+    Seq((1L, n(5), 1L, "click", 1.0, "{}"),
+      (2L, n(6), 1L, "purchase", 1.0, "{}"),
+      (3L, n(10), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(streamDir.resolve("a").toString)
+    // batch 2 (arrives later): an EARLIER view@1 — now click@5 and
+    // purchase@6 complete the funnel. A min-only click state would have
+    // discarded them as ineligible at batch-1 time.
+    Seq((4L, n(1), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(streamDir.resolve("b").toString)
+    // order the two file sets for maxFilesPerTrigger=1 processing
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(streamDir.resolve(sub).toString)
+      d.listFiles().foreach(_.setLastModified(t))
+      d.setLastModified(t)
+    }
+    stamp("a", 1000000L)
+    stamp("b", 2000000L)
+    val q = EventStream.runToMemory(spark, s"$streamDir/*", "funnel_late",
+      EventStream.funnel(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val streamed = lastPerUser("funnel_late")
+    val expected = Map(1L ->
+      (Some(n(1) / 1000L), Some(n(5) / 1000L), Some(n(6) / 1000L)))
+    assert(streamed == expected, s"got $streamed")
+  }
+
   test("streaming heavy hitters equal batch exact counts (no-eviction regime)") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-hh")
