@@ -144,6 +144,34 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Graded contamination score — [[contaminated]]'s boolean screen is
+    * what ships, but threshold TUNING needs the per-doc overlap
+    * fraction: shared distinct n-grams over the doc's total distinct
+    * n-grams. Same plan as the screen plus one marker column: ONE
+    * corpus explode, a broadcast LEFT join against the eval shingles,
+    * one partial+final aggregate keyed by doc (shingle rows stay in
+    * their doc's input partition, so the map side collapses them to
+    * one row per doc before the exchange). The fraction is emitted in
+    * integer BASIS POINTS via floor division — a rounded double here
+    * sits in the round()-midpoint divergence class (e.g. 1/160 =
+    * 0.00625) the build notes ban. */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val shingleCol =
+      graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
+    val corpusSh = corpus.select(col(idCol).as("doc_id"),
+      explode(shingleCol).as("shingle"))
+    val benchSh = bench.select(explode(shingleCol).as("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    corpusSh.join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        expr("n_shared * 10000 div n_shingles").as("overlap_bp"))
+  }
+
   /** Provenance-priority exact dedup — the multi-source curation rule:
     * when identical (normalized) content appears in several crawls,
     * keep the copy from the MOST TRUSTED source (lowest priority

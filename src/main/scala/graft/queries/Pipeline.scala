@@ -490,6 +490,37 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Graded contamination: per-doc overlap FRACTION against the eval
+    // shingles (basis points, floor-div — integer grid, no float
+    // rounding), for threshold tuning where the boolean screen is the
+    // shipped gate.
+    "q_contamination_frac" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.contaminationScore(docs, docs.where(col("doc_id") < 5),
+        "text", "doc_id", n = 5)
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Per-domain corpus stats (the CCNet/RefinedWeb-style domain
+    // aggregation): extract each doc's first URL host with a
+    // scan-stage regex, aggregate docs/chars per domain. URLs are
+    // planted deterministically (like q_pii_scrub) since the synthetic
+    // text has none.
+    "q_domain_stats" -> ((s, dir) => {
+      val hostRe = "https?://([^/\\s]+)"
+      val planted = documents(s, dir).select(col("doc_id"), col("n_chars"),
+        concat(col("text"), lit(" see https://site"),
+          pmod(col("doc_id"), lit(7L)), lit(".example.com/d/"), col("doc_id"))
+          .as("text"))
+      planted
+        .select(regexp_extract(col("text"), hostRe, 1).as("domain"),
+          col("n_chars"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(asc("domain"))
+    }),
+
     // EXACT 3-gram Jaccard near-dup pairs via inverted shingle index.
     // maxShingleDf is the scale safety valve: a shingle in d docs emits
     // O(d²) join rows, so boilerplate shingles must be dropped before
@@ -1093,6 +1124,34 @@ object Pipeline {
         |SELECT doc_id, count(*)::BIGINT AS n_shared
         |FROM corpus JOIN bench USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_contamination_frac" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |            for i in range(1, len(w) - 3)] END) AS ws
+        |  FROM w),
+        |bench AS (SELECT DISTINCT unnest(ws) AS shingle FROM sh WHERE doc_id < 5),
+        |corpus AS (SELECT doc_id, unnest(ws) AS shingle FROM sh)
+        |SELECT c.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_shared,
+        |  (sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    * 10000) // count(*)::BIGINT AS overlap_bp
+        |FROM corpus c LEFT JOIN bench b USING (shingle)
+        |GROUP BY 1 ORDER BY c.doc_id""".stripMargin,
+    "q_domain_stats" ->
+      """WITH planted AS (
+        |  SELECT doc_id, n_chars,
+        |    text || ' see https://site' || (doc_id % 7)
+        |         || '.example.com/d/' || doc_id AS text
+        |  FROM documents)
+        |SELECT regexp_extract(text, 'https?://([^/\s]+)', 1) AS domain,
+        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM planted GROUP BY 1 ORDER BY 1""".stripMargin,
     // Bloom prefilter + exact confirm ≡ exact overlap, so the oracle
     // is the same SQL as q_decontaminate.
     "q_decontaminate_bloom" ->

@@ -171,6 +171,26 @@ class DedupSpec extends SparkSpec {
     assert(bloomed == exact)
   }
 
+  test("contaminationScore: basis points of shared distinct shingles") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "a b c d e f"),       // bench doc: 2 distinct 5-gram windows
+      (1L, "a b c d e f"),       // full copy → all shingles shared
+      (2L, "a b c d e zz xx"),   // shares "a b c d e" (1 of 3)
+      (3L, "p q r s t u")        // disjoint → 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(df, df.where(col("doc_id") === 0),
+      "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 10000L),
+      (1L, 2L, 2L, 10000L),
+      (2L, 3L, 1L, 3333L),
+      (3L, 2L, 0L, 0L)))
+  }
+
   test("trimDupSpans drops duplicated spans, keeping the corpus-wide first occurrence") {
     val s = spark
     import s.implicits._
