@@ -49,4 +49,26 @@ object Shuffle {
     df.sparkSession.createDataFrame(withPos, schema)
       .drop("shuffle_key")
   }
+
+  /** Write the seeded shuffle as training shards: one
+    * `shard_id=<k>/` parquet directory per shard, rows round-robin by
+    * position so shards are equal-sized (±1) and each is itself in
+    * shuffle order. `repartition(shards, shard_id)` puts each shard in
+    * ONE task (hash partitioning may co-locate several shards in a
+    * task — fine, they still land in separate directories), and
+    * `sortWithinPartitions` keeps the in-file row order deterministic,
+    * so the written bytes are reproducible run-to-run. A training job
+    * then reads `shard_id=k` via partition pruning — no filter scan
+    * over the other shards. */
+  def writeShards(df: DataFrame, idCol: String, seed: Long, shards: Int,
+      outDir: String, partitions: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.pmod
+    shuffled(df, idCol, seed, partitions)
+      .withColumn("shard_id", pmod(col("shuffle_pos"), lit(shards.toLong)))
+      .repartition(shards, col("shard_id"))
+      .sortWithinPartitions(col("shuffle_pos"))
+      .write.mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(outDir)
+  }
 }
