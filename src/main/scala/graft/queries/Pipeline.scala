@@ -490,6 +490,19 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Deterministic per-source token-budget cap (ops/BudgetSample):
+    // keep each source's seeded-hash-order document prefix up to 1000
+    // word-tokens. Bucketed prefix sums — never a corpus-wide window
+    // over the handful of source keys.
+    "q_budget_sample" -> ((s, dir) => {
+      val toks = size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+      graft.ops.BudgetSample.byBudget(documents(s, dir), "source", "doc_id",
+        toks, seed = 7L, budget = 1000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+        .orderBy(asc("source"))
+    }),
+
     // Graded contamination: per-doc overlap FRACTION against the eval
     // shingles (basis points, floor-div — integer grid, no float
     // rounding), for threshold tuning where the boolean screen is the
@@ -1124,6 +1137,19 @@ object Pipeline {
         |SELECT doc_id, count(*)::BIGINT AS n_shared
         |FROM corpus JOIN bench USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_budget_sample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS toks,
+        |    md5('7|' || doc_id::VARCHAR) AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, toks,
+        |    sum(toks) OVER (PARTITION BY source ORDER BY k, doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, count(*) AS n_kept, sum(toks)::BIGINT AS tokens_kept
+        |FROM c WHERE cum <= 1000 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_contamination_frac" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
