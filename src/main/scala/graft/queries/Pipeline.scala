@@ -490,6 +490,23 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Fixed-iteration PageRank (ops/PageRank) over a deterministic
+    // 2-out-regular doc graph (i -> (31i+7) mod N, (13i+5) mod N):
+    // document/domain authority as a quality-weighting signal. Ranks
+    // are emitted normalized (x N, mean 1) and rounded on a margin far
+    // above float accumulation error. N is one bounded driver scalar.
+    "q_pagerank" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id").as("id"))
+      val n = docs.count()
+      val edges = docs.select(col("id").as("src"),
+          ((col("id") * 31 + 7) % n).as("dst"))
+        .unionByName(docs.select(col("id").as("src"),
+          ((col("id") * 13 + 5) % n).as("dst")))
+      graft.ops.PageRank.ranks(docs, edges, n, iters = 3)
+        .select(col("id"), round(col("rank") * n, 6).as("norm_rank"))
+        .orderBy(asc("id"))
+    }),
+
     // Deterministic per-source token-budget cap (ops/BudgetSample):
     // keep each source's seeded-hash-order document prefix up to 1000
     // word-tokens. Bucketed prefix sums — never a corpus-wide window
@@ -1137,6 +1154,38 @@ object Pipeline {
         |SELECT doc_id, count(*)::BIGINT AS n_shared
         |FROM corpus JOIN bench USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_pagerank" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+        |meta AS (SELECT count(*) AS n FROM d),
+        |e AS (
+        |  SELECT id AS src, (id*31+7) % n AS dst FROM d, meta
+        |  UNION ALL
+        |  SELECT id, (id*13+5) % n FROM d, meta),
+        |deg AS (SELECT src, count(*)::DOUBLE AS outd FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1.0/n AS rank FROM d, meta),
+        |r1 AS (
+        |  SELECT d.id, (1-0.85)/m.n + 0.85*coalesce(sum(r0.rank/deg.outd), 0) AS rank
+        |  FROM d CROSS JOIN meta m
+        |  LEFT JOIN e ON e.dst = d.id
+        |  LEFT JOIN r0 ON r0.id = e.src
+        |  LEFT JOIN deg ON deg.src = e.src
+        |  GROUP BY d.id, m.n),
+        |r2 AS (
+        |  SELECT d.id, (1-0.85)/m.n + 0.85*coalesce(sum(r1.rank/deg.outd), 0) AS rank
+        |  FROM d CROSS JOIN meta m
+        |  LEFT JOIN e ON e.dst = d.id
+        |  LEFT JOIN r1 ON r1.id = e.src
+        |  LEFT JOIN deg ON deg.src = e.src
+        |  GROUP BY d.id, m.n),
+        |r3 AS (
+        |  SELECT d.id, (1-0.85)/m.n + 0.85*coalesce(sum(r2.rank/deg.outd), 0) AS rank
+        |  FROM d CROSS JOIN meta m
+        |  LEFT JOIN e ON e.dst = d.id
+        |  LEFT JOIN r2 ON r2.id = e.src
+        |  LEFT JOIN deg ON deg.src = e.src
+        |  GROUP BY d.id, m.n)
+        |SELECT id, round(rank * n, 6) AS norm_rank
+        |FROM r3, meta ORDER BY id""".stripMargin,
     "q_budget_sample" ->
       """WITH t AS (
         |  SELECT source, doc_id,
