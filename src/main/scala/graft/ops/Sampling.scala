@@ -39,6 +39,23 @@ object Sampling {
       rates: Map[String, Double]): DataFrame =
     df.where(stratifiedAt(col(idCol), col(stratumCol), rates))
 
+  /** Weighted Bernoulli (Poisson) sampling: each row kept with
+    * probability `weight / wNorm` (clamped at 1), deterministically.
+    * The uniform draw is the first 13 md5 hex digits of the id — 52
+    * uniform bits, exactly representable as a double — and the
+    * comparison runs in ONE fixed IEEE operation order
+    * (`u < w / wNorm * 2^52`) that the oracle SQL mirrors literally:
+    * identical inputs through identical float ops give identical
+    * keep/drop decisions on both engines, with no rounding boundary
+    * anywhere. Scan-stage predicate — composes with pushdown, zero
+    * shuffle — and the expected kept fraction of stratum S is
+    * E[w|S]/wNorm: quality-weighted downsampling without RNG state. */
+  def weightedAt(id: Column, weight: Column, wNorm: Double): Column = {
+    require(wNorm > 0, s"wNorm must be positive: $wNorm")
+    conv(substring(md5(id.cast("string")), 1, 13), 16, 10).cast("double") <
+      weight.cast("double") / lit(wNorm) * lit(4503599627370496.0) // 2^52
+  }
+
   private def coin(id: Column): Column =
     substring(md5(id.cast("string")), 1, 4)
 

@@ -490,6 +490,19 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Deterministic weighted (Poisson) sampling: longer docs kept
+    // proportionally more often (p = n_chars/1200), decided by a
+    // 52-bit md5 draw in one fixed IEEE op order — bit-reproducible
+    // across engines with no rounding boundary. Scan-stage predicate.
+    "q_weighted_sample" -> ((s, dir) => {
+      documents(s, dir)
+        .where(graft.ops.Sampling.weightedAt(col("doc_id"), col("n_chars"),
+          wNorm = 1200.0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .orderBy(asc("source"))
+    }),
+
     // Fixed-iteration PageRank (ops/PageRank) over a deterministic
     // 2-out-regular doc graph (i -> (31i+7) mod N, (13i+5) mod N):
     // document/domain authority as a quality-weighting signal. Ranks
@@ -1154,6 +1167,12 @@ object Pipeline {
         |SELECT doc_id, count(*)::BIGINT AS n_shared
         |FROM corpus JOIN bench USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars_kept
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT::DOUBLE
+        |      < n_chars::DOUBLE / 1200 * 4503599627370496.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pagerank" ->
       """WITH d AS (SELECT doc_id AS id FROM documents),
         |meta AS (SELECT count(*) AS n FROM d),

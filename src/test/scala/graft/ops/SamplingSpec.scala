@@ -53,4 +53,32 @@ class SamplingSpec extends SparkSpec {
     assert(df.where(Sampling.sampleAt(col("id"), 0.0)).count() == 0L)
     assert(df.where(Sampling.sampleAt(col("id"), 1.0)).count() == 100L)
   }
+
+  test("weighted sampling: kept set matches the local md5 draw; rates scale with weight") {
+    val s = spark
+    import s.implicits._
+    // weights 10 / 100 / 1000 against wNorm 1000 → p = .01 / .1 / 1.0
+    val df = (1 to 6000).map { i =>
+      (i.toLong, Seq(10L, 100L, 1000L)(i % 3))
+    }.toDF("id", "w")
+    val kept = df.where(Sampling.weightedAt(col("id"), col("w"), 1000.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact per-row parity with a driver-side recomputation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      md.reset()
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16).toDouble
+    }
+    val expected = (1 to 6000).map { i =>
+      (i.toLong, Seq(10L, 100L, 1000L)(i % 3))
+    }.filter { case (id, w) => u(id) < w.toDouble / 1000.0 * 4503599627370496.0 }
+    assert(kept.toSet == expected.toSet)
+    // weight-1000 rows are all kept (p = 1); lighter strata thin out
+    val byW = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byW(1000L) == 2000)
+    assert(math.abs(byW(100L) - 200) < 60, byW.toString)
+    assert(math.abs(byW(10L) - 20) < 20, byW.toString)
+  }
 }
