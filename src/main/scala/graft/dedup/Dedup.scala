@@ -226,13 +226,16 @@ object Dedup {
     * Shape: ONE explode into per-position windows (native kernel, not
     * a per-element lambda), one partial+final count per distinct
     * window, one join back, one per-doc aggregate — the same
-    * shuffle profile as tf-idf. At 100 TB the window STRINGS would be
-    * replaced by xxhash64(window) through the shuffle (collision odds
-    * ~n²/2⁶⁴); kept as strings here so the DuckDB oracle is exact. */
+    * shuffle profile as tf-idf. The windows ride the explode and the
+    * count shuffle as 8-byte xxhash64 values (the hashed kernel),
+    * never as ~10-token strings — the shuffle payload per window
+    * drops ~8×, and the DuckDB oracle (which groups the strings) is
+    * unchanged because only per-window COUNTS reach the output and
+    * hash grouping equals string grouping absent a 2⁻⁶⁴ collision. */
   def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
       windowTokens: Int = 10): DataFrame = {
     val spark = df.sparkSession
-    val win = graft.functions.ShingleExprs.wordWindows(spark, col(textCol),
+    val win = graft.functions.ShingleExprs.wordWindowHashes(spark, col(textCol),
       windowTokens)
     val occ = df.select(col(idCol).as("doc_id"), explode(win).as("w"))
     val counts = occ.groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -258,10 +261,10 @@ object Dedup {
     * explode + one count agg + join back) plus one bounded explode of
     * covered positions (dup occurrences × L, clipped to doc length)
     * into a per-doc collect_set — nothing quadratic, nothing
-    * collected. The per-row rebuild (filter over token positions) is
-    * an interpreted lambda, bounded by doc length × |covered|; at
-    * 100 TB the window strings would ride as xxhash64 like
-    * dupSpanStats notes.
+    * collected. Windows ride the checkpoint, the explode, and the
+    * count shuffle as 8-byte xxhash64 values (same reasoning as
+    * [[dupSpanStats]]): only counts and positions reach the output,
+    * so hash grouping is output-identical to string grouping.
     *
     * @param posBound exclusive upper bound on window positions, used
     *   to pack (doc, pos) into one BIGINT for the argmin. */
@@ -269,14 +272,15 @@ object Dedup {
       windowTokens: Int = 10, posBound: Long = 1000000000L): DataFrame = {
     val spark = df.sparkSession
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    val win = graft.functions.ShingleExprs.wordWindows(spark, col(textCol),
+    val win = graft.functions.ShingleExprs.wordWindowHashes(spark, col(textCol),
       windowTokens)
     // Materialize the tokenized/windowed frame ONCE: three consumers
     // follow (the window-count aggregate, the dup-occurrence join, and
     // the final rebuild join), and without the checkpoint each one
     // re-runs the split + window kernel over the full corpus text —
     // the same three-consumer reasoning as contaminatedBloom's bench
-    // shingles.
+    // shingles. The windows are stored hashed (longs), so the
+    // checkpoint holds toks + 8 bytes/window, not the windows' text.
     val base = df.select(col(idCol).cast("long").as("doc_id"),
         toks.as("toks"), win.as("wins"))
       .withColumn("n_tok", size(col("toks")))

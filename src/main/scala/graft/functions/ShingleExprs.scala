@@ -84,6 +84,41 @@ object ShingleKernels {
     new GenericArrayData(out)
   }
 
+  /** xxhash64 of every n-token window, position order (the hashed
+    * twin of [[windows]]): at corpus scale the duplicated-span scan
+    * shuffles these 8-byte hashes instead of the ~10-token window
+    * STRINGS — the grouping key drops from ~60 bytes to 8 through
+    * both the explode and the count shuffle, and the checkpointed
+    * frame stores longs, not strings. Hash = XXH64 over the window's
+    * UTF-8 bytes with Spark's xxhash64 seed (42), so the values equal
+    * `xxhash64(window_string)` and the spec can assert the twin
+    * relationship declaratively. Collision odds over W windows are
+    * ~W²/2⁶⁵ — at 10¹² windows that is ~3%·ε per corpus, and a
+    * collision only mis-marks one span duplicated; acceptable for a
+    * trim/score signal (the exact-string form remains available). */
+  def windowHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = sparkTokens(text)
+    def h(s: String): Long = {
+      val u = UTF8String.fromString(s)
+      XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    }
+    val out: Array[Long] =
+      if (toks.length < n) Array(h(toks.mkString(" ")))
+      else {
+        val arr = new Array[Long](toks.length - n + 1)
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          arr(i) = h(sb.toString)
+          i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature straight from the text: k minima over the
     * distinct shingles. Matches xxhash64(shingle, seed) semantics:
     * fold bytes with seed 42, then the INT seed index. */
@@ -137,6 +172,21 @@ case class WordWindowsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class WordWindowHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_window_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleKernels.windowHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels.windowHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindowHashesExpr =
+    copy(child = newChild)
+}
+
 case class MinHashSigExpr(child: Expression, k: Int, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -166,6 +216,10 @@ object ShingleExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_windows", exprs => WordWindowsExpr(exprs.head, litInt(exprs(1))),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_window_hashes",
+      exprs => WordWindowHashesExpr(exprs.head, litInt(exprs(1))),
+      "scala_udf")
   }
 
   def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
@@ -182,5 +236,11 @@ object ShingleExprs {
   def wordWindows(spark: SparkSession, text: Column, n: Int): Column = {
     register(spark)
     call_function("word_windows", text, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def wordWindowHashes(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("word_window_hashes", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 }

@@ -111,6 +111,22 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == Seq("x y")) // shorter than one window
   }
 
+  test("window hashes are xxhash64 of the string windows (real corpus)") {
+    val s = spark
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+    // The hashed kernel that rides the dup-span shuffles must equal
+    // xxhash64 applied to each window the string kernel emits —
+    // asserting the twin relationship on every window of the corpus,
+    // including the short-doc fallback rows.
+    val both = docs.select(
+      transform(
+        graft.functions.ShingleExprs.wordWindows(s, col("text"), 10),
+        w => xxhash64(w)).as("via_strings"),
+      graft.functions.ShingleExprs.wordWindowHashes(s, col("text"), 10)
+        .as("native"))
+    assert(both.where(col("via_strings") =!= col("native")).count() == 0)
+  }
+
   test("dupSpanStats: full copies score 1.0, partial overlap in between") {
     val s = spark
     import s.implicits._
