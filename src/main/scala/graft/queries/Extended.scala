@@ -135,7 +135,18 @@ object Extended {
       Similarity.rpLshNearDups(base.unionByName(twins), "embedding", "vec_id",
         threshold = 0.999)
         .orderBy(asc("id_a"), asc("id_b"))
-    })
+    }),
+
+    // Z-order layout summary over lineitem's two independent join
+    // keys: every shard (top-6 z-bits) must be a small RECTANGLE in
+    // (partkey, suppkey) space — per-dim extent < 2^13 of the 2^16
+    // grid by construction — where a 1-D sort would bound one dim and
+    // leave the other spanning its full range. The bit interleave is
+    // pure integer arithmetic, reproduced exactly by DuckDB.
+    "q_zorder" -> ((s, dir) =>
+      graft.ops.ZOrder.shardSummary(
+        lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", shardBits = 6))
   )
 
   def oracle: Map[String, String] = Map(
@@ -185,6 +196,32 @@ object Extended {
         |  round(list_cosine_similarity(a.em, b.em), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.em, b.em), 4) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_zorder" ->
+      """WITH mm AS (
+        |  SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+        |         min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+        |  FROM lineitem),
+        |sc AS (
+        |  SELECT ((l_partkey - xmin) * 65535) // greatest(xmax - xmin, 1) AS sx,
+        |         ((l_suppkey - ymin) * 65535) // greatest(ymax - ymin, 1) AS sy
+        |  FROM lineitem, mm),
+        |a1 AS (SELECT sx, sy,
+        |         (sx | (sx << 8)) & 16711935 AS x, (sy | (sy << 8)) & 16711935 AS y
+        |       FROM sc),
+        |a2 AS (SELECT sx, sy,
+        |         (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y
+        |       FROM a1),
+        |a3 AS (SELECT sx, sy,
+        |         (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y
+        |       FROM a2),
+        |a4 AS (SELECT sx, sy,
+        |         (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y
+        |       FROM a3),
+        |z AS (SELECT sx, sy, (x | (y << 1)) AS zval FROM a4)
+        |SELECT (zval >> 26) AS shard, count(*)::BIGINT AS n_rows,
+        |  min(sx) AS sx_min, max(sx) AS sx_max,
+        |  min(sy) AS sy_min, max(sy) AS sy_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
