@@ -45,7 +45,7 @@ object IvfPq {
     * the original vectors (a broadcast-sized id join). */
   def topK(index: IvfPqIndex, corpus: DataFrame, vecCol: String,
       idCol: String, query: Array[Double], k: Int, nprobe: Int,
-      overfetch: Int = 4): DataFrame = {
+      overfetch: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = Seq(Tuple1(query.toSeq)).toDF("qvec")

@@ -167,10 +167,14 @@ object Pq {
     * corpus-wide scan touches codes (m ints/row); full-precision
     * embeddings are read for k·overfetch rows — a broadcast-join-sized
     * set — so quantization error only costs recall when the true
-    * neighbor falls outside the overfetched pool. */
+    * neighbor falls outside the overfetched pool. Default overfetch 8:
+    * on near-uniform synthetic data (pair cosines ~0.5-0.6, the worst
+    * case for ADC margins) k·4 measurably leaks top-k entries (recall
+    * 0.70 on one data draw), k·8 restores headroom, and the refine
+    * cost stays a k·overfetch-row broadcast join either way. */
   def adcTopKRefined(encoded: DataFrame, corpus: DataFrame, vecCol: String,
       idCol: String, model: PqModel, query: Array[Double], k: Int,
-      overfetch: Int = 4): DataFrame = {
+      overfetch: Int = 8): DataFrame = {
     val cand = adcTopK(encoded, idCol, model, query, k * overfetch)
       .select(col(idCol))
     corpus.join(broadcast(cand), Seq(idCol))

@@ -75,7 +75,7 @@ class PqSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val adcRecall = (exactTop & pqTop).size.toDouble / 10.0
     assert(adcRecall >= 0.5, s"ADC recall@10 $adcRecall below 0.5 (pq=$pqTop)")
-    // refined: overfetch 4k candidates from codes, exact-rescore those
+    // refined: overfetch 8k candidates from codes, exact-rescore those
     val refined = Pq.adcTopKRefined(enc, rest, "embedding", "vec_id",
       model, q, 10).collect().map(_.getLong(0)).toSet
     val refRecall = (exactTop & refined).size.toDouble / 10.0
