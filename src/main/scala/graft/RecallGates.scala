@@ -113,9 +113,11 @@ object RecallGates {
       model, qArr, 10).collect().map(_.getLong(0)).toSeq
     // Floor 0.75, not PqSpec's 0.9: the synthetic embeddings are
     // near-uniform (pair cosines ~0.5-0.6, tiny top-k margins — the
-    // worst case for ADC + bounded overfetch); measured 0.80 here,
-    // while the clustered-fixture spec holds ≥ 0.9. The gate's job is
-    // to catch a recall COLLAPSE (kernel/codebook regression → ~0.1),
+    // worst case for ADC + bounded overfetch); measured 0.80-0.90
+    // across the SF data draws at overfetch 8 (sf0.001's draw sat at
+    // 0.70 under overfetch 4 — the draws differ in hardness), while
+    // the clustered-fixture spec holds ≥ 0.9. The gate's job is to
+    // catch a recall COLLAPSE (kernel/codebook regression → ~0.1),
     // not to re-grade data hardness.
     val g4 = Gate("pq_refined_recall",
       exactTop.toSet.intersect(refined.toSet).size.toDouble /
@@ -152,6 +154,25 @@ object RecallGates {
     val g7 = Gate("semantic_dedup_groups",
       if (nPlanted == 0) 1.0 else nGroups.toDouble / nPlanted, 1.0)
 
-    Seq(g1, g2, g3, g4, g5, g6, g7)
+    // DSIR selection quality: q_dsir's construction — three planted
+    // twins of target docs carry maximal importance weight (they ARE
+    // target text) and must survive Gumbel top-50 selection.
+    val dsirTwinIds = Seq(3L, 7L, 11L)
+    val dsirTarget = docs.where(col("doc_id") < 25)
+    val dsirTwins = docs.where(col("doc_id").isin(dsirTwinIds: _*))
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+    val dsirRaw = docs.unionByName(dsirTwins)
+    val dsirB = 4096
+    val dsirW = graft.text.Dsir.weightsMicroNats(
+      graft.text.Dsir.bucketCounts(dsirTarget, "text", dsirB),
+      graft.text.Dsir.bucketCounts(dsirRaw, "text", dsirB))
+    val dsirPicked = graft.text.Dsir.resample(dsirRaw, "text", "doc_id",
+      dsirW, dsirB, k = 50, seed = "graft-r4")
+      .collect().map(_.getLong(0)).toSet
+    val g8 = Gate("dsir_plant_recall",
+      dsirTwinIds.count(id => dsirPicked.contains(id + 300000L)).toDouble /
+        dsirTwinIds.size, 1.0)
+
+    Seq(g1, g2, g3, g4, g5, g6, g7, g8)
   }
 }

@@ -719,7 +719,7 @@ object Pipeline {
     // arithmetic and recall vs exact cosine are asserted in PqSpec).
     // The corpus compresses to m=8 codes/vector; the query scores
     // every code row with 8 table lookups (no dot products) through
-    // the native ADC kernel, overfetches 4k candidates, and
+    // the native ADC kernel, overfetches 8k candidates, and
     // exact-rescores only those (faiss refine shape).
     "q_ann_pq" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -811,6 +811,32 @@ object Pipeline {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(documents(s, dir))
       graft.multimodal.Multimodal.sampleFrames(media, everyMs = 1000L)
         .orderBy(asc("media_id"), asc("frame_idx"))
+    }),
+
+    // DSIR importance resampling (rows-only; exact-score parity and
+    // domain-selectivity are asserted in DsirSpec, and the planted
+    // target twins below are gated in Verify): target = the 25
+    // lowest-id docs, raw = the corpus + three planted twins of
+    // target docs (ids +300000). The twins ARE target text, so they
+    // carry maximal importance weight and must appear in the selected
+    // set — a selection-quality canary that runs at verify scale.
+    // Scale shape: two B-bounded count aggregates train the model,
+    // ONE scan-stage pass scores (integer micro-nat sums, no
+    // shuffle), TakeOrdered selects.
+    "q_dsir" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val target = docs.where(col("doc_id") < 25)
+      val twins = docs.where(col("doc_id").isin(3L, 7L, 11L))
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      val raw = docs.unionByName(twins)
+      val b = 4096
+      val w = graft.text.Dsir.weightsMicroNats(
+        graft.text.Dsir.bucketCounts(target, "text", b),
+        graft.text.Dsir.bucketCounts(raw, "text", b))
+      graft.text.Dsir.resample(spread(raw), "text", "doc_id", w, b,
+        k = 50, seed = "graft-r4")
+        .select(col("doc_id"), col("n_feats"), col("score_micronats"))
+        .orderBy(asc("doc_id"))
     })
   )
 
