@@ -837,8 +837,56 @@ object Pipeline {
         k = 50, seed = "graft-r4")
         .select(col("doc_id"), col("n_feats"), col("score_micronats"))
         .orderBy(asc("doc_id"))
+    }),
+
+    // BM25 keyword retrieval (graft.text.Bm25): rank the corpus for a
+    // fixed 5-term query. Scale shape: per-doc tfs are scan-stage
+    // array counts (no postings explode/shuffle), the model is ONE
+    // aggregate row, scoring is a literal-constant scan, selection is
+    // TakeOrdered — nothing corpus-sized ever shuffles. Scores are
+    // integer micro-nats (log taken once per TERM driver-side, exact
+    // int64 floor-division after) so the DuckDB oracle matches to the
+    // bit.
+    "q_bm25" -> ((s, dir) => {
+      graft.text.Bm25.search(documents(s, dir), "text", "doc_id",
+        Bm25Terms, k = 20)
+    }),
+
+    // Supervised hashed-feature Naive Bayes (graft.text.NaiveBayes) —
+    // the CCNet/GPT-3 quality-classifier pattern: label a seed set
+    // with the cheap heuristic (quality score ≥ its corpus median →
+    // 'hi'), train the scalable model on 80% of the corpus (doc_id %
+    // 5 <> 0), classify the held-out 20%, emit the confusion matrix
+    // (measured ~94% held-out agreement at sf0.01 — the hashed
+    // bag-of-words genuinely carries the quality signal; the corpus's
+    // lang/source labels are text-independent by construction, so
+    // they are NOT learnable targets). The median threshold runs on
+    // the integer-scaled grid (q × 10⁴ as BIGINT, the
+    // q_quality_quantile rule): the interpolated median is then k or
+    // exactly k + 0.5, and `integer ≥ that` is unambiguous on both
+    // engines. Scale shape: one percentile agg for the threshold,
+    // train shuffle ≤ classes×B rows, scoring is literal-table
+    // scan-stage arithmetic, confusion agg ≤ classes².
+    "q_nb_classifier" -> ((s, dir) => {
+      val scored = documents(s, dir).select(col("doc_id"), col("text"),
+        round(TextAnalysis.qualityScoreFast(s, col("text")) * 10000, 0)
+          .cast("long").as("q4"))
+      val med = scored.agg(expr("percentile(q4, 0.5D)")).head().getDouble(0)
+      val docs = scored.select(col("doc_id"), col("text"),
+        when(col("q4") >= med, "hi").otherwise("lo").as("label"))
+      val model = graft.text.NaiveBayes.train(
+        docs.where(col("doc_id") % 5 =!= 0), "text", "label",
+        Seq("hi", "lo"), buckets = 1024)
+      graft.text.NaiveBayes
+        .predict(spread(docs.where(col("doc_id") % 5 === 0)), "text", model)
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(asc("label"), asc("pred"))
     })
   )
+
+  /** Fixed query terms for q_bm25 — shared with the oracle SQL. */
+  private val Bm25Terms = Seq("join", "vector", "stream", "checkpoint", "spill")
 
   def oracle: Map[String, String] = Map(
     "q_text_stats" ->
@@ -1439,6 +1487,121 @@ object Pipeline {
         |                                e.vec_id) AS rk
         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, score, rk FROM scored
-        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // Mirrors graft.text.Bm25 exactly: idf on the integer micro-nat
+    // grid (floor(ln·1e6 + 0.5), half-up on both engines), then pure
+    // int64 floor-division — `//` here, `div` in Spark, equal for the
+    // all-positive operands.
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, len(w)::BIGINT AS dl,
+        |    len(list_filter(w, x -> x = 'join'))::BIGINT AS tf0,
+        |    len(list_filter(w, x -> x = 'vector'))::BIGINT AS tf1,
+        |    len(list_filter(w, x -> x = 'stream'))::BIGINT AS tf2,
+        |    len(list_filter(w, x -> x = 'checkpoint'))::BIGINT AS tf3,
+        |    len(list_filter(w, x -> x = 'spill'))::BIGINT AS tf4
+        |  FROM tok),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3,
+        |    sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END)::BIGINT AS df4
+        |  FROM per),
+        |idf AS (
+        |  SELECT n, t,
+        |    CAST(floor(ln(2.0*(n+1)/(2*df0+1))*1000000 + 0.5) AS BIGINT) AS idf0,
+        |    CAST(floor(ln(2.0*(n+1)/(2*df1+1))*1000000 + 0.5) AS BIGINT) AS idf1,
+        |    CAST(floor(ln(2.0*(n+1)/(2*df2+1))*1000000 + 0.5) AS BIGINT) AS idf2,
+        |    CAST(floor(ln(2.0*(n+1)/(2*df3+1))*1000000 + 0.5) AS BIGINT) AS idf3,
+        |    CAST(floor(ln(2.0*(n+1)/(2*df4+1))*1000000 + 0.5) AS BIGINT) AS idf4
+        |  FROM st),
+        |sc AS (
+        |  SELECT p.doc_id, p.dl,
+        |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN tf2 > 0 THEN 1 ELSE 0 END + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN tf4 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_match,
+        |    (CASE WHEN tf0 > 0 THEN (idf0*44*tf0*t) // (20*tf0*t + 6*t + 18*p.dl*n) ELSE 0 END +
+        |     CASE WHEN tf1 > 0 THEN (idf1*44*tf1*t) // (20*tf1*t + 6*t + 18*p.dl*n) ELSE 0 END +
+        |     CASE WHEN tf2 > 0 THEN (idf2*44*tf2*t) // (20*tf2*t + 6*t + 18*p.dl*n) ELSE 0 END +
+        |     CASE WHEN tf3 > 0 THEN (idf3*44*tf3*t) // (20*tf3*t + 6*t + 18*p.dl*n) ELSE 0 END +
+        |     CASE WHEN tf4 > 0 THEN (idf4*44*tf4*t) // (20*tf4*t + 6*t + 18*p.dl*n) ELSE 0 END
+        |    )::BIGINT AS score_micronats
+        |  FROM per p, idf)
+        |SELECT doc_id, dl, n_match, score_micronats FROM sc
+        |WHERE n_match > 0
+        |ORDER BY score_micronats DESC, doc_id LIMIT 20""".stripMargin,
+    // Replays NaiveBayes training + scoring exactly: heuristic
+    // quality labels (same expression as q_quality_filter's oracle),
+    // md5 feature hashing (identical digest both engines), add-1/B
+    // smoothing in the same operation order, µ-nat rounding
+    // floor(x·1e6 + 0.5), integer score sums, argmax CASE in sorted
+    // class order ('hi' before 'lo').
+    "q_nb_classifier" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text), 4) AS ar,
+        |    round(len(regexp_extract_all(text, '\s'))::DOUBLE / length(text), 4) AS sr,
+        |    round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mwl
+        |  FROM documents),
+        |qq AS (
+        |  SELECT doc_id, text,
+        |    CAST(round(round(least(1.0, ar * 0.6 + sr * 2.0 * 0.2 +
+        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4)
+        |      * 10000) AS BIGINT) AS q4
+        |  FROM m),
+        |med AS (SELECT quantile_cont(q4, 0.5) AS m FROM qq),
+        |lab AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN q4 >= med.m THEN 'hi' ELSE 'lo' END AS label
+        |  FROM qq, med),
+        |feat AS (
+        |  SELECT doc_id, label,
+        |    ('0x' || substr(md5(w), 1, 13))::BIGINT % 1024 AS f
+        |  FROM (SELECT doc_id, label,
+        |          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM lab)),
+        |trn AS (SELECT * FROM feat WHERE doc_id % 5 <> 0),
+        |cnt AS (SELECT label, f, count(*)::BIGINT AS c FROM trn GROUP BY 1, 2),
+        |tot AS (SELECT label, count(*)::BIGINT AS tot FROM trn GROUP BY 1),
+        |nd AS (SELECT label, count(*)::BIGINT AS nd FROM lab
+        |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |ndt AS (SELECT sum(nd)::BIGINT AS ndt FROM nd),
+        |pri AS (SELECT label,
+        |          CAST(floor(ln(nd::DOUBLE / ndt) * 1000000 + 0.5) AS BIGINT) AS prior_mu
+        |        FROM nd, ndt),
+        |defw AS (SELECT label, tot,
+        |           CAST(floor(ln((1.0/1024) / (tot + 1)) * 1000000 + 0.5) AS BIGINT) AS w0
+        |         FROM tot),
+        |wts AS (SELECT c.label, c.f,
+        |          CAST(floor(ln((c.c + 1.0/1024) / (t.tot + 1)) * 1000000 + 0.5) AS BIGINT) AS w
+        |        FROM cnt c JOIN tot t ON c.label = t.label),
+        |test AS (SELECT doc_id, label AS true_label, f FROM feat WHERE doc_id % 5 = 0),
+        |scored AS (
+        |  SELECT t.doc_id, t.true_label, k.label AS cls,
+        |    p.prior_mu + sum(coalesce(w.w, d.w0)) AS score
+        |  FROM test t
+        |  CROSS JOIN (SELECT unnest(['hi', 'lo']) AS label) k
+        |  JOIN defw d ON d.label = k.label
+        |  JOIN pri p ON p.label = k.label
+        |  LEFT JOIN wts w ON w.label = k.label AND w.f = t.f
+        |  GROUP BY t.doc_id, t.true_label, k.label, p.prior_mu),
+        |piv AS (
+        |  SELECT doc_id, true_label,
+        |    max(CASE WHEN cls = 'hi' THEN score END) AS s_hi,
+        |    max(CASE WHEN cls = 'lo' THEN score END) AS s_lo
+        |  FROM scored GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, true_label, CASE
+        |    WHEN s_hi = greatest(s_hi, s_lo) THEN 'hi'
+        |    ELSE 'lo' END AS pred
+        |  FROM piv)
+        |SELECT true_label AS label, pred, count(*)::BIGINT AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
