@@ -882,6 +882,40 @@ object Pipeline {
         .groupBy(col("label"), col("pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(asc("label"), asc("pred"))
+    }),
+
+    // Classifier calibration / reliability table: bin the NB decision
+    // margin (s_hi − s_lo, integer µ-nats) and report the empirical
+    // 'hi' rate per bin — the table that tells a pipeline which score
+    // thresholds to trust before gating 100 TB on them. Binning is by
+    // DIGIT COUNT of |margin| (signed): a pure integer→string
+    // derivation both engines render identically, so no log/float
+    // anywhere. Rates are integer basis points (floor div — the
+    // build-notes rule for count ratios). Scale shape: same
+    // constant-size model scan as q_nb_classifier plus one ≤~40-row
+    // aggregate.
+    "q_nb_calibration" -> ((s, dir) => {
+      val scored = documents(s, dir).select(col("doc_id"), col("text"),
+        round(TextAnalysis.qualityScoreFast(s, col("text")) * 10000, 0)
+          .cast("long").as("q4"))
+      val med = scored.agg(expr("percentile(q4, 0.5D)")).head().getDouble(0)
+      val docs = scored.select(col("doc_id"), col("text"),
+        when(col("q4") >= med, "hi").otherwise("lo").as("label"))
+      val model = graft.text.NaiveBayes.train(
+        docs.where(col("doc_id") % 5 =!= 0), "text", "label",
+        Seq("hi", "lo"), buckets = 1024)
+      graft.text.NaiveBayes
+        .predict(spread(docs.where(col("doc_id") % 5 === 0)), "text", model)
+        .withColumn("margin", col("s_hi") - col("s_lo"))
+        .withColumn("bin",
+          when(col("margin") >= 0, 1L).otherwise(-1L) *
+            length(abs(col("margin")).cast("string")).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label") === "hi", 1L).otherwise(0L)).as("n_hi"),
+          expr("sum(CASE WHEN label = 'hi' THEN 1 ELSE 0 END) * 10000L " +
+            "div count(1)").as("hi_bp"))
+        .orderBy(asc("bin"))
     })
   )
 
@@ -1602,6 +1636,73 @@ object Pipeline {
         |    ELSE 'lo' END AS pred
         |  FROM piv)
         |SELECT true_label AS label, pred, count(*)::BIGINT AS n_docs
-        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same model replay as q_nb_classifier; margin bins are signed
+    // digit counts (integer→string, engine-identical), rates integer
+    // basis points via floor division.
+    "q_nb_calibration" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text), 4) AS ar,
+        |    round(len(regexp_extract_all(text, '\s'))::DOUBLE / length(text), 4) AS sr,
+        |    round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
+        |          / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mwl
+        |  FROM documents),
+        |qq AS (
+        |  SELECT doc_id, text,
+        |    CAST(round(round(least(1.0, ar * 0.6 + sr * 2.0 * 0.2 +
+        |      (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2), 4)
+        |      * 10000) AS BIGINT) AS q4
+        |  FROM m),
+        |med AS (SELECT quantile_cont(q4, 0.5) AS m FROM qq),
+        |lab AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN q4 >= med.m THEN 'hi' ELSE 'lo' END AS label
+        |  FROM qq, med),
+        |feat AS (
+        |  SELECT doc_id, label,
+        |    ('0x' || substr(md5(w), 1, 13))::BIGINT % 1024 AS f
+        |  FROM (SELECT doc_id, label,
+        |          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM lab)),
+        |trn AS (SELECT * FROM feat WHERE doc_id % 5 <> 0),
+        |cnt AS (SELECT label, f, count(*)::BIGINT AS c FROM trn GROUP BY 1, 2),
+        |tot AS (SELECT label, count(*)::BIGINT AS tot FROM trn GROUP BY 1),
+        |nd AS (SELECT label, count(*)::BIGINT AS nd FROM lab
+        |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |ndt AS (SELECT sum(nd)::BIGINT AS ndt FROM nd),
+        |pri AS (SELECT label,
+        |          CAST(floor(ln(nd::DOUBLE / ndt) * 1000000 + 0.5) AS BIGINT) AS prior_mu
+        |        FROM nd, ndt),
+        |defw AS (SELECT label, tot,
+        |           CAST(floor(ln((1.0/1024) / (tot + 1)) * 1000000 + 0.5) AS BIGINT) AS w0
+        |         FROM tot),
+        |wts AS (SELECT c.label, c.f,
+        |          CAST(floor(ln((c.c + 1.0/1024) / (t.tot + 1)) * 1000000 + 0.5) AS BIGINT) AS w
+        |        FROM cnt c JOIN tot t ON c.label = t.label),
+        |test AS (SELECT doc_id, label AS true_label, f FROM feat WHERE doc_id % 5 = 0),
+        |scored AS (
+        |  SELECT t.doc_id, t.true_label, k.label AS cls,
+        |    p.prior_mu + sum(coalesce(w.w, d.w0)) AS score
+        |  FROM test t
+        |  CROSS JOIN (SELECT unnest(['hi', 'lo']) AS label) k
+        |  JOIN defw d ON d.label = k.label
+        |  JOIN pri p ON p.label = k.label
+        |  LEFT JOIN wts w ON w.label = k.label AND w.f = t.f
+        |  GROUP BY t.doc_id, t.true_label, k.label, p.prior_mu),
+        |piv AS (
+        |  SELECT doc_id, true_label,
+        |    max(CASE WHEN cls = 'hi' THEN score END) AS s_hi,
+        |    max(CASE WHEN cls = 'lo' THEN score END) AS s_lo
+        |  FROM scored GROUP BY 1, 2),
+        |binned AS (
+        |  SELECT doc_id, true_label, s_hi - s_lo AS margin,
+        |    (CASE WHEN s_hi - s_lo >= 0 THEN 1 ELSE -1 END) *
+        |      length(CAST(abs(s_hi - s_lo) AS VARCHAR)) AS bin
+        |  FROM piv)
+        |SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN true_label = 'hi' THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+        |  ((sum(CASE WHEN true_label = 'hi' THEN 1 ELSE 0 END)::BIGINT * 10000) // count(*))::BIGINT AS hi_bp
+        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

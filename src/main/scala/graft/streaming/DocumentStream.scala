@@ -160,4 +160,16 @@ object DocumentStream {
           .otherwise(ceil((col("tok") - win).cast("double") / stride)
             .cast("long") + 1L))
   }
+
+  /** Streaming twin of [[graft.text.NaiveBayes.predict]]: classify
+    * documents as they arrive with a batch-trained model. The model
+    * is frozen weights riding every microbatch plan as literal arrays
+    * — stateless scan-stage arithmetic, so streaming ≡ batch doc for
+    * doc (asserted in DocumentStreamSpec), append-mode safe, and a
+    * model refresh is just restarting the query with new literals
+    * (the train side stays a batch job — the standard
+    * train-offline / score-online split). */
+  def classify(docs: DataFrame, textCol: String,
+      model: graft.text.NaiveBayes.Model): DataFrame =
+    graft.text.NaiveBayes.predict(docs, textCol, model)
 }

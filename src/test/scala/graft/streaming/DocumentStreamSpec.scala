@@ -203,4 +203,42 @@ class DocumentStreamSpec extends SparkSpec {
     val keptMapped = batch.count(t => t._2 == "en" || t._2 == "zh")
     assert(keptMapped < total)
   }
+
+  test("streaming NB classification equals batch, doc for doc") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-docs-nb")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    // Batch-train offline on a derived label (text contains 'join'),
+    // then score the same corpus as a stream with the frozen model.
+    val labeled = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        when(col("text").contains("join"), "y").otherwise("n").as("label"))
+    val model = graft.text.NaiveBayes.train(
+      labeled, "text", "label", Seq("n", "y"), 256)
+    val stream = spark.readStream.schema(DocumentStream.docSchema)
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), col("text"))
+    val q = DocumentStream.classify(stream, "text", model)
+      .select(col("doc_id"), col("s_n"), col("s_y"), col("pred"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("nb_docs")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val streamed = spark.sql("SELECT doc_id, s_n, s_y, pred FROM nb_docs")
+      .collect().map(key).toSet
+    val batch = DocumentStream.classify(
+        labeled.select(col("doc_id"), col("text")), "text", model)
+      .select(col("doc_id"), col("s_n"), col("s_y"), col("pred"))
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // both classes actually occur
+    assert(streamed.map(_._4).size == 2 || streamed.map(_._4).contains("y"))
+  }
 }
