@@ -173,6 +173,24 @@ object RecallGates {
       dsirTwinIds.count(id => dsirPicked.contains(id + 300000L)).toDouble /
         dsirTwinIds.size, 1.0)
 
-    Seq(g1, g2, g3, g4, g5, g6, g7, g8)
+    // HLL sketch-rollup accuracy: per-day AND merged-total estimates
+    // vs exact distincts; lgK=12 → ~1.6% RSE, gate at 5% worst-case.
+    val ev = events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val sk = graft.ops.SketchRollup.sketches(ev, Seq("day"), "user_id")
+    val estByDay = graft.ops.SketchRollup.rollup(sk, Seq("day"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val estTotal = graft.ops.SketchRollup.rollup(sk, Nil)
+      .collect()(0).getLong(0)
+    val exactByDay = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val exactTotal = ev.agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val relErrs = exactByDay.map { case (d, n) =>
+      math.abs(estByDay.getOrElse(d, 0L) - n).toDouble / math.max(n, 1L)
+    }.toSeq :+ (math.abs(estTotal - exactTotal).toDouble / math.max(exactTotal, 1L))
+    val g9 = Gate("hll_rollup_relerr", 1.0 - relErrs.max, 0.95)
+
+    Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9)
   }
 }

@@ -198,6 +198,25 @@ object Events {
           expr("(day_epoch - cohort_epoch) div 86400").as("offset_days"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(asc("cohort_epoch"), asc("offset_days"))
+    }),
+
+    // Mergeable-sketch rollup (ops.SketchRollup): one DataSketches
+    // HLL sketch per day of user_id, then every range-distinct
+    // question is a kilobyte-sized sketch merge — the materialized
+    // sketch-column pattern for 100 TB dashboards (build day grains
+    // once at ingest; never rescan raw events). Rows-only driver
+    // check (the oracle engine has no DataSketches); accuracy is
+    // gated in Verify (hll_rollup_relerr, ≤5% worst-case vs exact)
+    // and SketchRollupSpec.
+    "q_hll_rollup" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val sk = graft.ops.SketchRollup.sketches(ev, Seq("day"), "user_id")
+      val perDay = graft.ops.SketchRollup.rollup(sk, Seq("day"))
+        .select(col("day").cast("string").as("day"), col("est_distinct"))
+      val total = graft.ops.SketchRollup.rollup(sk, Nil)
+        .select(lit("ALL").as("day"), col("est_distinct"))
+      perDay.unionByName(total).orderBy(asc("day"))
     })
   )
 
