@@ -357,23 +357,44 @@ object Dedup {
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows each; docs sharing any band hash are candidates.
     * Probability a pair with true Jaccard j becomes a candidate:
-    * 1 - (1 - j^r)^b with r = k/bands. */
+    * 1 - (1 - j^r)^b with r = k/bands.
+    *
+    * A pair agreeing on several bands is emitted ONCE, from its first
+    * agreeing band: each banded row carries the doc's full band-key
+    * array (bands longs — fixed 8·bands bytes, tiny next to the sig
+    * it derives from), and the joined row keeps only pairs whose
+    * prior band keys all differ. Same trick as
+    * [[simhashCandidatePairs]] / Similarity.rpLshNearDups: the filter
+    * is arithmetic on columns already in the row, replacing a
+    * `distinct()` that re-shuffled the whole candidate set — a set
+    * that on boilerplate-heavy corpora (the ones that need LSH) can
+    * dwarf the corpus itself. element_at on the materialized array
+    * ATTRIBUTE is O(1) per probe (unlike on an expression, which
+    * would re-evaluate the transform per element). */
   def lshCandidatePairs(sigs: DataFrame, bands: Int = 16): DataFrame = {
     val rowsPerBand = size(col("sig")) / bands
     val buckets = sigs
       .select(col("doc"),
-        posexplode(transform(
+        transform(
           sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(concat_ws("_",
             bnd, concat_ws(",", slice(col("sig"),
-              bnd * rowsPerBand + 1, rowsPerBand).cast("array<string>")))))))
+              bnd * rowsPerBand + 1, rowsPerBand).cast("array<string>")))))
+          .as("bkeys"))
+      .select(col("doc"), col("bkeys"), posexplode(col("bkeys")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    // sequence(0, band-1) would count DOWN for band = 0; filter the
+    // full band range instead (bands elements, constant).
+    val priorBands = filter(sequence(lit(0), lit(bands - 1)),
+      b => b < col("x.band"))
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc") < col("y.doc"))
+      .where(!exists(priorBands, b =>
+        element_at(col("x.bkeys"), (b + 1).cast("int")) ===
+          element_at(col("y.bkeys"), (b + 1).cast("int"))))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-      .distinct()
   }
 
   /** MinHash near-dup pipeline: LSH candidates verified by exact

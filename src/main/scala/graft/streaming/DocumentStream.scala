@@ -74,8 +74,8 @@ object DocumentStream {
     * batch path, so within one horizon the emitted candidate set
     * equals the batch candidate set exactly (asserted in
     * DocumentStreamSpec); a pair colliding in several bands emits
-    * per-band — downstream exact verification dedups, same contract
-    * as the batch pipeline's distinct().
+    * per-band — downstream exact verification dedups (the batch path
+    * instead emits once, from the first agreeing band).
     *
     * `docs` must carry (doc_id, text, ts TIMESTAMP). */
   def nearDupCandidateStream(spark: SparkSession, docs: DataFrame,
