@@ -381,7 +381,16 @@ object Dedup {
             bnd, concat_ws(",", slice(col("sig"),
               bnd * rowsPerBand + 1, rowsPerBand).cast("array<string>")))))
           .as("bkeys"))
-      .select(col("doc"), col("bkeys"), posexplode(col("bkeys")))
+      // posexplode_OUTER, deliberately: bkeys is transform over a
+      // fixed `bands`-element sequence, never empty, so outer is
+      // semantically identical — but a plain posexplode makes the
+      // optimizer infer `size(bkeys) > 0` (InferFiltersFromGenerate)
+      // and push it through the projections to the SCAN with every
+      // alias substituted: the whole minhash sig re-evaluated inside
+      // the per-band lambda, per input row, before the repartition —
+      // measured 9× on q_dedup_minhash. Outer generators infer
+      // nothing.
+      .select(col("doc"), col("bkeys"), posexplode_outer(col("bkeys")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     // sequence(0, band-1) would count DOWN for band = 0; filter the

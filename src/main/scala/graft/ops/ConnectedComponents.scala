@@ -31,8 +31,15 @@ object ConnectedComponents {
     * dedup cluster). */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
+    // Materialize the DIRECTED edge list before mirroring it: the
+    // union below references `e` twice, and Spark re-evaluates the
+    // whole upstream plan per branch — for LSH-produced edges that
+    // means running the candidate join twice. Checkpointing first
+    // makes the (cheap, already-pair-sized) edge list the thing that
+    // is read twice, not the pipeline that produced it.
     val e = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
+      .localCheckpoint(eager = true)
     // undirected: keep both directions once
     val undirected = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") =!= col("b"))
