@@ -85,6 +85,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** EXACT asymmetric containment: directed pairs where at least
+    * `minBp` basis points (1/10000) of the CONTAINED doc's distinct
+    * n-grams also appear in the CONTAINER: |A∩B| / |A| ≥ minBp/10000.
+    *
+    * Why it exists next to [[jaccardPairs]]: Jaccard normalizes by the
+    * UNION, so a short document quoted wholesale inside a much longer
+    * one scores near |A|/|B| ≈ 0 and is invisible — yet for a training
+    * corpus that quoted copy is exactly the duplication (and eval-
+    * leakage) signal that matters. Containment normalizes by the
+    * contained side only, which also means NO length-ratio prefilter
+    * applies: size-mismatched pairs are the point.
+    *
+    * Same inverted-index shuffle shape as [[jaccardPairs]] (cost is
+    * Σ df², bounded by `maxShingleDf`). The undirected pair aggregate
+    * runs ONCE; both directions are emitted from the aggregated row
+    * by exploding a two-element struct array — no union, so the
+    * expensive subtree is not evaluated twice. The fraction is an
+    * integer basis-point floor-division (the count-ratio rule: a
+    * double like 1/160 sits exactly on a decimal-rounding midpoint
+    * where Spark and DuckDB round differently). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minBp: Long = 5000, maxShingleDf: Long = 0): DataFrame = {
+    val withSh = df.select(col(idCol).as("doc"),
+      graft.functions.ShingleExprs.wordShingles(df.sparkSession, col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inverted0 = withSh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val inverted =
+      if (maxShingleDf <= 0) inverted0
+      else {
+        val dfCounts = inverted0.groupBy("shingle")
+          .agg(count(lit(1)).as("df_count"))
+          .where(col("df_count") <= maxShingleDf)
+          .select("shingle")
+        inverted0.join(dfCounts, "shingle")
+      }
+    val a = inverted.select(col("shingle"), col("doc").as("doc_a"), col("n_sh").as("n_a"))
+    val b = inverted.select(col("shingle"), col("doc").as("doc_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          expr("shared * 10000 DIV n_a").as("bp")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          expr("shared * 10000 DIV n_b").as("bp")))).as("r"))
+      .select(col("r.contained"), col("r.container"), col("r.bp"))
+      .where(col("bp") >= minBp)
+  }
+
   /** Decontamination screen (train/eval overlap): corpus docs sharing
     * at least `minShared` distinct word n-grams with any benchmark
     * doc. The benchmark side is an eval set — small by definition — so

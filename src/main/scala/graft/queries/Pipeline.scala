@@ -285,6 +285,24 @@ object Pipeline {
         .orderBy(asc("doc_id"), asc("chunk_idx"))
     }),
 
+    // Sequence packing: assign every doc to a fixed-4096-token
+    // training batch by power-of-two length bucket (ops.SeqPack).
+    // Padding waste is bounded by the bucket ratio and every batch
+    // has an identical token footprint — the embarrassingly-parallel
+    // form of bin packing a training loader actually uses. Positions
+    // are the deterministic md5-order ranks (same machinery as
+    // q_corpus_shuffle), so the assignment is bit-stable across runs
+    // and engines.
+    "q_seq_pack" -> ((s, dir) => {
+      val st = graft.functions.TextStatsExpr.textStats(s, col("text"))
+      val toks = spread(documents(s, dir))
+        .select(col("doc_id"), element_at(st, 1).as("tok"))
+      graft.ops.SeqPack.pack(toks, "doc_id", "tok", seed = 42L,
+          budget = 1024,
+          buckets = Seq(32L, 64L, 128L, 256L, 512L, 1024L))
+        .orderBy(asc("bucket_w"), asc("batch_idx"), asc("slot"))
+    }),
+
     // Inverse-document-frequency term weighting: top-3 salient terms
     // per document. Uses the RATIONAL idf (n_docs/df) rather than
     // ln(n_docs/df): IEEE-754 division and multiplication are
@@ -579,6 +597,19 @@ object Pipeline {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
+    // EXACT asymmetric containment (directed): ≥ 40% of the contained
+    // doc's distinct 3-grams appear in the container. Catches the
+    // quote/subset duplication Jaccard's union-normalization hides
+    // (a short doc inside a long one scores j ≈ |A|/|B| ≈ 0). Output
+    // is integer basis points (floor div on both engines) — the
+    // count-ratio parity rule. Same inverted-index scale shape (and
+    // df cutoff rationale) as q_near_dup_jaccard above.
+    "q_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(spread(documents(s, dir)), "text", "doc_id",
+        n = 3, minBp = 4000, maxShingleDf = 10)
+        .orderBy(asc("contained"), asc("container"))
+    }),
+
     // Per-source quotas: keep the best 2 docs per source domain by
     // quality — the curation knob that stops one crawl domain from
     // dominating the mixture. Runs through the bounded-heap top-N
@@ -689,6 +720,40 @@ object Pipeline {
     // pass, one broadcast, one TakeOrdered scan).
     "q_embed_outliers" -> ((s, dir) => {
       Similarity.outliers(embeddings(s, dir), "embedding", "vec_id", 20)
+    }),
+
+    // PCA covariance, leading 8×8 block (similarity/Pca): the corpus
+    // is touched by exactly TWO distributed passes — one mean
+    // aggregate (d rows per partition cross the wire) and one
+    // treeAggregate accumulating the packed upper triangle of
+    // Σ(x−μ)(x−μ)ᵀ per task (zero rows shuffle; ~16 KB buffers merge
+    // in a tree). The oracle recomputes the same centered products
+    // from the rounded-to-6 mean, proving the distributed accumulator
+    // against DuckDB's sequential sum to 4 decimals.
+    "q_pca_covariance" -> ((s, dir) => {
+      val mean = graft.similarity.Pca.meanOf(embeddings(s, dir), "embedding")
+      val (n, cov) = graft.similarity.Pca.covariance(
+        embeddings(s, dir), "embedding", mean)
+      val block = for { i <- 0 until 8; j <- 0 until 8 }
+        yield (i, j, cov(i)(j))
+      import s.implicits._
+      block.toDF("i", "j", "cov_raw")
+        .select(col("i"), col("j"), round(col("cov_raw"), 4).as("cov"))
+        .orderBy(asc("i"), asc("j"))
+    }),
+
+    // Whitened PCA projection to 8 dims (rows-only; PcaSpec carries
+    // the math guarantees — orthonormal components, unit variance
+    // after whitening, kernel ≡ declarative form). One model fit
+    // (two corpus passes, driver Jacobi) + ONE distributed projection
+    // pass through the native codegen'd mat-vec kernel.
+    "q_pca_project" -> ((s, dir) => {
+      val model = graft.similarity.Pca.fit(embeddings(s, dir), "embedding", k = 8)
+      val e = embeddings(s, dir)
+      e.select(col("vec_id"),
+          transform(graft.similarity.Pca.projectCol(e, "embedding", model,
+            whiten = true), y => round(y, 4)).as("proj"))
+        .orderBy(asc("vec_id"))
     }),
 
     // SimHash hamming-distance candidates (approximate; rows-only).
@@ -1083,6 +1148,26 @@ object Pipeline {
         |  chunk_idx * 112 AS start_tok,
         |  least(chunk_idx * 112 + 128, tok) AS end_tok
         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, tok,
+        |    CASE WHEN tok <= 32 THEN 32 WHEN tok <= 64 THEN 64
+        |         WHEN tok <= 128 THEN 128 WHEN tok <= 256 THEN 256
+        |         WHEN tok <= 512 THEN 512 ELSE 1024 END AS bucket_w
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, tok, bucket_w,
+        |    row_number() OVER (PARTITION BY bucket_w
+        |      ORDER BY md5('42|' || doc_id::VARCHAR), doc_id) - 1 AS p
+        |  FROM b)
+        |SELECT doc_id, tok, bucket_w,
+        |  p // (1024 // bucket_w) AS batch_idx,
+        |  p % (1024 // bucket_w) AS slot
+        |FROM r ORDER BY bucket_w, batch_idx, slot""".stripMargin,
     "q_tfidf" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1402,6 +1487,19 @@ object Pipeline {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] END) AS ws
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS contained, b.doc_id AS container,
+        |    len(list_intersect(a.ws, b.ws))::BIGINT * 10000 // len(a.ws) AS bp
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+        |SELECT contained, container, bp FROM pairs
+        |WHERE bp >= 4000 ORDER BY contained, container""".stripMargin,
     "q_source_quota" ->
       """WITH m AS (
         |  SELECT source, doc_id,
@@ -1462,6 +1560,18 @@ object Pipeline {
         |SELECT vec_id, round(list_cosine_similarity(v, mv), 4) AS score
         |FROM e, mean
         |ORDER BY score ASC, vec_id LIMIT 20""".stripMargin,
+    "q_pca_covariance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS p
+        |      FROM e),
+        |c AS (SELECT vec_id, x, p FROM u WHERE p <= 8),
+        |m AS (SELECT p, round(avg(x), 6) AS mu FROM c GROUP BY 1),
+        |ctr AS (SELECT c.vec_id, c.p, c.x - m.mu AS cx
+        |        FROM c JOIN m ON c.p = m.p)
+        |SELECT a.p - 1 AS i, b.p - 1 AS j,
+        |  round(sum(a.cx * b.cx) / count(*), 4) AS cov
+        |FROM ctr a JOIN ctr b ON a.vec_id = b.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qvec), 4) AS score

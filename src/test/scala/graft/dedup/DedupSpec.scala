@@ -47,6 +47,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 200L)) && pairs.contains((1L, 201L)))
   }
 
+  test("containment finds a quoted subset that jaccard misses") {
+    val s = spark
+    import s.implicits._
+    // doc 1 is quoted wholesale inside doc 2, which is ~5× longer:
+    // containment(1 ⊂ 2) = 100%, but jaccard ≈ |A|/|B| ≈ 0.2.
+    val quote = (0 until 12).map(i => vocab(i % vocab.length)).mkString(" ")
+    val padding = (0 until 48).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(1L -> quote, 2L -> s"$padding $quote",
+      3L -> "totally unrelated content here").toDF("doc_id", "text")
+    val contained = Dedup.containmentPairs(docs, "text", "doc_id",
+      n = 3, minBp = 9000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(contained.toSeq == Seq((1L, 2L, 10000L)), contained.mkString(","))
+    // the same pair is invisible to jaccard at any useful threshold
+    val j = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect()
+    assert(j.isEmpty)
+    // directionality: the long container is only fractionally inside
+    // the quote (shared 10 of its 58 shingles → well under 5000 bp)
+    val bp21 = Dedup.containmentPairs(docs, "text", "doc_id", n = 3, minBp = 1)
+      .where(col("contained") === 2L).collect().map(_.getLong(2))
+    assert(bp21.length == 1 && bp21.head < 5000, bp21.mkString(","))
+  }
+
   test("minhash LSH achieves full recall on high-jaccard pairs here") {
     val exact = Dedup.jaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
