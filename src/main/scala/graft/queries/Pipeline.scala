@@ -597,6 +597,19 @@ object Pipeline {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
+    // Prefix-filtered EXACT Jaccard (AllPairs/PPJoin): identical
+    // output to q_near_dup_jaccard's semantics with NO df cutoff —
+    // the lemma (docs with j ≥ t must collide inside their rarest
+    // |A|−⌈t|A|⌉+1 shingles) shrinks the inverted index ~(1−t)× and
+    // starves the boilerplate-shingle join blowup without trading
+    // recall. The scale successor to the cutoff: exact at any corpus
+    // size.
+    "q_near_dup_prefix" -> ((s, dir) => {
+      Dedup.jaccardPairsPrefix(spread(documents(s, dir)), "text", "doc_id",
+        n = 3, threshold = 0.3)
+        .orderBy(asc("doc_a"), asc("doc_b"))
+    }),
+
     // EXACT asymmetric containment (directed): ≥ 40% of the contained
     // doc's distinct 3-grams appear in the container. Catches the
     // quote/subset duplication Jaccard's union-normalization hides
@@ -1474,6 +1487,20 @@ object Pipeline {
         |SELECT count(*) AS n_new, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM sv""".stripMargin,
     "q_near_dup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] END) AS ws
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_near_dup_prefix" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
         |    ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] END) AS ws

@@ -47,6 +47,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 200L)) && pairs.contains((1L, 201L)))
   }
 
+  test("prefix-filtered jaccard equals the full inverted-index join") {
+    val full = Dedup.jaccardPairs(corpus, "text", "doc_id",
+        n = 3, threshold = 0.5, maxShingleDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.jaccardPairsPrefix(corpus, "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty)
+    assert(pref == full,
+      s"prefix-only: ${(pref -- full).take(3)}; full-only: ${(full -- pref).take(3)}")
+  }
+
   test("containment finds a quoted subset that jaccard misses") {
     val s = spark
     import s.implicits._
