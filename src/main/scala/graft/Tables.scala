@@ -24,32 +24,45 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as LONG and convert to a microsecond
-    * TimestampType column — the same truncation DuckDB applies, so oracle
-    * comparisons agree.
+  /** The events parquet has shipped in two physical encodings of `ts`:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    * nanos as LONG and truncate to µs, same truncation DuckDB applies)
+    * and plain timestamp[us] (TIMESTAMP_NTZ). Branch on the actual file
+    * schema so both shapes yield the same µs TimestampType column under
+    * the UTC session every entry point sets.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     eventsRange(spark, sfDir, None, None)
 
-  /** Events with an optional time-range applied to the RAW nanosecond
-    * column BEFORE the µs conversion: a predicate on the derived
-    * timestamp cannot reach the parquet scan, but on the raw int64 it
-    * pushes down and prunes row groups via min/max stats — at 100 TB
-    * of events this is the difference between scanning a day and
-    * scanning the archive.
+  /** Events with an optional time-range applied to the RAW stored
+    * column BEFORE any conversion: a predicate on a derived timestamp
+    * cannot reach the parquet scan, but on the stored int64-nanos (or
+    * native µs timestamp) it pushes down and prunes row groups via
+    * min/max stats — at 100 TB of events this is the difference
+    * between scanning a day and scanning the archive.
     */
   def eventsRange(spark: SparkSession, sfDir: String,
       fromUtc: Option[String], untilUtc: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def nanosOf(s: String): Long =
+    def ldt(s: String): java.time.LocalDateTime =
       java.time.LocalDateTime.parse(s.replace(" ", "T"))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
     var df = table(spark, sfDir, "events")
-    fromUtc.foreach(t => df = df.where(col("ts") >= nanosOf(t)))
-    untilUtc.foreach(t => df = df.where(col("ts") < nanosOf(t)))
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw int64 nanos
+        def nanosOf(s: String): Long =
+          ldt(s).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+        fromUtc.foreach(t => df = df.where(col("ts") >= nanosOf(t)))
+        untilUtc.foreach(t => df = df.where(col("ts") < nanosOf(t)))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // timestamp[us]: NTZ (or LTZ) — native timestamp predicates push down
+        fromUtc.foreach(t => df = df.where(col("ts") >= lit(ldt(t))))
+        untilUtc.foreach(t => df = df.where(col("ts") < lit(ldt(t))))
+        // NTZ→LTZ cast interprets wall time in the session tz (UTC
+        // everywhere here), matching the nanos path's epoch µs exactly.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -158,14 +158,23 @@ object EventStream {
       outputMode: OutputMode = OutputMode.Complete(),
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The events parquet has shipped both as TIMESTAMP(NANOS) (long
+    // nanos under nanosAsLong) and as timestamp[us]; streaming needs
+    // the schema declared up front, so probe one footer batch-side and
+    // declare the matching shape (same branch as Tables.eventsRange).
+    val tsIsLong = spark.read.parquet(sourceDir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tsDecl = if (tsIsLong) "ts LONG" else "ts TIMESTAMP_NTZ"
     val reader = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+      .schema(s"event_id LONG, $tsDecl, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n))
-    val raw = reader
-      .parquet(sourceDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val parsed = reader.parquet(sourceDir)
+    val raw =
+      if (tsIsLong) parsed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else parsed.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
     val q = transform(raw).writeStream
       .outputMode(outputMode)
       .format("memory")
