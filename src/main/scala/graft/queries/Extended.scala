@@ -137,6 +137,49 @@ object Extended {
         .orderBy(asc("id_a"), asc("id_b"))
     }),
 
+    // CDC merge / upsert (MERGE INTO): a deterministic change log
+    // derived from orders — a seq-1 price update (keys ≡3 mod 10), a
+    // seq-1 delete (≡7 mod 10), a seq-2 update overriding the seq-1
+    // one (≡3 mod 100), a seq-2 upsert RESURRECTING a seq-1-deleted
+    // key (≡7 mod 100), and brand-new inserted keys (≡1 mod 10,
+    // shifted up by 10⁸) — applied latest-wins through the
+    // broadcast-anti scale shape: the base table is never shuffled;
+    // the only exchange carries the change log. Prices are integer
+    // cents via floor (both engines floor the same binary double) —
+    // the count-ratio/round parity rule. Output is a per-status
+    // summary so every merged row feeds the hash.
+    "q_merge_upsert" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_c"))
+      def ch(f: DataFrame => DataFrame): DataFrame = f(o)
+      val changes =
+        ch(_.where(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"), col("status"),
+            (col("price_c") + 1000L).as("price_c"),
+            lit(1L).as("seq"), lit("U").as("op")))
+        .unionByName(ch(_.where(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey"), col("status"), col("price_c"),
+            lit(1L).as("seq"), lit("D").as("op"))))
+        .unionByName(ch(_.where(col("o_orderkey") % 100 === 3)
+          .select(col("o_orderkey"), col("status"),
+            (col("price_c") * 2).as("price_c"),
+            lit(2L).as("seq"), lit("U").as("op"))))
+        .unionByName(ch(_.where(col("o_orderkey") % 100 === 7)
+          .select(col("o_orderkey"), lit("R").as("status"),
+            lit(4242L).as("price_c"), lit(2L).as("seq"), lit("U").as("op"))))
+        .unionByName(ch(_.where(col("o_orderkey") % 10 === 1)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("N").as("status"), lit(777L).as("price_c"),
+            lit(1L).as("seq"), lit("U").as("op"))))
+      graft.ops.Merge.latestWinsSmallChanges(o, changes, Seq("o_orderkey"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_c")).as("total_cents"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(asc("status"))
+    }),
+
     // Z-order layout summary over lineitem's two independent join
     // keys: every shard (top-6 z-bits) must be a small RECTANGLE in
     // (partkey, suppkey) space — per-dim extent < 2^13 of the 2^16
@@ -150,6 +193,35 @@ object Extended {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, status, price_c + 1000 AS price_c,
+        |    1 AS seq, 'U' AS op FROM o WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, status, price_c, 1, 'D' FROM o WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, status, price_c * 2, 2, 'U' FROM o WHERE o_orderkey % 100 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'R', 4242, 2, 'U' FROM o WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', 777, 1, 'U' FROM o WHERE o_orderkey % 10 = 1),
+        |all_rows AS (
+        |  SELECT o_orderkey, status, price_c,
+        |    CAST(-9223372036854775807 - 1 AS BIGINT) AS seq, 'U' AS op FROM o
+        |  UNION ALL SELECT * FROM changes),
+        |latest AS (
+        |  SELECT o_orderkey, status, price_c, op,
+        |    row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM all_rows)
+        |SELECT status, count(*) AS n_orders,
+        |  sum(price_c)::BIGINT AS total_cents,
+        |  sum(o_orderkey)::BIGINT AS key_sum
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_set_ops" ->
       """WITH hv AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 350000),
         |rc AS (SELECT DISTINCT o_custkey FROM orders

@@ -707,6 +707,23 @@ object Pipeline {
         .orderBy(asc("query_id"), asc("rk"))
     }),
 
+    // IVF-accelerated kNN JOIN — the scale path for a query SET:
+    // each query probes its nprobe best cells, candidates come from a
+    // broadcast equi-join on centroid_id, and the assigned corpus is
+    // never shuffled (approximate; rows-only — nprobe=c exactness and
+    // clustered recall are asserted in SimilaritySpec).
+    "q_knn_join_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id", 16,
+        trainPct = 25)
+      val assigned = Similarity.ivfAssign(spread(emb), "embedding", "vec_id", cents)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.ivfKnnJoin(assigned, "embedding", "vec_id",
+          queries, "qe", "qid", cents, k = 3, nprobe = 4)
+        .orderBy(asc("query_id"), asc("rk"))
+    }),
+
     // MinHash+LSH near-dups (approximate; rows-only driver check —
     // recall vs the exact Jaccard pairs is asserted in DedupSpec).
     "q_dedup_minhash" -> ((s, dir) => {

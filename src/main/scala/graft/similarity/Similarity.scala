@@ -111,6 +111,38 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rk"))
   }
 
+  /** kNN JOIN through the IVF index — the scale path when the query
+    * side is a SET. [[knnJoin]] scores corpus × queries (right for a
+    * handful of probes); here each query ranks the centroid table
+    * (tiny, broadcast) for its `nprobe` best cells via the
+    * bounded-heap TopK — never a per-query window — and corpus
+    * candidates come from a broadcast hash join on `centroid_id`: the
+    * assigned corpus is NEVER shuffled and scores only the
+    * ~`nprobe/c` fraction of rows whose cell some query probes,
+    * cutting the scoring work by c/nprobe versus the exact join.
+    * Output schema matches [[knnJoin]]; recall vs it is asserted in
+    * SimilaritySpec (nprobe = c is exhaustive and must match exactly).
+    */
+  def ivfKnnJoin(assigned: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))
+    val ranked = q.crossJoin(broadcast(centroids))
+      .withColumn("s", ncos(queries, col("qvec"), col("cvec")))
+      .select(col("query_id"), col("s"), col("centroid_id"))
+    val probes = graft.ops.TopK.byScore(ranked, Seq("query_id"), "s",
+        "centroid_id", nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val qSide = probes.join(q, Seq("query_id"))
+    val cand = assigned.join(broadcast(qSide), Seq("centroid_id"))
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("score", round(ncos(assigned, col(vecCol), col("qvec")), 4))
+      .select(col("query_id"), col("score"), col(idCol))
+    graft.ops.TopK.byScore(cand, Seq("query_id"), "score", idCol, k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("score"), col("rk"))
+  }
+
   /** Deterministic k-means IVF centroids, trained the way production
     * IVF quantizers are built (faiss recipe): a BOUNDED deterministic
     * sample of the corpus is collected once, the Lloyd iterations run
