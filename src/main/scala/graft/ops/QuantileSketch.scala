@@ -1,0 +1,180 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KLL quantile sketch (Karnin, Lang, Liberty, "Optimal quantile
+  * approximation in streams", FOCS 2016) as a typed Spark
+  * `Aggregator` — the MERGEABLE quantile summary that completes the
+  * materialized-sketch-column trio next to HLL distincts
+  * ([[SketchRollup]]) and Space-Saving heavy hitters
+  * ([[HeavyHitters]]): aggregate each grain (day) once into a
+  * constant-size sketch row, persist the tiny sketch table, and
+  * answer "p99 of latency over ANY date range" by merging the
+  * matching sketch rows — kilobytes, no rescan. The exact profiler
+  * (ops/Profile) answers one-shot exact quantiles with a full
+  * distributed sort; this is the amortized path when the same column
+  * is asked again and again over sliding ranges.
+  *
+  * Structure: geometrically-capacitied level buffers; level i items
+  * carry weight 2^i. A full level sorts and promotes alternate items
+  * to level i+1 (each promoted item now represents two). Weight is
+  * conserved exactly: an odd buffer retains its maximum at the
+  * current level and compacts the even remainder, so the total
+  * represented weight always equals n and rank queries never drift.
+  * Rank error after compaction is bounded by the classic KLL
+  * analysis at O(1/k) with k the top-level capacity; the spec
+  * measures ≤ 2% rank error at k=200 on 50k adversarially-ordered
+  * values, and the Verify gate re-checks against the exact profiler
+  * on real data.
+  *
+  * Determinism: KLL's random compaction coin is replaced by an
+  * alternating parity counter, so a FIXED plan and partitioning
+  * reproduces bit-identical sketches; like the HLL rollup, estimates
+  * across DIFFERENT partitionings agree only within sketch error —
+  * treat them as ±ε, never as stable keys.
+  */
+object QuantileSketch {
+
+  // Encoder-visible (public — the private-case-class codegen trap)
+  // persistable sketch form: one struct column per grain row.
+  final case class LevelData(level: Int, values: Seq[Double])
+  final case class KllData(k: Int, n: Long, compactions: Long,
+      levels: Seq[LevelData])
+
+  final class Sketch(var k: Int) extends Serializable {
+    var n: Long = 0L
+    var compactions: Long = 0L
+    val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Double]] =
+      mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double])
+
+    // level capacities shrink from the top by 2/3 per step (KLL §2);
+    // the floor of 2 keeps low levels meaningful at small k
+    private def capOf(i: Int): Int = {
+      val depth = levels.length - 1 - i
+      math.max(2, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
+    }
+    private def budget: Int = levels.indices.map(capOf).sum
+    private def size: Int = levels.iterator.map(_.length).sum
+
+    def add(x: Double): Sketch = {
+      levels(0) += x
+      n += 1
+      if (size > budget) compress()
+      this
+    }
+
+    private def compress(): Unit = {
+      val i = levels.indices.find(j => levels(j).length > capOf(j)).getOrElse(0)
+      val sorted = levels(i).sorted
+      // odd buffer: retain the max at this level, compact the even rest
+      val (toCompact, retain) =
+        if (sorted.length % 2 == 0) (sorted, Nil)
+        else (sorted.init, List(sorted.last))
+      val offset = (compactions & 1L).toInt // deterministic alternating coin
+      compactions += 1
+      val promoted = offset until toCompact.length by 2 map toCompact
+      levels(i) = levels(i).take(0)
+      levels(i) ++= retain
+      if (i + 1 == levels.length) levels += mutable.ArrayBuffer.empty[Double]
+      levels(i + 1) ++= promoted
+    }
+
+    def mergeWith(o: Sketch): Sketch = {
+      if (k == 0) k = o.k
+      n += o.n
+      compactions += o.compactions
+      while (levels.length < o.levels.length)
+        levels += mutable.ArrayBuffer.empty[Double]
+      for (i <- o.levels.indices) levels(i) ++= o.levels(i)
+      while (size > budget) compress()
+      this
+    }
+
+    /** Rank-nearest quantiles: smallest item whose cumulative weight
+      * reaches ⌈q·n⌉ over the weight-sorted item multiset. */
+    def quantiles(probs: Seq[Double]): Seq[Double] = {
+      if (n == 0) return probs.map(_ => Double.NaN)
+      val items = (for {
+        i <- levels.indices.iterator
+        v <- levels(i).iterator
+      } yield (v, 1L << i)).toArray.sortBy(_._1)
+      val total = items.iterator.map(_._2).sum
+      probs.map { q =>
+        val target = math.max(1L, math.ceil(q * total).toLong)
+        var cum = 0L
+        var ans = items.last._1
+        val it = items.iterator
+        var found = false
+        while (it.hasNext && !found) {
+          val (v, w) = it.next(); cum += w
+          if (cum >= target) { ans = v; found = true }
+        }
+        ans
+      }
+    }
+  }
+
+  def toData(s: Sketch): KllData =
+    KllData(s.k, s.n, s.compactions,
+      s.levels.iterator.zipWithIndex.collect {
+        case (l, i) if l.nonEmpty => LevelData(i, l.toSeq)
+      }.toSeq)
+
+  def fromData(d: KllData): Sketch = {
+    val s = new Sketch(d.k)
+    s.n = d.n
+    s.compactions = d.compactions
+    val maxLevel = if (d.levels.isEmpty) 0 else d.levels.map(_.level).max
+    while (s.levels.length <= maxLevel)
+      s.levels += mutable.ArrayBuffer.empty[Double]
+    d.levels.foreach(l => s.levels(l.level) ++= l.values)
+    s
+  }
+
+  private def buildAgg(k: Int): Aggregator[Double, Sketch, KllData] =
+    new Aggregator[Double, Sketch, KllData] {
+      def zero: Sketch = new Sketch(k)
+      def reduce(b: Sketch, a: Double): Sketch = b.add(a)
+      def merge(a: Sketch, b: Sketch): Sketch = a.mergeWith(b)
+      def finish(r: Sketch): KllData = toData(r)
+      def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      def outputEncoder: Encoder[KllData] = Encoders.product[KllData]
+    }
+
+  private def mergeAgg(probs: Seq[Double]): Aggregator[KllData, Sketch, Seq[Double]] =
+    new Aggregator[KllData, Sketch, Seq[Double]] {
+      def zero: Sketch = new Sketch(0) // adopts k from the first input
+      def reduce(b: Sketch, a: KllData): Sketch = b.mergeWith(fromData(a))
+      def merge(a: Sketch, b: Sketch): Sketch = a.mergeWith(b)
+      def finish(r: Sketch): Seq[Double] = r.quantiles(probs)
+      def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      def outputEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+
+  /** One KLL sketch per group: what the shuffle carries is a bounded
+    * sketch per (group, partition), never the values. */
+  def sketch(c: Column, k: Int = 200): Column =
+    udaf(buildAgg(k), Encoders.scalaDouble)(c.cast("double"))
+
+  /** Merge persisted sketch rows (optionally pre-filtered to a range)
+    * into quantile estimates per residual group. */
+  def rollup(sketchDf: DataFrame, residualCols: Seq[String],
+      probs: Seq[Double], sketchCol: String = "sketch"): DataFrame = {
+    val u = udaf(mergeAgg(probs), Encoders.product[KllData])
+    // a product input encoder flattens to one udaf parameter per
+    // case-class field — pass the struct's fields, not the struct
+    val est = u(col(s"$sketchCol.k"), col(s"$sketchCol.n"),
+      col(s"$sketchCol.compactions"), col(s"$sketchCol.levels")).as("qs")
+    val base =
+      if (residualCols.isEmpty) sketchDf.agg(est)
+      else sketchDf.groupBy(residualCols.map(col): _*).agg(est)
+    probs.zipWithIndex.foldLeft(base) { case (df, (p, i)) =>
+      df.withColumn(s"p${math.round(p * 100)}", element_at(col("qs"), i + 1))
+    }.drop("qs")
+  }
+}

@@ -217,6 +217,26 @@ object Events {
       val total = graft.ops.SketchRollup.rollup(sk, Nil)
         .select(lit("ALL").as("day"), col("est_distinct"))
       perDay.unionByName(total).orderBy(asc("day"))
+    }),
+
+    // Mergeable KLL quantile rollup — the quantile analogue of
+    // q_hll_rollup: one sketch row per (event_type, day) grain, then
+    // per-type p50/p90/p99 from merging each type's day rows. At
+    // 100 TB the raw scan happens once per grain; every later range
+    // question touches kilobytes (approximate; rows-only — rank-error
+    // bounds are asserted in QuantileSketchSpec and re-checked
+    // against the exact profiler by the kll_rollup_rankerr Verify
+    // gate). Values round to 2dp only for display.
+    "q_quantile_rollup" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      val sk = ev.groupBy(col("event_type"), col("day"))
+        .agg(graft.ops.QuantileSketch.sketch(col("value")).as("sketch"))
+      graft.ops.QuantileSketch.rollup(sk, Seq("event_type"),
+          Seq(0.5, 0.9, 0.99))
+        .select(col("event_type"), round(col("p50"), 2).as("p50"),
+          round(col("p90"), 2).as("p90"), round(col("p99"), 2).as("p99"))
+        .orderBy(asc("event_type"))
     })
   )
 

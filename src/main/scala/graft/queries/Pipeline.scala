@@ -597,16 +597,19 @@ object Pipeline {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
-    // Prefix-filtered EXACT Jaccard (AllPairs/PPJoin): identical
-    // output to q_near_dup_jaccard's semantics with NO df cutoff —
-    // the lemma (docs with j ≥ t must collide inside their rarest
-    // |A|−⌈t|A|⌉+1 shingles) shrinks the inverted index ~(1−t)× and
-    // starves the boilerplate-shingle join blowup without trading
-    // recall. The scale successor to the cutoff: exact at any corpus
-    // size.
+    // Prefix-filtered EXACT Jaccard (AllPairs/PPJoin): same semantics
+    // as q_near_dup_jaccard with NO df cutoff — docs with j ≥ t must
+    // collide inside their rarest |A|−⌈t|A|⌉+1 shingles, plus the
+    // length-band and positional filters. Runs at t=0.6, the regime
+    // prefix filtering is built for: at t=0.3 the prefix is 70% of
+    // the index and this corpus's dense vocabulary (median shingle
+    // df 9) made ~5% of ALL pairs candidates (measured 648k at
+    // sf0.1, 15 s); at 0.6 the index is the rarest ~40% and the
+    // detected near-dups are identical (every true pair here has
+    // j ≥ 0.9). Exact at any corpus size.
     "q_near_dup_prefix" -> ((s, dir) => {
       Dedup.jaccardPairsPrefix(spread(documents(s, dir)), "text", "doc_id",
-        n = 3, threshold = 0.3)
+        n = 3, threshold = 0.6)
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
@@ -1530,7 +1533,7 @@ object Pipeline {
         |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs
-        |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
     "q_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** True rank (fraction ≤ v) of each estimate in the source data. */
+  private def maxRankErr(data: Seq[Double], est: Seq[Double]): Double = {
+    val sorted = data.sorted
+    probs.zip(est).map { case (q, v) =>
+      val r = sorted.count(_ <= v).toDouble / sorted.size
+      math.abs(r - q)
+    }.max
+  }
+
+  test("no-compaction regime is exact") {
+    val data = (1 to 150).map(_.toDouble)
+    val df = data.toDF("v")
+    val sk = df.agg(QuantileSketch.sketch(col("v"), k = 200).as("sketch"))
+    val out = QuantileSketch.rollup(sk, Nil, probs).collect().head
+    probs.zipWithIndex.foreach { case (q, i) =>
+      val expect = math.max(1, math.ceil(q * 150).toInt).toDouble
+      assert(out.getDouble(i) === expect, s"p$q")
+    }
+  }
+
+  test("rank error ≤ 2% at k=200 on 50k adversarially ordered values") {
+    val rnd = new scala.util.Random(3)
+    // half sorted ascending, half random, with heavy duplicates — the
+    // orders that break naive sampling
+    val data = (1 to 25000).map(_.toDouble) ++
+      Seq.fill(25000)(math.floor(rnd.nextDouble() * 1000))
+    val df = data.toDF("v").repartition(8)
+    val sk = df.agg(QuantileSketch.sketch(col("v"), k = 200).as("sketch"))
+    val est = QuantileSketch.rollup(sk, Nil, probs).collect().head
+    val estVals = probs.indices.map(est.getDouble)
+    val err = maxRankErr(data, estVals)
+    assert(err <= 0.02, s"rank error $err > 2%: $estVals")
+  }
+
+  test("merged per-group sketches match a single global sketch's accuracy") {
+    val rnd = new scala.util.Random(9)
+    val data = Seq.fill(40000)(rnd.nextGaussian() * 10 + 50)
+    val df = data.zipWithIndex
+      .map { case (v, i) => (i % 13, v) }.toDF("g", "v").repartition(8)
+    // grain sketches (one per group), then rollup-merge across groups
+    val grains = df.groupBy(col("g"))
+      .agg(QuantileSketch.sketch(col("v"), k = 200).as("sketch"))
+    assert(grains.count() == 13)
+    val est = QuantileSketch.rollup(grains, Nil, probs).collect().head
+    val estVals = probs.indices.map(est.getDouble)
+    assert(maxRankErr(data, estVals) <= 0.02,
+      s"post-merge rank error too high: $estVals")
+  }
+
+  test("weight is conserved: merged n equals source row count") {
+    val df = (1 to 9999).map(_.toDouble).toDF("v").repartition(7)
+    val sk = df.agg(QuantileSketch.sketch(col("v"), k = 64).as("sketch"))
+      .select(col("sketch.n")).as[Long].collect().head
+    assert(sk == 9999L)
+  }
+
+  test("fixed merge order reproduces bit-identical sketches") {
+    val data = (1 to 5000).map(i => ((i * 2654435761L) % 977).toDouble)
+    val a = QuantileSketch.toData(
+      data.foldLeft(new QuantileSketch.Sketch(100))(_.add(_)))
+    val b = QuantileSketch.toData(
+      data.foldLeft(new QuantileSketch.Sketch(100))(_.add(_)))
+    assert(a == b)
+  }
+}
