@@ -56,6 +56,24 @@ object Sampling {
       weight.cast("double") / lit(wNorm) * lit(4503599627370496.0) // 2^52
   }
 
+  /** Deterministic EXACT-k uniform sample per group — the
+    * reservoir-sampling answer ("exactly k docs per source, uniformly")
+    * without reservoir state: rank every row by a 52-bit md5 draw on
+    * its id (ties by id) and keep each group's k smallest. Equivalent
+    * to a uniform k-subset because the hash order is a fixed random
+    * permutation of ids, and reproducible on any engine that can md5.
+    * Ranking runs through the bounded-heap TopK aggregate, so the
+    * shuffle carries ≤ k rows per (group, partition) — never a window
+    * sort over the group. */
+  def groupedExactK(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") // 52 bits: exact in a double on every engine
+    TopK.byScore(df.select(col(groupCol), col(idCol)).withColumn("__u", -u),
+        Seq(groupCol), "__u", idCol, k)
+      .select(col(groupCol), col(idCol), col("rk"))
+  }
+
   private def coin(id: Column): Column =
     substring(md5(id.cast("string")), 1, 4)
 

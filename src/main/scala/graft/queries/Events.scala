@@ -219,6 +219,27 @@ object Events {
       perDay.unionByName(total).orderBy(asc("day"))
     }),
 
+    // Bounded RANGE-frame moving aggregate: per-user trailing-hour
+    // event count and value sum, evaluated at every event. The frame
+    // is TIME-bounded (3600 s preceding), so window state stays
+    // O(events-in-an-hour) per user however long the history — the
+    // legitimate window shape, unlike the unbounded low-cardinality
+    // windows the build notes ban. Partitioning by user_id scales
+    // with the user population; the frame arithmetic runs on epoch
+    // seconds (exact BIGINT) on both engines.
+    "q_events_moving" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("sum_win", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("n_win"), col("sum_win"))
+        .orderBy(asc("event_id"))
+    }),
+
     // Mergeable KLL quantile rollup — the quantile analogue of
     // q_hll_rollup: one sketch row per (event_type, day) grain, then
     // per-type p50/p90/p99 from merging each type's day rows. At
@@ -241,6 +262,14 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_events_moving" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_win,
+        |  round(sum(value) OVER w, 2) AS sum_win
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_events_per_user" ->
       """SELECT user_id, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value,

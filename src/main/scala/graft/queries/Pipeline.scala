@@ -521,6 +521,17 @@ object Pipeline {
         .orderBy(asc("source"))
     }),
 
+    // Deterministic EXACT-k uniform sample per source (the reservoir
+    // answer without reservoir state): rank by a 52-bit md5 draw on
+    // doc_id, keep each source's 5 smallest, through the bounded-heap
+    // TopK — ≤ k rows per (source, partition) in the shuffle, no
+    // window sort. Bit-reproducible on both engines.
+    "q_group_sample" -> ((s, dir) => {
+      graft.ops.Sampling.groupedExactK(documents(s, dir), "source",
+          "doc_id", k = 5)
+        .orderBy(asc("source"), asc("rk"))
+    }),
+
     // Fixed-iteration PageRank (ops/PageRank) over a deterministic
     // 2-out-regular doc graph (i -> (31i+7) mod N, (13i+5) mod N):
     // document/domain authority as a quality-weighting signal. Ranks
@@ -1399,6 +1410,17 @@ object Pipeline {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT::DOUBLE
         |      < n_chars::DOUBLE / 1200 * 4503599627370496.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_group_sample" ->
+      """WITH u AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT::DOUBLE AS draw
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY draw, doc_id)::INT AS rk
+        |  FROM u)
+        |SELECT source, doc_id, rk FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
     "q_pagerank" ->
       """WITH d AS (SELECT doc_id AS id FROM documents),
         |meta AS (SELECT count(*) AS n FROM d),

@@ -55,6 +55,33 @@ class MergeSpec extends SparkSpec {
     assert(x.nonEmpty)
   }
 
+  test("streaming latest-wins merge equals the batch merge") {
+    // the SAME argmax aggregate — max(struct(seq, op, payload)) — is
+    // streaming-compatible: per-key state is one struct, updated as
+    // change batches arrive; complete-mode output IS the merged table
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-stream")
+    val stamped = base
+      .withColumn("seq", lit(Long.MinValue)).withColumn("op", lit("U"))
+      .select("k", "name", "v", "seq", "op")
+    stamped.coalesce(1).write.parquet(s"$dir/a")
+    changes.select("k", "name", "v", "seq", "op")
+      .coalesce(1).write.parquet(s"$dir/b")
+    val q = spark.readStream
+      .schema("k LONG, name STRING, v LONG, seq LONG, op STRING")
+      .parquet(s"$dir/*")
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("name"), col("v"))).as("w"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("merged_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT k, w.name, w.v FROM merged_stream WHERE w.op <> 'D' ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(streamed === collect(Merge.latestWins(base, changes, Seq("k"))))
+  }
+
   test("scale shape: the anti join broadcasts; the base never sort-merges") {
     val merged = Merge.latestWinsSmallChanges(base, changes, Seq("k"))
     merged.collect() // force AQE to finalize the executed plan
