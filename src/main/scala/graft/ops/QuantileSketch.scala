@@ -94,6 +94,19 @@ object QuantileSketch {
       this
     }
 
+    /** Empirical CDF at `v`: the weight fraction of items ≤ v. */
+    def rankOf(v: Double): Double = {
+      if (n == 0) return 0.0
+      var cum = 0L
+      var total = 0L
+      for (i <- levels.indices; x <- levels(i)) {
+        val w = 1L << i
+        total += w
+        if (x <= v) cum += w
+      }
+      cum.toDouble / total
+    }
+
     /** Rank-nearest quantiles: smallest item whose cumulative weight
       * reaches ⌈q·n⌉ over the weight-sorted item multiset. */
     def quantiles(probs: Seq[Double]): Seq[Double] = {
@@ -160,6 +173,51 @@ object QuantileSketch {
     * sketch per (group, partition), never the values. */
   def sketch(c: Column, k: Int = 200): Column =
     udaf(buildAgg(k), Encoders.scalaDouble)(c.cast("double"))
+
+  /** Grid-Kolmogorov-Smirnov distance between two sketches: the max
+    * CDF gap evaluated over both sketches' stored support points (the
+    * finest grid either sketch can distinguish). Within each sketch's
+    * rank error of the true KS statistic. */
+  def ksDistance(a: KllData, b: KllData): Double = {
+    val sa = fromData(a)
+    val sb = fromData(b)
+    if (sa.n == 0 || sb.n == 0) return if (sa.n == sb.n) 0.0 else 1.0
+    val grid = (a.levels.flatMap(_.values) ++ b.levels.flatMap(_.values)).distinct
+    grid.iterator.map(v => math.abs(sa.rankOf(v) - sb.rankOf(v))).max
+  }
+
+  /** Distribution-drift monitor — the data-quality check a long-lived
+    * ingest pipeline runs on every batch: does today's metric
+    * distribution still look like the reference cohort's? Each cohort
+    * aggregates to ONE sketch row per group (what moves is sketches,
+    * never values); the drift statistic is [[ksDistance]] computed in
+    * a typed map over the joined sketch rows — one row per group end
+    * to end, no collect. Output: group columns + `ks_bp` (basis
+    * points, 0–10000). Gate on e.g. ks_bp > 500 to quarantine a
+    * batch. */
+  def drift(cohortA: DataFrame, cohortB: DataFrame, valueCol: String,
+      groupCols: Seq[String], k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.Row
+    def sk(df: DataFrame, name: String): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(sketch(col(valueCol), k).as(name))
+    val joined = sk(cohortA, "sk_a").join(sk(cohortB, "sk_b"), groupCols)
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(
+      joined.schema.fields.filter(f => groupCols.contains(f.name)) :+
+        org.apache.spark.sql.types.StructField("ks_bp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    def toKll(r: Row): KllData = KllData(
+      r.getInt(r.fieldIndex("k")), r.getLong(r.fieldIndex("n")),
+      r.getLong(r.fieldIndex("compactions")),
+      r.getSeq[Row](r.fieldIndex("levels")).map(l =>
+        LevelData(l.getInt(0), l.getSeq[Double](1))))
+    joined.map { r =>
+      val ks = ksDistance(toKll(r.getStruct(r.fieldIndex("sk_a"))),
+        toKll(r.getStruct(r.fieldIndex("sk_b"))))
+      Row.fromSeq(groupCols.map(c => r.get(r.fieldIndex(c))) :+
+        math.floor(ks * 10000).toLong)
+    }(enc)
+  }
 
   /** Merge persisted sketch rows (optionally pre-filtered to a range)
     * into quantile estimates per residual group. */

@@ -240,6 +240,21 @@ object Events {
         .orderBy(asc("event_id"))
     }),
 
+    // Distribution-drift monitor: grid-KS distance between the first
+    // and second half-month's per-type value distributions, computed
+    // entirely from one KLL sketch row per (type, cohort) — the
+    // batch-quality gate a continuous ingest pipeline runs (rows-only;
+    // sensitivity and null behavior are asserted in
+    // QuantileSketchSpec).
+    "q_drift" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("ts"), col("value"))
+      val cut = lit("2024-01-15").cast("timestamp")
+      graft.ops.QuantileSketch.drift(
+          ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
+          "value", Seq("event_type"))
+        .orderBy(asc("event_type"))
+    }),
+
     // Mergeable KLL quantile rollup — the quantile analogue of
     // q_hll_rollup: one sketch row per (event_type, day) grain, then
     // per-type p50/p90/p99 from merging each type's day rows. At

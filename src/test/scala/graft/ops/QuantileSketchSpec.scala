@@ -65,6 +65,20 @@ class QuantileSketchSpec extends SparkSpec {
     assert(sk == 9999L)
   }
 
+  test("drift: identical cohorts score near zero, a shifted cohort scores high") {
+    val rnd = new scala.util.Random(21)
+    val a = Seq.fill(20000)(("x", rnd.nextGaussian())).toDF("g", "v")
+    val same = Seq.fill(20000)(("x", rnd.nextGaussian())).toDF("g", "v")
+    val shifted = Seq.fill(20000)(("x", rnd.nextGaussian() + 1.0)).toDF("g", "v")
+    val low = QuantileSketch.drift(a, same, "v", Seq("g"))
+      .collect().head.getLong(1)
+    // true KS of N(0,1) vs N(1,1) is Φ(0.5) − Φ(−0.5) ≈ 0.383
+    val high = QuantileSketch.drift(a, shifted, "v", Seq("g"))
+      .collect().head.getLong(1)
+    assert(low < 500, s"same-distribution drift too high: $low bp")
+    assert(high > 3000, s"shifted-distribution drift too low: $high bp")
+  }
+
   test("fixed merge order reproduces bit-identical sketches") {
     val data = (1 to 5000).map(i => ((i * 2654435761L) % 977).toDouble)
     val a = QuantileSketch.toData(
