@@ -34,6 +34,40 @@ object Layout {
       .sortBy(bucketCol)
       .saveAsTable(tableName)
 
+  /** Small-file compaction — the other chronic layout failure at
+    * scale: a streaming sink or over-parallel writer leaves thousands
+    * of KB-sized files whose per-file open/footer cost dominates every
+    * later scan. Rewrite the dataset into ~`targetBytes` files,
+    * range-partitioned AND sorted on `sortCols`, so the output is
+    * simultaneously compacted and data-skipping-friendly (each file
+    * covers a tight min/max range of the sort key — parquet stats
+    * prune whole files for range predicates).
+    *
+    * File count is estimated from the INPUT's on-disk bytes (listing
+    * the source files, not guessing from row counts), so compression
+    * ratio carries over. Returns (inputFiles, outputFiles). One
+    * shuffle — the range exchange — which is the point: paid once,
+    * amortized over every subsequent scan. */
+  def compact(df: DataFrame, outPath: String, sortCols: Seq[String],
+      targetBytes: Long = 256L << 20): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inFiles = df.inputFiles
+    val totalBytes = inFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    df.repartitionByRange(nOut, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(outPath)
+    val outDir = new org.apache.hadoop.fs.Path(outPath)
+    val outFiles = outDir.getFileSystem(conf).listStatus(outDir)
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+    (inFiles.length, outFiles)
+  }
+
   /** True if the executed plan of `df` contains no SHUFFLE — the
     * property co-bucketed joins must exhibit. Collects
     * ShuffleExchangeLike nodes specifically: a substring match on

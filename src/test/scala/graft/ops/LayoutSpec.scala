@@ -39,4 +39,38 @@ class LayoutSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS bk_right")
     }
   }
+
+  test("compact: many small files become few range-sorted files, content intact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    // 40 tiny files with interleaved key ranges (the streaming-sink
+    // pathology: every file spans the whole key space)
+    (0L until 4000L).map(i => (i % 40 * 1000 + i / 40, s"payload_$i"))
+      .toDF("id", "payload").repartition(40).write.parquet(in)
+    val df = spark.read.parquet(in)
+    // target ≈ a quarter of the input -> expect ~4 output files
+    val totalIn = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (nIn, nOut) = Layout.compact(df, out, Seq("id"), targetBytes = totalIn / 4)
+    assert(nIn == 40)
+    assert(nOut >= 3 && nOut <= 6, s"expected ~4 output files, got $nOut")
+    // content identical
+    val a = spark.read.parquet(in).orderBy("id").collect()
+    val b = spark.read.parquet(out).orderBy("id").collect()
+    assert(a.sameElements(b))
+    // data-skipping property: per-file key ranges are disjoint (range
+    // partitioning), so a point/range predicate prunes whole files
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping file ranges: $hi1 vs $lo2")
+      case _ =>
+    }
+  }
 }
