@@ -521,6 +521,22 @@ object Pipeline {
         .orderBy(asc("source"))
     }),
 
+    // Temperature-scaled mixture weights (the multilingual-sampling
+    // recipe: weight ∝ n^(1/T), here T=2): up-weights small sources
+    // relative to proportional sampling. Parity-safe arithmetic:
+    // sqrt is IEEE-correctly-rounded on both engines, micro-weights
+    // floor to integers FIRST, and the normalization is integer
+    // floor-div — no float sum ever crosses an engine boundary.
+    "q_temperature_mix" -> ((s, dir) => {
+      val d = documents(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs")) * 100).cast("long"))
+      d.crossJoin(broadcast(d.agg(sum(col("w")).as("w_tot"))))
+        .select(col("source"), col("n_docs"),
+          expr("(w * 10000) div w_tot").as("weight_bp"))
+        .orderBy(asc("source"))
+    }),
+
     // Deterministic EXACT-k uniform sample per source (the reservoir
     // answer without reservoir state): rank by a 52-bit md5 draw on
     // doc_id, keep each source's 5 smallest, through the bounded-heap
@@ -1410,6 +1426,14 @@ object Pipeline {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT::DOUBLE
         |      < n_chars::DOUBLE / 1200 * 4503599627370496.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    floor(sqrt(count(*)) * 100)::BIGINT AS w
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(w)::BIGINT AS w_tot FROM d)
+        |SELECT source, n_docs, (w * 10000) // w_tot AS weight_bp
+        |FROM d, t ORDER BY source""".stripMargin,
     "q_group_sample" ->
       """WITH u AS (
         |  SELECT source, doc_id,

@@ -79,6 +79,27 @@ class QuantileSketchSpec extends SparkSpec {
     assert(high > 3000, s"shifted-distribution drift too low: $high bp")
   }
 
+  test("sketch aggregate runs as a streaming aggregate, quantiles within error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll-stream")
+    val rnd = new scala.util.Random(17)
+    val data = Seq.fill(20000)(rnd.nextDouble() * 1000)
+    data.toDF("v").coalesce(2).write.parquet(s"$dir/in")
+    val q = spark.readStream.schema("v DOUBLE").parquet(s"$dir/in")
+      .groupBy()
+      .agg(QuantileSketch.sketch(col("v")).as("sketch"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kll_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val est = QuantileSketch.rollup(
+      spark.sql("SELECT sketch FROM kll_stream"), Nil, probs)
+      .collect().head
+    val estVals = probs.indices.map(est.getDouble)
+    assert(maxRankErr(data, estVals) <= 0.02,
+      s"streaming sketch rank error too high: $estVals")
+  }
+
   test("fixed merge order reproduces bit-identical sketches") {
     val data = (1 to 5000).map(i => ((i * 2654435761L) % 977).toDouble)
     val a = QuantileSketch.toData(
