@@ -76,6 +76,35 @@ object Extended {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
+    // CUBE over the region/nation dimension: all four grouping sets
+    // in one pass (Catalyst expands to a single shuffle), completing
+    // the grouping-sets surface next to q_rollup_revenue.
+    "q_cube_revenue" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    // Static pivot: per-day event-type value matrix. Spark's .pivot
+    // with EXPLICIT values (an implicit-values pivot would need an
+    // extra distinct pass AND make the output schema data-dependent —
+    // never at scale); the oracle expresses the same thing as
+    // conditional aggregation.
+    "q_pivot_daily" -> ((s, dir) => {
+      graft.Tables.events(s, dir)
+        .select(to_date(col("ts")).cast("string").as("day"),
+          col("event_type"), col("value"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(round(sum(col("value")), 2))
+        .na.fill(0.0, Seq("click", "view", "purchase"))
+        .orderBy(asc("day"))
+    }),
+
     // P4: the reference's boolean DSL, parsed + compiled to Columns,
     // filtering lineitem inside the oracle-checked gate.
     "q_expr_dsl" -> ((s, dir) => {
@@ -236,6 +265,21 @@ object Extended {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cube_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT date_trunc('day', ts)::DATE::VARCHAR AS day,
+        |  coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0.0) AS click,
+        |  coalesce(round(sum(CASE WHEN event_type = 'view' THEN value END), 2), 0.0) AS view,
+        |  coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0.0) AS purchase
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT r_name, n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
