@@ -58,7 +58,12 @@ object Dedup {
     val withSh = df.select(col(idCol).as("doc"),
       graft.functions.ShingleExprs.wordShingles(df.sparkSession, col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val inverted0 = withSh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+    // 64-bit-hashed postings (same rationale and collision math as
+    // [[jaccardPairsPrefix]]): the self-join keys, shuffles, and the
+    // pair aggregate compare 8-byte longs, not ~30-byte UTF8 strings.
+    val inverted0 = withSh
+      .select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .withColumn("shingle", xxhash64(col("shingle")))
     val inverted =
       if (maxShingleDf <= 0) inverted0
       else {
@@ -210,7 +215,12 @@ object Dedup {
     val withSh = df.select(col(idCol).as("doc"),
       graft.functions.ShingleExprs.wordShingles(df.sparkSession, col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val inverted0 = withSh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+    // 64-bit-hashed postings (same rationale and collision math as
+    // [[jaccardPairsPrefix]]): the self-join keys, shuffles, and the
+    // pair aggregate compare 8-byte longs, not ~30-byte UTF8 strings.
+    val inverted0 = withSh
+      .select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .withColumn("shingle", xxhash64(col("shingle")))
     val inverted =
       if (maxShingleDf <= 0) inverted0
       else {
