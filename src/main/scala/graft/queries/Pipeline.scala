@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -519,6 +519,26 @@ object Pipeline {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
         .orderBy(asc("source"))
+    }),
+
+    // Dataset card: the one-table corpus overview a curation stack
+    // publishes with every release — per-language and per-source doc
+    // counts, total chars, and median length, plus the ALL row. The
+    // median rides the integer grid (doubled before the cast) so the
+    // even-group .5 midpoint is exactly representable on both engines
+    // — the quantile-parity rule. Three grouped aggregates over a
+    // 2-column scan; each is one partial+final shuffle.
+    "q_dataset_card" -> ((s, dir) => {
+      val d = documents(s, dir)
+      def card(dim: String, key: Column): DataFrame =
+        d.groupBy(lit(dim).as("dim"), key.as("key"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_total"),
+            (expr("percentile(n_chars, 0.5)") * 2).cast("long").as("med_chars_x2"))
+      card("lang", col("lang"))
+        .unionByName(card("source", col("source")))
+        .unionByName(card("ALL", lit("ALL")))
+        .orderBy(asc("dim"), asc("key"))
     }),
 
     // Temperature-scaled mixture weights (the multilingual-sampling
@@ -1426,6 +1446,21 @@ object Pipeline {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT::DOUBLE
         |      < n_chars::DOUBLE / 1200 * 4503599627370496.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dataset_card" ->
+      """WITH c AS (
+        |  SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
+        |    sum(n_chars)::BIGINT AS chars_total,
+        |    (quantile_cont(n_chars, 0.5) * 2)::BIGINT AS med_chars_x2
+        |  FROM documents GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'source', source, count(*), sum(n_chars)::BIGINT,
+        |    (quantile_cont(n_chars, 0.5) * 2)::BIGINT
+        |  FROM documents GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'ALL', 'ALL', count(*), sum(n_chars)::BIGINT,
+        |    (quantile_cont(n_chars, 0.5) * 2)::BIGINT
+        |  FROM documents)
+        |SELECT * FROM c ORDER BY dim, key""".stripMargin,
     "q_temperature_mix" ->
       """WITH d AS (
         |  SELECT source, count(*) AS n_docs,
