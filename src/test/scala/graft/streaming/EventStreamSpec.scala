@@ -156,6 +156,50 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == expected, s"got $streamed")
   }
 
+  test("checkpointed stream killed mid-input resumes and matches batch") {
+    // the streaming analogue of ResumableWalk: a stateful aggregation
+    // stopped after its first micro-batch must, on restart from the
+    // SAME checkpoint, process only the remaining input and converge
+    // to the batch answer — state recovery, not reprocessing
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-state")
+    val ev = Tables.events(spark, dir)
+    def start() = spark.readStream
+      .schema(ev.schema)
+      .parquet(s"$streamDir/*")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ckpt_totals")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // first run sees ONLY file a, drains it, and terminates — its
+    // offsets and aggregation state are committed to the checkpoint
+    ev.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$streamDir/a")
+    start().awaitTermination(120000)
+    // file b arrives "after the crash"; the restarted query must
+    // recover state from the checkpoint and process ONLY b
+    ev.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$streamDir/b")
+    val q2 = start()
+    q2.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT event_type, n_events, total_value FROM ckpt_totals ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(asc("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch),
+      s"resumed state diverged: ${streamed.toSeq} vs ${batch.toSeq}")
+  }
+
   test("streaming heavy hitters equal batch exact counts (no-eviction regime)") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-hh")
