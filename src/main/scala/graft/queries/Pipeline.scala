@@ -521,6 +521,41 @@ object Pipeline {
         .orderBy(asc("source"))
     }),
 
+    // Winnowing fingerprints (Schleimer-Wilkerson-Aiken, SIGMOD 2003,
+    // the MOSS algorithm): per sliding window of w=4 consecutive
+    // 5-gram hashes select the (leftmost) minimum; distinct selected
+    // POSITIONS are the fingerprints. Guarantees every shared run of
+    // ≥ w+k-1 tokens yields a shared fingerprint while storing ~2/(w+1)
+    // of all hashes — the position-robust middle ground between
+    // full-window dup_spans and doc-level minhash. All arithmetic on
+    // 52-bit md5 ints (engine-parity hashing), the hash array is
+    // materialized as an ATTRIBUTE before the window lambdas
+    // (element_at on an attribute is O(1); on an expression it
+    // re-evaluates per element), and fingerprint sums stay in exact
+    // BIGINT range (≤ ~600 × 2^52).
+    "q_winnow" -> ((s, dir) => {
+      val k = 5; val w = 4
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      val d = documents(s, dir)
+        .select(col("doc_id"), transform(grams,
+          g => conv(substring(md5(g), 1, 13), 16, 10).cast("long")).as("h"))
+      val wlen = least(lit(w), size(col("h")))
+      val sel = array_distinct(transform(
+        sequence(lit(0), greatest(size(col("h")) - w, lit(0))),
+        p => {
+          val sl = slice(col("h"), p + lit(1), wlen)
+          (p + array_position(sl, array_min(sl))).cast("int")
+        }))
+      d.withColumn("sel", sel)
+        .select(col("doc_id"), size(col("sel")).cast("long").as("n_fp"),
+          aggregate(transform(col("sel"), i => element_at(col("h"), i)),
+            lit(0L), (acc, x) => acc + x).as("fp_sum"))
+        .orderBy(asc("doc_id"))
+    }),
+
     // Dataset card: the one-table corpus overview a curation stack
     // publishes with every release — per-language and per-source doc
     // counts, total chars, and median length, plus the ALL row. The
@@ -1446,6 +1481,28 @@ object Pipeline {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT::DOUBLE
         |      < n_chars::DOUBLE / 1200 * 4503599627370496.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |    ELSE [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]
+        |    END AS grams
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(x), 1, 13))::BIGINT for x in grams] AS h
+        |  FROM g),
+        |sel AS (
+        |  SELECT doc_id, h, list_distinct([
+        |    (p + list_position(h[p+1:p+least(4, len(h))],
+        |                       list_min(h[p+1:p+least(4, len(h))])))::INT
+        |    for p in range(0, greatest(len(h) - 4, 0) + 1)]) AS sel
+        |  FROM h)
+        |SELECT doc_id, len(sel)::BIGINT AS n_fp,
+        |  list_sum([h[s] for s in sel])::BIGINT AS fp_sum
+        |FROM sel ORDER BY doc_id""".stripMargin,
     "q_dataset_card" ->
       """WITH c AS (
         |  SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
