@@ -539,7 +539,9 @@ object Pipeline {
       val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
-      val d = documents(s, dir)
+      // spread: single-split parquet + per-row interpreted lambdas
+      // would otherwise run the whole corpus on one task
+      val d = spread(documents(s, dir))
         .select(col("doc_id"), transform(grams,
           g => conv(substring(md5(g), 1, 13), 16, 10).cast("long")).as("h"))
       val wlen = least(lit(w), size(col("h")))
