@@ -206,18 +206,20 @@ object QuantileSketch {
       joined.schema.fields.filter(f => groupCols.contains(f.name)) :+
         org.apache.spark.sql.types.StructField("ks_bp",
           org.apache.spark.sql.types.LongType, nullable = false)))
-    def toKll(r: Row): KllData = KllData(
-      r.getInt(r.fieldIndex("k")), r.getLong(r.fieldIndex("n")),
-      r.getLong(r.fieldIndex("compactions")),
-      r.getSeq[Row](r.fieldIndex("levels")).map(l =>
-        LevelData(l.getInt(0), l.getSeq[Double](1))))
     joined.map { r =>
-      val ks = ksDistance(toKll(r.getStruct(r.fieldIndex("sk_a"))),
-        toKll(r.getStruct(r.fieldIndex("sk_b"))))
+      val ks = ksDistance(kllOfRow(r.getStruct(r.fieldIndex("sk_a"))),
+        kllOfRow(r.getStruct(r.fieldIndex("sk_b"))))
       Row.fromSeq(groupCols.map(c => r.get(r.fieldIndex(c))) :+
         math.floor(ks * 10000).toLong)
     }(enc)
   }
+
+  /** Rebuild a [[KllData]] from its struct-column Row form. */
+  def kllOfRow(r: org.apache.spark.sql.Row): KllData = KllData(
+    r.getInt(r.fieldIndex("k")), r.getLong(r.fieldIndex("n")),
+    r.getLong(r.fieldIndex("compactions")),
+    r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("levels")).map(l =>
+      LevelData(l.getInt(0), l.getSeq[Double](1))))
 
   /** Merge persisted sketch rows (optionally pre-filtered to a range)
     * into quantile estimates per residual group. */

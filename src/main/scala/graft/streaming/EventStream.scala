@@ -151,6 +151,31 @@ object EventStream {
       .select(explode(col("__hitters")).as("h"))
       .select(col("h.item"), col("h.est_count"), col("h.max_err"))
 
+  /** Continuous distribution-drift monitor: the stream's values
+    * aggregate into ONE KLL sketch (constant state regardless of
+    * volume) and every trigger re-scores the cumulative distribution
+    * against a FROZEN reference sketch — the quality gate that
+    * quarantines an ingest stream whose metric distribution wanders
+    * from the blessed cohort. The reference rides the plan as a
+    * closure literal (kilobytes); output is one (n, ks_bp) row in
+    * complete mode. */
+  def valueDrift(events: DataFrame, valueCol: String,
+      reference: graft.ops.QuantileSketch.KllData): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val enc = Encoders.row(StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("ks_bp", LongType, nullable = false))))
+    events.groupBy()
+      .agg(graft.ops.QuantileSketch.sketch(col(valueCol)).as("sketch"))
+      .map { r =>
+        val cur = graft.ops.QuantileSketch.kllOfRow(
+          r.getStruct(r.fieldIndex("sketch")))
+        val ks = graft.ops.QuantileSketch.ksDistance(cur, reference)
+        Row(cur.n, math.floor(ks * 10000).toLong)
+      }(enc)
+  }
+
   /** Run a parquet-backed streaming query into an in-memory sink until
     * all available input is processed (test/dev harness). */
   def runToMemory(spark: SparkSession, sourceDir: String, name: String,

@@ -100,6 +100,29 @@ class QuantileSketchSpec extends SparkSpec {
       s"streaming sketch rank error too high: $estVals")
   }
 
+  test("streaming drift monitor: in-distribution stream low, shifted stream high") {
+    val rnd = new scala.util.Random(33)
+    val ref = QuantileSketch.toData(
+      Seq.fill(20000)(rnd.nextGaussian())
+        .foldLeft(new QuantileSketch.Sketch(200))(_.add(_)))
+    def run(name: String, gen: => Double): Long = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-drift-$name")
+      Seq.fill(10000)(gen).toDF("v").coalesce(1).write.parquet(s"$dir/in")
+      val stream = spark.readStream.schema("v DOUBLE").parquet(s"$dir/in")
+      val q = graft.streaming.EventStream.valueDrift(stream, "v", ref)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(s"drift_$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      spark.sql(s"SELECT ks_bp FROM drift_$name").collect().head.getLong(0)
+    }
+    val low = run("same", rnd.nextGaussian())
+    val high = run("shift", rnd.nextGaussian() + 1.0)
+    assert(low < 500, s"in-distribution stream drifted: $low bp")
+    assert(high > 3000, s"shifted stream not flagged: $high bp")
+  }
+
   test("fixed merge order reproduces bit-identical sketches") {
     val data = (1 to 5000).map(i => ((i * 2654435761L) % 977).toDouble)
     val a = QuantileSketch.toData(
