@@ -43,11 +43,16 @@ object QuantileSketch {
   // persistable sketch form: one struct column per grain row.
   final case class LevelData(level: Int, values: Seq[Double])
   final case class KllData(k: Int, n: Long, compactions: Long,
-      levels: Seq[LevelData])
+      lo: Double, hi: Double, levels: Seq[LevelData])
 
   final class Sketch(var k: Int) extends Serializable {
     var n: Long = 0L
     var compactions: Long = 0L
+    // exact stream extremes, tracked outside the compaction (the
+    // selection rule can drop the true max/min from the buffers —
+    // standard KLL implementations carry them explicitly)
+    var lo: Double = Double.PositiveInfinity
+    var hi: Double = Double.NegativeInfinity
     val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Double]] =
       mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double])
 
@@ -63,6 +68,8 @@ object QuantileSketch {
     def add(x: Double): Sketch = {
       levels(0) += x
       n += 1
+      if (x < lo) lo = x
+      if (x > hi) hi = x
       if (size > budget) compress()
       this
     }
@@ -87,6 +94,8 @@ object QuantileSketch {
       if (k == 0) k = o.k
       n += o.n
       compactions += o.compactions
+      if (o.lo < lo) lo = o.lo
+      if (o.hi > hi) hi = o.hi
       while (levels.length < o.levels.length)
         levels += mutable.ArrayBuffer.empty[Double]
       for (i <- o.levels.indices) levels(i) ++= o.levels(i)
@@ -126,13 +135,15 @@ object QuantileSketch {
           val (v, w) = it.next(); cum += w
           if (cum >= target) { ans = v; found = true }
         }
-        ans
+        // the exact extremes bound every true quantile; p=1 IS the max
+        if (target >= total) hi
+        else math.min(math.max(ans, lo), hi)
       }
     }
   }
 
   def toData(s: Sketch): KllData =
-    KllData(s.k, s.n, s.compactions,
+    KllData(s.k, s.n, s.compactions, s.lo, s.hi,
       s.levels.iterator.zipWithIndex.collect {
         case (l, i) if l.nonEmpty => LevelData(i, l.toSeq)
       }.toSeq)
@@ -141,6 +152,8 @@ object QuantileSketch {
     val s = new Sketch(d.k)
     s.n = d.n
     s.compactions = d.compactions
+    s.lo = d.lo
+    s.hi = d.hi
     val maxLevel = if (d.levels.isEmpty) 0 else d.levels.map(_.level).max
     while (s.levels.length <= maxLevel)
       s.levels += mutable.ArrayBuffer.empty[Double]
@@ -218,6 +231,7 @@ object QuantileSketch {
   def kllOfRow(r: org.apache.spark.sql.Row): KllData = KllData(
     r.getInt(r.fieldIndex("k")), r.getLong(r.fieldIndex("n")),
     r.getLong(r.fieldIndex("compactions")),
+    r.getDouble(r.fieldIndex("lo")), r.getDouble(r.fieldIndex("hi")),
     r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("levels")).map(l =>
       LevelData(l.getInt(0), l.getSeq[Double](1))))
 
@@ -229,7 +243,8 @@ object QuantileSketch {
     // a product input encoder flattens to one udaf parameter per
     // case-class field — pass the struct's fields, not the struct
     val est = u(col(s"$sketchCol.k"), col(s"$sketchCol.n"),
-      col(s"$sketchCol.compactions"), col(s"$sketchCol.levels")).as("qs")
+      col(s"$sketchCol.compactions"), col(s"$sketchCol.lo"),
+      col(s"$sketchCol.hi"), col(s"$sketchCol.levels")).as("qs")
     val base =
       if (residualCols.isEmpty) sketchDf.agg(est)
       else sketchDf.groupBy(residualCols.map(col): _*).agg(est)
