@@ -32,6 +32,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Prime every base parquet source (footer reads + OS page cache)
+    // before ANY timing: first-touch I/O otherwise lands on whichever
+    // query alphabetically reads a table first, misranking it.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      val p = s"$sfDir/$t.parquet"
+      if (new java.io.File(p).exists())
+        try spark.read.parquet(p).count()
+        catch { case _: Throwable => () } // events nanos handled by Tables
+    }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // Warmup: full pass over every query (also fails fast on breakage).
     names.foreach { n =>
@@ -43,6 +53,10 @@ object Bench {
     }
     // A failed query is reported as failed, never as a time-to-crash.
     val results = names.filterNot(failed).flatMap { n =>
+      // Settle the JVM between queries: the previous query's shuffle
+      // cleanup + GC otherwise bleeds into this one's wall time
+      // (q_pivot_daily measured 6x its solo cost in a full-suite run).
+      System.gc()
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -15,10 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Output contract: atomic top-level columns only (see OutputContract)
+    // — a violating query is still written (the driver should see it),
+    // but the run exits non-zero naming the offender.
+    val contractBad = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = OutputContract.violations(df)
+        if (bad.nonEmpty) {
+          contractBad(name) = bad
+          System.err.println(
+            s"[verify] $name VIOLATES output contract (non-atomic columns): " +
+              bad.mkString("; "))
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -50,6 +62,11 @@ object Verify {
     if (gates.exists(!_.pass)) {
       System.err.println(s"[verify] recall gate FAILED: " +
         gates.filterNot(_.pass).map(_.name).mkString(", "))
+      sys.exit(1)
+    }
+    if (contractBad.nonEmpty) {
+      System.err.println(s"[verify] output contract FAILED: " +
+        contractBad.keys.mkString(", "))
       sys.exit(1)
     }
   }

@@ -245,6 +245,18 @@ object Dedup {
       .where(col("bp") >= minBp)
   }
 
+  /** The decontamination family's shared benchmark side: the eval
+    * set's DISTINCT word n-grams, one column `shingle`. Built three
+    * times across contaminated/contaminatedBloom/contaminationScore
+    * before r5 — one definition keeps the family's semantics aligned
+    * by construction. */
+  private def benchShingles(bench: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    bench.select(explode(
+      graft.functions.ShingleExprs.wordShingles(bench.sparkSession,
+        col(textCol), n)).as("shingle"))
+      .distinct()
+
   /** Decontamination screen (train/eval overlap): corpus docs sharing
     * at least `minShared` distinct word n-grams with any benchmark
     * doc. The benchmark side is an eval set — small by definition — so
@@ -259,7 +271,7 @@ object Dedup {
       graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
     val corpusSh = corpus.select(col(idCol).as("doc_id"),
       explode(shingleCol).as("shingle"))
-    val benchSh = bench.select(explode(shingleCol).as("shingle")).distinct()
+    val benchSh = benchShingles(bench, textCol, n)
     corpusSh.join(broadcast(benchSh), Seq("shingle"))
       // wordShingles is distinct per doc, so count(*) = distinct shared
       .groupBy(col("doc_id"))
@@ -288,7 +300,7 @@ object Dedup {
     // consumers follow (count, bloom build, confirm join), and at the
     // eval-suite scale this function exists for, re-exploding the
     // suite three times would be two redundant heavyweight jobs.
-    val benchSh = bench.select(explode(shingleCol).as("shingle")).distinct()
+    val benchSh = benchShingles(bench, textCol, n)
       .localCheckpoint(eager = true)
     val nBench = math.max(1L, benchSh.count())
     val bloom = BloomFilters.build(benchSh, "shingle", nBench, fpp)
@@ -322,7 +334,7 @@ object Dedup {
       graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
     val corpusSh = corpus.select(col(idCol).as("doc_id"),
       explode(shingleCol).as("shingle"))
-    val benchSh = bench.select(explode(shingleCol).as("shingle")).distinct()
+    val benchSh = benchShingles(bench, textCol, n)
       .withColumn("hit", lit(1L))
     corpusSh.join(broadcast(benchSh), Seq("shingle"), "left")
       .groupBy(col("doc_id"))

@@ -44,21 +44,29 @@ object Layout {
     * prune whole files for range predicates).
     *
     * File count is estimated from the INPUT's on-disk bytes (listing
-    * the source files, not guessing from row counts), so compression
-    * ratio carries over. Returns (inputFiles, outputFiles). One
-    * shuffle — the range exchange — which is the point: paid once,
-    * amortized over every subsequent scan. */
+    * the source files, so compression ratio carries over) SCALED by
+    * the frame's surviving-row fraction: `inputFiles` ignores filters
+    * (it lists the whole source), so compacting a filtered frame on
+    * raw file bytes would over-provision the file count — more,
+    * smaller files than `targetBytes` intends. The row fraction comes
+    * from two counts: the frame's own (filter pushdown applies) and
+    * the source files' (parquet footer metadata, no data scan).
+    * Returns (inputFiles, outputFiles). One shuffle — the range
+    * exchange — which is the point: paid once, amortized over every
+    * subsequent scan. */
   def compact(df: DataFrame, outPath: String, sortCols: Seq[String],
       targetBytes: Long = 256L << 20): (Int, Int) = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val inFiles = df.inputFiles
-    val totalBytes = inFiles.map { f =>
+    val rawBytes = inFiles.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val sourceRows = math.max(1L, spark.read.parquet(inFiles: _*).count())
+    val totalBytes = rawBytes * df.count().toDouble / sourceRows
+    val nOut = math.max(1, math.ceil(totalBytes / targetBytes).toInt)
     df.repartitionByRange(nOut, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(outPath)

@@ -135,8 +135,12 @@ object QuantileSketch {
           val (v, w) = it.next(); cum += w
           if (cum >= target) { ans = v; found = true }
         }
-        // the exact extremes bound every true quantile; p=1 IS the max
+        // the exact extremes bound every true quantile; p=1 IS the
+        // max, and symmetrically rank 1 (q ≤ 1/n) IS the tracked min
+        // — the smallest RETAINED item can sit above the true min by
+        // the rank error, but `lo` is exact.
         if (target >= total) hi
+        else if (target <= 1L) lo
         else math.min(math.max(ans, lo), hi)
       }
     }
@@ -214,14 +218,26 @@ object QuantileSketch {
     def sk(df: DataFrame, name: String): DataFrame =
       df.groupBy(groupCols.map(col): _*)
         .agg(sketch(col(valueCol), k).as(name))
-    val joined = sk(cohortA, "sk_a").join(sk(cohortB, "sk_b"), groupCols)
+    // FULL OUTER, deliberately: a group present in one cohort and
+    // absent from the other is the strongest drift signal a quality
+    // gate can surface — an inner join would silently drop exactly
+    // those groups (ksDistance's n==0 → 1.0 branch is unreachable
+    // through sketch rows, since an empty group produces no row).
+    // Spark coalesces the using-columns for full_outer, so the group
+    // keys survive whichever side is missing. Missing side → KS = 1
+    // (every distribution is maximally far from "no data").
+    val joined = sk(cohortA, "sk_a").join(sk(cohortB, "sk_b"), groupCols,
+      "full_outer")
     val enc = Encoders.row(org.apache.spark.sql.types.StructType(
       joined.schema.fields.filter(f => groupCols.contains(f.name)) :+
         org.apache.spark.sql.types.StructField("ks_bp",
           org.apache.spark.sql.types.LongType, nullable = false)))
     joined.map { r =>
-      val ks = ksDistance(kllOfRow(r.getStruct(r.fieldIndex("sk_a"))),
-        kllOfRow(r.getStruct(r.fieldIndex("sk_b"))))
+      val ia = r.fieldIndex("sk_a")
+      val ib = r.fieldIndex("sk_b")
+      val ks =
+        if (r.isNullAt(ia) || r.isNullAt(ib)) 1.0
+        else ksDistance(kllOfRow(r.getStruct(ia)), kllOfRow(r.getStruct(ib)))
       Row.fromSeq(groupCols.map(c => r.get(r.fieldIndex(c))) :+
         math.floor(ks * 10000).toLong)
     }(enc)
@@ -248,8 +264,12 @@ object QuantileSketch {
     val base =
       if (residualCols.isEmpty) sketchDf.agg(est)
       else sketchDf.groupBy(residualCols.map(col): _*).agg(est)
+    // Column names in BASIS POINTS (p5000bp = median): percent-rounded
+    // names collide for sub-percent tails (0.999 and 1.0 both → "p100")
+    // and cannot express p99.9 at all.
     probs.zipWithIndex.foldLeft(base) { case (df, (p, i)) =>
-      df.withColumn(s"p${math.round(p * 100)}", element_at(col("qs"), i + 1))
+      df.withColumn(s"p${math.round(p * 10000)}bp",
+        element_at(col("qs"), i + 1))
     }.drop("qs")
   }
 }

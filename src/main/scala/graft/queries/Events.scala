@@ -270,8 +270,8 @@ object Events {
         .agg(graft.ops.QuantileSketch.sketch(col("value")).as("sketch"))
       graft.ops.QuantileSketch.rollup(sk, Seq("event_type"),
           Seq(0.5, 0.9, 0.99))
-        .select(col("event_type"), round(col("p50"), 2).as("p50"),
-          round(col("p90"), 2).as("p90"), round(col("p99"), 2).as("p99"))
+        .select(col("event_type"), round(col("p5000bp"), 2).as("p50"),
+          round(col("p9000bp"), 2).as("p90"), round(col("p9900bp"), 2).as("p99"))
         .orderBy(asc("event_type"))
     })
   )

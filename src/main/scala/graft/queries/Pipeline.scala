@@ -863,14 +863,18 @@ object Pipeline {
     // the math guarantees — orthonormal components, unit variance
     // after whitening, kernel ≡ declarative form). One model fit
     // (two corpus passes, driver Jacobi) + ONE distributed projection
-    // pass through the native codegen'd mat-vec kernel.
+    // pass through the native codegen'd mat-vec kernel. Output is
+    // posexploded to scalar (vec_id, pos, value) rows — the declared
+    // queries' output contract is atomic columns only (a bare
+    // ARRAY<DOUBLE> column is unhashable in the driver's compare).
     "q_pca_project" -> ((s, dir) => {
       val model = graft.similarity.Pca.fit(embeddings(s, dir), "embedding", k = 8)
       val e = embeddings(s, dir)
       e.select(col("vec_id"),
-          transform(graft.similarity.Pca.projectCol(e, "embedding", model,
-            whiten = true), y => round(y, 4)).as("proj"))
-        .orderBy(asc("vec_id"))
+          posexplode(transform(graft.similarity.Pca.projectCol(e, "embedding",
+            model, whiten = true), y => round(y, 4))))
+        .toDF("vec_id", "pos", "value")
+        .orderBy(asc("vec_id"), asc("pos"))
     }),
 
     // SimHash hamming-distance candidates (approximate; rows-only).

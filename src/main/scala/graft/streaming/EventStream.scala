@@ -187,8 +187,14 @@ object EventStream {
     // nanos under nanosAsLong) and as timestamp[us]; streaming needs
     // the schema declared up front, so probe one footer batch-side and
     // declare the matching shape (same branch as Tables.eventsRange).
-    val tsIsLong = spark.read.parquet(sourceDir).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    // An EMPTY or not-yet-populated source directory (valid for a
+    // stream — files may arrive later) has no footer to probe: fall
+    // back to the current driver encoding (TIMESTAMP_NTZ) instead of
+    // throwing at start.
+    val tsIsLong =
+      try spark.read.parquet(sourceDir).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
     val tsDecl = if (tsIsLong) "ts LONG" else "ts TIMESTAMP_NTZ"
     val reader = spark.readStream
       .schema(s"event_id LONG, $tsDecl, user_id LONG, event_type STRING, " +

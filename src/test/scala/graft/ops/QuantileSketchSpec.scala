@@ -79,6 +79,50 @@ class QuantileSketchSpec extends SparkSpec {
     assert(high > 3000, s"shifted-distribution drift too low: $high bp")
   }
 
+  test("drift: a group missing from either cohort surfaces as maximal drift") {
+    // the strongest drift signal is a vanished (or brand-new) group —
+    // an inner join would silently drop exactly those rows
+    val a = Seq(("x", 1.0), ("gone", 2.0), ("gone", 3.0)).toDF("g", "v")
+    val b = Seq(("x", 1.0), ("new", 5.0)).toDF("g", "v")
+    val out = QuantileSketch.drift(a, b, "v", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("x", "gone", "new"))
+    assert(out("gone") == 10000L, "group only in cohort A must flag maximal")
+    assert(out("new") == 10000L, "group only in cohort B must flag maximal")
+    assert(out("x") == 0L)
+  }
+
+  test("drift: sketch grid-KS tracks the exact two-sample KS within ε = 500 bp") {
+    // exactness pin for the rows-only q_drift: if the sketch or the
+    // grid statistic ever skews, this bound breaks. ε budget: each
+    // side's sketch carries ≤2% rank error at k=200 (asserted above),
+    // and the grid evaluates both CDFs at every retained point, so
+    // |sketch-KS − exact-KS| ≤ ~4% worst case; 5% gives slack for the
+    // floor-to-bp truncation.
+    val rnd = new scala.util.Random(7)
+    val va = Seq.fill(20000)(rnd.nextGaussian())
+    val vb = Seq.fill(20000)(rnd.nextGaussian() + 0.35)
+    def cdf(sorted: Array[Double], x: Double): Double = {
+      var lo = 0
+      var hi = sorted.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (sorted(m) <= x) lo = m + 1 else hi = m
+      }
+      lo.toDouble / sorted.length
+    }
+    val sa = va.sorted.toArray
+    val sb = vb.sorted.toArray
+    val exactKs = (va.iterator ++ vb.iterator)
+      .map(x => math.abs(cdf(sa, x) - cdf(sb, x))).max
+    val sketchKs = QuantileSketch.drift(
+        va.map(("x", _)).toDF("g", "v"), vb.map(("x", _)).toDF("g", "v"),
+        "v", Seq("g"))
+      .collect().head.getLong(1) / 10000.0
+    assert(math.abs(sketchKs - exactKs) <= 0.05,
+      s"sketch KS $sketchKs vs exact $exactKs diverged beyond ε")
+  }
+
   test("sketch aggregate runs as a streaming aggregate, quantiles within error") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kll-stream")
     val rnd = new scala.util.Random(17)
