@@ -1,0 +1,163 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling curves for the flagship scale paths — the plan
+  * audits (JoinAudit/ScanAudit) prove the SHAPE is right; this tool
+  * measures that the shape's cost actually grows ~linearly when the
+  * data does, by running each family at 1×/2×/4×(/8×) replication of
+  * the input and asserting the growth of its work metric.
+  *
+  * Replication that preserves each family's semantics:
+  *   - documents: ids shifted per copy AND every token prefixed with a
+  *     copy tag, so within-copy similarity structure is preserved
+  *     bijectively while cross-copy shingle overlap is exactly zero —
+  *     near-dup candidate counts must therefore grow linearly, not
+  *     quadratically (naive replication would make every doc an exact
+  *     dup of its f−1 replicas and the "linear" assertion meaningless).
+  *   - embeddings / orders: ids shifted per copy (duplicate payloads
+  *     are fine — cells and merge groups replicate independently).
+  *
+  * Metrics: total shuffle-write bytes per run (Spark listener over
+  * completed stages) for the shuffle-bound families, candidate/output
+  * row counts where the family's cost IS the candidate set. A
+  * consecutive-doubling ratio ≤ 3.0 passes (linear = 2, quadratic = 4,
+  * n·log n ≈ 2.2); metrics below a noise floor are skipped. Exits
+  * non-zero on any violated curve. Runtime ≈ 1–2 min at sf0.1.
+  */
+object ScaleCheck {
+
+  private final class ShuffleMeter extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  private val NoiseFloorBytes = 1L << 20 // ratios on <1 MiB are noise
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalecheck")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    val docsBase = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      .localCheckpoint(eager = true)
+    val embBase = graft.Tables.embeddings(spark, sfDir)
+      .localCheckpoint(eager = true)
+    val ordersBase = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .localCheckpoint(eager = true)
+
+    /** Union of `f` copies with per-copy shifted ids; `tagTokens`
+      * additionally prefixes every text token with the copy tag. */
+    def replicate(base: DataFrame, f: Int, idCol: String, idShift: Long,
+        tagTokens: Boolean): DataFrame =
+      (0 until f).map { k =>
+        val shifted = base.withColumn(idCol, col(idCol) + lit(k * idShift))
+        if (tagTokens)
+          shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"c${k}_" + "$1"))
+        else shifted
+      }.reduce(_ union _)
+
+    /** Run one (family, factor) point: returns (metric, shuffleBytes,
+      * seconds). `metricOf` counts the frame — for candidate-metric
+      * families the count IS the metric; for shuffle-metric families
+      * it just forces execution. */
+    def run(build: Int => DataFrame)(f: Int): (Long, Long, Double) = {
+      meter.bytes.set(0L)
+      val t0 = System.nanoTime()
+      val n = build(f).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener events are async; let the bus drain
+      (n, meter.bytes.get(), secs)
+    }
+
+    var failed = List.empty[String]
+    def check(family: String, factors: Seq[Int], useBytes: Boolean,
+        build: Int => DataFrame): Unit = {
+      val pts = factors.map(f => f -> run(build)(f))
+      pts.foreach { case (f, (n, b, s)) =>
+        println(f"SCALE $family%-18s x$f%-2d rows=$n%9d shuffleMB=${b / 1e6}%9.2f  ${s}%6.2f s")
+      }
+      val metric = pts.map { case (f, (n, b, _)) =>
+        f -> (if (useBytes) b else n) }
+      metric.sliding(2).foreach {
+        case Seq((f1, m1), (f2, m2)) =>
+          val skip = useBytes && m1 < NoiseFloorBytes
+          val ratio = m2.toDouble / math.max(1L, m1)
+          val bound = 3.0 * (f2.toDouble / f1) / 2.0 // ≤1.5× over linear
+          if (!skip && ratio > bound) {
+            failed ::= f"$family x$f1→x$f2: metric grew $ratio%.2fx (bound $bound%.2fx)"
+          }
+        case _ => ()
+      }
+    }
+
+    // 1. MinHash+LSH near-dup candidates: the metric is the candidate
+    // pair count — LSH exists to keep it ~linear in the corpus.
+    check("lsh_candidates", Seq(1, 2, 4, 8), useBytes = false, { f =>
+      val docs = replicate(docsBase, f, "doc_id", 1000000L, tagTokens = true)
+      graft.dedup.Dedup.lshCandidatePairs(
+        graft.dedup.Dedup.minhashSignatures(docs, "text", "doc_id"))
+    })
+
+    // 2. IVF-kNN join, fixed query set: the metric is scored candidate
+    // rows (cells replicate with the corpus; nprobe fixed), measured
+    // as the candidate frame's count — the same construction
+    // ivfKnnJoin scores, pre-TopK (TopK output is k rows per query
+    // regardless of scale, so the JOIN's work is the right metric).
+    val queries = embBase.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .localCheckpoint(eager = true)
+    val cents = graft.similarity.Similarity.ivfCentroids(
+      embBase, "embedding", "vec_id", 16, trainPct = 25)
+    check("ivf_knn_cands", Seq(1, 2, 4), useBytes = false, { f =>
+      val corpus = replicate(embBase, f, "vec_id", 10000000L, tagTokens = false)
+      val assigned = graft.similarity.Similarity.ivfAssign(
+        graft.Tables.spread(corpus), "embedding", "vec_id", cents)
+      val probes = graft.similarity.Similarity.ivfAssignQuery(
+        queries.select(col("qv").as("qvec")).limit(1), cents, 4)
+      assigned.join(broadcast(probes), Seq("centroid_id"))
+    })
+
+    // 3. Latest-wins CDC merge: base and a 10% change stream replicate
+    // together; the merge is one aggregate + join, so shuffle bytes
+    // must track input size.
+    check("cdc_merge", Seq(1, 2, 4, 8), useBytes = true, { f =>
+      val base = replicate(ordersBase, f, "o_orderkey", 100000000L, tagTokens = false)
+      val changes = base.where(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("seq", lit(1L))
+        .withColumn("op", lit("u"))
+      graft.ops.Merge.latestWins(base, changes, Seq("o_orderkey"))
+    })
+
+    // 4. Token-budget sample: bucketed prefix sums — shuffle bytes
+    // must track the corpus, never funnel into |sources| reducers.
+    check("budget_sample", Seq(1, 2, 4, 8), useBytes = true, { f =>
+      val docs = replicate(docsBase, f, "doc_id", 1000000L, tagTokens = false)
+      graft.ops.BudgetSample.byBudget(docs, "source", "doc_id",
+        size(split(col("text"), "\\s+")), seed = 7L, budget = 100000L)
+    })
+
+    spark.stop()
+    if (failed.nonEmpty) {
+      failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))
+      sys.exit(1)
+    }
+    println("SCALECHECK: all growth curves ~linear")
+  }
+}
