@@ -100,7 +100,8 @@ object Main {
       since: Option[String] = None, from: Option[String] = None,
       to: Option[String] = None, keep: Option[Int] = None,
       hardlinksAsFiles: Boolean = false, extension: Option[String] = None,
-      excludes: List[String] = Nil, positional: List[String] = Nil)
+      excludes: List[String] = Nil, positional: List[String] = Nil,
+      batchSize: Int = 256, maxBatches: Option[Int] = None)
 
   // positional accumulates in COMMAND-LINE order: the recursion
   // parses the tail first and prepends the head (foldRight shape).
@@ -121,6 +122,12 @@ object Main {
     case "--extension" :: v :: rest => parseOpts(rest).copy(extension = Some(v))
     case "--exclude" :: v :: rest =>
       val o = parseOpts(rest); o.copy(excludes = v :: o.excludes)
+    // resumable-first-scan knobs: checkpoint granularity, and a cap on
+    // batches run this invocation (operational "stop after N, resume
+    // later"; also the kill-emulation test hook)
+    case "--batch-size" :: v :: rest => parseOpts(rest).copy(batchSize = v.toInt)
+    case "--max-batches" :: v :: rest =>
+      parseOpts(rest).copy(maxBatches = Some(v.toInt))
     case p :: rest => val o = parseOpts(rest); o.copy(positional = p :: o.positional)
     case Nil => Opts()
   }
@@ -176,31 +183,17 @@ object Main {
       if (o.incremental) Snapshot.latestName(o.db).map(_ =>
         Snapshot.readFiles(spark, o.db))
       else None
-    val name = prevSnapshot match {
+    val nameOpt = prevSnapshot match {
       case Some(prev) =>
         val r = graft.ingest.Incremental.rescan(spark, root, prev, o.excludes)
         println(s"incremental: ${r.summary}")
         val errs = { import spark.implicits._; Seq.empty[graft.model.ScanError].toDF() }
-        Snapshot.write(o.db, r.entries, errs)
+        Some(Snapshot.write(o.db, r.entries, errs))
       case None =>
-        // First scan: resumable (per-seed-batch checkpoints under
-        // <db>/_frontier — a killed analyze picks up at the first
-        // uncommitted batch, reference analyze.go:82-87) with live
-        // progress (files/s ticker + slow-scan warnings, reference
-        // progress.go:54-316). The frontier is dropped only after the
-        // snapshot is durably written.
-        val progress = new Walker.WalkProgress(spark)
-        val tick = progress.ticker()
-        val frontier = java.nio.file.Paths.get(o.db, "_frontier").toString
-        val out = try ResumableWalk.walk(spark, root, frontier,
-            exclusions = o.excludes, progress = Some(progress.hooks))
-          finally tick.close()
-        val res = Walker.Result(out.records)
-        res.records.cache()
-        val written = Snapshot.write(o.db, res.entries.toDF(), res.errors.toDF())
-        ResumableWalk.clear(frontier)
-        written
+        firstScan(spark, o.db, root, o.excludes, o.batchSize,
+          o.maxBatches.getOrElse(Int.MaxValue))
     }
+    val name = nameOpt.getOrElse { spark.stop(); return }
     // One aggregation pass over the fresh snapshot for the summary
     // line (files/dirs/bytes as conditional sums), plus the error
     // count from its own table.
@@ -222,6 +215,39 @@ object Main {
     println(s"snapshot $name: $nDirs prefixes, $nFiles files, " +
       s"${Reports.formatSize(bytes)}, $nErr errors")
     spark.stop()
+  }
+
+  /** First-scan path of `analyze`: resumable walk (per-seed-batch
+    * checkpoints under `<db>/_frontier` — a killed analyze picks up at
+    * the first uncommitted batch, reference analyze.go:82-87) with
+    * live progress (files/s ticker + slow-scan warnings, reference
+    * progress.go:54-316). Returns the snapshot name iff the walk
+    * COMPLETED; a batch-capped (or killed) run writes NO snapshot and
+    * leaves the frontier in place, so rerunning the same command
+    * resumes — a partial tree must never masquerade as a snapshot.
+    * The frontier is dropped only after the snapshot is durably
+    * written. */
+  private[cli] def firstScan(spark: SparkSession, db: String, root: String,
+      excludes: Seq[String], batchSize: Int = 256,
+      maxBatches: Int = Int.MaxValue): Option[String] = {
+    val progress = new Walker.WalkProgress(spark)
+    val tick = progress.ticker()
+    val frontier = java.nio.file.Paths.get(db, "_frontier").toString
+    val out = try ResumableWalk.walk(spark, root, frontier,
+        exclusions = excludes, batchSize = batchSize,
+        maxBatches = maxBatches, progress = Some(progress.hooks))
+      finally tick.close()
+    if (!out.complete) {
+      System.err.println(s"analyze: stopped after ${out.completedBatches}/" +
+        s"${out.totalBatches} batches — rerun the same command to resume")
+      None
+    } else {
+      val res = Walker.Result(out.records)
+      res.records.cache()
+      val written = Snapshot.write(db, res.entries.toDF(), res.errors.toDF())
+      ResumableWalk.clear(frontier)
+      Some(written)
+    }
   }
 
   private def find(args: List[String]): Unit = {

@@ -162,4 +162,41 @@ class CliSpec extends SparkSpec {
     val one = Main.locateJson(base.toString, 1, None)
     assert(one.contains("20260102") && !one.contains("20260101"))
   }
+
+  test("analyze first scan: batch-capped run writes no snapshot; resume equals one-shot") {
+    // the CLI surface of ResumableWalk (reference analyze.go:82-87):
+    // --max-batches emulates a kill mid-walk; rerunning the same
+    // analyze resumes from the frontier and the final snapshot must be
+    // identical to an uninterrupted run's.
+    import graft.ingest.Snapshot
+    val root = Files.createTempDirectory("graft-resume-tree")
+    for (d <- 0 until 3; s <- 0 until 2) {
+      val p = root.resolve(s"d$d/s$s")
+      Files.createDirectories(p)
+      Files.write(p.resolve(s"f_${d}_$s.txt"), ("x" * (10 + d + s)).getBytes)
+    }
+    val db1 = Files.createTempDirectory("graft-resume-db").toString
+    val db2 = Files.createTempDirectory("graft-oneshot-db").toString
+
+    // "kill" after 1 of 3 batches (6 seeds at depth 2, batchSize 2)
+    val partial = Main.firstScan(spark, db1, root.toString, Nil,
+      batchSize = 2, maxBatches = 1)
+    assert(partial.isEmpty, "a partial walk must not write a snapshot")
+    assert(Snapshot.latestName(db1).isEmpty)
+    assert(Files.exists(java.nio.file.Paths.get(db1, "_frontier", "seeds.txt")))
+
+    // resume: completes, snapshot written, frontier dropped
+    val resumed = Main.firstScan(spark, db1, root.toString, Nil, batchSize = 2)
+    assert(resumed.nonEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(db1, "_frontier")))
+
+    // one-shot reference run into a fresh db
+    assert(Main.firstScan(spark, db2, root.toString, Nil).nonEmpty)
+    def rows(db: String): Seq[String] =
+      Snapshot.readFiles(spark, db)
+        .select(col("path"), col("size"), col("is_dir"))
+        .collect().map(_.toString).toSeq.sorted
+    assert(rows(db1) == rows(db2),
+      "resumed snapshot diverged from the one-shot snapshot")
+  }
 }
