@@ -32,23 +32,37 @@ import org.apache.spark.sql.types.LongType
   */
 object Shuffle {
 
-  /** Append `shuffle_pos` (0-based global position in seeded shuffle
-    * order) to `df`. `idCol` must be unique — it both seeds the hash
-    * and breaks ties, making the order a strict permutation. */
-  def shuffled(df: DataFrame, idCol: String, seed: Long,
+  /** Append `posCol` = 0-based global position of each row under the
+    * total order of `orderCols` (which MUST be a strict total order —
+    * include a unique tiebreaker column). One range exchange + local
+    * sorts + zipWithIndex: exact, fully parallel, and deterministic —
+    * positions follow only from the total order, never from the
+    * sampled range boundaries. The shared machinery behind the corpus
+    * shuffle, the exact profiler's ranks, curriculum ordering, and
+    * per-dimension winsorization ranks — anywhere a `row_number()`
+    * window would funnel the frame through one reducer. */
+  def positionsBy(df: DataFrame, orderCols: Seq[String], posCol: String,
       partitions: Int = 32): DataFrame = {
     val sorted = df
-      .withColumn("shuffle_key",
-        md5(concat(lit(seed.toString), lit("|"), col(idCol).cast("string"))))
-      .repartitionByRange(partitions, col("shuffle_key"), col(idCol))
-      .sortWithinPartitions(col("shuffle_key"), col(idCol))
-    val schema = sorted.schema.add("shuffle_pos", LongType, nullable = false)
+      .repartitionByRange(partitions, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = sorted.schema.add(posCol, LongType, nullable = false)
     val withPos = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(withPos, schema)
-      .drop("shuffle_key")
   }
+
+  /** Append `shuffle_pos` (0-based global position in seeded shuffle
+    * order) to `df`. `idCol` must be unique — it both seeds the hash
+    * and breaks ties, making the order a strict permutation. */
+  def shuffled(df: DataFrame, idCol: String, seed: Long,
+      partitions: Int = 32): DataFrame =
+    positionsBy(
+      df.withColumn("shuffle_key",
+        md5(concat(lit(seed.toString), lit("|"), col(idCol).cast("string")))),
+      Seq("shuffle_key", idCol), "shuffle_pos", partitions)
+      .drop("shuffle_key")
 
   /** Write the seeded shuffle as training shards: one
     * `shard_id=<k>/` parquet directory per shard, rows round-robin by

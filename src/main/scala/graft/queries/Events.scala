@@ -273,6 +273,49 @@ object Events {
         .select(col("event_type"), round(col("p5000bp"), 2).as("p50"),
           round(col("p9000bp"), 2).as("p90"), round(col("p9900bp"), 2).as("p99"))
         .orderBy(asc("event_type"))
+    }),
+
+    // Time-series gap-fill (ops/GapFill): per-user daily activity
+    // completed to a dense calendar over each user's own observed
+    // span, with the last observed level carried across gaps. The
+    // calendar explode is bounded per key; the carry-forward window
+    // partitions by the HIGH-cardinality user — no global sort, no
+    // low-cardinality skew. The carried metric is an integer
+    // (floor(max·100)), so the oracle compares exactly.
+    "q_gap_fill" -> ((s, dir) => {
+      graft.ops.GapFill.dailyActivity(events(s, dir), "user_id",
+          col("ts"), col("value"))
+        .withColumn("day", col("day").cast("string"))
+        .orderBy(asc("user_id"), asc("day"))
+    }),
+
+    // Robust per-key anomaly flags: a user's daily event count is
+    // anomalous when it deviates from that user's MEDIAN daily count
+    // by more than 3× the MAD (median absolute deviation) — the
+    // robust z-score every data-quality monitor runs. Two grouped
+    // aggregates keyed by the high-cardinality user (the per-group
+    // percentile runs over ≤ span-days small integers — not the
+    // banned high-cardinality-double shape). All outputs ride an
+    // integer quarter-grid (counts are ints, medians land on .5, MADs
+    // on .25), so ×4 makes every emitted column integer-exact.
+    "q_anomaly_mad" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy(col("user_id"))
+        .agg(expr("percentile(n, 0.5D)").as("med"))
+      val dev = daily.join(med, Seq("user_id"))
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = dev.groupBy(col("user_id"))
+        .agg(expr("percentile(dev, 0.5D)").as("mad"))
+      dev.join(mad, Seq("user_id"))
+        .select(col("user_id"), col("day").cast("string").as("day"), col("n"),
+          (col("med") * 4).cast("long").as("med_q4"),
+          (col("dev") * 4).cast("long").as("dev_q4"),
+          (col("mad") * 4).cast("long").as("mad_q4"),
+          when(col("dev") > col("mad") * 3, 1L).otherwise(0L)
+            .as("is_anomaly"))
+        .orderBy(asc("user_id"), asc("day"))
     })
   )
 
@@ -386,6 +429,47 @@ object Events {
         |  (act.day_epoch - cohort_epoch) // 86400 AS offset_days,
         |  count(*) AS n_users
         |FROM act JOIN coh USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts)::DATE AS day,
+        |    count(*) AS n, floor(max(value) * 100)::BIGINT AS level_cents
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, min(day) AS lo, max(day) AS hi
+        |  FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM spans)
+        |SELECT c.user_id, c.day::VARCHAR AS day,
+        |  coalesce(d.n, 0)::BIGINT AS n,
+        |  last_value(d.level_cents IGNORE NULLS) OVER (
+        |    PARTITION BY c.user_id ORDER BY c.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS level_cents_filled,
+        |  (CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap
+        |FROM cal c LEFT JOIN daily d
+        |  ON c.user_id = d.user_id AND c.day = d.day
+        |ORDER BY c.user_id, c.day""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts)::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT user_id, quantile_cont(n, 0.5) AS med FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.user_id, d.day, d.n, m.med, abs(d.n - m.med) AS dev
+        |  FROM daily d JOIN med m USING (user_id)),
+        |mad AS (
+        |  SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT v.user_id, v.day::VARCHAR AS day, v.n,
+        |  (v.med * 4)::BIGINT AS med_q4,
+        |  (v.dev * 4)::BIGINT AS dev_q4,
+        |  (m.mad * 4)::BIGINT AS mad_q4,
+        |  (CASE WHEN v.dev > m.mad * 3 THEN 1 ELSE 0 END)::BIGINT
+        |    AS is_anomaly
+        |FROM dev v JOIN mad m USING (user_id)
+        |ORDER BY v.user_id, v.day""".stripMargin
   )
 }

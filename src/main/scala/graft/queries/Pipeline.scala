@@ -832,6 +832,43 @@ object Pipeline {
         .orderBy(asc("shuffle_pos"))
     }),
 
+    // Curriculum ordering + sharding: shortest-first length bands,
+    // deterministic seeded shuffle WITHIN each band (so every training
+    // shard of a band is an unbiased sample of it), global positions
+    // from the range-sort + zipWithIndex machinery (ops/Shuffle
+    // .positionsBy) — a curriculum writer at 100 TB needs exactly this
+    // order and must never funnel the corpus through a one-reducer
+    // row_number. The oracle replays (band, md5, id) in DuckDB,
+    // proving position-for-position parity.
+    "q_curriculum" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val banded = docs
+        .withColumn("n_tok", size(split(lower(trim(col("text"))), "\\s+")))
+        .withColumn("band", least(expr("n_tok div 50"), lit(8)))
+        .withColumn("k",
+          md5(concat(lit("7"), lit("|"), col("doc_id").cast("string"))))
+        .select(col("doc_id"), col("band"), col("k"))
+      graft.ops.Shuffle.positionsBy(banded, Seq("band", "k", "doc_id"),
+          "curriculum_pos")
+        .select(col("doc_id"), col("band"), col("curriculum_pos"),
+          expr("curriculum_pos div 64").as("shard"))
+        .orderBy(asc("curriculum_pos"))
+    }),
+
+    // Per-dimension winsorization bounds (ops/Winsorize): rank-
+    // selected clip values (the ⌈p·n⌉-th smallest per dim — data
+    // values, never interpolated, so the oracle compares exactly) +
+    // how many cells each dim would clip. Ranks come from ONE
+    // range-partitioned sort of the melted corpus (positionsBy), not
+    // a 64-partition window — dims are LOW cardinality and a window
+    // over them is the measured skew trap. The oracle's row_number
+    // per dim is the same total order.
+    "q_winsorize" -> ((s, dir) => {
+      graft.ops.Winsorize.bounds(embeddings(s, dir), "embedding",
+          "vec_id", pLo = 0.01, pHi = 0.99)
+        .orderBy(asc("dim"))
+    }),
+
     // Exact embedding outliers: the 20 vectors least cosine-similar to
     // the corpus mean (Similarity.outliers — one mean-building agg
     // pass, one broadcast, one TakeOrdered scan).
@@ -2004,6 +2041,41 @@ object Pipeline {
         |SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
         |  sum(CASE WHEN true_label = 'hi' THEN 1 ELSE 0 END)::BIGINT AS n_hi,
         |  ((sum(CASE WHEN true_label = 'hi' THEN 1 ELSE 0 END)::BIGINT * 10000) // count(*))::BIGINT AS hi_bp
-        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    least(len(regexp_split_to_array(trim(lower(text)), '\s+')) // 50,
+        |      8) AS band,
+        |    md5('7|' || doc_id::VARCHAR) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, band,
+        |    row_number() OVER (ORDER BY band, k, doc_id) - 1
+        |      AS curriculum_pos
+        |  FROM t)
+        |SELECT doc_id, band, curriculum_pos,
+        |  curriculum_pos // 64 AS shard
+        |FROM r ORDER BY curriculum_pos""".stripMargin,
+    "q_winsorize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+        |  FROM e),
+        |r AS (
+        |  SELECT dim, x, vec_id,
+        |    row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS rk,
+        |    count(*) OVER (PARTITION BY dim) AS n
+        |  FROM m),
+        |b AS (
+        |  SELECT dim, max(n) AS n,
+        |    min(CASE WHEN rk = ceil(n * 0.01) THEN x END) AS lo,
+        |    min(CASE WHEN rk = ceil(n * 0.99) THEN x END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT m.dim, b.lo, b.hi, b.n,
+        |  sum(CASE WHEN m.x < b.lo THEN 1 ELSE 0 END)::BIGINT AS n_below,
+        |  sum(CASE WHEN m.x > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_above
+        |FROM m JOIN b USING (dim)
+        |GROUP BY 1, 2, 3, 4 ORDER BY m.dim""".stripMargin
   )
 }
