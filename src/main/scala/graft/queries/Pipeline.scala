@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.dedup.Dedup
-import graft.similarity.Similarity
+import graft.similarity.{Coreset, Similarity}
 import graft.text.TextAnalysis
 
 /** Training-data pipeline operators over the `documents` and
@@ -832,6 +832,29 @@ object Pipeline {
         .orderBy(asc("shuffle_pos"))
     }),
 
+    // Corpus n-gram diversity per source: corpus-wide DISTINCT
+    // 3-grams over the sum of per-doc distinct 3-grams, in basis
+    // points — 10000 means no 3-gram repeats across documents; low
+    // values expose template/boilerplate sources that per-doc
+    // repetition rules can't see. One explode + one two-level
+    // aggregate (per-(source, shingle) map-side combine, then per-
+    // source rollup — no mixed distinct/non-distinct Expand), postings
+    // hashed to longs before the shuffle.
+    "q_diversity" -> ((s, dir) => {
+      val sh = graft.functions.ShingleExprs.wordShingles(s, col("text"), 3)
+      val perShingle = documents(s, dir)
+        .select(col("source"), explode(sh).as("shingle"))
+        .withColumn("shingle", xxhash64(col("shingle")))
+        .groupBy(col("source"), col("shingle"))
+        .agg(count(lit(1)).as("occ"))
+      perShingle.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("occ")).as("n_total"))
+        .select(col("source"), col("n_distinct"), col("n_total"),
+          expr("n_distinct * 10000 div n_total").as("diversity_bp"))
+        .orderBy(asc("source"))
+    }),
+
     // Curriculum ordering + sharding: shortest-first length bands,
     // deterministic seeded shuffle WITHIN each band (so every training
     // shard of a band is an unbiased sample of it), global positions
@@ -867,6 +890,17 @@ object Pipeline {
       graft.ops.Winsorize.bounds(embeddings(s, dir), "embedding",
           "vec_id", pLo = 0.01, pHi = 0.99)
         .orderBy(asc("dim"))
+    }),
+
+    // Diversity coreset (similarity/Coreset): k-center greedy on a
+    // bounded driver sample + ONE distributed assignment pass
+    // (approximate — the greedy loop isn't SQL; CoresetSpec asserts
+    // planted-cluster coverage, deterministic selection, and the
+    // radius-vs-k contract). Output: per-center population + coverage
+    // radius in integer basis points.
+    "q_coreset" -> ((s, dir) => {
+      Coreset.summary(spread(embeddings(s, dir)), "embedding", "vec_id",
+        k = 16)
     }),
 
     // Exact embedding outliers: the 20 vectors least cosine-similar to
@@ -2042,6 +2076,20 @@ object Pipeline {
         |  sum(CASE WHEN true_label = 'hi' THEN 1 ELSE 0 END)::BIGINT AS n_hi,
         |  ((sum(CASE WHEN true_label = 'hi' THEN 1 ELSE 0 END)::BIGINT * 10000) // count(*))::BIGINT AS hi_bp
         |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_diversity" ->
+      """WITH sh AS (
+        |  SELECT source,
+        |    unnest(list_distinct(CASE WHEN len(w) < 3
+        |      THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
+        |            for i in range(1, len(w) - 1)] END)) AS shingle
+        |  FROM (SELECT source,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents))
+        |SELECT source, count(DISTINCT shingle) AS n_distinct,
+        |  count(*) AS n_total,
+        |  (count(DISTINCT shingle) * 10000) // count(*) AS diversity_bp
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_curriculum" ->
       """WITH t AS (
         |  SELECT doc_id,

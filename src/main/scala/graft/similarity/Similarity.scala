@@ -39,7 +39,7 @@ object Similarity {
     * graft.functions.CosineSimExpr) — used by every DataFrame-level
     * operator here because the declarative form pays interpreted
     * per-element lambda evaluation in the O(pairs × dim) hot loops. */
-  private def ncos(df: DataFrame, a: Column, b: Column): Column =
+  private[similarity] def ncos(df: DataFrame, a: Column, b: Column): Column =
     graft.functions.CosineSimExpr.cosineSim(df.sparkSession, a, b)
 
   /** Exact top-k by cosine for a single query vector, supplied as a
