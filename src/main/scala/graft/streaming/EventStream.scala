@@ -176,6 +176,36 @@ object EventStream {
       }(enc)
   }
 
+  /** Streaming twin of q_anomaly_mad's flagging half: the stream's
+    * per-(user, day) counts are scored against a FROZEN robust profile
+    * (per-user median/MAD daily counts on the ×4 integer grid, built
+    * batch-side from a blessed reference period — the same
+    * frozen-literal-model pattern as the streaming NB classifier).
+    * The profile rides the plan as two literal maps (|users| longs —
+    * kilobytes to low MBs); state is one count per (user, day) seen.
+    * A user ABSENT from the profile is itself the anomaly signal
+    * (med_q4/mad_q4 = −1, flagged) — the same vanished/new-group
+    * reasoning as the drift monitor's full-outer join. Works
+    * identically on a batch frame (same Column plan), which is what
+    * the spec's stream ≡ batch assertion exercises. */
+  def dailyAnomaly(events: DataFrame,
+      profile: Map[Long, (Long, Long)]): DataFrame = {
+    val medMap = typedLit(profile.map { case (u, (m, _)) => u -> m })
+    val madMap = typedLit(profile.map { case (u, (_, d)) => u -> d })
+    events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("med_q4",
+        coalesce(try_element_at(medMap, col("user_id")), lit(-1L)))
+      .withColumn("mad_q4",
+        coalesce(try_element_at(madMap, col("user_id")), lit(-1L)))
+      .withColumn("dev_q4", abs(col("n") * 4 - col("med_q4")))
+      .withColumn("is_anomaly",
+        when(col("med_q4") < 0, 1L)
+          .when(col("dev_q4") > col("mad_q4") * 3, 1L)
+          .otherwise(0L))
+  }
+
   /** Run a parquet-backed streaming query into an in-memory sink until
     * all available input is processed (test/dev harness). */
   def runToMemory(spark: SparkSession, sourceDir: String, name: String,

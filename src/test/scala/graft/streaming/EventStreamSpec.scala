@@ -219,4 +219,55 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming daily-anomaly flags equal batch; unknown users flag; planted spike flags") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-anom")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // frozen profile: the batch median/MAD (x4 grid) of the SAME
+    // period for the first 20 users — everyone else is "unknown"
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy(col("user_id"))
+      .agg(expr("percentile(n, 0.5D)").as("med"))
+    val mad = daily.join(med, Seq("user_id"))
+      .withColumn("dev", abs(col("n") - col("med")))
+      .groupBy(col("user_id"), col("med"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    val profile = mad.where(col("user_id") < 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1) * 4).toLong, (r.getDouble(2) * 4).toLong)).toMap
+    assert(profile.nonEmpty)
+
+    val q = EventStream.runToMemory(spark, streamDir.toString,
+      "anom_daily", EventStream.dailyAnomaly(_, profile))
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    val streamed = spark.sql(
+      "SELECT user_id, day, n, med_q4, mad_q4, dev_q4, is_anomaly " +
+        "FROM anom_daily ORDER BY user_id, day").collect().map(key)
+    val batch = EventStream.dailyAnomaly(
+        graft.Tables.events(spark, dir), profile)
+      .select("user_id", "day", "n", "med_q4", "mad_q4", "dev_q4",
+        "is_anomaly")
+      .orderBy("user_id", "day").collect().map(key)
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+    // unknown users (>= 20) always flag with the -1 sentinel profile
+    assert(streamed.filter(_._1 >= 20).forall(r => r._4 == -1L && r._7 == 1L))
+    // planted spike: a day with count far above a known user's median
+    // must flag (synthesize via the batch form on a tiny frame)
+    import spark.implicits._
+    val spike = (1 to 40).map(i =>
+      (5L, java.sql.Timestamp.valueOf("2030-01-01 00:00:30"), i))
+      .toDF("user_id", "ts", "i")
+    val flagged = EventStream.dailyAnomaly(spike, profile)
+      .select("is_anomaly").collect().head.getLong(0)
+    assert(flagged == 1L, "40-event spike day must flag vs a small median")
+  }
 }
