@@ -153,6 +153,17 @@ object ScaleCheck {
         size(split(col("text"), "\\s+")), seed = 7L, budget = 100000L)
     })
 
+    // 5. Deterministic global ordering (Shuffle.positionsBy — the
+    // curriculum / corpus-shuffle / rank machinery): one range
+    // exchange + zipWithIndex; shuffle bytes must track the corpus,
+    // and nothing may funnel through a single reducer.
+    check("positions_by", Seq(1, 2, 4, 8), useBytes = true, { f =>
+      val docs = replicate(docsBase, f, "doc_id", 1000000L, tagTokens = false)
+        .select(col("doc_id"),
+          md5(concat(lit("7|"), col("doc_id").cast("string"))).as("k"))
+      graft.ops.Shuffle.positionsBy(docs, Seq("k", "doc_id"), "p")
+    })
+
     spark.stop()
     if (failed.nonEmpty) {
       failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))
