@@ -681,6 +681,33 @@ object Pipeline {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
+    // Per-source duplication-rate diagnostics: WITHIN-source near-dup
+    // pairs (same pair machinery and params as q_near_dup_jaccard)
+    // over each source's pair capacity, in basis points — the
+    // which-crawl-is-internally-duplicative signal that decides where
+    // dedup budget goes. The pair frame is tiny after the threshold,
+    // so the source join-backs broadcast; one final per-source agg.
+    "q_dup_rate" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("source"))
+      val pairs = Dedup.jaccardPairs(spread(documents(s, dir)), "text",
+        "doc_id", n = 3, threshold = 0.3, maxShingleDf = 10)
+      val within = pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+          Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+          Seq("doc_b"))
+        .where(col("src_a") === col("src_b"))
+        .groupBy(col("src_a").as("source"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(within, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          expr("coalesce(n_dup_pairs, 0) * 10000 div " +
+            "greatest(n_docs * (n_docs - 1) div 2, 1)").as("dup_rate_bp"))
+        .orderBy(asc("source"))
+    }),
+
     // Prefix-filtered EXACT Jaccard (AllPairs/PPJoin): same semantics
     // as q_near_dup_jaccard with NO df cutoff — docs with j ≥ t must
     // collide inside their rarest |A|−⌈t|A|⌉+1 shingles, plus the
@@ -1735,6 +1762,33 @@ object Pipeline {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dup_rate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] END) AS ws
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |dup AS (
+        |  SELECT da.source AS source, count(*) AS n_dup_pairs
+        |  FROM pairs p
+        |  JOIN documents da ON p.doc_a = da.doc_id
+        |  JOIN documents db ON p.doc_b = db.doc_id
+        |  WHERE p.jaccard >= 0.3 AND da.source = db.source
+        |  GROUP BY 1),
+        |cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT c.source, c.n_docs,
+        |  coalesce(d.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+        |  ((coalesce(d.n_dup_pairs, 0) * 10000)
+        |    // greatest(c.n_docs * (c.n_docs - 1) // 2, 1))::BIGINT
+        |    AS dup_rate_bp
+        |FROM cnt c LEFT JOIN dup d USING (source)
+        |ORDER BY c.source""".stripMargin,
     "q_near_dup_prefix" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
