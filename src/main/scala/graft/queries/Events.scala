@@ -316,6 +316,21 @@ object Events {
           when(col("dev") > col("mad") * 3, 1L).otherwise(0L)
             .as("is_anomaly"))
         .orderBy(asc("user_id"), asc("day"))
+    }),
+
+    // SCD2 history build: each user's event_type change log becomes
+    // versioned [valid_from, valid_to) intervals with an open current
+    // row — run-collapse + interval assembly in ops/Scd2. Sequence is
+    // epoch MICROS (exact on both engines), ties broken by event_id.
+    "q_scd2_history" -> ((s, dir) => {
+      val log = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("seq_us"), col("event_id"),
+        col("event_type"))
+      graft.ops.Scd2.fromChangeLog(log, "user_id", "seq_us", "event_id",
+          Seq("event_type"))
+        .withColumnRenamed("valid_from", "valid_from_us")
+        .withColumnRenamed("valid_to", "valid_to_us")
+        .orderBy(asc("user_id"), asc("version"))
     })
   )
 
@@ -470,6 +485,29 @@ object Events {
         |  (CASE WHEN v.dev > m.mad * 3 THEN 1 ELSE 0 END)::BIGINT
         |    AS is_anomaly
         |FROM dev v JOIN mad m USING (user_id)
-        |ORDER BY v.user_id, v.day""".stripMargin
+        |ORDER BY v.user_id, v.day""".stripMargin,
+    "q_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS seq_us, event_id,
+        |    lag(event_type)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, seq_us, event_id FROM ordered
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |v AS (
+        |  SELECT user_id,
+        |    row_number()
+        |      OVER (PARTITION BY user_id ORDER BY seq_us, event_id)
+        |      AS version,
+        |    event_type, seq_us AS valid_from_us,
+        |    lead(seq_us)
+        |      OVER (PARTITION BY user_id ORDER BY seq_us, event_id)
+        |      AS valid_to_us
+        |  FROM changes)
+        |SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+        |  (CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin
   )
 }

@@ -1200,6 +1200,59 @@ object Pipeline {
           expr("sum(CASE WHEN label = 'hi' THEN 1 ELSE 0 END) * 10000L " +
             "div count(1)").as("hi_bp"))
         .orderBy(asc("bin"))
+    }),
+
+    // Leakage-safe train/val/test split: the split is a deterministic
+    // function of the DEDUP GROUP key (normalized-text hash), so
+    // planted whitespace-variant duplicates can never straddle splits.
+    // Plants the same copies as q_dedup_exact; the oracle replays the
+    // injection and the identical md5-coin assignment.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), col("text"), lit(" ")).as("text"))
+      val planted = base.unionByName(copies)
+        .withColumn("text_hash",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      graft.ops.Split.summary(planted, "text_hash",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
+    // Compression-ratio quality signal (rows-only — the oracle engine
+    // has no zlib; kernel ≡ a driver-side Deflater reference is pinned
+    // in DeflateSpec). comp_bp = deflated/raw size in basis points;
+    // very low = templated/repetitive text, very high = noise. One
+    // codegen'd scan pass, zero shuffle.
+    "q_compress_quality" -> ((s, dir) => {
+      val raw = length(encode(col("text"), "UTF-8")).cast("long")
+      val dz = graft.functions.DeflateSizeExpr.deflateSize(s, col("text"))
+      spread(documents(s, dir))
+        .select(col("doc_id"), raw.as("raw_bytes"), dz.as("deflate_bytes"))
+        .withColumn("comp_bp",
+          expr("deflate_bytes * 10000L div greatest(raw_bytes, 1L)"))
+        .withColumn("band",
+          when(col("comp_bp") < 2000L, "repetitive")
+            .when(col("comp_bp") > 9000L, "noise")
+            .otherwise("prose"))
+        .orderBy(asc("doc_id"))
+    }),
+
+    // MMR diverse top-k (rows-only — greedy selection is iterative;
+    // equivalence to the brute-force reference and the
+    // diversity-vs-relevance tradeoff are pinned in MmrSpec). One
+    // corpus scan builds the bounded candidate pool; the greedy loop
+    // is driver-side.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      graft.similarity.Mmr.rerank(emb.where(col("vec_id") =!= 0),
+          "embedding", "vec_id", query, k = 10, lambda = 0.7,
+          poolSize = 128)
+        .select(col("id").as("vec_id"), col("mmr_rank"),
+          round(col("rel"), 4).as("rel"))
+        .orderBy(asc("mmr_rank"))
     })
   )
 
@@ -2178,6 +2231,31 @@ object Pipeline {
         |  sum(CASE WHEN m.x < b.lo THEN 1 ELSE 0 END)::BIGINT AS n_below,
         |  sum(CASE WHEN m.x > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_above
         |FROM m JOIN b USING (dim)
-        |GROUP BY 1, 2, 3, 4 ORDER BY m.dim""".stripMargin
+        |GROUP BY 1, 2, 3, 4 ORDER BY m.dim""".stripMargin,
+    // Thresholds are Sampling.threshold's 4-hex strings for the
+    // cumulative fractions: 0.8 -> round(.8*65536)=52429 = 'cccd',
+    // 0.9 -> 58982 = 'e666'.
+    "q_split_leakage_safe" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '  ' || text || ' ' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM planted),
+        |assigned AS (
+        |  SELECT h,
+        |    CASE WHEN substring(md5(h), 1, 4) < 'cccd' THEN 'train'
+        |         WHEN substring(md5(h), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    count(*) AS n_copies
+        |  FROM keyed GROUP BY 1, 2)
+        |SELECT split, sum(n_copies)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_groups,
+        |  sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::BIGINT
+        |    AS n_dup_docs
+        |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin
   )
 }
