@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch rollup — the materialized-sketch-column pattern
@@ -37,6 +37,44 @@ object SketchRollup {
       lgK: Int = 12): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sketch"))
+
+  /** Pairwise distinct-set OVERLAP estimates between groups, by
+    * inclusion-exclusion over the sketches: |A∩B| ≈ est(A) + est(B) −
+    * est(A∪B), where the union estimate comes from the scalar
+    * two-sketch `hll_union` — no raw data is touched. The join is a
+    * `g_a < g_b` nested-loop over the SKETCH TABLE, which has one row
+    * per group: bounded by group cardinality, never by data size
+    * (20 sources → 190 pairs whether the corpus is 500 rows or
+    * 100 TB). Output per pair: both estimates, the union, the
+    * (clamped-nonnegative) overlap, and `overlap_bp` — overlap as
+    * basis points of the SMALLER set, i.e. a containment-style score.
+    *
+    * Error: inclusion-exclusion compounds the ~1.6% RSE of each term,
+    * and the subtraction loses precision when the true overlap is
+    * small relative to the sets — treat small overlap_bp as "≈0", not
+    * as an exact rate (spec quantifies the bound). */
+  def overlap(sketchDf: DataFrame, groupCol: String): DataFrame = {
+    val est = (c: Column) => hll_sketch_estimate(c)
+    // Both sides of the pair join consume the sketch subtree, and a
+    // self-join re-executes it per consumer (no exchange reuse across
+    // a broadcast) — eagerly checkpoint the tiny per-group sketch
+    // table so the corpus-wide sketch build runs exactly once.
+    val snap = sketchDf.localCheckpoint(true)
+    val a = snap.select(col(groupCol).cast("string").as("g_a"),
+      col("sketch").as("sk_a"))
+    val b = snap.select(col(groupCol).cast("string").as("g_b"),
+      col("sketch").as("sk_b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        round(est(col("sk_a"))).cast("long").as("est_a"),
+        round(est(col("sk_b"))).cast("long").as("est_b"),
+        round(est(hll_union(col("sk_a"), col("sk_b")))).cast("long")
+          .as("est_union"))
+      .withColumn("est_overlap",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("overlap_bp",
+        expr("est_overlap * 10000L div greatest(least(est_a, est_b), 1L)"))
+  }
 
   /** Merge a sketch table (optionally pre-filtered to a range) to a
     * single cardinality estimate per residual group — e.g. day

@@ -1253,6 +1253,22 @@ object Pipeline {
         .select(col("id").as("vec_id"), col("mmr_rank"),
           round(col("rel"), 4).as("rel"))
         .orderBy(asc("mmr_rank"))
+    }),
+
+    // Cross-source vocabulary overlap via HLL inclusion-exclusion
+    // (rows-only — the oracle engine has no DataSketches HLL; the
+    // error bound vs exact intersections is pinned in
+    // SketchRollupSpec). One corpus pass builds 20 sketches; the pair
+    // join touches only the 20-row sketch table.
+    "q_source_overlap" -> ((s, dir) => {
+      val tokens = documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val sketches = graft.ops.SketchRollup.sketches(
+        tokens, Seq("source"), "token")
+      graft.ops.SketchRollup.overlap(sketches, "source")
+        .orderBy(asc("g_a"), asc("g_b"))
     })
   )
 

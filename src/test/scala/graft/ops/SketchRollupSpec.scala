@@ -72,4 +72,39 @@ class SketchRollupSpec extends SparkSpec {
       assert(math.abs(b(k) - v) <= math.max(5L, v / 50), s"$a vs $b")
     }
   }
+
+  test("pairwise overlap: inclusion-exclusion tracks exact intersections") {
+    // groups: A = [0,1000), B = [500,1500) → |A∩B| = 500,
+    // C = [5000,6000) → disjoint from both.
+    val ov = for {
+      (g, lo) <- Seq(("A", 0), ("B", 500), ("C", 5000))
+      u <- lo until (lo + 1000)
+    } yield (g, u.toLong)
+    val sk = SketchRollup.sketches(ov.toDF("g", "u"), Seq("g"), "u")
+    val out = SketchRollup.overlap(sk, "g")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.size === 3) // AB, AC, BC — each pair once, g_a < g_b
+    val (_, abOverlap, abBp) = out(("A", "B"))
+    // inclusion-exclusion compounds three ~1.6%-RSE terms on sets of
+    // 1000: allow 10% absolute slack on the 500-item truth
+    assert(math.abs(abOverlap - 500L) <= 50, s"A∩B est $abOverlap")
+    assert(math.abs(abBp - 5000L) <= 500, s"A∩B bp $abBp")
+    // disjoint pairs: small residual only (subtraction noise)
+    Seq(("A", "C"), ("B", "C")).foreach { p =>
+      val (_, o, bp) = out(p)
+      assert(o <= 60, s"$p overlap $o")
+      assert(bp <= 600, s"$p bp $bp")
+    }
+  }
+
+  test("overlap of a group with itself-by-another-name is total") {
+    val dup = (0 until 800).flatMap(u =>
+      Seq(("X", u.toLong), ("Y", u.toLong)))
+    val sk = SketchRollup.sketches(dup.toDF("g", "u"), Seq("g"), "u")
+    val row = SketchRollup.overlap(sk, "g").collect().head
+    // identical member sets: union == each side, overlap_bp ≈ 10000
+    assert(math.abs(row.getAs[Long]("overlap_bp") - 10000L) <= 300)
+  }
 }
