@@ -44,4 +44,35 @@ object RangeJoin {
       .where(col(p) >= col(startCol) && col(p) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join: pairs where
+    * `aStart < bEnd && bStart < aEnd` (both ends exclusive — touching
+    * intervals do NOT overlap). The binned shape generalizes
+    * [[byBinning]]: BOTH sides explode into the bins they cover, the
+    * equi-join runs on the bin, and the exact overlap predicate
+    * post-filters. An overlapping pair meets in EVERY shared bin, so
+    * emission is restricted to the one canonical bin — the bin of
+    * `max(aStart, bStart)`, which both intervals provably cover
+    * (overlap means max(start) < min(end), and each interval spans
+    * [its start, its end) ⊇ [max(start), min(end)) there) — the same
+    * first-agreeing-chunk arithmetic the LSH self-joins use instead of
+    * a candidate-set `distinct()`. One hash exchange per side, plain
+    * equi-join, AQE-rebalanceable: survives two large sides where the
+    * naive inequality join plans a nested loop. */
+  def overlapByBinning(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(Set(aStart, aEnd, bStart, bEnd).size == 4,
+      "interval column names must be distinct across sides")
+    def bin(c: Column): Column = floor(c / binWidth).cast("long")
+    def explodeBins(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bin", explode(sequence(bin(col(s)),
+        bin(greatest(col(s), col(e) - 1)))))
+    explodeBins(a, aStart, aEnd)
+      .join(explodeBins(b, bStart, bEnd), Seq("__bin"))
+      .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__bin") === bin(greatest(col(aStart), col(bStart))))
+      .drop("__bin")
+  }
 }

@@ -318,6 +318,51 @@ object Events {
         .orderBy(asc("user_id"), asc("day"))
     }),
 
+    // Semi-structured JSON parsing: one explicit-schema from_json per
+    // row (codegen'd Jackson parse, vs get_json_object's re-parse per
+    // extracted field), then a plain aggregate — the "props bag"
+    // ingestion shape for event streams whose payload schema is known.
+    "q_json_props" -> ((s, dir) => {
+      val k = from_json(col("props"), org.apache.spark.sql.types
+        .StructType(Seq(org.apache.spark.sql.types
+          .StructField("k", org.apache.spark.sql.types.IntegerType))))
+        .getField("k")
+      events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hi"))
+        .orderBy(asc("event_type"))
+    }),
+
+    // Interval×interval OVERLAP join (ops/RangeJoin.overlapByBinning):
+    // each user's first-activity window vs the staggered campaign
+    // windows — both sides binned, equi-join on the bin, each pair
+    // emitted from its canonical shared bin (no distinct pass). The
+    // oracle is the plain inequality join.
+    "q_interval_overlap" -> ((s, dir) => {
+      val epoch0 = 1704067200L // 2024-01-01 00:00:00 UTC
+      val campaigns = s.range(10).select(
+        col("id").as("campaign_id"),
+        (lit(epoch0) + col("id") * (3L * 86400)).as("c_start"),
+        (lit(epoch0) + col("id") * (3L * 86400) + 5L * 86400).as("c_end"))
+      val userWin = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("u_start"))
+        .withColumn("u_end", col("u_start") + 2L * 86400)
+      graft.ops.RangeJoin.overlapByBinning(
+          userWin, "u_start", "u_end",
+          campaigns, "c_start", "c_end", binWidth = 5L * 86400)
+        .select(col("user_id"), col("campaign_id"),
+          greatest(col("u_start"), col("c_start")).as("ov_start"),
+          least(col("u_end"), col("c_end")).as("ov_end"))
+        .withColumn("ov_secs", col("ov_end") - col("ov_start"))
+        .orderBy(asc("user_id"), asc("campaign_id"))
+    }),
+
     // SCD2 history build: each user's event_type change log becomes
     // versioned [valid_from, valid_to) intervals with an open current
     // row — run-collapse + interval assembly in ops/Scd2. Sequence is
@@ -486,6 +531,32 @@ object Events {
         |    AS is_anomaly
         |FROM dev v JOIN mad m USING (user_id)
         |ORDER BY v.user_id, v.day""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END)::BIGINT AS n_hi
+        |FROM (SELECT event_type,
+        |        json_extract(props, '$.k')::INTEGER AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH c AS (
+        |  SELECT i AS campaign_id,
+        |    1704067200 + i * 259200 AS c_start,
+        |    1704067200 + i * 259200 + 432000 AS c_end
+        |  FROM range(10) t(i)),
+        |u AS (
+        |  -- epoch(ts)::BIGINT ROUNDS; Spark unix_timestamp truncates.
+        |  -- Integer floor-div on micros matches Spark exactly.
+        |  SELECT user_id, min(epoch_us(ts) // 1000000) AS u_start,
+        |    min(epoch_us(ts) // 1000000) + 172800 AS u_end
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, campaign_id,
+        |  greatest(u_start, c_start) AS ov_start,
+        |  least(u_end, c_end) AS ov_end,
+        |  least(u_end, c_end) - greatest(u_start, c_start) AS ov_secs
+        |FROM u JOIN c ON u_start < c_end AND c_start < u_end
+        |ORDER BY 1, 2""".stripMargin,
     "q_scd2_history" ->
       """WITH ordered AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS seq_us, event_id,

@@ -44,6 +44,41 @@ class RangeJoinSpec extends SparkSpec {
       (0L, 3L), (9L, 3L), (10L, 3L), (19L, 3L), (20L, 3L), (25L, 3L)))
   }
 
+  test("overlap join equals the inequality join, each pair emitted once") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    def mk(n: Int, pfx: String) = (1 to n).map { i =>
+      val start = rnd.nextInt(9000).toLong
+      (i.toLong, start, start + 50L + rnd.nextInt(2500))
+    }.toDF(s"${pfx}id", s"${pfx}lo", s"${pfx}hi")
+    val a = mk(120, "a")
+    val b = mk(80, "b")
+    val got = RangeJoin.overlapByBinning(a, "alo", "ahi", b, "blo", "bhi", 1000L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = a.join(b,
+      col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == expected.toSet)
+  }
+
+  test("overlap edges: touching intervals excluded, containment included") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 35L, 45L)).toDF("aid", "alo", "ahi")
+    val b = Seq(
+      (1L, 10L, 20L), // touches a1 at 10 → NOT overlapping (exclusive)
+      (2L, 9L, 11L),  // crosses a1's end
+      (3L, 2L, 5L),   // contained in a1
+      (4L, 0L, 100L)) // contains both a's, spans many bins
+      .toDF("bid", "blo", "bhi")
+    val got = RangeJoin.overlapByBinning(a, "alo", "ahi", b, "blo", "bhi", 10L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L)))
+  }
+
   test("plan is an equi-join on the bin, not a nested loop") {
     val s = spark
     import s.implicits._
@@ -56,5 +91,11 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    val a = intervals.toDF("aid", "alo", "ahi")
+    val oPlan = RangeJoin.overlapByBinning(a, "alo", "ahi",
+      intervals.toDF("bid", "blo", "bhi"), "blo", "bhi", 500L)
+      .queryExecution.executedPlan.toString
+    assert(!oPlan.contains("NestedLoop"), oPlan)
+    assert(!oPlan.contains("CartesianProduct"), oPlan)
   }
 }
