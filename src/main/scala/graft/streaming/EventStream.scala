@@ -124,6 +124,57 @@ object EventStream {
       }).toDF()
   }
 
+  /** State for the streaming SCD2 twin: the retained per-key change
+    * log. Raw retention (not just the collapsed versions) is REQUIRED
+    * for exactness under disorder — a late event landing between two
+    * retained changes can resurrect a row that run-collapse previously
+    * removed (a → [late b] → a: both a's must now survive), so the
+    * derivation re-runs from the log on every update, per the
+    * order-sensitive-derivation rule the funnel follows. State is
+    * bounded by events per key (production: bound it with a retention
+    * horizon), never by stream volume across keys. */
+  final case class Scd2State(log: List[(Long, Long, String)], nSeen: Long)
+  final case class Scd2Row(user_id: Long, version: Long,
+      event_type: String, valid_from: Long, valid_to: Option[Long],
+      is_current: Long, n_seen: Long)
+
+  /** Streaming twin of ops/Scd2.fromChangeLog on the events stream
+    * (key = user, tracked attribute = event_type, sequence = epoch
+    * micros, ties by event_id): each update re-emits the key's full
+    * current history stamped with the monotone `n_seen` version —
+    * readers keep the rows with each key's max n_seen. */
+  def scd2(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[Scd2State]) => {
+          var st = state.getOption.getOrElse(Scd2State(Nil, 0L))
+          rows.foreach { case (_, seq, tie, attr) =>
+            st = Scd2State((seq, tie, attr) :: st.log, st.nSeen + 1)
+          }
+          state.update(st)
+          // re-derive: sort by (seq, tie), collapse runs, assign
+          // versions and intervals — the same semantics as the batch
+          // window form, driver-free and per-key-bounded.
+          val ordered = st.log.sortBy(e => (e._1, e._2))
+          val survivors = ordered.foldLeft(List.empty[(Long, String)]) {
+            case (acc, (seq, _, attr)) =>
+              if (acc.headOption.exists(_._2 == attr)) acc
+              else (seq, attr) :: acc
+          }.reverse
+          survivors.zipWithIndex.map { case ((from, attr), i) =>
+            Scd2Row(user, i + 1L, attr, from,
+              survivors.lift(i + 1).map(_._1),
+              if (i == survivors.length - 1) 1L else 0L, st.nSeen)
+          }.iterator
+        }).toDF()
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each key
     * within the watermark horizon (the streaming twin of the batch
     * exact dedup — dedup state is one compact row per distinct key

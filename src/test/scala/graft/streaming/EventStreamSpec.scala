@@ -270,4 +270,79 @@ class EventStreamSpec extends SparkSpec {
       .select("is_anomaly").collect().head.getLong(0)
     assert(flagged == 1L, "40-event spike day must flag vs a small median")
   }
+
+  /** Latest history snapshot per user from the scd2 memory sink:
+    * rows carrying each user's max n_seen. */
+  private def scd2Snapshot(table: String)
+      : Map[Long, Seq[(Long, String, Long, Option[Long], Long)]] =
+    spark.sql(s"SELECT * FROM $table").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val maxSeen = rows.map(_.getLong(6)).max
+        u -> rows.filter(_.getLong(6) == maxSeen)
+          .map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+          .sortBy(_._1).toSeq
+      }
+
+  test("streaming SCD2 equals the batch history builder on real events") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString, "scd2_t",
+      EventStream.scd2(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(120000)
+    val streamed = scd2Snapshot("scd2_t")
+    val batch = graft.ops.Scd2.fromChangeLog(
+      Tables.events(spark, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("seq"), col("event_id"),
+        col("event_type")),
+      "user_id", "seq", "event_id", Seq("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        u -> rows.map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+          .sortBy(_._1).toSeq
+      }
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("streaming SCD2: a late middle event resurrects a collapsed run") {
+    val s = spark
+    import s.implicits._
+    def n(min: Int) = min * 60L * 1000000000L + 1704067200L * 1000000000L
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2l")
+    // batch 1: a@1, a@9 — run-collapse keeps only version 1 (a@1).
+    Seq((1L, n(1), 1L, "a", 1.0, "{}"), (2L, n(9), 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(streamDir.resolve("a").toString)
+    // batch 2 (late): b@5 lands BETWEEN them — now a@1, b@5, a@9 are
+    // all versions; a frozen greedy collapse would have lost a@9.
+    Seq((3L, n(5), 1L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(streamDir.resolve("b").toString)
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(streamDir.resolve(sub).toString)
+      d.listFiles().foreach(_.setLastModified(t))
+      d.setLastModified(t)
+    }
+    stamp("a", 1000000L)
+    stamp("b", 2000000L)
+    val q = EventStream.runToMemory(spark, s"$streamDir/*", "scd2_late",
+      EventStream.scd2(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val hist = scd2Snapshot("scd2_late")(1L)
+    val us = (m: Int) => n(m) / 1000L
+    assert(hist == Seq(
+      (1L, "a", us(1), Some(us(5)), 0L),
+      (2L, "b", us(5), Some(us(9)), 0L),
+      (3L, "a", us(9), None, 1L)), s"got $hist")
+  }
 }
