@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan, "An improved data
+  * stream summary: the count-min sketch and its applications",
+  * J. Algorithms 2005) as a typed `Aggregator` — the mergeable
+  * POINT-FREQUENCY summary that completes the sketch-column family:
+  * HLL answers "how many distinct" ([[SketchRollup]]), Space-Saving
+  * answers "which items are heavy" ([[HeavyHitters]]), KLL answers
+  * "what is p99" ([[QuantileSketch]]); CMS answers "about how often
+  * does THIS item occur" for arbitrary items fixed after the fact —
+  * the query Space-Saving cannot serve (it only tracks its retained
+  * top-m) without re-scanning the corpus.
+  *
+  * Structure: d hash rows × w counters; an item adds 1 to one counter
+  * per row (index = hash_i(item) mod w); the estimate is the MINIMUM
+  * over its d counters. Guarantees (one-sided): estimate ≥ true
+  * count always, and estimate ≤ true + εN with probability ≥ 1−δ for
+  * ε = e/w, δ = e^−d. Merge = elementwise counter sum — exact, order-
+  * independent, associative: grain sketches roll up like the other
+  * three.
+  *
+  * Hashing: row i uses xxhash-style mixing of (seed=i, item bytes)
+  * via Scala's MurmurHash3 over the UTF-8 bytes — deterministic
+  * across JVMs and partitionings (integer arithmetic only), so
+  * unlike the HLL/KLL estimates a CMS sketch is BIT-IDENTICAL for
+  * any partitioning of the same multiset (counter sums commute
+  * exactly).
+  */
+object CountMinSketch {
+
+  /** Encoder-visible persistable form (public — the private-case-
+    * class codegen trap): flattened row-major counters. */
+  final case class CmsData(d: Int, w: Int, n: Long, counters: Seq[Long])
+
+  final class Sketch(val d: Int, val w: Int) extends Serializable {
+    var n: Long = 0L
+    val counters: Array[Long] = new Array[Long](d * w)
+
+    private def bucket(row: Int, item: String): Int = {
+      val h = scala.util.hashing.MurmurHash3.bytesHash(
+        item.getBytes("UTF-8"), row * 0x9e3779b9 + 1)
+      math.floorMod(h, w)
+    }
+
+    def add(item: String, count: Long = 1L): Sketch = {
+      var i = 0
+      while (i < d) {
+        counters(i * w + bucket(i, item)) += count
+        i += 1
+      }
+      n += count
+      this
+    }
+
+    def estimate(item: String): Long = {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < d) {
+        val c = counters(i * w + bucket(i, item))
+        if (c < best) best = c
+        i += 1
+      }
+      if (best == Long.MaxValue) 0L else best
+    }
+
+    /** Elementwise sum — exact merge. Adopts the other's shape when
+      * this sketch is the empty zero (w == 0). */
+    def mergeWith(o: Sketch): Sketch = {
+      if (o.w == 0) return this
+      if (w == 0) return o.mergeWith(this)
+      require(d == o.d && w == o.w, s"shape mismatch: ${d}x$w vs ${o.d}x${o.w}")
+      var i = 0
+      while (i < counters.length) { counters(i) += o.counters(i); i += 1 }
+      n += o.n
+      this
+    }
+  }
+
+  def toData(s: Sketch): CmsData = CmsData(s.d, s.w, s.n, s.counters.toSeq)
+
+  def fromData(x: CmsData): Sketch = {
+    val s = new Sketch(x.d, x.w)
+    s.n = x.n
+    x.counters.copyToArray(s.counters)
+    s
+  }
+
+  private def buildAgg(d: Int, w: Int): Aggregator[String, Sketch, CmsData] =
+    new Aggregator[String, Sketch, CmsData] {
+      def zero: Sketch = new Sketch(d, w)
+      def reduce(b: Sketch, a: String): Sketch =
+        if (a == null) b else b.add(a)
+      def merge(a: Sketch, b: Sketch): Sketch = a.mergeWith(b)
+      def finish(r: Sketch): CmsData = toData(r)
+      def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      def outputEncoder: Encoder[CmsData] = Encoders.product[CmsData]
+    }
+
+  private def mergeAgg(probes: Seq[String])
+      : Aggregator[CmsData, Sketch, Seq[Long]] =
+    new Aggregator[CmsData, Sketch, Seq[Long]] {
+      def zero: Sketch = new Sketch(0, 0) // adopts shape on first merge
+      def reduce(b: Sketch, a: CmsData): Sketch = b.mergeWith(fromData(a))
+      def merge(a: Sketch, b: Sketch): Sketch = a.mergeWith(b)
+      def finish(r: Sketch): Seq[Long] = probes.map(r.estimate)
+      def bufferEncoder: Encoder[Sketch] = Encoders.kryo[Sketch]
+      def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** Aggregate a string column into one CMS struct per group.
+    * Defaults: d=5 (δ≈0.7%), w=2048 (ε≈0.13% of N). */
+  def sketch(c: Column, d: Int = 5, w: Int = 2048): Column =
+    udaf(buildAgg(d, w), Encoders.STRING)(c.cast("string"))
+
+  /** One CMS per group: (groupCols..., sketch STRUCT). */
+  def sketches(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      d: Int = 5, w: Int = 2048): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sketch(col(itemCol), d, w).as("cms"))
+
+  /** Merge sketch rows (optionally pre-filtered) per residual group
+    * and answer the probe items: output one `est_<i>` column per
+    * probe plus the merged total n. */
+  def rollup(sketchDf: DataFrame, residualCols: Seq[String],
+      probes: Seq[String]): DataFrame = {
+    val m = udaf(mergeAgg(probes), Encoders.product[CmsData])
+    // udaf over a struct column flattens to one param per field
+    val applied = m(col("cms.d"), col("cms.w"), col("cms.n"),
+      col("cms.counters")).as("ests")
+    val grouped =
+      if (residualCols.isEmpty) sketchDf.agg(applied)
+      else sketchDf.groupBy(residualCols.map(col): _*).agg(applied)
+    probes.zipWithIndex.foldLeft(grouped) { case (df, (p, i)) =>
+      df.withColumn(s"est_${i + 1}", element_at(col("ests"), i + 1))
+    }.drop("ests")
+  }
+}

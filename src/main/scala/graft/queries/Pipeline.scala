@@ -1269,6 +1269,24 @@ object Pipeline {
         tokens, Seq("source"), "token")
       graft.ops.SketchRollup.overlap(sketches, "source")
         .orderBy(asc("g_a"), asc("g_b"))
+    }),
+
+    // Count-min point-frequency estimates (rows-only — one-sided
+    // error bound, exact merge, and cross-partitioning bit-equality
+    // are pinned in CountMinSketchSpec): per-(lang, source) token
+    // sketches merged per lang, probed for a fixed word set — the
+    // "how often does THIS token occur per language" query served
+    // from kilobyte sketch rows without rescanning the corpus.
+    "q_cms_freq" -> ((s, dir) => {
+      val tokens = documents(s, dir)
+        .select(col("lang"), col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val sk = graft.ops.CountMinSketch.sketches(
+        tokens, Seq("lang", "source"), "token")
+      graft.ops.CountMinSketch.rollup(sk, Seq("lang"),
+          Seq("table", "key", "row", "spark", "value"))
+        .orderBy(asc("lang"))
     })
   )
 

@@ -164,6 +164,37 @@ object ScaleCheck {
       graft.ops.Shuffle.positionsBy(docs, Seq("k", "doc_id"), "p")
     })
 
+    // 6. Interval-overlap join: each copy occupies a disjoint key band
+    // (id shift ≫ interval length), so true pairs grow linearly; the
+    // pair count is the metric — a broken bin-dedup or widened bins
+    // would show super-linear candidate growth here.
+    check("interval_overlap", Seq(1, 2, 4, 8), useBytes = false, { f =>
+      val base = replicate(ordersBase, f, "o_orderkey", 100000000L,
+        tagTokens = false)
+      val a = base.select(col("o_orderkey").as("aid"),
+        col("o_orderkey").as("alo"), (col("o_orderkey") + 8L).as("ahi"))
+      val b = base.select(col("o_orderkey").as("bid"),
+        (col("o_orderkey") + 4L).as("blo"),
+        (col("o_orderkey") + 12L).as("bhi"))
+      graft.ops.RangeJoin.overlapByBinning(a, "alo", "ahi",
+        b, "blo", "bhi", binWidth = 16L)
+    })
+
+    // 7. SCD2 history build: windows partition by the entity key, so
+    // replicating DISTINCT keys must grow shuffle bytes linearly
+    // (more partitions, same size) — the shape that distinguishes a
+    // keyed window from the low-cardinality-window anti-pattern.
+    val eventsBase = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("seq"),
+        col("event_id"), col("event_type"))
+      .localCheckpoint(eager = true)
+    check("scd2_history", Seq(1, 2, 4, 8), useBytes = true, { f =>
+      val log = replicate(eventsBase, f, "user_id", 1000000L,
+        tagTokens = false)
+      graft.ops.Scd2.fromChangeLog(log, "user_id", "seq", "event_id",
+        Seq("event_type"))
+    })
+
     spark.stop()
     if (failed.nonEmpty) {
       failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))
