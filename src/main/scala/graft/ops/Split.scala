@@ -46,6 +46,18 @@ object Split {
       splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", assign(col(groupKeyCol), splits))
 
+  /** Group-aware k-fold assignment for cross-validation: fold index
+    * in [0, k) as a pure function of the leakage-unit key — the same
+    * md5 coin as [[assign]] read as a 16-bit integer mod k, so folds
+    * are engine-reproducible (oracle: ('0x' || hex)::BIGINT % k) and
+    * group members can never straddle folds. Scan-stage, zero
+    * shuffle; each held-out fold is a filter, never a copy. */
+  def foldOf(groupKey: Column, k: Int): Column = {
+    require(k >= 2, s"need at least 2 folds: $k")
+    pmod(conv(substring(md5(groupKey.cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(k.toLong))
+  }
+
   /** Per-split summary: docs, groups, and docs that belong to a
     * multi-copy group (the rows where leakage-unaware splitting would
     * have risked contamination). Two-stage aggregate — per

@@ -1219,6 +1219,29 @@ object Pipeline {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // Group-aware 5-fold CV assignment on the same planted dedup
+    // groups: fold = md5-coin mod k on the group key, so duplicate
+    // copies always share a fold. Two-stage aggregate (per (fold,
+    // group) then per fold) — no distinct-induced Expand.
+    "q_cv_folds" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), col("text"), lit(" ")).as("text"))
+      val keyed = base.unionByName(copies)
+        .withColumn("h",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+        .withColumn("fold", graft.ops.Split.foldOf(col("h"), 5))
+      keyed.groupBy(col("fold"), col("h"))
+        .agg(count(lit(1)).as("n_copies"))
+        .groupBy(col("fold"))
+        .agg(sum(col("n_copies")).as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n_copies") > 1, col("n_copies")).otherwise(0L))
+            .as("n_dup_docs"))
+        .orderBy(asc("fold"))
+    }),
+
     // Compression-ratio quality signal (rows-only — the oracle engine
     // has no zlib; kernel ≡ a driver-side Deflater reference is pinned
     // in DeflateSpec). comp_bp = deflated/raw size in basis points;
@@ -2290,6 +2313,24 @@ object Pipeline {
         |  count(*)::BIGINT AS n_groups,
         |  sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::BIGINT
         |    AS n_dup_docs
-        |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin
+        |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_cv_folds" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '  ' || text || ' ' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |keyed AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM planted),
+        |grouped AS (
+        |  SELECT ('0x' || substring(md5(h), 1, 4))::BIGINT % 5 AS fold,
+        |    h, count(*) AS n_copies
+        |  FROM keyed GROUP BY 1, 2)
+        |SELECT fold, sum(n_copies)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_groups,
+        |  sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::BIGINT
+        |    AS n_dup_docs
+        |FROM grouped GROUP BY 1 ORDER BY fold""".stripMargin
   )
 }

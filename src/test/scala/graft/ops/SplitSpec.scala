@@ -57,6 +57,32 @@ class SplitSpec extends SparkSpec {
     assert(s.map(_.getLong(3)).sum === 5L) // dup docs: 3 + 2
   }
 
+  test("k-fold: covers all folds, group-atomic, deterministic") {
+    val rows = (0 until 300).flatMap { g =>
+      (0 to g % 3).map(i => (s"grp$g", g * 10 + i))
+    }
+    val df = rows.toDF("gkey", "id")
+      .withColumn("fold", Split.foldOf(col("gkey"), 5))
+    val folds = df.select("fold").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(folds.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    val straddling = df.groupBy("gkey")
+      .agg(countDistinct(col("fold")).as("nf"))
+      .where(col("nf") > 1).count()
+    assert(straddling === 0L)
+    // deterministic and partition-independent
+    val a = df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val b = rows.toDF("gkey", "id").repartition(11)
+      .withColumn("fold", Split.foldOf(col("gkey"), 5))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a === b)
+    // roughly balanced: each fold gets 300/5 = 60 groups ± slack
+    val perFold = df.select("gkey", "fold").distinct()
+      .groupBy("fold").count().collect().map(_.getLong(1))
+    perFold.foreach(n => assert(math.abs(n - 60L) < 30, perFold.toSeq))
+    intercept[IllegalArgumentException] { Split.foldOf(col("gkey"), 1) }
+  }
+
   test("two-way split degenerates correctly; bad fractions rejected") {
     val df = Seq("a", "b", "c").toDF("gkey")
     val two = Split.byGroup(df, "gkey", Seq("train" -> 0.5, "test" -> 0.5))
