@@ -1310,6 +1310,19 @@ object Pipeline {
       graft.ops.CountMinSketch.rollup(sk, Seq("lang"),
           Seq("table", "key", "row", "spark", "value"))
         .orderBy(asc("lang"))
+    }),
+
+    // Matryoshka truncation recall (rows-only — planted-signal
+    // exactness cases pinned in SimilaritySpec): top-10 recall kept
+    // when the index stores only the first 2/4/6 of 8 embedding
+    // components. Integer basis points via floor div.
+    "q_matryoshka" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.similarity.Similarity.truncationRecall(
+        emb, "embedding", "vec_id", queries, "qe", "qid",
+        k = 10, dims = Seq(2, 4, 6))
     })
   )
 

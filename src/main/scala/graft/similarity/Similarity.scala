@@ -111,6 +111,40 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rk"))
   }
 
+  /** Truncated-dimension recall evaluation (the matryoshka-
+    * representation question, Kusupati et al., NeurIPS 2022): how
+    * much top-k recall survives keeping only the first `dim`
+    * embedding components? Runs [[knnJoin]] at full width and at each
+    * truncation (`slice` is a zero-copy prefix — no re-embedding),
+    * then joins the neighbor sets per query and scores overlap in
+    * basis points. The decision input for "can the ANN index store
+    * half the vector": cost is (truncations + 1) broadcast kNN joins
+    * over one corpus scan each, never a pairwise matrix. */
+  def truncationRecall(corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation width")
+    val full = knnJoin(corpus, vecCol, idCol, queries, qVecCol, qIdCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // consumed once per truncation below
+    dims.map { d =>
+      val tCorpus = corpus.withColumn("__t",
+        slice(col(vecCol), lit(1), lit(d)))
+      val tQueries = queries.withColumn("__tq",
+        slice(col(qVecCol), lit(1), lit(d)))
+      val trunc = knnJoin(tCorpus, "__t", idCol, tQueries, "__tq", qIdCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+      // LEFT join from the full set: a query whose truncated
+      // neighbors all miss still contributes its k misses (an inner
+      // join would silently drop it and overstate recall).
+      full.join(trunc.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(lit(d).as("dim"),
+          expr(s"sum(coalesce(__hit, 0L)) * 10000L div count(1)")
+            .as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy(asc("dim"))
+  }
+
   /** kNN JOIN through the IVF index — the scale path when the query
     * side is a SET. [[knnJoin]] scores corpus × queries (right for a
     * handful of probes); here each query ranks the centroid table

@@ -225,4 +225,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._2 < 0, "opposite vector must score negative")
     assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
   }
+
+  test("truncation recall: full width is exactly 10000 bp") {
+    val qs = corpus.where(col("vec_id").isin(0L, 20L, 40L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val out = Similarity.truncationRecall(corpus, "embedding", "vec_id",
+      qs, "qe", "qid", k = 5, dims = Seq(8))
+      .collect().head
+    assert(out.getAs[Long]("recall_bp") === 10000L)
+  }
+
+  test("truncation recall: signal-prefix vectors lose nothing; noise-prefix loses a lot") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    // all discriminative signal in dims 1-4; dims 5-8 are pure noise
+    val rows = (0 until 60).map { i =>
+      val sig = Array.tabulate(4)(d =>
+        if (d == i % 3) 10f + rnd.nextFloat() else rnd.nextFloat())
+      val noise = Array.fill(4)(rnd.nextFloat() * 0.01f)
+      (i.toLong, sig ++ noise)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val qs = df.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val r = Similarity.truncationRecall(df, "embedding", "vec_id",
+      qs, "qe", "qid", k = 5, dims = Seq(4))
+      .collect().head.getAs[Long]("recall_bp")
+    // near-zero noise in the dropped dims barely perturbs the scores,
+    // but round(·, 4) ties can reorder the tail: allow one swap
+    assert(r >= 8000L, s"signal-prefix recall $r")
+    // inverted layout: signal lives in the LAST 4 dims; truncating to
+    // the first 4 keeps only noise → recall must collapse
+    val inv = rows.map { case (id, v) => (id, v.drop(4) ++ v.take(4)) }
+      .toDF("vec_id", "embedding")
+    val qInv = inv.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rInv = Similarity.truncationRecall(inv, "embedding", "vec_id",
+      qInv, "qe", "qid", k = 5, dims = Seq(4))
+      .collect().head.getAs[Long]("recall_bp")
+    assert(rInv < r, s"noise-prefix recall $rInv should trail $r")
+  }
 }
