@@ -124,6 +124,35 @@ object EventStream {
       }).toDF()
   }
 
+  /** Watermarked STREAM-STREAM event-time join — the attribution
+    * shape: each purchase joins the views by the same user in the
+    * preceding `horizonMin` minutes. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so the state
+    * store retains only rows inside (watermark + horizon) — without
+    * the time-range conjunct a stream-stream join must keep EVERY
+    * past row and the state grows without bound (Spark rejects some
+    * such plans, silently bloats others). Self-join of one source
+    * stream (filtered twice) is the standard pattern. Append output:
+    * a pair emits once both sides have passed the watermark. */
+  def attributionJoin(events: DataFrame, horizonMin: Int = 30): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("p_ts") < col("v_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("purchase_id"), col("view_id"),
+        col("p_user").as("user_id"),
+        unix_micros(col("v_ts")).as("view_us"),
+        unix_micros(col("p_ts")).as("purchase_us"), col("value"))
+  }
+
   /** State for the streaming SCD2 twin: the retained per-key change
     * log. Raw retention (not just the collapsed versions) is REQUIRED
     * for exactness under disorder — a late event landing between two

@@ -271,6 +271,35 @@ class EventStreamSpec extends SparkSpec {
     assert(flagged == 1L, "40-event spike day must flag vs a small median")
   }
 
+  test("stream-stream attribution join equals the batch inequality join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString, "attr_t",
+      EventStream.attributionJoin(_),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT purchase_id, view_id FROM attr_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, dir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vt"),
+        col("event_id").as("vid"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"),
+        col("event_id").as("pid"))
+    val batch = purchases.join(views,
+        col("pu") === col("vu") && col("vt") <= col("pt") &&
+          col("pt") < col("vt") + expr("INTERVAL 30 MINUTES"))
+      .select("pid", "vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   /** Latest history snapshot per user from the scd2 memory sink:
     * rows carrying each user's max n_seen. */
   private def scd2Snapshot(table: String)
