@@ -78,14 +78,19 @@ object Main {
     case "config" :: file :: Nil =>
       graft.config.Config.load(file).foreach(println)
     case "database" :: "locate" :: file :: path :: Nil =>
-      graft.config.Config.forPath(graft.config.Config.load(file), path) match {
-        case Some(c) => println(c.database)
-        case None => System.err.println(s"no config matches $path"); sys.exit(1)
+      // relative paths resolve against cwd first (reference
+      // LookupPrefix, internal/util.go:45-56)
+      graft.config.Config.lookupPrefix(
+        graft.config.Config.load(file), path) match {
+        case (_, Some(c)) => println(c.database)
+        case (r, None) =>
+          System.err.println(s"no config matches $r"); sys.exit(1)
       }
     case "database" :: "prune" :: rest => prune(rest)
     case "database" :: "list" :: rest => listArtifacts(rest)
     case "diff" :: rest => diffSnapshots(rest)
     case "expression-syntax" :: Nil => println(expressionSyntax)
+    case "config-syntax" :: Nil => println(Main.configSyntax)
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
@@ -163,12 +168,15 @@ object Main {
     val o0 = parseOpts(args)
     require_(o0.positional.nonEmpty,
       "analyze [--db DIR | --config FILE] [--incremental] [--keep N] ROOT")
-    val root = o0.positional.head
-    // --config resolves db/exclusions for the root by longest prefix
-    // (reference LookupPrefix, internal/util.go:45-56); explicit flags win.
+    // relative roots (".", "", "./x", bare names) resolve against cwd
+    // BEFORE lookup and walking, so the snapshot keys are absolute
+    // (reference LookupPrefix, internal/util.go:45-56)
+    val root = graft.config.Config.resolvePrefix(o0.positional.head)
+    // --config resolves db/exclusions for the root by longest prefix;
+    // explicit flags win.
     val o = if (o0.config.isEmpty) o0 else {
-      graft.config.Config.forPath(
-        graft.config.Config.load(o0.config), root) match {
+      graft.config.Config.forPath(graft.config.Config.load(o0.config),
+        root) match {
         case Some(c) => o0.copy(
           db = if (o0.db.nonEmpty) o0.db else c.database,
           excludes = if (o0.excludes.nonEmpty) o0.excludes else c.exclusions.toList)
@@ -295,7 +303,7 @@ object Main {
       if (o0.config.isEmpty) (o0, None, None, "/")
       else {
         require_(o0.positional.nonEmpty, "stats --config FILE ROOT [EXPR...]")
-        val r = o0.positional.head
+        val r = graft.config.Config.resolvePrefix(o0.positional.head)
         graft.config.Config.forPath(graft.config.Config.load(o0.config), r) match {
           case Some(c) => (
             o0.copy(db = if (o0.db.nonEmpty) o0.db else c.database,
@@ -628,5 +636,27 @@ object Main {
       |  user=UID|NAME    owned by user (names resolve via /etc/passwd)
       |  group=GID|NAME   owned by group (names resolve via /etc/group)
       |  hardlink=PATH    same (device, inode) as PATH
+      |""".stripMargin
+
+  /** Config-file documentation (reference config.Documentation,
+    * internal/config/config.go:212-226 — the `config-syntax` output
+    * must name every field and the supported storage layouts). */
+  private[cli] val configSyntax: String =
+    """YAML configuration file options (a list of per-prefix entries):
+      |  - prefix: PATH            filesystem prefix this entry governs;
+      |                            longest match wins when building or
+      |                            querying a database. Relative paths
+      |                            resolve against the working directory.
+      |    database: DIR           snapshot database location
+      |    exclusions: [GLOB, ..]  subtrees pruned from the walk
+      |    calculator: NAME        storage-bytes layout (see below)
+      |    count_hardlinks: BOOL   count each hardlink as a file
+      |
+      |Supported layouts (calculator:):
+      |  identity                  storage = file size
+      |  block:SIZE                size rounded up to whole blocks
+      |  raw-blocks                st_blocks * 512 (kernel-reported)
+      |  raid0:STRIPE:N            striped: last partial stripe costs a
+      |                            full stripe on each of N drives
       |""".stripMargin
 }

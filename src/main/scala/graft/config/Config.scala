@@ -77,4 +77,26 @@ object Config {
       .filter(c => path == c.prefix || path.startsWith(c.prefix.stripSuffix("/") + "/"))
       .sortBy(-_.prefix.length)
       .headOption
+
+  /** Resolve a possibly-relative prefix against the working directory
+    * before lookup (reference LookupPrefix, internal/util.go:45-56):
+    * "", ".", "./x" and bare LOCAL names join onto cwd; absolute
+    * paths and parent-escaping paths ("../x" — Go's !IsLocal) pass
+    * through unchanged. */
+  def resolvePrefix(prefix: String,
+      cwd: String = System.getProperty("user.dir")): String = {
+    if (prefix.isEmpty) return cwd
+    val p = java.nio.file.Paths.get(prefix)
+    if (p.isAbsolute) return prefix
+    val norm = p.normalize()
+    if (norm.toString == ".." || norm.startsWith("..")) prefix
+    else java.nio.file.Paths.get(cwd).resolve(norm).normalize().toString
+  }
+
+  /** [[resolvePrefix]] + [[forPath]] — the reference's LookupPrefix. */
+  def lookupPrefix(configs: Seq[PrefixConfig],
+      prefix: String): (String, Option[PrefixConfig]) = {
+    val resolved = resolvePrefix(prefix)
+    (resolved, forPath(configs, resolved))
+  }
 }

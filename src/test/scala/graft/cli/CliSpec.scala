@@ -29,6 +29,19 @@ class CliSpec extends SparkSpec {
       .withColumn("parent", regexp_replace(col("parent"), root.toString, ""))
   }
 
+  test("config-syntax documents every field and layout (reference TestDocumentation)") {
+    val doc = Main.configSyntax
+    // the reference's TestDocumentation asserts on these markers
+    Seq("raid0", "prefix:", "when building",
+      "database:", "exclusions:", "calculator:", "count_hardlinks:",
+      "identity", "block:", "raw-blocks").foreach { m =>
+      assert(doc.contains(m), s"config-syntax missing '$m'")
+    }
+    // every calculator named in the doc must actually parse
+    Seq("identity", "raw-blocks", "block:4096", "raid0:65536:4")
+      .foreach(graft.stats.Calculator.parse)
+  }
+
   test("parseOpts keeps positionals in command-line order") {
     // Regression: positionals accumulate foldRight-style; a stray
     // .reverse turned `find /a name=x || name=y` into a reversed

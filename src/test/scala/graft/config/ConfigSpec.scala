@@ -43,4 +43,25 @@ class ConfigSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Config.parse("just a string"))
     assertThrows[IllegalArgumentException](Config.parse("- database: /x"))
   }
+
+  test("relative prefixes resolve against cwd (reference TestPrefixLookupRelative)") {
+    val cwd = "/work/dir"
+    // "", ".", "./" and bare local names all land on / under cwd
+    assert(Config.resolvePrefix("", cwd) == "/work/dir")
+    assert(Config.resolvePrefix(".", cwd) == "/work/dir")
+    assert(Config.resolvePrefix("./", cwd) == "/work/dir")
+    assert(Config.resolvePrefix("config", cwd) == "/work/dir/config")
+    assert(Config.resolvePrefix("./a/b", cwd) == "/work/dir/a/b")
+    // absolute and parent-escaping (Go !IsLocal) pass through
+    assert(Config.resolvePrefix("/abs/p", cwd) == "/abs/p")
+    assert(Config.resolvePrefix("../x", cwd) == "../x")
+    // end-to-end: a config whose prefix IS the cwd matches "."
+    val cfgs = Config.parse(s"- prefix: $cwd\n  database: /db\n")
+    val (resolved, hit) = {
+      val r = Config.resolvePrefix(".", cwd)
+      (r, Config.forPath(cfgs, r))
+    }
+    assert(resolved == cwd)
+    assert(hit.map(_.database).contains("/db"))
+  }
 }
