@@ -74,6 +74,40 @@ object Sampling {
       .select(col(groupCol), col(idCol), col("rk"))
   }
 
+  /** Deterministic EXACT-k WEIGHTED sample without replacement
+    * (Efraimidis & Spirakis, "Weighted random sampling with a
+    * reservoir", IPL 2006, via exponential clocks): each row draws
+    * key = −ln(u)/w from its deterministic 52-bit md5 uniform and the
+    * k smallest keys win — inclusion probabilities match sequential
+    * weighted draws without replacement. Complements [[weightedAt]]
+    * (Bernoulli, variable size) and [[groupedExactK]] (uniform): this
+    * is "exactly k docs, quality-weighted". orderBy+limit compiles to
+    * TakeOrderedAndProject — a bounded heap per partition and a
+    * driver merge of k rows, no global sort. NOT oracle-SQL-paired:
+    * ln/pow cross-engine bit-parity is the round()-midpoint class;
+    * exactness is pinned against a driver-side replay in
+    * SamplingSpec instead. Rows with weight ≤ 0 can never win and
+    * are filtered. */
+  def weightedExactK(df: DataFrame, idCol: String, weight: Column,
+      k: Int, seed: Long = 0L): DataFrame = {
+    val key = esKey(col(idCol), weight, seed)
+    df.where(weight > 0)
+      .withColumn("__es", key)
+      .orderBy(asc("__es"), asc(idCol))
+      .limit(k)
+      .drop("__es")
+  }
+
+  /** The E-S exponential clock for one row — exposed so the spec can
+    * replay it driver-side bit-for-bit. */
+  private[ops] def esKey(id: Column, weight: Column, seed: Long): Column = {
+    val u = greatest(
+      conv(substring(md5(concat(lit(seed.toString), lit("|"),
+        id.cast("string"))), 1, 13), 16, 10).cast("double"),
+      lit(1.0)) / lit(4503599627370496.0) // 2^52; u=0 guarded to 2^-52
+    -log(u) / weight.cast("double")
+  }
+
   private def coin(id: Column): Column =
     substring(md5(id.cast("string")), 1, 4)
 

@@ -1312,6 +1312,17 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Exact-k weighted sample (rows-only — the E-S exponential clock
+    // uses ln, whose cross-engine bit-parity is the round()-midpoint
+    // class; the driver-side bit-for-bit replay is pinned in
+    // SamplingSpec). "Exactly 50 docs, length-weighted."
+    "q_weighted_exact_k" -> ((s, dir) => {
+      graft.ops.Sampling.weightedExactK(
+          documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars"), k = 50, seed = 7L)
+        .orderBy(asc("doc_id"))
+    }),
+
     // Matryoshka truncation recall (rows-only — planted-signal
     // exactness cases pinned in SimilaritySpec): top-10 recall kept
     // when the index stores only the first 2/4/6 of 8 embedding

@@ -81,4 +81,42 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byW(100L) - 200) < 60, byW.toString)
     assert(math.abs(byW(10L) - 20) < 20, byW.toString)
   }
+
+  test("weightedExactK: exact k, matches the driver-side E-S replay, weight-biased") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 2000).map { i =>
+      (i.toLong, if (i % 2 == 0) 10.0 else 1.0)
+    }.toDF("id", "w")
+    val got = Sampling.weightedExactK(df, "id", col("w"), k = 300, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size === 300)
+    // driver-side replay of the exponential clocks, bit-for-bit
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Double): Double = {
+      md.reset()
+      val hex = md.digest(s"7|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 13)
+      val u = math.max(java.lang.Long.parseLong(hex, 16).toDouble, 1.0) /
+        4503599627370496.0
+      -math.log(u) / w
+    }
+    val expected = (1 to 2000).map { i =>
+      val w = if (i % 2 == 0) 10.0 else 1.0
+      (key(i.toLong, w), i.toLong)
+    }.sorted.take(300).map(_._2).toSet
+    assert(got === expected)
+    // 10x-weighted rows dominate the sample
+    val heavy = got.count(_ % 2 == 0)
+    assert(heavy > 2 * (300 - heavy), s"heavy=$heavy of 300")
+    // deterministic and partition-independent
+    val again = Sampling.weightedExactK(df.repartition(11), "id", col("w"),
+      300, 7L).collect().map(_.getLong(0)).toSet
+    assert(again === got)
+    // zero/negative weights can never be selected
+    val withBad = df.union(Seq((9999L, 0.0), (9998L, -1.0)).toDF("id", "w"))
+    val sel = Sampling.weightedExactK(withBad, "id", col("w"), 2000, 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(!sel.contains(9999L) && !sel.contains(9998L))
+  }
 }
