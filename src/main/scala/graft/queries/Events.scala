@@ -363,6 +363,12 @@ object Events {
         .orderBy(asc("user_id"), asc("campaign_id"))
     }),
 
+    // Key-skew diagnostic: all-integer Gini / top-share / exact-value
+    // median of the per-user event counts — the measurement behind
+    // the salt-or-not decision, engine-exact by construction.
+    "q_skew_report" -> ((s, dir) =>
+      graft.ops.SkewReport.of(events(s, dir), "user_id")),
+
     // SCD2 history build: each user's event_type change log becomes
     // versioned [valid_from, valid_to) intervals with an open current
     // row — run-collapse + interval assembly in ops/Scd2. Sequence is
@@ -557,6 +563,27 @@ object Events {
         |  least(u_end, c_end) - greatest(u_start, c_start) AS ov_secs
         |FROM u JOIN c ON u_start < c_end AND c_start < u_end
         |ORDER BY 1, 2""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id::VARCHAR AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS r FROM c),
+        |s AS (
+        |  SELECT count(*) AS n_keys, sum(cnt) AS n_rows,
+        |    min(cnt) AS min_cnt, max(cnt) AS max_cnt,
+        |    sum(2 * r * cnt) AS s2
+        |  FROM r),
+        |p AS (
+        |  SELECT r.cnt AS p50_cnt FROM r, s
+        |  WHERE r.r = (s.n_keys + 1) // 2)
+        |SELECT n_keys::BIGINT AS n_keys, n_rows::BIGINT AS n_rows,
+        |  min_cnt::BIGINT AS min_cnt, max_cnt::BIGINT AS max_cnt,
+        |  p50_cnt::BIGINT AS p50_cnt,
+        |  (((s2 - (n_keys + 1) * n_rows) * 10000)
+        |    // (n_keys * n_rows))::BIGINT AS gini_bp,
+        |  ((max_cnt * 10000) // n_rows)::BIGINT AS top1_bp
+        |FROM s, p""".stripMargin,
     "q_scd2_history" ->
       """WITH ordered AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS seq_us, event_id,
