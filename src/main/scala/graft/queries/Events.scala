@@ -363,6 +363,21 @@ object Events {
         .orderBy(asc("user_id"), asc("campaign_id"))
     }),
 
+    // Built-in session_window sessionization — the declarative twin
+    // of the lag-based q_sessionize (which uses truncated-seconds
+    // gaps for its oracle; session_window is micros-precise with a
+    // `gap >= 30min` split, so the oracle here mirrors that exact
+    // rule). One shuffle; Spark merges overlapping per-event windows
+    // inside the aggregate.
+    "q_session_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+        .orderBy(asc("user_id"))
+    }),
+
     // Key-skew diagnostic: all-integer Gini / top-share / exact-value
     // median of the per-user event counts — the measurement behind
     // the salt-or-not decision, engine-exact by construction.
@@ -563,6 +578,21 @@ object Events {
         |  least(u_end, c_end) - greatest(u_start, c_start) AS ov_secs
         |FROM u JOIN c ON u_start < c_end AND c_start < u_end
         |ORDER BY 1, 2""".stripMargin,
+    "q_session_window" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |         OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM seq)
+        |SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+        |  count(*) AS n_events
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_report" ->
       """WITH c AS (
         |  SELECT user_id::VARCHAR AS k, count(*) AS cnt

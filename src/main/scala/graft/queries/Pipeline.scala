@@ -1312,6 +1312,29 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Deterministic negative sampling for contrastive pairs: for each
+    // query, the k hash-smallest candidates with a DIFFERENT label —
+    // uniform, reproducible (md5 order), ranked through the
+    // bounded-heap TopK so the shuffle carries ≤ k rows per (query,
+    // partition). 13-hex-prefix numeric order == hex string order, so
+    // the oracle replays the identical ranking.
+    "q_negative_sample" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      val scored = emb.select(col("vec_id").as("cand_id"), col("label"))
+        .crossJoin(broadcast(q))
+        .where(col("label") =!= col("qlabel"))
+        .withColumn("__u",
+          -conv(substring(md5(concat(lit("7|"), col("qid"), lit("|"),
+            col("cand_id"))), 1, 13), 16, 10).cast("double"))
+      graft.ops.TopK.byScore(
+          scored.select(col("qid"), col("__u"), col("cand_id")),
+          Seq("qid"), "__u", "cand_id", 5)
+        .select(col("qid"), col("cand_id"), col("rk"))
+        .orderBy(asc("qid"), asc("rk"))
+    }),
+
     // Exact-k weighted sample (rows-only — the E-S exponential clock
     // uses ln, whose cross-engine bit-parity is the round()-midpoint
     // class; the driver-side bit-for-bit replay is pinned in
@@ -2355,6 +2378,18 @@ object Pipeline {
         |  count(*)::BIGINT AS n_groups,
         |  sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::BIGINT
         |    AS n_dup_docs
-        |FROM grouped GROUP BY 1 ORDER BY fold""".stripMargin
+        |FROM grouped GROUP BY 1 ORDER BY fold""".stripMargin,
+    "q_negative_sample" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, label AS qlabel FROM embeddings
+        |  WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT qid, e.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      substring(md5('7|' || qid || '|' || e.vec_id), 1, 13),
+        |      e.vec_id) AS rk
+        |  FROM q JOIN embeddings e ON e.label <> q.qlabel)
+        |SELECT qid, cand_id, rk FROM scored WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin
   )
 }
