@@ -108,4 +108,25 @@ object HeavyHitters {
       .select(col("h.item"), col("h.est_count"), col("h.max_err"))
       .orderBy(desc("est_count"), asc("item"))
       .limit(k)
+
+  /** Per-GROUP top-k heavy hitters: one Space-Saving sketch per group
+    * in a single aggregate, then a rank over each group's retained
+    * counters. The window here is safe at any scale — it partitions
+    * over ≤ `capacity` candidate rows per group (the sketch bound),
+    * never over input rows, so the usual low-cardinality-window skew
+    * cannot occur. With capacity ≥ per-group distincts the counts are
+    * exact (max_err 0) — the oracle-checkable regime. */
+  def groupedTopK(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      capacity: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(desc("est_count"), asc("item"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sketch(col(itemCol), capacity).as("__hitters"))
+      .select(groupCols.map(col) :+ explode(col("__hitters")).as("h"): _*)
+      .select(groupCols.map(col) ++ Seq(col("h.item"),
+        col("h.est_count"), col("h.max_err")): _*)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
 }

@@ -419,6 +419,20 @@ object Pipeline {
       graft.ops.HeavyHitters.topK(tokens, "token", capacity = 64, k = 10)
     }),
 
+    // Per-language top tokens through one grouped Space-Saving
+    // aggregate (capacity ≥ per-group distincts → exact counts, the
+    // oracle-checkable regime; the rank window sees ≤ capacity rows
+    // per group, never input rows).
+    "q_heavy_hitters_grouped" -> ((s, dir) => {
+      val tokens = documents(s, dir)
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      graft.ops.HeavyHitters.groupedTopK(tokens, Seq("lang"), "token",
+          capacity = 2048, k = 5)
+        .orderBy(asc("lang"), asc("rk"))
+    }),
+
     // Exact dedup by normalized text hash.
     // The synthetic corpus has zero duplicate docs, so the query PLANTS
     // them (every doc_id % 10 == 0 contributes a whitespace-variant
@@ -1629,6 +1643,22 @@ object Pipeline {
         |      FROM documents)
         |WHERE token <> ''
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin,
+    "q_heavy_hitters_grouped" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, token, count(*) AS est_count FROM t
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, token AS item, est_count, 0::BIGINT AS max_err,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY est_count DESC, token) AS rk
+        |  FROM c)
+        |SELECT lang, item, est_count, max_err, rk FROM r
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "q_dedup_exact" ->
       """WITH planted AS (
         |  SELECT text FROM documents
