@@ -429,7 +429,7 @@ object Pipeline {
           explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
         .where(length(col("token")) > 0)
       graft.ops.HeavyHitters.groupedTopK(tokens, Seq("lang"), "token",
-          capacity = 2048, k = 5)
+          capacity = 256, k = 5)
         .orderBy(asc("lang"), asc("rk"))
     }),
 
