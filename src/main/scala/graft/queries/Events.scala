@@ -378,6 +378,30 @@ object Events {
         .orderBy(asc("user_id"))
     }),
 
+    // Week-over-week change rates per event type: aggregate to ISO
+    // weeks first (the window then runs over the TINY weekly frame,
+    // ~5 types × 5 weeks, partitioned by type), lag one week, emit
+    // integer basis points via floor div. The week label is a VARCHAR
+    // date on both engines per the day-column rule.
+    "q_wow_change" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      weekly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        // ratio-minus-10000 keeps the floor div on a NONNEGATIVE
+        // numerator: Spark `div` truncates toward zero while DuckDB
+        // `//` floors, and they only agree when the quotient is >= 0
+        .withColumn("delta_bp",
+          expr("n * 10000L div prev_n") - lit(10000L))
+        .select(col("event_type"), col("week").cast("string").as("week"),
+          col("n"), col("prev_n"), col("delta_bp"))
+        .orderBy(asc("event_type"), asc("week"))
+    }),
+
     // Key-skew diagnostic: all-integer Gini / top-share / exact-value
     // median of the per-user event counts — the measurement behind
     // the salt-or-not decision, engine-exact by construction.
@@ -578,6 +602,18 @@ object Events {
         |  least(u_end, c_end) - greatest(u_start, c_start) AS ov_secs
         |FROM u JOIN c ON u_start < c_end AND c_start < u_end
         |ORDER BY 1, 2""".stripMargin,
+    "q_wow_change" ->
+      """WITH weekly AS (
+        |  SELECT event_type, date_trunc('week', ts)::DATE AS week,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, week, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |  FROM weekly)
+        |SELECT event_type, week::VARCHAR AS week, n, prev_n,
+        |  ((n * 10000 // prev_n) - 10000)::BIGINT AS delta_bp
+        |FROM lagged ORDER BY event_type, week""".stripMargin,
     "q_session_window" ->
       """WITH seq AS (
         |  SELECT user_id, ts, event_id,
