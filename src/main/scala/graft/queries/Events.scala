@@ -378,6 +378,25 @@ object Events {
         .orderBy(asc("user_id"))
     }),
 
+    // Ingest rate limiting: keep each user's EARLIEST 5 events per
+    // hour (the "cap each source at N docs per window" admission
+    // rule). Ranked through the bounded-heap TopK — the shuffle
+    // carries ≤ 5 rows per (user, hour, partition); epoch micros fit
+    // a double exactly (< 2^53) so the heap's numeric score is exact.
+    "q_rate_limit" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      graft.ops.TopK.byScore(
+          ev.withColumn("__s", -col("ts_us").cast("double"))
+            .select(col("user_id"), col("hour_epoch"), col("__s"),
+              col("event_id")),
+          Seq("user_id", "hour_epoch"), "__s", "event_id", 5)
+        .select(col("user_id"), col("hour_epoch"), col("event_id"),
+          col("rk"))
+        .orderBy(asc("user_id"), asc("hour_epoch"), asc("rk"))
+    }),
+
     // Week-over-week change rates per event type: aggregate to ISO
     // weeks first (the window then runs over the TINY weekly frame,
     // ~5 types × 5 weeks, partitioned by type), lag one week, emit
@@ -602,6 +621,19 @@ object Events {
         |  least(u_end, c_end) - greatest(u_start, c_start) AS ov_secs
         |FROM u JOIN c ON u_start < c_end AND c_start < u_end
         |ORDER BY 1, 2""".stripMargin,
+    "q_rate_limit" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_epoch,
+        |    epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, hour_epoch, event_id,
+        |    row_number() OVER (PARTITION BY user_id, hour_epoch
+        |      ORDER BY ts_us, event_id) AS rk
+        |  FROM e)
+        |SELECT user_id, hour_epoch, event_id, rk FROM r WHERE rk <= 5
+        |ORDER BY user_id, hour_epoch, rk""".stripMargin,
     "q_wow_change" ->
       """WITH weekly AS (
         |  SELECT event_type, date_trunc('week', ts)::DATE AS week,

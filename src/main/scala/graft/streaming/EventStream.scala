@@ -153,6 +153,48 @@ object EventStream {
         unix_micros(col("p_ts")).as("purchase_us"), col("value"))
   }
 
+  /** Streaming twin of the rate limiter (q_rate_limit): admit each
+    * user's EARLIEST `n` events per hour. Order-sensitive under
+    * disorder — a late-arriving EARLIER event must displace a
+    * previously admitted one — but unlike SCD2 the sufficient state
+    * is tiny: the n smallest (ts, event_id) per open hour (a bounded
+    * set; a late event either enters it, evicting the max, or is
+    * dropped). Emits each key's current admitted set stamped with
+    * monotone n_seen; readers keep max-n_seen rows per (user, hour).
+    * State = hours-seen × n per key (production: expire old hours
+    * with a timeout). */
+  final case class RateState(
+      byHour: Map[Long, List[(Long, Long)]], nSeen: Long)
+  final case class RateOut(user_id: Long, hour_epoch: Long,
+      event_id: Long, rk: Long, n_seen: Long)
+
+  def rateLimit(spark: SparkSession, events: DataFrame,
+      n: Int = 5): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour"),
+        unix_micros(col("ts")), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[RateState]) => {
+          var st = state.getOption.getOrElse(RateState(Map.empty, 0L))
+          rows.foreach { case (_, hour, ts, id) =>
+            val kept = st.byHour.getOrElse(hour, Nil)
+            val merged = ((ts, id) :: kept).sorted.take(n)
+            st = RateState(st.byHour.updated(hour, merged), st.nSeen + 1)
+          }
+          state.update(st)
+          st.byHour.iterator.flatMap { case (hour, kept) =>
+            kept.zipWithIndex.map { case ((_, id), i) =>
+              RateOut(user, hour, id, i + 1L, st.nSeen)
+            }
+          }
+        }).toDF()
+  }
+
   /** State for the streaming SCD2 twin: the retained per-key change
     * log. Raw retention (not just the collapsed versions) is REQUIRED
     * for exactness under disorder — a late event landing between two

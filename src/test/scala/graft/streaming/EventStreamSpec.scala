@@ -300,6 +300,64 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming rate limiter equals the batch earliest-n-per-hour rule") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-rate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString, "rate_t",
+      EventStream.rateLimit(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT * FROM rate_t").collect()
+    val streamed = rows.groupBy(_.getLong(0)).toSeq.flatMap { case (_, rs) =>
+      val maxSeen = rs.map(_.getLong(4)).max
+      rs.filter(_.getLong(4) == maxSeen)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    }.toSet
+    val batch = graft.SparkEntry.queries("q_rate_limit")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong)).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("streaming rate limiter: a late earlier event displaces an admitted one") {
+    val s = spark
+    import s.implicits._
+    def n(min: Int) = min * 60L * 1000000000L + 1704067200L * 1000000000L
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-rate2")
+    // batch 1: six events in one hour — ids 1..6 admitted as 1..5 (6 dropped)
+    (1 to 6).map(i => (i.toLong, n(i), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(streamDir.resolve("a").toString)
+    // batch 2 (late): an EARLIER event at minute 0 — it must enter the
+    // admitted set and push out the minute-5 event.
+    Seq((7L, n(0), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(streamDir.resolve("b").toString)
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(streamDir.resolve(sub).toString)
+      d.listFiles().foreach(_.setLastModified(t))
+      d.setLastModified(t)
+    }
+    stamp("a", 1000000L)
+    stamp("b", 2000000L)
+    val q = EventStream.runToMemory(spark, s"$streamDir/*", "rate_late",
+      EventStream.rateLimit(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT * FROM rate_late").collect()
+    val maxSeen = rows.map(_.getLong(4)).max
+    val admitted = rows.filter(_.getLong(4) == maxSeen)
+      .sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
+    assert(admitted === Seq(7L, 1L, 2L, 3L, 4L), s"got $admitted")
+  }
+
   /** Latest history snapshot per user from the scd2 memory sink:
     * rows carrying each user's max n_seen. */
   private def scd2Snapshot(table: String)
