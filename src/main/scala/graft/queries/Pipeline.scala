@@ -1326,6 +1326,37 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Corpus snapshot diff — dataset versioning: added / removed /
+    // changed / unchanged docs between two corpus versions, compared
+    // by normalized-text hash so only 32-byte hashes (never text)
+    // cross the full-outer hash join on doc_id. Plants the second
+    // version: every 17th doc removed, every 13th re-added under a
+    // new id, every 7th mutated.
+    "q_corpus_diff" -> ((s, dir) => {
+      val norm = (c: Column) =>
+        md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+      val base = documents(s, dir)
+        .select(col("doc_id"), norm(col("text")).as("h_old"))
+      val newer = documents(s, dir)
+        .where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" mutated")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(documents(s, dir).where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .select(col("doc_id"), norm(col("text")).as("h_new"))
+      base.join(newer, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(col("h_old").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("h_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("h_old").isNotNull && col("h_new").isNotNull &&
+            col("h_old") =!= col("h_new"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("h_old") === col("h_new"), 1L).otherwise(0L))
+            .as("n_unchanged"))
+    }),
+
     // Deterministic negative sampling for contrastive pairs: for each
     // query, the k hash-smallest candidates with a DIFFERENT label —
     // uniform, reproducible (md5 order), ranked through the
@@ -2409,6 +2440,33 @@ object Pipeline {
         |  sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::BIGINT
         |    AS n_dup_docs
         |FROM grouped GROUP BY 1 ORDER BY fold""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS h_old
+        |  FROM documents),
+        |newer AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' mutated'
+        |           ELSE text END)), '\s+', ' ', 'g')) AS h_new
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT
+        |  sum(CASE WHEN h_old IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_added,
+        |  sum(CASE WHEN h_new IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_removed,
+        |  sum(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL
+        |       AND h_old <> h_new THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_changed,
+        |  sum(CASE WHEN h_old = h_new THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_unchanged
+        |FROM base FULL JOIN newer USING (doc_id)""".stripMargin,
     "q_negative_sample" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, label AS qlabel FROM embeddings

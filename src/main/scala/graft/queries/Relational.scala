@@ -33,6 +33,31 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers
+    // BROADCAST into date-filtered orders, the result joined to
+    // lineitem on the order key — the canonical small-dim → fact
+    // star-join plan. Ranking on the ROUNDED revenue (ties by order
+    // key) per the rank-on-rounded rule.
+    "q_shipping_priority" -> ((s, dir) => {
+      val cust = customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = orders(s, dir)
+        .where(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1998-01-01"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          col("o_orderdate").cast("string").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
     // K1 bounded top-N (reference report_stats.go:71-82) — physical plan
     // is TakeOrderedAndProject, the distributed equivalent of the
     // reference's bounded min-max heap.
@@ -188,6 +213,17 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate::VARCHAR AS o_orderdate,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < '1998-01-01'
+        |  AND l_shipdate >= '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_topn_heap" ->
       """SELECT * FROM (
         |  SELECT l_returnflag, l_partkey, qty,
