@@ -1326,6 +1326,18 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Capped proportional mixture allocation (rows-only — the
+    // water-filling fixed point is iterative; exactness invariants
+    // are pinned in WaterFillSpec): per-source quotas for a 300-doc
+    // budget with even-index sources weighted 3:1, capped by actual
+    // supply. The only distributed work is the per-source count.
+    "q_mixture_caps" -> ((s, dir) => {
+      val weights = (0 until 20).map(i =>
+        s"src$i" -> (if (i % 2 == 0) 3L else 1L)).toMap
+      graft.ops.WaterFill.allocateByCount(
+        documents(s, dir), "source", weights, budget = 300L)
+    }),
+
     // Corpus snapshot diff — dataset versioning: added / removed /
     // changed / unchanged docs between two corpus versions, compared
     // by normalized-text hash so only 32-byte hashes (never text)
