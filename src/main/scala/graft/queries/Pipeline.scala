@@ -1326,6 +1326,24 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Unicode NFC canonicalization: planted decomposed suffixes
+    // (combining acute/diaeresis) normalize to the precomposed forms
+    // before hashing — without this, "café" exists as two different
+    // md5s / dedup groups. The oracle's nfc_normalize produces
+    // byte-identical output (both follow Unicode TR15), so the md5s
+    // are hash-exact cross-engine.
+    "q_unicode_nfc" -> ((s, dir) => {
+      val decomposed = concat(col("text"),
+        lit(" cafe\u0301 u\u0308ber")) // e+combining acute, u+diaeresis
+      val nfc = graft.functions.NfcNormalizeExpr.nfcNormalize(s, decomposed)
+      documents(s, dir)
+        .select(col("doc_id"),
+          length(decomposed).as("len_raw"),
+          length(nfc).as("len_nfc"),
+          md5(nfc).as("h_nfc"))
+        .orderBy(asc("doc_id"))
+    }),
+
     // Capped proportional mixture allocation (rows-only — the
     // water-filling fixed point is iterative; exactness invariants
     // are pinned in WaterFillSpec): per-source quotas for a 300-doc
@@ -2452,6 +2470,16 @@ object Pipeline {
         |  sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::BIGINT
         |    AS n_dup_docs
         |FROM grouped GROUP BY 1 ORDER BY fold""".stripMargin,
+    "q_unicode_nfc" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber'
+        |      AS t
+        |  FROM documents)
+        |SELECT doc_id, length(t) AS len_raw,
+        |  length(nfc_normalize(t)) AS len_nfc,
+        |  md5(nfc_normalize(t)) AS h_nfc
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_corpus_diff" ->
       """WITH base AS (
         |  SELECT doc_id,
