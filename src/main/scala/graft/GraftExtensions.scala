@@ -75,5 +75,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSigExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_size"),
+      new ExpressionInfo(classOf[graft.functions.DeflateSizeExpr].getName,
+        "deflate_size"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DeflateSizeExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalizeExpr].getName,
+        "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NfcNormalizeExpr(exprs.head)))
   }
 }

@@ -1326,6 +1326,22 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Skew-free per-language ranks + percentile basis points: the
+    // window-free replacement for row_number over a LOW-cardinality
+    // partition key (ops/GroupRank — one global range sort, ranks
+    // from per-group offsets). Oracle is the window form itself.
+    "q_group_rank" -> ((s, dir) => {
+      graft.ops.GroupRank.ranks(
+          documents(s, dir).select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "lang", Seq("n_chars"), "doc_id")
+        .withColumn("pct_bp",
+          expr("(rank - 1L) * 10000L div greatest(n_in_group - 1L, 1L)"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"),
+          col("n_in_group"), col("pct_bp"))
+        .orderBy(asc("lang"), asc("rank"))
+    }),
+
     // Unicode NFC canonicalization: planted decomposed suffixes
     // (combining acute/diaeresis) normalize to the precomposed forms
     // before hashing — without this, "café" exists as two different
@@ -2470,6 +2486,17 @@ object Pipeline {
         |  sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)::BIGINT
         |    AS n_dup_docs
         |FROM grouped GROUP BY 1 ORDER BY fold""".stripMargin,
+    "q_group_rank" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rank,
+        |    count(*) OVER (PARTITION BY lang) AS n_in_group
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, rank, n_in_group,
+        |  ((rank - 1) * 10000 // greatest(n_in_group - 1, 1))::BIGINT
+        |    AS pct_bp
+        |FROM r ORDER BY lang, rank""".stripMargin,
     "q_unicode_nfc" ->
       """WITH d AS (
         |  SELECT doc_id,
