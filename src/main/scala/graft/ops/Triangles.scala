@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting via the degree-oriented forward
+  * algorithm (Schank & Wagner 2005; the same orientation trick behind
+  * Cohen's MapReduce formulation). Input: an undirected simple graph
+  * as distinct `(src, dst)` long pairs with `src < dst`.
+  *
+  * Every edge is re-oriented from its lower to its higher endpoint
+  * under the total order `(degree, node)`; a triangle then has exactly
+  * one "lowest" vertex and is found exactly once as a wedge
+  * `a->b, b->c` closed by `a->c`. Orienting by DEGREE (not id) bounds
+  * every out-degree by O(sqrt(m)), so the wedge join never explodes
+  * on a high-degree hub — the id-ordered form is quadratic in the
+  * hub's degree, the degree-ordered form is not. Two equi-join
+  * shuffles (on node, then on the closing pair); nothing quadratic,
+  * nothing collected.
+  */
+object Triangles {
+
+  /** Returns one row: (n_nodes, n_edges, n_triangles). */
+  def stats(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = e0
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+    val oriented = withDeg.select(
+      when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+        col("src")).otherwise(col("dst")).as("a"),
+      when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+        col("dst")).otherwise(col("src")).as("b"))
+    // Wedge a->b->c closed by a->c; under a total order each triangle
+    // appears exactly once.
+    val wedges = oriented.select(col("a"), col("b"))
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+    val tri = wedges
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgeCount = e0.agg(count(lit(1)).as("n_edges"))
+    val nodeCount = deg.agg(count(lit(1)).as("n_nodes"))
+    nodeCount.crossJoin(edgeCount).crossJoin(tri) // three 1-row frames
+  }
+}

@@ -440,6 +440,55 @@ object Events {
         .withColumnRenamed("valid_from", "valid_from_us")
         .withColumnRenamed("valid_to", "valid_to_us")
         .orderBy(asc("user_id"), asc("version"))
+    }),
+
+    // First-order Markov transition matrix over each user's ordered
+    // event stream: count (prev_type -> event_type) transitions and
+    // the per-row transition probability in integer basis points
+    // (floor div on a nonnegative numerator — the engine-exact ratio
+    // recipe). One window shuffle partitioned by user_id (high
+    // cardinality at scale), one 25-row aggregate; the row-total join
+    // broadcasts a type-squared-sized frame.
+    "q_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("row_n"))
+      pairs.join(broadcast(totals), "prev_type")
+        .select(col("prev_type"), col("event_type"), col("n"),
+          expr("n * 10000L div row_n").as("p_bp"))
+        .orderBy(asc("prev_type"), asc("event_type"))
+    }),
+
+    // Funnel latency: per-user seconds from first 'view' to the first
+    // subsequent 'purchase', bucketed by hour on an all-integer grid
+    // (epoch MICROS diff, floor div — nonnegative by construction).
+    // Same broadcast-step shape as q_funnel; no windows.
+    "q_time_to_convert" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val lat = ev.where(col("event_type") === "purchase")
+        .join(broadcast(t1), "user_id")
+        .where(col("ts") > col("t1"))
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(unix_micros(col("ts"))).as("tc_us"))
+        .select(col("user_id"),
+          expr("(tc_us - unix_micros(t1)) div 1000000").as("latency_s"))
+      lat.groupBy(expr("latency_s div 3600").as("hour_bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("latency_s")).as("min_s"),
+          max(col("latency_s")).as("max_s"))
+        .orderBy(asc("hour_bucket"))
     })
   )
 
@@ -704,6 +753,35 @@ object Events {
         |SELECT user_id, version, event_type, valid_from_us, valid_to_us,
         |  (CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END)::BIGINT
         |    AS is_current
-        |FROM v ORDER BY user_id, version""".stripMargin
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type, count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, sum(n) AS row_n FROM pairs GROUP BY 1)
+        |SELECT p.prev_type, p.event_type, p.n,
+        |  (p.n * 10000 // t.row_n)::BIGINT AS p_bp
+        |FROM pairs p JOIN tot t USING (prev_type)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_time_to_convert" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS tc_us,
+        |    min(epoch_us(t1.t1)) AS t1_us
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |lat AS (
+        |  SELECT user_id, (tc_us - t1_us) // 1000000 AS latency_s FROM conv)
+        |SELECT (latency_s // 3600)::BIGINT AS hour_bucket,
+        |  count(*) AS n_users, min(latency_s)::BIGINT AS min_s,
+        |  max(latency_s)::BIGINT AS max_s
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

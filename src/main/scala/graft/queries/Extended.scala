@@ -218,7 +218,67 @@ object Extended {
     "q_zorder" -> ((s, dir) =>
       graft.ops.ZOrder.shardSummary(
         lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
-        "l_partkey", "l_suppkey", shardBits = 6))
+        "l_partkey", "l_suppkey", shardBits = 6)),
+
+    // Pareto frontier over parts: maximize p_size, minimize
+    // p_retailprice. ops/Skyline replaces the quadratic NOT EXISTS
+    // (the oracle's form) with one 50-row band aggregate + a literal
+    // suffix-min map — corpus scanned once, no window, no self-join.
+    // Price values only ever COMPARE (never arithmetic), so doubles
+    // are engine-exact.
+    "q_skyline" -> ((s, dir) =>
+      graft.ops.Skyline.frontier2D(
+        part(s, dir), "p_size", "p_retailprice")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy(desc("p_size"), asc("p_retailprice"), asc("p_partkey"))),
+
+    // Triangle count on the co-purchase graph (parts sharing an
+    // order). Edge build is an equi self-join on orderkey (pairs per
+    // order bounded by order size); counting is ops/Triangles'
+    // degree-oriented forward algorithm — out-degree O(sqrt(m)), so
+    // the wedge join survives hub parts where the id-ordered oracle
+    // form is hub-degree-quadratic.
+    "q_triangles" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x")
+        .join(li.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .distinct()
+      graft.ops.Triangles.stats(edges)
+    }),
+
+    // Blocked fuzzy (record-linkage) join: probe names are a
+    // deterministic one-char corruption of every 10th part name;
+    // candidates pair through an EQUI blocking key (the name minus
+    // its first token — untouched by the corruption, so blocking is
+    // lossless here by construction), are verified by exact
+    // levenshtein distance <= 2, and each probe keeps its best match
+    // via the packed-BIGINT argmin (no window). The naive form is a
+    // full cross join with per-pair edit distance; blocking bounds
+    // work to block-sized groups and the verify is codegen'd.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val p = part(s, dir).select(col("p_partkey"), col("p_name"))
+      def blockKey(c: Column): Column =
+        concat_ws(" ", slice(split(c, " "), 2, 100))
+      val probes = p.where(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("probe_id"),
+          concat(substring(col("p_name"), 1, 1),
+            expr("substring(p_name, 3)")).as("probe_name"))
+      val cands = probes.withColumn("bk", blockKey(col("probe_name")))
+        .join(p.withColumn("bk", blockKey(col("p_name"))), "bk")
+        .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
+        .where(col("dist") <= 2)
+      cands.groupBy(col("probe_id"))
+        .agg(min(col("dist").cast("long") * lit(1000000000000L) +
+          col("p_partkey")).as("pack"))
+        .select(col("probe_id"),
+          expr("pack div 1000000000000").as("dist"),
+          expr("pack % 1000000000000").as("p_partkey"))
+        .orderBy(asc("probe_id"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -338,6 +398,54 @@ object Extended {
         |SELECT (zval >> 26) AS shard, count(*)::BIGINT AS n_rows,
         |  min(sx) AS sx_min, max(sx) AS sx_max,
         |  min(sy) AS sy_min, max(sy) AS sy_max
-        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skyline" ->
+      """SELECT a.p_partkey, a.p_size, a.p_retailprice
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_size >= a.p_size
+        |    AND b.p_retailprice <= a.p_retailprice
+        |    AND (b.p_size > a.p_size
+        |         OR b.p_retailprice < a.p_retailprice))
+        |ORDER BY a.p_size DESC, a.p_retailprice, a.p_partkey""".stripMargin,
+    "q_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |n AS (
+        |  SELECT count(DISTINCT node)::BIGINT AS n_nodes
+        |  FROM (SELECT src AS node FROM e
+        |        UNION ALL SELECT dst FROM e)),
+        |m AS (SELECT count(*) AS n_edges FROM e),
+        |t AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1
+        |  JOIN e e2 ON e1.dst = e2.src
+        |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT n.n_nodes, m.n_edges, t.n_triangles FROM n, m, t""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part),
+        |probes AS (
+        |  SELECT p_partkey AS probe_id,
+        |    substring(p_name, 1, 1) || substring(p_name, 3) AS probe_name
+        |  FROM p WHERE p_partkey % 10 = 0),
+        |c AS (
+        |  SELECT pr.probe_id, pp.p_partkey,
+        |    levenshtein(pr.probe_name, pp.p_name) AS dist
+        |  FROM probes pr JOIN p pp
+        |    ON array_to_string(
+        |         regexp_split_to_array(pr.probe_name, ' ')[2:], ' ')
+        |     = array_to_string(
+        |         regexp_split_to_array(pp.p_name, ' ')[2:], ' ')
+        |  WHERE levenshtein(pr.probe_name, pp.p_name) <= 2)
+        |SELECT probe_id,
+        |  (min(dist::BIGINT * 1000000000000 + p_partkey)
+        |     // 1000000000000)::BIGINT AS dist,
+        |  (min(dist::BIGINT * 1000000000000 + p_partkey)
+        |     % 1000000000000)::BIGINT AS p_partkey
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1448,6 +1448,81 @@ object Pipeline {
       graft.similarity.Similarity.truncationRecall(
         emb, "embedding", "vec_id", queries, "qe", "qid",
         k = 10, dims = Seq(2, 4, 6))
+    }),
+
+    // PMI co-occurrence: top token-pair associations by pointwise
+    // mutual information over DOC-PRESENCE counts, vocabulary bounded
+    // to the 64 highest-df tokens so the per-doc pair fan-out is
+    // <= V^2 (the unbounded form is quadratic in per-doc distinct
+    // tokens — a scale killer). One distinct, one equi self-join on
+    // doc_id, one agg. ln taken once per PAIR on an identically-
+    // computed double (exact integer products cast once), emitted as
+    // integer micro-nats — the established engine-exact log recipe.
+    "q_pmi" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .distinct()
+      val df = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val vocab = df.orderBy(desc("df"), asc("token")).limit(64)
+      val ft = tok.join(broadcast(vocab), "token")
+      val pairs = ft.select(col("doc_id"), col("token").as("tx"),
+          col("df").as("dfx"))
+        .join(ft.select(col("doc_id"), col("token").as("ty"),
+          col("df").as("dfy")), "doc_id")
+        .where(col("tx") < col("ty"))
+        .groupBy(col("tx"), col("ty"), col("dfx"), col("dfy"))
+        .agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 25)
+      val n = documents(s, dir).count()
+      pairs.select(col("tx"), col("ty"), col("c_xy"),
+          floor(log((col("c_xy") * lit(n)).cast("double") /
+            (col("dfx") * col("dfy")).cast("double")) * 1e6 + 0.5)
+            .cast("long").as("pmi_micro"))
+        .orderBy(desc("pmi_micro"), asc("tx"), asc("ty"))
+        .limit(50)
+    }),
+
+    // Chi-squared feature selection: how discriminative each vocab
+    // token's PRESENCE is for lang == 'en', from one contingency
+    // table per token (a,b,c,d all exact integers derived from two
+    // df aggregates — corpus scanned twice, nothing quadratic).
+    // chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) emitted in integer
+    // basis points through DECIMAL(38,0) floor division — numerator
+    // nonnegative (squared), so Spark's truncating div and DuckDB's
+    // flooring // agree.
+    "q_chi2" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val tok = docs
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+        .select(col("doc_id"), col("token"),
+          (col("lang") === "en").cast("long").as("is_en"))
+        .distinct()
+      val df = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("is_en")).as("df_en"))
+      val vocab = df.orderBy(desc("df"), asc("token")).limit(64)
+      val totals = docs.agg(count(lit(1)).as("n"),
+        sum((col("lang") === "en").cast("long")).as("n_en"))
+        .collect()(0)
+      val (nDocs, nEn) = (totals.getLong(0), totals.getLong(1))
+      vocab
+        .select(col("token"),
+          col("df_en").as("a"), (col("df") - col("df_en")).as("b"),
+          (lit(nEn) - col("df_en")).as("c"),
+          (lit(nDocs - nEn) - (col("df") - col("df_en"))).as("d"))
+        .where(col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
+          col("a") + col("c") > 0 && col("b") + col("d") > 0)
+        .withColumn("chi2_bp", expr(
+          s"""CAST((CAST($nDocs AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c)
+             |  * 10000) div (CAST(a+b AS DECIMAL(38,0)) * (c+d) * (a+c)
+             |  * (b+d)) AS BIGINT)""".stripMargin))
+        .select(col("token"), col("a"), col("b"), col("c"), col("d"),
+          col("chi2_bp"))
+        .orderBy(desc("chi2_bp"), asc("token"))
+        .limit(30)
     })
   )
 
@@ -2545,6 +2620,56 @@ object Pipeline {
         |      e.vec_id) AS rk
         |  FROM q JOIN embeddings e ON e.label <> q.qlabel)
         |SELECT qid, cand_id, rk FROM scored WHERE rk <= 5
-        |ORDER BY qid, rk""".stripMargin
+        |ORDER BY qid, rk""".stripMargin,
+    "q_pmi" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |        AS token
+        |    FROM documents) WHERE token <> ''),
+        |df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+        |vocab AS (
+        |  SELECT token, df FROM df ORDER BY df DESC, token LIMIT 64),
+        |ft AS (
+        |  SELECT t.doc_id, t.token, v.df
+        |  FROM tok t JOIN vocab v USING (token)),
+        |pairs AS (
+        |  SELECT x.token AS tx, y.token AS ty, x.df AS dfx, y.df AS dfy,
+        |    count(*) AS c_xy
+        |  FROM ft x JOIN ft y ON x.doc_id = y.doc_id AND x.token < y.token
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 25),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tx, ty, c_xy,
+        |  CAST(floor(ln((c_xy * n.n)::DOUBLE / (dfx * dfy)::DOUBLE)
+        |    * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+        |FROM pairs, n
+        |ORDER BY pmi_micro DESC, tx, ty LIMIT 50""".stripMargin,
+    "q_chi2" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token, is_en FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |        AS token,
+        |      (lang = 'en')::BIGINT AS is_en
+        |    FROM documents) WHERE token <> ''),
+        |df AS (
+        |  SELECT token, count(*) AS df, sum(is_en)::BIGINT AS df_en
+        |  FROM tok GROUP BY 1),
+        |vocab AS (
+        |  SELECT token, df, df_en FROM df ORDER BY df DESC, token LIMIT 64),
+        |tot AS (
+        |  SELECT count(*) AS n, sum((lang = 'en')::BIGINT)::BIGINT AS n_en
+        |  FROM documents),
+        |cells AS (
+        |  SELECT token, df_en AS a, df - df_en AS b, n_en - df_en AS c,
+        |    (n - n_en) - (df - df_en) AS d, n
+        |  FROM vocab, tot)
+        |SELECT token, a, b, c, d,
+        |  ((n::HUGEINT * (a*d - b*c) * (a*d - b*c) * 10000)
+        |   // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d)))::BIGINT AS chi2_bp
+        |FROM cells
+        |WHERE a+b > 0 AND c+d > 0 AND a+c > 0 AND b+d > 0
+        |ORDER BY chi2_bp DESC, token LIMIT 30""".stripMargin
   )
 }
