@@ -214,6 +214,24 @@ object RecallGates {
     }
     val g10 = Gate("kll_rollup_rankerr", 1.0 - rankErrs.max, 0.98)
 
-    Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10)
+    // Logistic-regression marker-detector quality: the bounded-
+    // sample-trained model (q_logreg's exact path) must recover the
+    // planted 'dup' marker docs from hashed features on the verify
+    // corpus — BALANCED accuracy, because the marker is rare and raw
+    // accuracy would stay green predicting all-negative. A silent
+    // featurization or GD regression would otherwise stay rows-green.
+    val allDocs = documents(spark, sfDir)
+    val lrLabel = array_contains(
+      graft.text.TextAnalysis.tokens(col("text")), "dup")
+    val lrModel = graft.text.LogReg.train(
+      allDocs, "text", "doc_id", lrLabel, buckets = 64)
+    val conf = graft.text.LogReg.confusion(allDocs, "text", lrLabel, lrModel)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def c(a: Long, p: Long): Long = conf.getOrElse((a, p), 0L)
+    val tpr = c(1, 1).toDouble / math.max(c(1, 1) + c(1, 0), 1L)
+    val tnr = c(0, 0).toDouble / math.max(c(0, 0) + c(0, 1), 1L)
+    val g11 = Gate("logreg_balacc", (tpr + tnr) / 2.0, 0.95)
+
+    Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
   }
 }

@@ -1523,6 +1523,24 @@ object Pipeline {
           col("chi2_bp"))
         .orderBy(desc("chi2_bp"), asc("token"))
         .limit(30)
+    }),
+
+    // Logistic-regression marker detector (rows-only — GD training is
+    // not SQL-expressible; determinism + balanced-accuracy floor
+    // pinned in LogRegSpec and the logreg_balacc Verify gate): the
+    // weak-supervision filter shape — a heuristic label (here: doc
+    // contains the planted 'dup' marker token) trains a generalizing
+    // linear model on a bounded deterministic sample driver-side;
+    // frozen weights score the corpus in one scan-stage pass
+    // (text/LogReg). The label is NOT a field the scorer sees — it
+    // must be recovered from hashed text features through collisions.
+    "q_logreg" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val label = array_contains(
+        graft.text.TextAnalysis.tokens(col("text")), "dup")
+      val model = graft.text.LogReg.train(
+        docs, "text", "doc_id", label, buckets = 64)
+      graft.text.LogReg.confusion(spread(docs), "text", label, model)
     })
   )
 

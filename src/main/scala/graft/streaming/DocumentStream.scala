@@ -172,4 +172,25 @@ object DocumentStream {
   def classify(docs: DataFrame, textCol: String,
       model: graft.text.NaiveBayes.Model): DataFrame =
     graft.text.NaiveBayes.predict(docs, textCol, model)
+
+  /** Streaming heavy hitters — the streaming twin of
+    * [[graft.ops.HeavyHitters.topK]]: the corpus-wide top tokens
+    * maintained continuously as documents arrive. The Space-Saving
+    * UDAF is the streaming aggregation state itself (one
+    * capacity-bounded sketch in the state store, merged per
+    * microbatch by the sketch's mergeable-summaries rule), so state
+    * is CONSTANT-size regardless of stream length or vocabulary —
+    * Complete output mode re-emits the current top list each batch.
+    * With capacity ≥ distinct items the counts are exact and
+    * streaming ≡ batch (asserted in DocumentStreamSpec); beyond it,
+    * the usual Space-Saving estimate/error bounds apply. */
+  def tokenHeavyHitters(docs: DataFrame, textCol: String,
+      capacity: Int): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy()
+      .agg(graft.ops.HeavyHitters.sketch(col("token"), capacity)
+        .as("__hitters"))
+      .select(explode(col("__hitters")).as("h"))
+      .select(col("h.item"), col("h.est_count"), col("h.max_err"))
 }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
@@ -240,5 +242,51 @@ class DocumentStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
     // both classes actually occur
     assert(streamed.map(_._4).size == 2 || streamed.map(_._4).contains("y"))
+  }
+
+  test("streaming heavy hitters equal batch across multiple microbatches") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-hh")
+    // Two files + maxFilesPerTrigger=1 → two microbatches, so the
+    // sketch state genuinely MERGES across batches (a single batch
+    // would only test the batch-side aggregate).
+    val docs = Tables.documents(spark, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-hh-w")
+    Seq(0, 1).foreach { half =>
+      val out = scratch.resolve(s"p$half")
+      docs.where(col("doc_id") % 2 === half).coalesce(1).write
+        .parquet(out.toString)
+      val part = java.nio.file.Files.list(out).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, streamDir.resolve(s"f$half.parquet"))
+    }
+    val cap = 256 // >= distinct tokens at sf0.001 → exact regime
+    val stream = spark.readStream.schema(DocumentStream.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = DocumentStream.tokenHeavyHitters(stream, "text", cap)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName("hh_tokens")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    val streamed = spark
+      .sql("SELECT item, est_count, max_err FROM hh_tokens")
+      .collect().map(key).toSet
+    val batch = graft.ops.HeavyHitters.topK(
+        docs.select(explode(graft.text.TextAnalysis.tokens(col("text")))
+          .as("token")).where(length(col("token")) > 0),
+        "token", cap, cap)
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+    // exact regime: zero estimation error end to end
+    assert(streamed.forall(_._3 == 0L), "expected exact counts (max_err 0)")
   }
 }
