@@ -489,6 +489,47 @@ object Events {
           min(col("latency_s")).as("min_s"),
           max(col("latency_s")).as("max_s"))
         .orderBy(asc("hour_bucket"))
+    }),
+
+    // Top event-type trigram paths: the 20 most common ordered
+    // 3-step sequences across user streams (the "what do users
+    // actually do" path query). Two lags over the same per-user
+    // window — ONE shuffle — then a ≤|types|³ aggregate and a
+    // TakeOrdered top-k, never a global sort.
+    "q_event_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("s3"))
+        .withColumn("s2", lag(col("s3"), 1).over(w))
+        .withColumn("s1", lag(col("s3"), 2).over(w))
+        .where(col("s1").isNotNull)
+        .groupBy(col("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("s1"), asc("s2"), asc("s3"))
+        .limit(20)
+    }),
+
+    // A/B experiment readout: deterministic md5-coin arm assignment
+    // (bit-reproducible, engine-exact via the hex-prefix recipe),
+    // conversion = any purchase event; rates in integer basis points
+    // (floor div on nonnegative counts). One distinct-users pass, one
+    // tiny aggregate — no windows, no skew.
+    "q_ab_lift" -> ((s, dir) => {
+      val users = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long"))
+          .as("converted"))
+        .withColumn("arm",
+          conv(substring(md5(concat(lit("ab1|"), col("user_id"))), 1, 13),
+            16, 10).cast("long") % 2)
+      users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).as("n_converted"))
+        .withColumn("conv_bp", expr("n_converted * 10000L div n_users"))
+        .orderBy(asc("arm"))
     })
   )
 
@@ -782,6 +823,32 @@ object Events {
         |SELECT (latency_s // 3600)::BIGINT AS hour_bucket,
         |  count(*) AS n_users, min(latency_s)::BIGINT AS min_s,
         |  max(latency_s)::BIGINT AS max_s
-        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS s3,
+        |    lag(event_type, 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+        |    lag(event_type, 2)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1
+        |  FROM events)
+        |SELECT s1, s2, s3, count(*) AS n
+        |FROM seq WHERE s1 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
+    "q_ab_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT ('0x' || substring(md5('ab1|' || user_id), 1, 13))::BIGINT
+        |    % 2 AS arm, converted
+        |  FROM u)
+        |SELECT arm, count(*) AS n_users,
+        |  sum(converted)::BIGINT AS n_converted,
+        |  (sum(converted) * 10000 // count(*))::BIGINT AS conv_bp
+        |FROM armed GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
