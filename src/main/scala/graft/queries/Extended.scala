@@ -251,24 +251,35 @@ object Extended {
     }),
 
     // Blocked fuzzy (record-linkage) join: probe names are a
-    // deterministic one-char corruption of every 10th part name;
-    // candidates pair through an EQUI blocking key (the name minus
-    // its first token — untouched by the corruption, so blocking is
-    // lossless here by construction), are verified by exact
-    // levenshtein distance <= 2, and each probe keeps its best match
-    // via the packed-BIGINT argmin (no window). The naive form is a
-    // full cross join with per-pair edit distance; blocking bounds
-    // work to block-sized groups and the verify is codegen'd.
+    // deterministic one-char corruption (char 2 deleted) of every
+    // 10th part name; candidates pair through a COMPOSITE equi
+    // blocking key — (first char, first-token length, tail tokens) —
+    // each component provably preserved by the corruption (first
+    // char survives, token-1 shrinks by exactly 1, the tail is
+    // untouched), so blocking never loses the true match. The tail
+    // alone is degenerate on this data (8 distinct tails at sf0.1 →
+    // 5M verify pairs, measured 5.7 s); the composite key cuts
+    // candidates ~200×. Pairs verify by exact levenshtein <= 2 and
+    // each probe keeps its best match via the packed-BIGINT argmin
+    // (no window). The key joins as an xxhash64 long: 8-byte keys
+    // shuffle/probe cheaper than strings, and a hash collision only
+    // widens the candidate set — the verify stays exact.
     "q_fuzzy_join" -> ((s, dir) => {
       val p = part(s, dir).select(col("p_partkey"), col("p_name"))
-      def blockKey(c: Column): Column =
+      def tail(c: Column): Column =
         concat_ws(" ", slice(split(c, " "), 2, 100))
+      def tok1Len(c: Column): Column =
+        length(element_at(split(c, " "), 1))
+      // probe token-1 is one char SHORTER than its source's
+      def key(c: Column, lenAdj: Int): Column = xxhash64(concat(
+        substring(c, 1, 1), lit("|"),
+        (tok1Len(c) + lit(lenAdj)).cast("string"), lit("|"), tail(c)))
       val probes = p.where(col("p_partkey") % 10 === 0)
         .select(col("p_partkey").as("probe_id"),
           concat(substring(col("p_name"), 1, 1),
             expr("substring(p_name, 3)")).as("probe_name"))
-      val cands = probes.withColumn("bk", blockKey(col("probe_name")))
-        .join(p.withColumn("bk", blockKey(col("p_name"))), "bk")
+      val cands = probes.withColumn("bk", key(col("probe_name"), 1))
+        .join(p.withColumn("bk", key(col("p_name"), 0)), "bk")
         .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
         .where(col("dist") <= 2)
       cands.groupBy(col("probe_id"))
@@ -436,7 +447,10 @@ object Extended {
         |  SELECT pr.probe_id, pp.p_partkey,
         |    levenshtein(pr.probe_name, pp.p_name) AS dist
         |  FROM probes pr JOIN p pp
-        |    ON array_to_string(
+        |    ON substring(pr.probe_name, 1, 1) = substring(pp.p_name, 1, 1)
+        |   AND len(regexp_split_to_array(pr.probe_name, ' ')[1]) + 1
+        |     = len(regexp_split_to_array(pp.p_name, ' ')[1])
+        |   AND array_to_string(
         |         regexp_split_to_array(pr.probe_name, ' ')[2:], ' ')
         |     = array_to_string(
         |         regexp_split_to_array(pp.p_name, ' ')[2:], ' ')

@@ -1466,7 +1466,9 @@ object Pipeline {
         .distinct()
       val df = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val vocab = df.orderBy(desc("df"), asc("token")).limit(64)
-      val ft = tok.join(broadcast(vocab), "token")
+      // ft self-joins below; eager checkpoint or the tokenize+distinct
+      // subtree runs once per side (no exchange reuse on self-joins).
+      val ft = tok.join(broadcast(vocab), "token").localCheckpoint(true)
       val pairs = ft.select(col("doc_id"), col("token").as("tx"),
           col("df").as("dfx"))
         .join(ft.select(col("doc_id"), col("token").as("ty"),
