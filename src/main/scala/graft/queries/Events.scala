@@ -530,6 +530,35 @@ object Events {
           sum(col("converted")).as("n_converted"))
         .withColumn("conv_bp", expr("n_converted * 10000L div n_users"))
         .orderBy(asc("arm"))
+    }),
+
+    // Seasonal-naive forecast evaluation: predict each hour's event
+    // count by the same hour one day earlier, report per-type MAE in
+    // milli-units (all-integer — counts subtract exactly, floor div).
+    // The day-back lookup is a self-join on the shifted hour key
+    // (hours missing a day-ago observation are excluded by the inner
+    // join, declaredly). One aggregate + one equi self-join on a
+    // pre-aggregated ≤|types|·|hours| frame — never raw events twice.
+    "q_forecast_eval" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // consumed by both sides of the shift join
+      val joined = hourly.as("now")
+        .join(hourly.select(col("event_type"),
+          (col("hour_epoch") + 86400L).as("hour_epoch"),
+          col("n").as("n_pred")).as("prev"),
+          Seq("event_type", "hour_epoch"))
+      joined
+        .select(col("event_type"),
+          greatest(col("n") - col("n_pred"), col("n_pred") - col("n"))
+            .as("abs_err"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("abs_err")).as("sum_err"))
+        .select(col("event_type"), col("n_hours"),
+          expr("sum_err * 1000L div n_hours").as("mae_milli"))
+        .orderBy(asc("event_type"))
     })
   )
 
@@ -849,6 +878,19 @@ object Events {
         |SELECT arm, count(*) AS n_users,
         |  sum(converted)::BIGINT AS n_converted,
         |  (sum(converted) * 10000 // count(*))::BIGINT AS conv_bp
-        |FROM armed GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM armed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_forecast_eval" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT
+        |    AS hour_epoch, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |joined AS (
+        |  SELECT now.event_type, abs(now.n - prev.n) AS abs_err
+        |  FROM hourly now
+        |  JOIN hourly prev ON prev.event_type = now.event_type
+        |    AND prev.hour_epoch + 86400 = now.hour_epoch)
+        |SELECT event_type, count(*) AS n_hours,
+        |  (sum(abs_err) * 1000 // count(*))::BIGINT AS mae_milli
+        |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -289,6 +289,43 @@ object Extended {
           expr("pack div 1000000000000").as("dist"),
           expr("pack % 1000000000000").as("p_partkey"))
         .orderBy(asc("probe_id"))
+    }),
+
+    // Association rules over co-purchased part pairs (the market-
+    // basket classic): support from one equi self-join on orderkey
+    // (pairs bounded by order size), rules in both directions from
+    // ONE pair aggregate, confidence and lift in floor-div basis
+    // points (all-integer, nonnegative numerators). The support
+    // cutoff (>= 3 co-orders) prunes the noise pairs BEFORE the
+    // per-item support joins.
+    "q_assoc_rules" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint(true) // 3 consumers below
+      val nOrders = li.select(col("ok")).distinct().count()
+      val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+      val pairSupp = li.as("x")
+        .join(li.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .where(col("supp_ab") >= 3)
+      val directed = pairSupp
+        .select(col("a").as("ant"), col("b").as("cons"), col("supp_ab"))
+        .unionAll(pairSupp.select(col("b").as("ant"), col("a").as("cons"),
+          col("supp_ab")))
+      directed
+        .join(supp.select(col("pk").as("ant"), col("supp").as("supp_ant")),
+          "ant")
+        .join(supp.select(col("pk").as("cons"), col("supp").as("supp_cons")),
+          "cons")
+        .select(col("ant"), col("cons"), col("supp_ab"),
+          expr("supp_ab * 10000L div supp_ant").as("conf_bp"),
+          expr(s"supp_ab * ${nOrders}L * 10000L div (supp_ant * supp_cons)")
+            .as("lift_bp"))
+        .orderBy(desc("conf_bp"), asc("ant"), asc("cons"))
+        .limit(30)
     })
   )
 
@@ -460,6 +497,28 @@ object Extended {
         |     // 1000000000000)::BIGINT AS dist,
         |  (min(dist::BIGINT * 1000000000000 + p_partkey)
         |     % 1000000000000)::BIGINT AS p_partkey
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |supp AS (SELECT pk, count(*) AS supp FROM li GROUP BY 1),
+        |ps AS (
+        |  SELECT x.pk AS a, y.pk AS b, count(*) AS supp_ab
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |directed AS (
+        |  SELECT a AS ant, b AS cons, supp_ab FROM ps
+        |  UNION ALL
+        |  SELECT b AS ant, a AS cons, supp_ab FROM ps)
+        |SELECT d.ant, d.cons, d.supp_ab,
+        |  (d.supp_ab * 10000 // sa.supp)::BIGINT AS conf_bp,
+        |  (d.supp_ab * n.n_orders * 10000
+        |     // (sa.supp * sc.supp))::BIGINT AS lift_bp
+        |FROM directed d
+        |JOIN supp sa ON sa.pk = d.ant
+        |JOIN supp sc ON sc.pk = d.cons
+        |CROSS JOIN n
+        |ORDER BY conf_bp DESC, ant, cons LIMIT 30""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -209,6 +209,47 @@ object Relational {
     "q_profile_approx" -> ((s, dir) => {
       graft.ops.Profile.numeric(lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount"), approx = true)
+    }),
+
+    // Data-quality expectation suite (the dbt-test / Great-
+    // Expectations shape): each rule is one bounded aggregate or
+    // anti-join count — null checks, range checks, referential
+    // integrity — unioned into a per-rule report with violation
+    // rates in floor-div basis points. Nothing quadratic; orphan
+    // checks are equi anti-joins.
+    "q_dq_checks" -> ((s, dir) => {
+      val o = orders(s, dir)
+      val li = lineitem(s, dir)
+      val c = customer(s, dir)
+      def rule(name: String, checked: DataFrame, violations: Column) =
+        checked.agg(count(lit(1)).as("n_checked"),
+            sum(violations.cast("long")).as("n_violations"))
+          .select(lit(name).as("rule"), col("n_checked"),
+            col("n_violations"),
+            expr("n_violations * 10000L div n_checked").as("viol_bp"))
+      val orphanOrders = o.join(c,
+          o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(o.agg(count(lit(1)).as("n_checked")))
+        .select(lit("orders_custkey_fk").as("rule"), col("n_checked"),
+          col("n_violations"),
+          expr("n_violations * 10000L div n_checked").as("viol_bp"))
+      val orphanLines = li.join(o,
+          li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+        .select(lit("lineitem_orderkey_fk").as("rule"), col("n_checked"),
+          col("n_violations"),
+          expr("n_violations * 10000L div n_checked").as("viol_bp"))
+      rule("lineitem_qty_range", li,
+          col("l_quantity") < 1 || col("l_quantity") > 50)
+        .unionAll(rule("lineitem_discount_range", li,
+          col("l_discount") < 0 || col("l_discount") > 0.1))
+        .unionAll(rule("orders_price_positive", o, col("o_totalprice") <= 0))
+        .unionAll(rule("customer_name_not_null", c, col("c_name").isNull))
+        .unionAll(orphanOrders)
+        .unionAll(orphanLines)
+        .orderBy(asc("rule"))
     })
   )
 
@@ -341,6 +382,38 @@ object Relational {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1996-02-01'
-        |ORDER BY order_date, o_orderkey LIMIT 100""".stripMargin
+        |ORDER BY order_date, o_orderkey LIMIT 100""".stripMargin,
+    "q_dq_checks" ->
+      """WITH checks AS (
+        |  SELECT 'lineitem_qty_range' AS rule, count(*) AS n_checked,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range', count(*),
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |        THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_price_positive', count(*),
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer_name_not_null', count(*),
+        |    sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk', (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)))
+        |SELECT rule, n_checked, n_violations,
+        |  (n_violations * 10000 // n_checked)::BIGINT AS viol_bp
+        |FROM checks ORDER BY rule""".stripMargin
   )
 }

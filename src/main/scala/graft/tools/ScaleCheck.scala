@@ -195,6 +195,29 @@ object ScaleCheck {
         Seq("event_type"))
     })
 
+    // 8. Triangle counting: the graph replicates as DISJOINT copies
+    // (both endpoints shifted), so wedges and triangles per copy are
+    // constant and total work must grow linearly. Shuffle bytes are
+    // the metric — the wedge stream is the dominant shuffle; a broken
+    // orientation (or lost checkpoint) would grow super-linearly.
+    val edgeBase = {
+      val li = graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .distinct()
+        .localCheckpoint(eager = true)
+    }
+    check("triangles", Seq(1, 2, 4), useBytes = true, { f =>
+      val g = (0 until f).map { k =>
+        edgeBase.select((col("src") + lit(k * 10000000L)).as("src"),
+          (col("dst") + lit(k * 10000000L)).as("dst"))
+      }.reduce(_ union _)
+      graft.ops.Triangles.stats(g)
+    })
+
     spark.stop()
     if (failed.nonEmpty) {
       failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))
