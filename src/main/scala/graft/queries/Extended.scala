@@ -326,6 +326,31 @@ object Extended {
             .as("lift_bp"))
         .orderBy(desc("conf_bp"), asc("ant"), asc("cons"))
         .limit(30)
+    }),
+
+    // Degree distribution of the co-purchase graph in power-of-two
+    // buckets. The bucket is the BIT LENGTH of the degree (length of
+    // its binary rendering − 1 == floor(log2) computed in exact
+    // integer arithmetic) — floating log2 sits one ulp from an
+    // integer at power boundaries, the engine-divergence class the
+    // build notes ban.
+    "q_degree_dist" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x")
+        .join(li.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .distinct()
+      edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .groupBy(expr("CAST(length(conv(deg, 10, 2)) AS BIGINT) - 1")
+          .as("log2_bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy(asc("log2_bucket"))
     })
   )
 
@@ -519,6 +544,20 @@ object Extended {
         |JOIN supp sa ON sa.pk = d.ant
         |JOIN supp sc ON sc.pk = d.cons
         |CROSS JOIN n
-        |ORDER BY conf_bp DESC, ant, cons LIMIT 30""".stripMargin
+        |ORDER BY conf_bp DESC, ant, cons LIMIT 30""".stripMargin,
+    "q_degree_dist" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (
+        |  SELECT node, count(*) AS deg
+        |  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY 1)
+        |SELECT (length(bin(deg)) - 1)::BIGINT AS log2_bucket,
+        |  count(*) AS n_nodes, min(deg)::BIGINT AS min_deg,
+        |  max(deg)::BIGINT AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

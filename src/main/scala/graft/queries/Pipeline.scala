@@ -1543,6 +1543,68 @@ object Pipeline {
       val model = graft.text.LogReg.train(
         docs, "text", "doc_id", label, buckets = 64)
       graft.text.LogReg.confusion(spread(docs), "text", label, model)
+    }),
+
+    // Per-label embedding centroids on an integer-milli grid: each
+    // component floors to milli units (float→double cast is exact,
+    // ×1000 and floor are engine-exact), sums are exact integer
+    // aggregates, and the mean uses the SHIFT trick — components can
+    // be negative and Spark's div truncates while DuckDB's // floors,
+    // so the numerator is made nonnegative (+1000 per row) before
+    // the floor div and shifted back. One posexplode + one aggregate.
+    "q_embed_centroids" -> ((s, dir) => {
+      embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)"))
+            .as("sum_milli"))
+        .select(col("label"), col("pos"), col("n"), col("sum_milli"),
+          expr("(sum_milli + n * 1000L) div n - 1000L").as("mean_milli"))
+        .orderBy(asc("label"), asc("pos"))
+    }),
+
+    // Source-vs-corpus vocabulary drift: Jensen–Shannon divergence of
+    // each source's token distribution against the corpus, summed in
+    // integer NANO-nats — the per-token term is floored to an integer
+    // once (one identically-shaped double expression per engine) and
+    // the per-source total is then an ORDER-FREE exact integer sum;
+    // summing raw doubles per group would diverge on aggregation
+    // order alone. The grid is sources × vocab after aggregation —
+    // bounded, broadcast-joined.
+    "q_vocab_drift" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      val srcTok = tok.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("cs"))
+        .localCheckpoint(true) // 3 consumers: totals, vocab, grid join
+      val srcTot = srcTok.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+      val corpTok = srcTok.groupBy(col("token")).agg(sum(col("cs")).as("c"))
+      val nCorp = tok.count()
+      val grid = srcTot.crossJoin(broadcast(corpTok))
+        .join(srcTok, Seq("source", "token"), "left")
+        .na.fill(0L, Seq("cs"))
+      val term =
+        s"""CAST(floor((
+           |  CASE WHEN cs > 0 THEN
+           |    0.5 * (cs / CAST(ns AS DOUBLE)) *
+           |    ln((cs / CAST(ns AS DOUBLE)) /
+           |       (((cs / CAST(ns AS DOUBLE)) +
+           |         (c / CAST($nCorp AS DOUBLE))) / 2))
+           |  ELSE 0.0 END
+           |  + 0.5 * (c / CAST($nCorp AS DOUBLE)) *
+           |    ln((c / CAST($nCorp AS DOUBLE)) /
+           |       (((cs / CAST(ns AS DOUBLE)) +
+           |         (c / CAST($nCorp AS DOUBLE))) / 2))
+           |) * 1000000000 + 0.5) AS BIGINT)""".stripMargin
+      grid.withColumn("term_nano", expr(term))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+          sum(col("term_nano")).as("js_nano"))
+        .orderBy(desc("js_nano"), asc("source"))
     })
   )
 
@@ -2690,6 +2752,51 @@ object Pipeline {
         |   // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d)))::BIGINT AS chi2_bp
         |FROM cells
         |WHERE a+b > 0 AND c+d > 0 AND a+c > 0 AND b+d > 0
-        |ORDER BY chi2_bp DESC, token LIMIT 30""".stripMargin
+        |ORDER BY chi2_bp DESC, token LIMIT 30""".stripMargin,
+    "q_embed_centroids" ->
+      """WITH u AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT label, pos, count(*) AS n,
+        |    sum(CAST(floor(v * 1000) AS BIGINT))::BIGINT AS sum_milli
+        |  FROM u GROUP BY 1, 2)
+        |SELECT label, pos, n, sum_milli,
+        |  ((sum_milli + n * 1000) // n - 1000)::BIGINT AS mean_milli
+        |FROM g ORDER BY label, pos""".stripMargin,
+    "q_vocab_drift" ->
+      """WITH tok AS (
+        |  SELECT source, token FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |        AS token
+        |    FROM documents) WHERE token <> ''),
+        |st AS (SELECT source, token, count(*) AS cs FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(cs)::BIGINT AS ns FROM st GROUP BY 1),
+        |ct AS (SELECT token, sum(cs)::BIGINT AS c FROM st GROUP BY 1),
+        |ncorp AS (SELECT count(*) AS nc FROM tok),
+        |grid AS (
+        |  SELECT t.source, t.ns, v.token, v.c,
+        |    coalesce(s.cs, 0) AS cs, ncorp.nc
+        |  FROM tot t CROSS JOIN ct v CROSS JOIN ncorp
+        |  LEFT JOIN st s ON s.source = t.source AND s.token = v.token),
+        |terms AS (
+        |  SELECT source, ns,
+        |    CAST(floor((
+        |      CASE WHEN cs > 0 THEN
+        |        0.5 * (cs / ns::DOUBLE) *
+        |        ln((cs / ns::DOUBLE) /
+        |           (((cs / ns::DOUBLE) + (c / nc::DOUBLE)) / 2))
+        |      ELSE 0.0 END
+        |      + 0.5 * (c / nc::DOUBLE) *
+        |        ln((c / nc::DOUBLE) /
+        |           (((cs / ns::DOUBLE) + (c / nc::DOUBLE)) / 2))
+        |    ) * 1000000000 + 0.5) AS BIGINT) AS term_nano
+        |  FROM grid)
+        |SELECT source, max(ns)::BIGINT AS n_tokens,
+        |  sum(term_nano)::BIGINT AS js_nano
+        |FROM terms GROUP BY 1
+        |ORDER BY js_nano DESC, source""".stripMargin
   )
 }

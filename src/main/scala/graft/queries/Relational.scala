@@ -250,6 +250,20 @@ object Relational {
         .unionAll(orphanOrders)
         .unionAll(orphanLines)
         .orderBy(asc("rule"))
+    }),
+
+    // Percentile-rank (quantile-normalize) feature transform: each
+    // order's price mapped to its global rank in basis points — the
+    // deterministic range-sort + zipWithIndex machinery, never a
+    // one-reducer row_number. Prices compare on exact integer cents.
+    "q_rank_transform" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      val n = o.count()
+      graft.ops.Shuffle.positionsBy(o, Seq("price_c", "o_orderkey"), "p")
+        .select(col("o_orderkey"), col("price_c"),
+          expr(s"p * 10000L div ${math.max(n - 1, 1L)}L").as("rank_bp"))
+        .orderBy(asc("o_orderkey"))
     })
   )
 
@@ -414,6 +428,19 @@ object Relational {
         |                       WHERE o.o_orderkey = l.l_orderkey)))
         |SELECT rule, n_checked, n_violations,
         |  (n_violations * 10000 // n_checked)::BIGINT AS viol_bp
-        |FROM checks ORDER BY rule""".stripMargin
+        |FROM checks ORDER BY rule""".stripMargin,
+    "q_rank_transform" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderkey, price_c,
+        |    row_number() OVER (ORDER BY price_c, o_orderkey) - 1 AS p
+        |  FROM o),
+        |n AS (SELECT count(*) AS n FROM o)
+        |SELECT o_orderkey, price_c,
+        |  (p * 10000 // greatest(n.n - 1, 1))::BIGINT AS rank_bp
+        |FROM r, n ORDER BY o_orderkey""".stripMargin
   )
 }
