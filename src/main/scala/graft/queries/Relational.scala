@@ -264,6 +264,50 @@ object Relational {
         .select(col("o_orderkey"), col("price_c"),
           expr(s"p * 10000L div ${math.max(n - 1, 1L)}L").as("rank_bp"))
         .orderBy(asc("o_orderkey"))
+    }),
+
+    // Incremental aggregate maintenance (materialized-view refresh):
+    // per-customer order stats built from pre-1997 orders, then the
+    // 1997+ delta merged in WITHOUT re-reading the base — one delta
+    // aggregate + one full-outer key join (ops/IncrementalAgg). The
+    // oracle recomputes from scratch over ALL orders, so a green row
+    // proves maintained ≡ recompute exactly.
+    "q_incr_agg" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_c"),
+        col("o_orderdate"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      val state = graft.ops.IncrementalAgg.initial(
+        o.where(col("o_orderdate") < cut).drop("o_orderdate"),
+        Seq("o_custkey"), Seq("price_c"))
+      graft.ops.IncrementalAgg.maintain(state,
+          o.where(col("o_orderdate") >= cut).drop("o_orderdate"),
+          Seq("o_custkey"), Seq("price_c"))
+        .orderBy(asc("o_custkey"))
+    }),
+
+    // Mutual information between quantity and discount (dependence
+    // detection for feature/column pairs): exact joint + marginal
+    // counts on integer grids, each cell's term floored to integer
+    // nano-nats ONCE, then an order-free exact integer sum — the
+    // vocab-drift recipe. Joint table is ≤ 50×11 cells; marginals
+    // broadcast-join back onto it.
+    "q_mutual_info" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(floor(l_discount * 100) AS BIGINT)").as("y"))
+      val n = li.count()
+      val joint = li.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("cxy"))
+      val mx = joint.groupBy(col("x")).agg(sum(col("cxy")).as("cx"))
+      val my = joint.groupBy(col("y")).agg(sum(col("cxy")).as("cy"))
+      joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+        .withColumn("term_nano", expr(
+          s"""CAST(floor((cxy / CAST($n AS DOUBLE)) *
+             |  ln((cxy * ${n}L) / CAST(cx * cy AS DOUBLE))
+             |  * 1000000000 + 0.5) AS BIGINT)""".stripMargin))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("term_nano")).as("mi_nano"))
     })
   )
 
@@ -441,6 +485,31 @@ object Relational {
         |n AS (SELECT count(*) AS n FROM o)
         |SELECT o_orderkey, price_c,
         |  (p * 10000 // greatest(n.n - 1, 1))::BIGINT AS rank_bp
-        |FROM r, n ORDER BY o_orderkey""".stripMargin
+        |FROM r, n ORDER BY o_orderkey""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT
+        |    AS sum_price_c,
+        |  min(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT
+        |    AS min_price_c,
+        |  max(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT
+        |    AS max_price_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mutual_info" ->
+      """WITH b AS (
+        |  SELECT l_quantity::BIGINT AS x,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM b),
+        |joint AS (SELECT x, y, count(*) AS cxy FROM b GROUP BY 1, 2),
+        |mx AS (SELECT x, sum(cxy)::BIGINT AS cx FROM joint GROUP BY 1),
+        |my AS (SELECT y, sum(cxy)::BIGINT AS cy FROM joint GROUP BY 1),
+        |terms AS (
+        |  SELECT CAST(floor((cxy / n.n::DOUBLE) *
+        |    ln((cxy * n.n) / (cx * cy)::DOUBLE)
+        |    * 1000000000 + 0.5) AS BIGINT) AS term_nano
+        |  FROM joint JOIN mx USING (x) JOIN my USING (y), n)
+        |SELECT count(*) AS n_cells, sum(term_nano)::BIGINT AS mi_nano
+        |FROM terms""".stripMargin
   )
 }
