@@ -29,6 +29,19 @@ object Extended {
     case other => throw BoolExpr.ParseException(s"unknown operand '$other'")
   }
 
+  /** Composite fuzzy-match blocking key — (first char, first-token
+    * length, tail tokens), each component provably preserved by the
+    * one-char-deletion corruption; joined as an xxhash64 long (8-byte
+    * keys beat strings; a collision only widens the candidate set,
+    * the levenshtein verify stays exact). `lenAdj` compensates for
+    * the probe's token-1 being one char shorter than its source's. */
+  private def blockingKey(c: Column, lenAdj: Int): Column = {
+    val tail = concat_ws(" ", slice(split(c, " "), 2, 100))
+    val tok1Len = length(element_at(split(c, " "), 1))
+    xxhash64(concat(substring(c, 1, 1), lit("|"),
+      (tok1Len + lit(lenAdj)).cast("string"), lit("|"), tail))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.6 set operations (beyond the reference's single anti-join):
     // intersect / except / union of customer key sets.
@@ -266,20 +279,12 @@ object Extended {
     // widens the candidate set — the verify stays exact.
     "q_fuzzy_join" -> ((s, dir) => {
       val p = part(s, dir).select(col("p_partkey"), col("p_name"))
-      def tail(c: Column): Column =
-        concat_ws(" ", slice(split(c, " "), 2, 100))
-      def tok1Len(c: Column): Column =
-        length(element_at(split(c, " "), 1))
-      // probe token-1 is one char SHORTER than its source's
-      def key(c: Column, lenAdj: Int): Column = xxhash64(concat(
-        substring(c, 1, 1), lit("|"),
-        (tok1Len(c) + lit(lenAdj)).cast("string"), lit("|"), tail(c)))
       val probes = p.where(col("p_partkey") % 10 === 0)
         .select(col("p_partkey").as("probe_id"),
           concat(substring(col("p_name"), 1, 1),
             expr("substring(p_name, 3)")).as("probe_name"))
-      val cands = probes.withColumn("bk", key(col("probe_name"), 1))
-        .join(p.withColumn("bk", key(col("p_name"), 0)), "bk")
+      val cands = probes.withColumn("bk", blockingKey(col("probe_name"), 1))
+        .join(p.withColumn("bk", blockingKey(col("p_name"), 0)), "bk")
         .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
         .where(col("dist") <= 2)
       cands.groupBy(col("probe_id"))
@@ -351,6 +356,34 @@ object Extended {
         .agg(count(lit(1)).as("n_nodes"),
           min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
         .orderBy(asc("log2_bucket"))
+    }),
+
+    // Entity resolution end to end (the MDM/golden-record shape):
+    // dirty records (corrupted copies of every 10th part, ids offset
+    // into a disjoint range) fuzzy-match back to the catalog through
+    // the blocked levenshtein join, matches become edges, connected
+    // components resolve transitive clusters, and survivorship picks
+    // the minimum member (always an original — dirty ids live above
+    // the offset) as the golden record. Fuzzy blocking, min-label CC,
+    // and the golden join are all equi-join/aggregate shapes.
+    "q_entity_resolution" -> ((s, dir) => {
+      val p = part(s, dir).select(col("p_partkey"), col("p_name"))
+      val dirty = p.where(col("p_partkey") % 10 === 0)
+        .select((col("p_partkey") + 10000000L).as("dirty_id"),
+          concat(substring(col("p_name"), 1, 1),
+            expr("substring(p_name, 3)")).as("dirty_name"))
+      val edges = dirty.withColumn("bk", blockingKey(col("dirty_name"), 1))
+        .join(p.withColumn("bk", blockingKey(col("p_name"), 0)), "bk")
+        .where(levenshtein(col("dirty_name"), col("p_name")) <= 2)
+        .select(col("p_partkey").as("src"), col("dirty_id").as("dst"))
+        .distinct()
+      val comps = graft.ops.ConnectedComponents
+        .components(edges, "src", "dst")
+      comps.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        .join(p, col("component") === col("p_partkey"))
+        .select(col("component"), col("n_members"),
+          col("p_name").as("golden_name"))
+        .orderBy(asc("component"))
     })
   )
 
@@ -558,6 +591,37 @@ object Extended {
         |SELECT (length(bin(deg)) - 1)::BIGINT AS log2_bucket,
         |  count(*) AS n_nodes, min(deg)::BIGINT AS min_deg,
         |  max(deg)::BIGINT AS max_deg
-        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_entity_resolution" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part),
+        |dirty AS (
+        |  SELECT p_partkey + 10000000 AS dirty_id,
+        |    substring(p_name, 1, 1) || substring(p_name, 3) AS dirty_name
+        |  FROM p WHERE p_partkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT pp.p_partkey AS a, d.dirty_id AS b
+        |  FROM dirty d JOIN p pp
+        |    ON substring(d.dirty_name, 1, 1) = substring(pp.p_name, 1, 1)
+        |   AND len(regexp_split_to_array(d.dirty_name, ' ')[1]) + 1
+        |     = len(regexp_split_to_array(pp.p_name, ' ')[1])
+        |   AND array_to_string(
+        |         regexp_split_to_array(d.dirty_name, ' ')[2:], ' ')
+        |     = array_to_string(
+        |         regexp_split_to_array(pp.p_name, ' ')[2:], ' ')
+        |  WHERE levenshtein(d.dirty_name, pp.p_name) <= 2),
+        |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+        |reach AS (
+        |  WITH RECURSIVE r(x, y) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT r.x, CASE WHEN e.a = r.y THEN e.b ELSE e.a END
+        |    FROM r JOIN e ON e.a = r.y OR e.b = r.y)
+        |  SELECT * FROM r),
+        |comp AS (SELECT x AS id, min(y) AS component FROM reach GROUP BY 1),
+        |s AS (
+        |  SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+        |SELECT s.component, s.n_members, p.p_name AS golden_name
+        |FROM s JOIN p ON p.p_partkey = s.component
+        |ORDER BY s.component""".stripMargin
   )
 }
