@@ -308,6 +308,34 @@ object Relational {
              |  * 1000000000 + 0.5) AS BIGINT)""".stripMargin))
         .agg(count(lit(1)).as("n_cells"),
           sum(col("term_nano")).as("mi_nano"))
+    }),
+
+    // OLS regression per group from SUFFICIENT STATISTICS — one
+    // aggregate collects exact integer moments (x, y on integer
+    // grids, so Σx/Σy/Σxy/Σx² are exact BIGINTs; no iterative
+    // solver, no float accumulation order), then the slope emits in
+    // integer micro-units through DECIMAL(38,0) arithmetic with the
+    // SHIFT trick — the covariance numerator can be negative, where
+    // truncating div and flooring // disagree.
+    "q_linreg" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"))
+      li.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_micro", expr(
+          """CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+            |  * 1000000 + CAST(100000000000000000 AS DECIMAL(38,0))
+            |  * (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+            |  AS DECIMAL(38,0)) div
+            |  (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+            |  - 100000000000000000""".stripMargin))
+        .select(col("g"), col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("slope_micro"))
+        .orderBy(asc("g"))
     })
   )
 
@@ -510,6 +538,23 @@ object Relational {
         |    * 1000000000 + 0.5) AS BIGINT) AS term_nano
         |  FROM joint JOIN mx USING (x) JOIN my USING (y), n)
         |SELECT count(*) AS n_cells, sum(term_nano)::BIGINT AS mi_nano
-        |FROM terms""".stripMargin
+        |FROM terms""".stripMargin,
+    "q_linreg" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g, l_quantity::BIGINT AS x,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, count(*) AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT g, n, sx, sy, sxy, sxx,
+        |  (((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+        |    + 100000000000000000::HUGEINT *
+        |      (n::HUGEINT * sxx - sx::HUGEINT * sx))
+        |   // (n::HUGEINT * sxx - sx::HUGEINT * sx)
+        |   - 100000000000000000)::BIGINT AS slope_micro
+        |FROM m ORDER BY g""".stripMargin
   )
 }
