@@ -1102,6 +1102,45 @@ object Pipeline {
         .orderBy(asc("kind"))
     }),
 
+    // Exact payload dedup by CONTENT HASH: 16-byte md5 of the binary
+    // payload shuffles, never the payload bytes themselves — the
+    // only sane media-dedup shape at 100 TB (payload columns prune
+    // out of the scan entirely once the hash column exists). Reports
+    // per-kind distinct/dup-group/wasted-bytes accounting.
+    "q_media_dedup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .mediaFromDocuments(documents(s, dir))
+      val hashed = media.select(col("kind"),
+        md5(col("payload")).as("h"), length(col("payload")).as("bytes"))
+      hashed.groupBy(col("kind"), col("h"))
+        .agg(count(lit(1)).as("copies"), max(col("bytes")).as("bytes"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("copies")).as("n_payloads"),
+          sum(when(col("copies") > 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_dup_groups"),
+          sum((col("copies") - 1) * col("bytes")).as("wasted_bytes"))
+        .orderBy(asc("kind"))
+    }),
+
+    // Per-(kind, size-bucket) payload byte accounting — the storage
+    // planning view (what does each modality cost, at what object
+    // sizes): octet lengths bucket by exact integer bit length, one
+    // aggregate, payload pages never read beyond the length.
+    "q_media_type_stats" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal
+        .mediaFromDocuments(documents(s, dir))
+      media.select(col("kind"), octet_length(col("payload")).as("bytes"))
+        .groupBy(col("kind"),
+          expr("CAST(length(conv(bytes, 10, 2)) AS BIGINT) - 1")
+            .as("log2_bucket"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("bytes")).cast("long").as("total_bytes"),
+          min(col("bytes")).as("min_bytes"),
+          max(col("bytes")).as("max_bytes"))
+        .orderBy(asc("kind"), asc("log2_bucket"))
+    }),
+
     // Frame sampling plan (explode-shaped; a real decoder would seek
     // the container at each offset). Oracle-checked: the offsets are
     // pure arithmetic on metadata.
@@ -2322,6 +2361,33 @@ object Pipeline {
         |  sum(n_chars * 10)::BIGINT AS total_duration_ms,
         |  max(n_chars % 640) AS max_width
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |    md5(text) AS h, strlen(text)::BIGINT AS bytes
+        |  FROM documents),
+        |g AS (
+        |  SELECT kind, h, count(*) AS copies, max(bytes) AS bytes
+        |  FROM m GROUP BY 1, 2)
+        |SELECT kind, count(*) AS n_distinct,
+        |  sum(copies)::BIGINT AS n_payloads,
+        |  sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dup_groups,
+        |  sum((copies - 1) * bytes)::BIGINT AS wasted_bytes
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_media_type_stats" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |    strlen(text)::BIGINT AS bytes
+        |  FROM documents)
+        |SELECT kind, (length(bin(bytes)) - 1)::BIGINT AS log2_bucket,
+        |  count(*) AS n_media, sum(bytes)::BIGINT AS total_bytes,
+        |  min(bytes)::BIGINT AS min_bytes, max(bytes)::BIGINT AS max_bytes
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
