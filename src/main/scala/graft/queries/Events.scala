@@ -559,6 +559,29 @@ object Events {
         .select(col("event_type"), col("n_hours"),
           expr("sum_err * 1000L div n_hours").as("mae_milli"))
         .orderBy(asc("event_type"))
+    }),
+
+    // Inter-arrival time distribution per event type: per-user
+    // consecutive gaps in exact integer seconds, histogrammed by bit
+    // length (the engine-exact power-of-two bucket). One per-user
+    // window shuffle, one bounded aggregate.
+    "q_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .where(col("prev_us").isNotNull)
+        .select(col("event_type"),
+          expr("(us - prev_us) div 1000000").as("gap_s"))
+        .groupBy(col("event_type"),
+          expr("CAST(length(conv(greatest(gap_s, 1), 10, 2)) AS BIGINT) - 1")
+            .as("log2_bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_s")).as("min_s"), max(col("gap_s")).as("max_s"))
+        .orderBy(asc("event_type"), asc("log2_bucket"))
     })
   )
 
@@ -891,6 +914,20 @@ object Events {
         |    AND prev.hour_epoch + 86400 = now.hour_epoch)
         |SELECT event_type, count(*) AS n_hours,
         |  (sum(abs_err) * 1000 // count(*))::BIGINT AS mae_milli
-        |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_interarrival" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |gaps AS (
+        |  SELECT event_type, (us - prev_us) // 1000000 AS gap_s
+        |  FROM seq WHERE prev_us IS NOT NULL)
+        |SELECT event_type,
+        |  (length(bin(greatest(gap_s, 1))) - 1)::BIGINT AS log2_bucket,
+        |  count(*) AS n_gaps, min(gap_s)::BIGINT AS min_s,
+        |  max(gap_s)::BIGINT AS max_s
+        |FROM gaps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1644,6 +1644,31 @@ object Pipeline {
         .agg(max(col("ns")).as("n_tokens"),
           sum(col("term_nano")).as("js_nano"))
         .orderBy(desc("js_nano"), asc("source"))
+    }),
+
+    // Distinctive terms by smoothed log-odds ratio (src0 vs the rest
+    // of the corpus — the "what words does this slice over-use"
+    // lens): exact occurrence counts, one identically-shaped double
+    // expression per token floored to integer micro-nats. Two
+    // aggregates and a broadcast join; nothing scales with corpus².
+    "q_log_odds" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select((col("source") === "src0").cast("long").as("in_a"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      val counts = tok.groupBy(col("token"))
+        .agg(sum(col("in_a")).as("ca"),
+          sum(lit(1L) - col("in_a")).as("cb"))
+      val totals = tok.agg(sum(col("in_a")).as("na"),
+        sum(lit(1L) - col("in_a")).as("nb")).collect()(0)
+      val (na, nb) = (totals.getLong(0), totals.getLong(1))
+      counts.withColumn("lor_micro", expr(
+          s"""CAST(floor((
+             |  ln((ca + 0.5) / ($na - ca + 0.5))
+             |  - ln((cb + 0.5) / ($nb - cb + 0.5))
+             |) * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+        .select(col("token"), col("ca"), col("cb"), col("lor_micro"))
+        .orderBy(desc("lor_micro"), asc("token"))
     })
   )
 
@@ -2863,6 +2888,27 @@ object Pipeline {
         |SELECT source, max(ns)::BIGINT AS n_tokens,
         |  sum(term_nano)::BIGINT AS js_nano
         |FROM terms GROUP BY 1
-        |ORDER BY js_nano DESC, source""".stripMargin
+        |ORDER BY js_nano DESC, source""".stripMargin,
+    "q_log_odds" ->
+      """WITH tok AS (
+        |  SELECT (source = 'src0')::BIGINT AS in_a, token FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |        AS token
+        |    FROM documents) WHERE token <> ''),
+        |counts AS (
+        |  SELECT token, sum(in_a)::BIGINT AS ca,
+        |    sum(1 - in_a)::BIGINT AS cb
+        |  FROM tok GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(in_a)::BIGINT AS na, sum(1 - in_a)::BIGINT AS nb
+        |  FROM tok)
+        |SELECT token, ca, cb,
+        |  CAST(floor((
+        |    ln((ca + 0.5) / (tot.na - ca + 0.5))
+        |    - ln((cb + 0.5) / (tot.nb - cb + 0.5))
+        |  ) * 1000000 + 0.5) AS BIGINT) AS lor_micro
+        |FROM counts, tot
+        |ORDER BY lor_micro DESC, token""".stripMargin
   )
 }
