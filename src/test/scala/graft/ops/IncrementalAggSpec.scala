@@ -49,4 +49,42 @@ class IncrementalAggSpec extends SparkSpec {
     assert(merged.collect().map(key).toSet ==
       state.collect().map(key).toSet)
   }
+
+  test("equals Structured Streaming aggregation state across microbatches") {
+    // The maintain() merge IS what the streaming state store does per
+    // microbatch — prove it: two files, one per trigger, streamed
+    // through the same aggregate in Complete mode must equal
+    // initial(file1) maintained with file2.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-incr-w")
+    val df = rows.toDF("id", "k", "v")
+    Seq(0, 1).foreach { half =>
+      val out = scratch.resolve(s"p$half")
+      df.where(col("id") % 2 === half).drop("id").coalesce(1)
+        .write.parquet(out.toString)
+      val part = java.nio.file.Files.list(out).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, dir.resolve(s"f$half.parquet"))
+    }
+    val stream = spark.readStream.schema("k LONG, v LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val q = stream.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("incr_state")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark
+      .sql("SELECT k, cnt, sum_v, min_v, max_v FROM incr_state")
+      .collect().map(key).toSet
+    val batchMaintained = IncrementalAgg.maintain(
+        IncrementalAgg.initial(df.where(col("id") % 2 === 0).drop("id"),
+          Seq("k"), Seq("v")),
+        df.where(col("id") % 2 === 1).drop("id"), Seq("k"), Seq("v"))
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batchMaintained)
+  }
 }
