@@ -582,6 +582,52 @@ object Events {
         .agg(count(lit(1)).as("n_gaps"),
           min(col("gap_s")).as("min_s"), max(col("gap_s")).as("max_s"))
         .orderBy(asc("event_type"), asc("log2_bucket"))
+    }),
+
+    // Cohort LTV curves: users grouped by first-active week, purchase
+    // revenue accumulated by weeks-since-signup. Revenue sums to
+    // integer CENTS (floor of value*100 — exact merges, no float
+    // accumulation order); the cumulative curve is a running window
+    // over the ≤|cohorts|×|weeks| pre-aggregated frame, partitioned
+    // by cohort — never over raw events.
+    "q_ltv_cohorts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+      val rev = ev.where(col("event_type") === "purchase")
+        .join(broadcast(firstSeen), "user_id")
+        .groupBy(unix_timestamp(col("cohort_week")).as("cohort_epoch"),
+          expr("""(unix_micros(date_trunc('week', ts))
+                 | - unix_micros(cohort_week))
+                 | div 604800000000""".stripMargin).as("week_idx"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("rev_c"))
+      val w = Window.partitionBy(col("cohort_epoch"))
+        .orderBy(col("week_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+        .select(col("cohort_epoch"), col("week_idx"), col("n_purchases"),
+          col("rev_c"), col("cum_rev_c"))
+        .orderBy(asc("cohort_epoch"), asc("week_idx"))
+    }),
+
+    // Activity seasonality matrix: hour-of-day × day-of-week event
+    // share in basis points — one aggregate over ≤ 7×24 cells plus a
+    // broadcast grand total.
+    "q_seasonality" -> ((s, dir) => {
+      val cells = events(s, dir)
+        // weekday()+1 == ISO dow (1=Monday), pairing DuckDB's isodow —
+        // Spark dayofweek() is 1=Sunday and DuckDB dayofweek() is
+        // 0=Sunday, a cross-engine off-by-one trap
+        .groupBy(expr("weekday(ts) + 1").cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n_events"))
+      cells.crossJoin(broadcast(
+          cells.agg(sum(col("n_events")).as("total"))))
+        .select(col("dow"), col("hod"), col("n_events"),
+          expr("n_events * 10000L div total").as("share_bp"))
+        .orderBy(asc("dow"), asc("hod"))
     })
   )
 
@@ -928,6 +974,34 @@ object Events {
         |  (length(bin(greatest(gap_s, 1))) - 1)::BIGINT AS log2_bucket,
         |  count(*) AS n_gaps, min(gap_s)::BIGINT AS min_s,
         |  max(gap_s)::BIGINT AS max_s
-        |FROM gaps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM gaps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_ltv_cohorts" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |rev AS (
+        |  SELECT epoch(fs.cohort_week)::BIGINT AS cohort_epoch,
+        |    (epoch_us(date_trunc('week', e.ts))
+        |     - epoch_us(fs.cohort_week)) // 604800000000 AS week_idx,
+        |    count(*) AS n_purchases,
+        |    sum(CAST(floor(e.value * 100) AS BIGINT))::BIGINT AS rev_c
+        |  FROM events e JOIN fs ON e.user_id = fs.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_epoch, week_idx::BIGINT AS week_idx, n_purchases,
+        |  rev_c,
+        |  (sum(rev_c) OVER (PARTITION BY cohort_epoch ORDER BY week_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS cum_rev_c
+        |FROM rev ORDER BY cohort_epoch, week_idx""".stripMargin,
+    "q_seasonality" ->
+      """WITH cells AS (
+        |  SELECT isodow(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_events)::BIGINT AS total FROM cells)
+        |SELECT dow, hod, n_events,
+        |  (n_events * 10000 // tot.total)::BIGINT AS share_bp
+        |FROM cells, tot ORDER BY dow, hod""".stripMargin
   )
 }
