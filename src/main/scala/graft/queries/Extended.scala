@@ -384,6 +384,21 @@ object Extended {
         .select(col("component"), col("n_members"),
           col("p_name").as("golden_name"))
         .orderBy(asc("component"))
+    }),
+
+    // Time-hierarchy ROLLUP (year → month → grand total) over order
+    // revenue in exact integer cents — the calendar drill-down next
+    // to the dimension rollup/cube pair. One shuffle for all three
+    // grouping levels; NULLS FIRST explicitly on both engines (the
+    // rollup null-ordering rule).
+    "q_time_rollup" -> ((s, dir) => {
+      orders(s, dir)
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        .rollup(col("yr"), col("mo"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("rev_c"))
+        .orderBy(asc_nulls_first("yr"), asc_nulls_first("mo"))
     })
   )
 
@@ -622,6 +637,14 @@ object Extended {
         |  SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
         |SELECT s.component, s.n_members, p.p_name AS golden_name
         |FROM s JOIN p ON p.p_partkey = s.component
-        |ORDER BY s.component""".stripMargin
+        |ORDER BY s.component""".stripMargin,
+    "q_time_rollup" ->
+      """SELECT year(o_orderdate)::BIGINT AS yr,
+        |  month(o_orderdate)::BIGINT AS mo,
+        |  count(*) AS n_orders,
+        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+        |FROM orders
+        |GROUP BY ROLLUP (yr, mo)
+        |ORDER BY yr NULLS FIRST, mo NULLS FIRST""".stripMargin
   )
 }
