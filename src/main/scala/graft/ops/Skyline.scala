@@ -26,12 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
+  /** Hard cap on distinct bands: the per-band frontier rides to the
+    * driver and back as two literal maps, so a miscall on a
+    * high-cardinality column (a raw price as band) must fail loudly,
+    * not OOM the driver. 100k long->double entries ≈ a few MB. */
+  val MaxBands: Int = 100000
+
   def frontier2D(df: DataFrame, bandCol: String, valCol: String): DataFrame = {
     val in = df.where(col(bandCol).isNotNull && col(valCol).isNotNull)
-    val bands = in
+    val bandRows = in
       .groupBy(col(bandCol).cast("long").as("_band"))
       .agg(min(col(valCol).cast("double")).as("_min_v"))
+      .limit(MaxBands + 1)
       .collect()
+    require(bandRows.length <= MaxBands,
+      s"Skyline.frontier2D: band column '$bandCol' has more than " +
+        s"$MaxBands distinct values — the per-band frontier is collected " +
+        "to the driver, so the band must be a bounded-cardinality " +
+        "dimension (bucket or coarsen it first)")
+    val bands = bandRows
       .map(r => (r.getLong(0), r.getDouble(1)))
       .sortBy(-_._1)
     // Suffix-min over strictly larger bands: walking bands descending,

@@ -36,7 +36,11 @@ object Extended {
     * the levenshtein verify stays exact). `lenAdj` compensates for
     * the probe's token-1 being one char shorter than its source's. */
   private def blockingKey(c: Column, lenAdj: Int): Column = {
-    val tail = concat_ws(" ", slice(split(c, " "), 2, 100))
+    // Unbounded tail (slice length = full token count, clamped by slice
+    // itself) so the key matches the oracle's [2:] slice for any token
+    // count — a fixed 100 would silently diverge on >101-token names.
+    val toks = split(c, " ")
+    val tail = concat_ws(" ", slice(toks, lit(2), size(toks)))
     val tok1Len = length(element_at(split(c, " "), 1))
     xxhash64(concat(substring(c, 1, 1), lit("|"),
       (tok1Len + lit(lenAdj)).cast("string"), lit("|"), tail))

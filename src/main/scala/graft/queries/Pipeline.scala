@@ -1599,8 +1599,12 @@ object Pipeline {
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)"))
             .as("sum_milli"))
+        // Shift constant 1e6 bounds |mean_milli| for any component in
+        // [-1000, 1000] — far beyond unit-norm embeddings — so a testdata
+        // regeneration with unnormalized vectors cannot push the shifted
+        // numerator negative (where truncating div and flooring // split).
         .select(col("label"), col("pos"), col("n"), col("sum_milli"),
-          expr("(sum_milli + n * 1000L) div n - 1000L").as("mean_milli"))
+          expr("(sum_milli + n * 1000000L) div n - 1000000L").as("mean_milli"))
         .orderBy(asc("label"), asc("pos"))
     }),
 
@@ -2854,7 +2858,7 @@ object Pipeline {
         |    sum(CAST(floor(v * 1000) AS BIGINT))::BIGINT AS sum_milli
         |  FROM u GROUP BY 1, 2)
         |SELECT label, pos, n, sum_milli,
-        |  ((sum_milli + n * 1000) // n - 1000)::BIGINT AS mean_milli
+        |  ((sum_milli + n * 1000000) // n - 1000000)::BIGINT AS mean_milli
         |FROM g ORDER BY label, pos""".stripMargin,
     "q_vocab_drift" ->
       """WITH tok AS (

@@ -35,7 +35,7 @@ class SkylineSpec extends SparkSpec {
     assert(got == brute(rows))
     assert(!got.contains(3L))
     // 4 dominates 1 and 2 (band strict, value equal)
-    assert(got == Set(4L, 5L) || got == brute(rows))
+    assert(got == Set(4L, 5L))
   }
 
   test("monotone staircase keeps every step; null rows are excluded") {
