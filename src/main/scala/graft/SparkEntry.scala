@@ -31,7 +31,8 @@ object SparkEntry {
         (Relational.queries, Relational.oracle),
         (Events.queries, Events.oracle),
         (Pipeline.queries, Pipeline.oracle),
-        (Extended.queries, Extended.oracle))
+        (Extended.queries, Extended.oracle),
+        (Analytics.queries, Analytics.oracle))
     val queries: Map[String, (SparkSession, String) => DataFrame] =
       modules.map(_._1).reduce(_ ++ _)
     val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)

@@ -19,7 +19,15 @@ object Verify {
     // — a violating query is still written (the driver should see it),
     // but the run exits non-zero naming the offender.
     val contractBad = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES=a,b,c limits the dump (local iteration only;
+    // the driver always runs the full set — same contract as Bench).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val bad = OutputContract.violations(df)
@@ -46,14 +54,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = only match {
+      case Some(ks) => SparkEntry.oracleSql.view.filterKeys(ks).toMap
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Recall gates for the approximate paths (queries with no SQL
     // oracle): assert spec-level recall/equivalence on the verify-scale
     // data and FAIL the gate (non-zero exit) on violation — the driver's
     // rows-only check would stay green through a silent recall collapse.
-    val gates = RecallGates.run(spark, sfDir)
+    // Gates are skipped on a filtered local iteration run; the driver's
+    // unfiltered run always exercises them.
+    val gates = if (only.isDefined) Nil else RecallGates.run(spark, sfDir)
     gates.foreach { g =>
       val status = if (g.pass) "PASS" else "FAIL"
       println(f"[recall] ${g.name}%-24s value=${g.value}%.4f floor=${g.floor}%.3f $status")

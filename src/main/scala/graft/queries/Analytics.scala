@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Round-6 analytics operators: the remaining classic TPC-H decision-
+  * support shapes expressible on these tables (Q4/Q14/Q15/Q17/Q21/Q22
+  * adaptations — the testdata has no partsupp or receipt/commit dates,
+  * so "late" derives from ship-lag vs the order date), plus
+  * reciprocal-rank fusion and an exact sparse tf-cosine self-join.
+  *
+  * Scale notes (100 TB): every fact-side aggregate is one
+  * partial+final hash agg; dimension and model frames broadcast;
+  * semi/anti joins hash on the fact's own keys (never nested-loop);
+  * all money flows through exact integer cents/milli grids (floor of
+  * one identically-shaped double expression per engine) so group sums
+  * and floor-div ratios are engine-exact at any parallelism.
+  */
+object Analytics {
+
+  /** Exact integer revenue in 1/10000-dollar units: cents x residual
+    * discount percent. Both factors are floors of identically-shaped
+    * double expressions, so Spark and DuckDB agree bit-for-bit. */
+  private def revMilli = expr(
+    "CAST(floor(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - CAST(floor(l_discount * 100) AS BIGINT))")
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q4 shape (order-priority checking): orders in a window
+    // with at least one lineitem shipped > 90 days after the order
+    // date. The EXISTS compiles to a LEFT SEMI hash join on the order
+    // key (the non-equi ship-lag conjunct rides the join condition);
+    // at 100 TB both sides shuffle once on l_orderkey and the
+    // aggregate is 5 groups.
+    "q_late_orders" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .where(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1999-01-01"))
+      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(asc("o_orderpriority"))
+    }),
+
+    // TPC-H Q14 shape (promotion effect): promo revenue share of one
+    // quarter in basis points. Part is the broadcast dimension; the
+    // date filter pushes to the lineitem scan; one aggregate row.
+    // Integer milli-revenue + nonneg floor-div => engine-exact.
+    "q_promo_share" -> ((s, dir) => {
+      lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1998-01-01") &&
+          col("l_shipdate") < ts("1998-04-01"))
+        .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revMilli).otherwise(lit(0L)))
+            .as("promo_milli"),
+          sum(revMilli).as("total_milli"))
+        .select(col("promo_milli"), col("total_milli"),
+          expr("promo_milli * 10000 div total_milli").as("promo_bp"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): per-supplier quarter revenue,
+    // keep the suppliers achieving the maximum — via one aggregate +
+    // a broadcast single-row max join, NOT a global window (ties all
+    // survive; ranking on exact integer milli-revenue). The supplier
+    // dimension broadcasts into the tiny aggregated frame.
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1998-01-01") &&
+          col("l_shipdate") < ts("1998-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revMilli).as("rev_milli"))
+      val mx = rev.agg(max(col("rev_milli")).as("m"))
+      rev.join(broadcast(mx), col("rev_milli") === col("m")).drop("m")
+        .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_milli"))
+        .orderBy(asc("s_suppkey"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): revenue of
+    // brand lineitems whose quantity is below 20% of that part's
+    // average. The per-part average never materializes as a double:
+    // qty < sum/(5n) <=> 5*n*qty < sum on exact integers (quantities
+    // are integral). Per-part stats are one row per brand part —
+    // broadcast back onto the fact; the brand filter prunes the fact
+    // scan via the broadcast partkey semi-join at scale.
+    "q_small_qty_revenue" -> ((s, dir) => {
+      val pb = part(s, dir).where(col("p_brand") === "Brand#9")
+        .select(col("p_partkey"))
+      val li = lineitem(s, dir)
+        .join(broadcast(pb), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("qty_i"),
+          revMilli.as("rev_milli"))
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_li"), sum(col("qty_i")).as("sum_qty"))
+        .withColumnRenamed("l_partkey", "sp")
+      li.join(broadcast(stats), col("l_partkey") === col("sp"))
+        .where(col("qty_i") * lit(5L) * col("n_li") < col("sum_qty"))
+        .agg(sum(col("rev_milli")).as("rev_milli"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept waiting orders): finished
+    // multi-supplier orders where exactly ONE supplier shipped late
+    // (> 90 days after the order date) — that supplier gets the
+    // blame. Pre-aggregate to one row per (order, supplier) with a
+    // lateness flag, then the EXISTS (another supplier participated)
+    // and NOT EXISTS (another supplier was also late) are a LEFT SEMI
+    // and LEFT ANTI hash join of that frame against itself — all
+    // shuffles key on l_orderkey, nothing nested-loop. Top 20 by
+    // blame count compiles to TakeOrdered.
+    "q_lonely_late_supplier" -> ((s, dir) => {
+      val o = orders(s, dir).where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val ls = lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          lit(1)).otherwise(lit(0))).as("late"))
+        .localCheckpoint(true) // three self-consumers below
+      val late = ls.where(col("late") === 1)
+      val blamed = late.as("x")
+        .join(ls.as("o2"),
+          col("o2.l_orderkey") === col("x.l_orderkey") &&
+            col("o2.l_suppkey") =!= col("x.l_suppkey"),
+          "left_semi")
+        .join(late.as("o3"),
+          col("o3.l_orderkey") === col("x.l_orderkey") &&
+            col("o3.l_suppkey") =!= col("x.l_suppkey"),
+          "left_anti")
+      blamed.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), asc("s_suppkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): customers with an
+    // above-average positive balance and no recent orders, counted
+    // per nation. The scalar (sum, n) of positive balances rides a
+    // broadcast crossJoin; "above average" compares on exact integer
+    // cents (bal*n > sum — no double division); dormancy is a LEFT
+    // ANTI hash join against the date-pruned orders scan.
+    "q_dormant_customers" -> ((s, dir) => {
+      val c = customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+      val posStats = c.where(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n"))
+      val recent = orders(s, dir)
+        .where(col("o_orderdate") >= ts("1999-01-01"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(posStats))
+        .where(col("bal_c") * col("n") > col("s"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"), sum(col("bal_c")).as("bal_cents"))
+        .orderBy(asc("c_nationkey"))
+    }),
+
+    // Reciprocal-rank fusion (RRF, Cormack et al. SIGIR 2009): fuse a
+    // spend ranking and an order-count ranking of customers into one
+    // list via sum(1/(60+rank)) — here in exact integer micro-units
+    // (1000000 div (60+rank), both nonneg so div ≡ //). Each global
+    // rank comes from the deterministic range-sort + zipWithIndex
+    // machinery over the AGGREGATED per-customer frame (corpus-sized,
+    // not fact-sized) — never a one-reducer row_number. Descending
+    // order via a negated sort key; ties break on custkey.
+    "q_rank_fusion" -> ((s, dir) => {
+      val spend = orders(s, dir)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("spend_cents"), count(lit(1)).as("n_orders"))
+      val ra = graft.ops.Shuffle.positionsBy(
+          spend.withColumn("neg", -col("spend_cents")),
+          Seq("neg", "custkey"), "p")
+        .select(col("custkey"), col("spend_cents"), col("n_orders"),
+          (col("p") + 1).as("rank_spend"))
+      val rb = graft.ops.Shuffle.positionsBy(
+          spend.select(col("custkey").as("ck"), (-col("n_orders")).as("negn")),
+          Seq("negn", "ck"), "p")
+        .select(col("ck"), (col("p") + 1).as("rank_orders"))
+      ra.join(rb, col("custkey") === col("ck")).drop("ck")
+        .select(col("custkey"), col("spend_cents"), col("n_orders"),
+          expr("1000000 div (60 + rank_spend) + 1000000 div (60 + rank_orders)")
+            .as("rrf_micro"))
+        .orderBy(desc("rrf_micro"), asc("custkey"))
+        .limit(20)
+    }),
+
+    // Exact sparse tf-cosine near-dup pairs: documents as 3-gram
+    // term-FREQUENCY vectors (windows, not distinct shingles — the
+    // multiplicity Jaccard throws away), pairs via the inverted
+    // index, similarity as SQUARED cosine on an integer 1e8 grid:
+    // cos2_e8 = num^2 * 1e8 div (|a|^2 |b|^2), every factor an exact
+    // integer (Cauchy-Schwarz bounds num^2 <= n2a*n2b so the product
+    // fits DECIMAL(38,0)/HUGEINT; emitting cos^2 avoids any sqrt).
+    // Postings hash to 8-byte longs before the shuffle; the tf frame
+    // is checkpointed once for its three consumers (norms + both join
+    // sides — broadcast branches don't reuse shuffle exchanges).
+    "q_cosine_tf_pairs" -> ((s, dir) => {
+      val tf = spread(documents(s, dir))
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleExprs.wordWindowHashes(
+            s, col("text"), 3)).as("shingle"))
+        .groupBy(col("doc_id"), col("shingle"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val norms = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("n2"))
+      val num = tf.as("a")
+        .join(tf.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("num"))
+      num
+        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST(CAST(num AS DECIMAL(38,0)) * num * 100000000 DIV " +
+            "(CAST(n2_a AS DECIMAL(38,0)) * n2_b) AS BIGINT)").as("cos2_e8"))
+        .where(col("cos2_e8") >= lit(25000000L)) // cos >= 0.5
+        .orderBy(asc("doc_a"), asc("doc_b"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_promo_share" ->
+      """WITH r AS (
+        |  SELECT p_type,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev_milli
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01')
+        |SELECT
+        |  sum(CASE WHEN p_type = 'PROMO' THEN rev_milli ELSE 0 END)::BIGINT
+        |    AS promo_milli,
+        |  sum(rev_milli)::BIGINT AS total_milli,
+        |  (sum(CASE WHEN p_type = 'PROMO' THEN rev_milli ELSE 0 END) * 10000
+        |    // sum(rev_milli))::BIGINT AS promo_bp
+        |FROM r""".stripMargin,
+    "q_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(floor(l_discount * 100) AS BIGINT)))::BIGINT
+        |      AS rev_milli
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_milli
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_milli = (SELECT max(rev_milli) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty_i,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev_milli
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#9'),
+        |st AS (SELECT l_partkey AS sp, count(*) AS n_li,
+        |         sum(qty_i)::BIGINT AS sum_qty
+        |       FROM li GROUP BY 1)
+        |SELECT sum(rev_milli)::BIGINT AS rev_milli, count(*) AS n_items
+        |FROM li JOIN st ON l_partkey = sp
+        |WHERE qty_i * 5 * n_li < sum_qty""".stripMargin,
+    "q_lonely_late_supplier" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM ls x JOIN supplier ON x.l_suppkey = s_suppkey
+        |WHERE x.late = 1
+        |  AND EXISTS (SELECT 1 FROM ls o2
+        |              WHERE o2.l_orderkey = x.l_orderkey
+        |                AND o2.l_suppkey <> x.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ls o3
+        |                  WHERE o3.l_orderkey = x.l_orderkey
+        |                    AND o3.l_suppkey <> x.l_suppkey
+        |                    AND o3.late = 1)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q_dormant_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |st AS (SELECT sum(bal_c)::BIGINT AS s, count(*) AS n
+        |       FROM c WHERE bal_c > 0)
+        |SELECT c_nationkey, count(*) AS n_custs, sum(bal_c)::BIGINT AS bal_cents
+        |FROM c, st
+        |WHERE bal_c * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rank_fusion" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS custkey,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS spend_cents,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT custkey, spend_cents, n_orders,
+        |    row_number() OVER (ORDER BY spend_cents DESC, custkey) AS ra,
+        |    row_number() OVER (ORDER BY n_orders DESC, custkey) AS rb
+        |  FROM s)
+        |SELECT custkey, spend_cents, n_orders,
+        |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
+        |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_cosine_tf_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) < 3
+        |      THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)]
+        |    END) AS shingle
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |tf AS (SELECT doc_id, shingle, count(*) AS tf FROM sh GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1),
+        |num AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.tf * b.tf)::BIGINT AS num
+        |  FROM tf a JOIN tf b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  ((num::HUGEINT * num * 100000000) //
+        |    (na.n2::HUGEINT * nb.n2))::BIGINT AS cos2_e8
+        |FROM num
+        |JOIN norms na ON doc_a = na.doc_id
+        |JOIN norms nb ON doc_b = nb.doc_id
+        |WHERE (num::HUGEINT * num * 100000000) //
+        |  (na.n2::HUGEINT * nb.n2) >= 25000000
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}
