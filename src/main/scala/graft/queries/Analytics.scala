@@ -20,6 +20,11 @@ import graft.Tables._
   */
 object Analytics {
 
+  /** The taxonomy for q_phrase_tags (alphabetical so output order is
+    * the phrase order); all tokens are from the corpus vocabulary. */
+  val tagPhrases: Seq[String] = Seq(
+    "hash join", "slow query", "sort merge", "table scan", "window agg")
+
   /** Exact integer revenue in 1/10000-dollar units: cents x residual
     * discount percent. Both factors are floors of identically-shaped
     * double expressions, so Spark and DuckDB agree bit-for-bit. */
@@ -200,6 +205,29 @@ object Analytics {
         .limit(20)
     }),
 
+    // Taxonomy phrase tagging: occurrences of a fixed phrase list
+    // across the corpus in ONE text pass per document — the native
+    // Aho-Corasick kernel (functions/PhraseCountExpr) replaces
+    // |phrases| separate replace/LIKE scans; at a real taxonomy size
+    // (thousands of phrases) that is the difference between O(n*k)
+    // and O(n) per document. Non-overlapping greedy-left counts ==
+    // replace() semantics, so the oracle replays them with
+    // length-arithmetic. Substring matching (no word boundaries),
+    // documented semantics; phrases and text share this corpus's
+    // lowercase space-separated form.
+    "q_phrase_tags" -> ((s, dir) => {
+      val phrases = Analytics.tagPhrases
+      spread(documents(s, dir))
+        .select(posexplode(graft.functions.PhraseCountExpr.phraseCounts(
+          s, col("text"), phrases)).as(Seq("pos", "cnt")))
+        .groupBy(col("pos"))
+        .agg(count(when(col("cnt") > 0, 1)).as("n_docs"),
+          sum(col("cnt")).as("n_occ"))
+        .select(element_at(typedLit(phrases), col("pos") + 1).as("phrase"),
+          col("n_docs"), col("n_occ"))
+        .orderBy(asc("phrase"))
+    }),
+
     // Exact sparse tf-cosine near-dup pairs: documents as 3-gram
     // term-FREQUENCY vectors (windows, not distinct shingles — the
     // multiplicity Jaccard throws away), pairs via the inverted
@@ -336,6 +364,18 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_phrase_tags" ->
+      """WITH p AS (
+        |  SELECT unnest(['hash join', 'slow query', 'sort merge',
+        |                 'table scan', 'window agg']) AS phrase),
+        |occ AS (
+        |  SELECT phrase,
+        |    (length(text) - length(replace(text, phrase, '')))
+        |      // length(phrase) AS c
+        |  FROM documents CROSS JOIN p)
+        |SELECT phrase, count(CASE WHEN c > 0 THEN 1 END) AS n_docs,
+        |  sum(c)::BIGINT AS n_occ
+        |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cosine_tf_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(CASE WHEN len(w) < 3
