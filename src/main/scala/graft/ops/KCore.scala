@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling (Seidman, Social
+  * Networks 1983; distributed formulation as in Montresor et al.):
+  * repeatedly drop nodes with degree < k and the edges touching them
+  * until the survivor set is stable — the fixpoint is the unique
+  * maximal subgraph with minimum degree >= k.
+  *
+  * Scale shape: each round is one degree aggregate (map-side combined)
+  * plus two semi-join-shaped equi joins of the edge list against the
+  * survivor set — all hash-partitioned on node ids, nothing quadratic,
+  * no windows. `localCheckpoint` truncates lineage per round (the same
+  * recipe as ConnectedComponents/PageRank); rounds are bounded by the
+  * degeneracy peeling depth, which is small for power-law graphs.
+  * Convergence is detected from the survivor COUNT: the set shrinks
+  * strictly until the fixpoint, so an unchanged count IS stability.
+  */
+object KCore {
+
+  /** @param edges undirected edge list `(src, dst)`, canonical
+    *              src < dst, no duplicates.
+    * @return (coreEdges, rounds): the induced edge list of the k-core
+    *         (same canonical form; derive nodes by unioning endpoints)
+    *         and the number of peeling rounds to the fixpoint. */
+  def core(edges: DataFrame, k: Int, maxRounds: Int = 64): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var survivors = -1L
+    var round = 0
+    var done = false
+    var coreEmpty = false
+    while (!done && round < maxRounds) {
+      val deg = cur.select(col("src").as("node"))
+        .union(cur.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+        .localCheckpoint(true)
+      val n = keep.count()
+      if (n == 0) { coreEmpty = true; done = true }
+      else if (n == survivors) done = true
+      else {
+        survivors = n
+        cur = cur
+          .join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    val coreEdges = if (coreEmpty) cur.limit(0) else cur
+    (coreEdges, round)
+  }
+}

@@ -205,6 +205,35 @@ object Analytics {
         .limit(20)
     }),
 
+    // k-core decomposition of the co-purchase graph (parts sharing
+    // >= 2 orders — the support cutoff keeps the graph sparse and
+    // meaningful): iterative peeling to the unique fixpoint via
+    // ops/KCore — one degree aggregate + two LEFT SEMI joins per
+    // round, localCheckpoint-truncated lineage, rounds bounded by the
+    // peeling depth. Rows-only (iterative antitone peeling has no
+    // monotone recursive-CTE form); KCoreSpec pins the algorithm to
+    // brute force. Output is the core's size plus the rounds taken.
+    "q_kcore" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x")
+        .join(li.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val (core, rounds) = graft.ops.KCore.core(edges, k = 3)
+      val nodes = core
+        .select(explode(array(col("src"), col("dst"))).as("node"))
+        .distinct()
+      nodes.agg(count(lit(1)).as("n_core_nodes"))
+        .crossJoin(core.agg(count(lit(1)).as("n_core_edges")))
+        .select(lit(3).as("k"), col("n_core_nodes"), col("n_core_edges"),
+          lit(rounds).as("rounds"))
+    }),
+
     // Taxonomy phrase tagging: occurrences of a fixed phrase list
     // across the corpus in ONE text pass per document — the native
     // Aho-Corasick kernel (functions/PhraseCountExpr) replaces
