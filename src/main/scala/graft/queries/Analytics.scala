@@ -34,6 +34,24 @@ object Analytics {
 
   private def ts(d: String) = lit(d).cast("timestamp")
 
+  /** Part co-purchase graph: canonical (src < dst) part pairs sharing
+    * at least `minSupport` orders. Pairs-per-order is bounded by order
+    * size, the pair aggregate is one shuffle, and the support cutoff
+    * keeps the graph sparse (shared by q_kcore and q_bfs_hops). */
+  private def copurchaseEdges(s: SparkSession, dir: String,
+      minSupport: Long): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") &&
+        col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= minSupport)
+      .select(col("src"), col("dst"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q4 shape (order-priority checking): orders in a window
     // with at least one lineitem shipped > 90 days after the order
@@ -214,16 +232,7 @@ object Analytics {
     // monotone recursive-CTE form); KCoreSpec pins the algorithm to
     // brute force. Output is the core's size plus the rounds taken.
     "q_kcore" -> ((s, dir) => {
-      val li = lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = li.as("x")
-        .join(li.as("y"), col("x.ok") === col("y.ok") &&
-          col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= 2)
-        .select(col("src"), col("dst"))
+      val edges = copurchaseEdges(s, dir, minSupport = 2)
       val (core, rounds) = graft.ops.KCore.core(edges, k = 3)
       val nodes = core
         .select(explode(array(col("src"), col("dst"))).as("node"))
@@ -232,6 +241,65 @@ object Analytics {
         .crossJoin(core.agg(count(lit(1)).as("n_core_edges")))
         .select(lit(3).as("k"), col("n_core_nodes"), col("n_core_edges"),
           lit(rounds).as("rounds"))
+    }),
+
+    // Isotonic calibration (PAV): fit a nondecreasing urgency rate
+    // over price buckets — the standard monotone-calibration fit for
+    // a score/quality signal. Corpus-sized work is ONE aggregate to
+    // the bounded bin table; the pool-adjacent-violators loop runs
+    // driver-side on those bins (exact integer rationals,
+    // cross-multiplied comparisons) and the fitted rates ride back as
+    // a literal map (ops/Isotonic). Rows-only — PAV's pooling isn't
+    // SQL-expressible — with IsotonicSpec pinning the algorithm to
+    // the brute-force fixpoint.
+    "q_isotonic" -> ((s, dir) => {
+      val binned = orders(s, dir)
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 5000000")
+            .as("bin"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("urgent"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("urgent")).as("pos"))
+      graft.ops.Isotonic.fitBinned(binned)
+        .select(col("bin"), col("n"), col("pos"),
+          expr("pos * 10000 div n").as("rate_bp"), col("fitted_bp"))
+        .orderBy(asc("bin"))
+    }),
+
+    // Bounded-depth BFS hop distances on the co-purchase graph from a
+    // deterministic seed (the graph's smallest part id): frontier
+    // expansion via ops/Bfs — per hop one frontier-edge join + one
+    // LEFT ANTI against the visited set, nothing ever collected. The
+    // DEPTH BOUND is what makes this oracle-exact: a recursive CTE
+    // replays seed-rooted walks to the same bound and takes min(hop)
+    // per node (unbounded reachability would need convergence
+    // detection, which SQL recursion can't observe). Output is the
+    // hop histogram.
+    "q_bfs_hops" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir, minSupport = 2)
+        .localCheckpoint(true) // seed probe + per-hop joins
+      val seed = edges.agg(min(col("src"))).collect()(0).getLong(0)
+      graft.ops.Bfs.hops(edges, seed, maxHops = 4)
+        .groupBy(col("hop")).agg(count(lit(1)).as("n_parts"))
+        .orderBy(asc("hop"))
+    }),
+
+    // Keyword-in-context (KWIC) snippet extraction: for every doc
+    // containing the phrase, a +-20-char window around the FIRST
+    // occurrence — the retrieval-result snippet shape. Pure
+    // scan-stage string arithmetic (locate/strpos are both 1-based
+    // with 0 = absent; substring clamps identically), zero shuffles,
+    // filter + projection pushed to the parquet scan.
+    "q_kwic" -> ((s, dir) => {
+      val phrase = "table scan"
+      val pos = locate(phrase, col("text"))
+      val start = greatest(pos - 20, lit(1))
+      documents(s, dir)
+        .where(pos > 0)
+        .select(col("doc_id"), pos.as("pos"),
+          col("text").substr(start,
+            (pos - start) + lit(phrase.length + 20)).as("snippet"))
+        .orderBy(asc("doc_id"))
     }),
 
     // Taxonomy phrase tagging: occurrences of a fixed phrase list
@@ -393,6 +461,32 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_bfs_hops" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT src AS a, dst AS b FROM e
+        |        UNION ALL SELECT dst, src FROM e),
+        |seed AS (SELECT min(src) AS s FROM e),
+        |walk(node, hop) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION ALL
+        |  SELECT b, hop + 1 FROM walk JOIN und ON a = node WHERE hop < 4),
+        |dist AS (SELECT node, min(hop) AS hop FROM walk GROUP BY 1)
+        |SELECT hop, count(*) AS n_parts FROM dist
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kwic" ->
+      """SELECT doc_id, strpos(text, 'table scan') AS pos,
+        |  substring(text,
+        |    greatest(strpos(text, 'table scan') - 20, 1),
+        |    (strpos(text, 'table scan')
+        |      - greatest(strpos(text, 'table scan') - 20, 1)) + 30) AS snippet
+        |FROM documents
+        |WHERE strpos(text, 'table scan') > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_phrase_tags" ->
       """WITH p AS (
         |  SELECT unnest(['hash join', 'slow query', 'sort merge',
