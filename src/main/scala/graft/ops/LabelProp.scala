@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (LPA, Raghavan et al. 2007) for
+  * community detection, made DETERMINISTIC: every node starts with its
+  * own id; each round it adopts the most frequent label among its
+  * neighbors, ties broken by the SMALLEST label; a FIXED round count
+  * replaces the usual "until stable" (async LPA's order-dependence is
+  * what makes it irreproducible — the synchronous+fixed form is a pure
+  * function of the graph, so a SQL oracle can replay it round by
+  * round).
+  *
+  * Scale shape per round: one equi join labels->edges (hash on node
+  * id) + one (node, label) count aggregate + the packed-BIGINT argmin
+  * (count desc, label asc) — the same no-window argmax used by
+  * dedup/fuzzy-join; `localCheckpoint` truncates lineage per round.
+  *
+  * Packing bound: labels are node ids < 1e10 and per-(node,label)
+  * counts < 1e6 (degree bound) — (1e6)*(1e10) = 1e16 fits BIGINT with
+  * headroom. Violations fail loudly via the require below.
+  */
+object LabelProp {
+
+  def run(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint(true)
+    val bound = und.agg(max(greatest(col("a"), col("b"))).as("mx"))
+      .collect()(0).getLong(0)
+    require(bound < 10000000000L,
+      s"LabelProp: node ids must be < 1e10 for the argmin packing (max=$bound)")
+    val maxDeg = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).collect()(0).getLong(0)
+    require(maxDeg < 1000000L,
+      s"LabelProp: max degree must be < 1e6 for the argmin packing (max=$maxDeg)")
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      labels = und
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(min(expr("(1000000L - c) * 10000000000L + label")).as("pk"))
+        .select(col("a").as("node"), expr("pk % 10000000000L").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+}

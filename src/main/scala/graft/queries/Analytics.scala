@@ -243,6 +243,21 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Deterministic label-propagation communities on the co-purchase
+    // graph: synchronous LPA, 5 FIXED rounds, ties to the smallest
+    // label (ops/LabelProp) — the fixed-round synchronous form is a
+    // pure function of the graph, so the oracle replays every round
+    // as a chained CTE with the identical packed-BIGINT argmin.
+    // Output: the 20 largest communities.
+    "q_label_prop" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir, minSupport = 2)
+      graft.ops.LabelProp.run(edges, rounds = 5)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(desc("size"), asc("community"))
+        .limit(20)
+    }),
+
     // Isotonic calibration (PAV): fit a nondecreasing urgency rate
     // over price buckets — the standard monotone-calibration fit for
     // a score/quality signal. Corpus-sized work is ONE aggregate to
@@ -461,6 +476,32 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_label_prop" -> {
+      // The 5 LPA rounds as chained CTEs, built programmatically —
+      // each round is the identical join + count + packed argmin the
+      // Spark loop runs.
+      val rounds = (1 to 5).map { r =>
+        s"""l$r AS (
+           |  SELECT a AS node, pk % 10000000000 AS label FROM (
+           |    SELECT a, min((1000000 - c) * 10000000000 + label) AS pk
+           |    FROM (SELECT und.a, p.label, count(*) AS c
+           |          FROM und JOIN l${r - 1} p ON und.b = p.node
+           |          GROUP BY 1, 2)
+           |    GROUP BY 1))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e AS (
+         |  SELECT x.pk AS src, y.pk AS dst
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |und AS (SELECT src AS a, dst AS b FROM e
+         |        UNION ALL SELECT dst, src FROM e),
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+         |$rounds
+         |SELECT label AS community, count(*) AS size FROM l5
+         |GROUP BY 1 ORDER BY size DESC, community LIMIT 20""".stripMargin
+    },
     "q_bfs_hops" ->
       """WITH RECURSIVE li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
