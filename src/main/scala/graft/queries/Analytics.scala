@@ -243,6 +243,175 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // TPC-H Q5 shape (local supplier volume): revenue where the
+    // supplying and ordering nation coincide, per nation of one
+    // region in one year. Customer and supplier dims broadcast into
+    // the fact; the nation-equality conjunct rides the supplier join;
+    // one aggregate per nation on exact integer milli-revenue.
+    "q_local_supplier_volume" -> ((s, dir) => {
+      val asia = nation(s, dir)
+        .join(broadcast(region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val o = orders(s, dir)
+        .where(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+      lineitem(s, dir)
+        .join(broadcast(supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revMilli).as("rev_milli"))
+        .orderBy(desc("rev_milli"), asc("n_name"))
+    }),
+
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // nations by ship year — supplier nation on one side, customer
+    // nation on the other, both directions kept. All dims broadcast;
+    // the year comes off l_shipdate (engine-identical year()).
+    "q_volume_shipping" -> ((s, dir) => {
+      val n12 = Seq(1, 2)
+      val sup = supplier(s, dir).where(col("s_nationkey").isin(n12: _*))
+        .select(col("s_suppkey"), col("s_nationkey").as("supp_nation"))
+      val cus = customer(s, dir).where(col("c_nationkey").isin(n12: _*))
+        .select(col("c_custkey"), col("c_nationkey").as("cust_nation"))
+      lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey") &&
+          col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(revMilli).as("rev_milli"))
+        .orderBy(asc("supp_nation"), asc("cust_nation"), asc("l_year"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    // revenue lost to returns in one quarter. Ranking on exact
+    // integer milli-revenue (ties by custkey) compiles to
+    // TakeOrdered; the customer dim broadcasts into the tiny
+    // aggregated frame, never the fact.
+    "q_returned_revenue" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .where(col("o_orderdate") >= ts("1997-10-01") &&
+          col("o_orderdate") < ts("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      lineitem(s, dir)
+        .where(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(revMilli).as("rev_milli"), count(lit(1)).as("n_items"))
+        .join(broadcast(customer(s, dir).select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("rev_milli"), col("n_items"))
+        .orderBy(desc("rev_milli"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): histogram
+    // of orders-per-customer INCLUDING zero-order customers (left
+    // join, count of a right-side column). Two aggregates, each one
+    // shuffle; the second one is over the per-customer frame.
+    "q_order_count_dist" -> ((s, dir) => {
+      val perCust = customer(s, dir).select(col("c_custkey"))
+        .join(orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total
+    // quantity exceeds a threshold — the per-order aggregate + HAVING
+    // + top 20. Quantities are integral so the sum is an exact
+    // BIGINT; price in exact cents.
+    "q_large_orders" -> ((s, dir) => {
+      val big = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("price_c"),
+          col("sum_qty"))
+        .orderBy(desc("sum_qty"), asc("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    // three (brand, quantity-band, size-band) conjunct groups OR'd
+    // together across the part join — the pushdown stress shape: the
+    // part-side conjuncts (brand, size) prune the broadcast build
+    // side; the fact-side quantity bands evaluate post-join.
+    "q_promo_disjunct_revenue" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_partkey"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("qty_i"),
+          revMilli.as("rev_milli"))
+      val p = part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val cond =
+        (col("p_brand") === "Brand#3" && col("qty_i").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#12" && col("qty_i").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#21" && col("qty_i").between(20, 30) &&
+          col("p_size").between(1, 15))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(cond)
+        .agg(sum(col("rev_milli")).as("rev_milli"), count(lit(1)).as("n_items"))
+    }),
+
+    // k-anonymity audit on the (nation, segment) quasi-identifier:
+    // group sizes, the minimum k, and how many customers sit in
+    // risky (< 5) groups — the standard re-identification screen
+    // before a data release. One aggregate + one bounded rollup.
+    "q_k_anonymity" -> ((s, dir) => {
+      val g = customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"))
+      g.agg(count(lit(1)).as("n_groups"),
+        min(col("sz")).as("k_min"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(lit(0L)))
+          .as("n_risky_customers"))
+    }),
+
+    // Dedup-method agreement: EXACT lexical near-dup pairs (distinct
+    // 3-gram Jaccard >= 0.3, NO df cutoff) vs EXACT embedding
+    // near-dup pairs (cosine >= 0.45) over the aligned doc_id/vec_id
+    // space — the diagnostic that tells you whether the cheap lexical
+    // pass and the embedding pass see the same duplication. One
+    // full-outer join of two tiny pair frames; set-Jaccard of the
+    // pair sets in basis points.
+    "q_dedup_agreement" -> ((s, dir) => {
+      val lex = graft.dedup.Dedup.jaccardPairs(
+          spread(documents(s, dir)), "text", "doc_id",
+          n = 3, threshold = 0.3, maxShingleDf = 0)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1).as("in_lex"))
+      val emb = graft.similarity.Similarity.cosineNearDups(
+          spread(embeddings(s, dir)), "embedding", "vec_id", 0.45)
+        .select(col("id_a").as("a"), col("id_b").as("b"), lit(1).as("in_emb"))
+      lex.join(emb, Seq("a", "b"), "full_outer")
+        .agg(count(col("in_lex")).as("n_lexical"),
+          count(col("in_emb")).as("n_embedding"),
+          count(when(col("in_lex").isNotNull && col("in_emb").isNotNull, 1))
+            .as("n_both"))
+        .select(col("n_lexical"), col("n_embedding"), col("n_both"),
+          expr("n_both * 10000 div (n_lexical + n_embedding - n_both)")
+            .as("agreement_bp"))
+    }),
+
     // Deterministic label-propagation communities on the co-purchase
     // graph: synchronous LPA, 5 FIXED rounds, ties to the smallest
     // label (ops/LabelProp) — the fixed-round synchronous form is a
@@ -476,6 +645,125 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_local_supplier_volume" ->
+      """SELECT n_name,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS rev_milli
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY rev_milli DESC, n_name""".stripMargin,
+    "q_volume_shipping" ->
+      """SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS rev_milli
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE s_nationkey IN (1, 2) AND c_nationkey IN (1, 2)
+        |  AND s_nationkey <> c_nationkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS rev_milli,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY rev_milli DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_order_count_dist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 300)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_promo_disjunct_revenue" ->
+      """SELECT
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS rev_milli,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE
+        |  (p_brand = 'Brand#3'
+        |    AND CAST(floor(l_quantity) AS BIGINT) BETWEEN 1 AND 11
+        |    AND p_size BETWEEN 1 AND 5)
+        |  OR (p_brand = 'Brand#12'
+        |    AND CAST(floor(l_quantity) AS BIGINT) BETWEEN 10 AND 20
+        |    AND p_size BETWEEN 1 AND 10)
+        |  OR (p_brand = 'Brand#21'
+        |    AND CAST(floor(l_quantity) AS BIGINT) BETWEEN 20 AND 30
+        |    AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_groups, min(sz) AS k_min,
+        |  sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS n_risky_groups,
+        |  sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS n_risky_customers
+        |FROM g""".stripMargin,
+    "q_dedup_agreement" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+        |      THEN [array_to_string(w, ' ')]
+        |      ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)]
+        |    END) AS ws
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |lex AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4)
+        |    >= 0.3),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS em FROM embeddings),
+        |emb AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.em, b.em), 4) >= 0.45),
+        |j AS (
+        |  SELECT coalesce(lex.a, emb.a) AS a,
+        |    lex.a IS NOT NULL AS in_lex, emb.a IS NOT NULL AS in_emb
+        |  FROM lex FULL OUTER JOIN emb ON lex.a = emb.a AND lex.b = emb.b)
+        |SELECT
+        |  count(CASE WHEN in_lex THEN 1 END) AS n_lexical,
+        |  count(CASE WHEN in_emb THEN 1 END) AS n_embedding,
+        |  count(CASE WHEN in_lex AND in_emb THEN 1 END) AS n_both,
+        |  (count(CASE WHEN in_lex AND in_emb THEN 1 END) * 10000
+        |    // (count(CASE WHEN in_lex THEN 1 END)
+        |        + count(CASE WHEN in_emb THEN 1 END)
+        |        - count(CASE WHEN in_lex AND in_emb THEN 1 END)))::BIGINT
+        |    AS agreement_bp
+        |FROM j""".stripMargin,
     "q_label_prop" -> {
       // The 5 LPA rounds as chained CTEs, built programmatically —
       // each round is the identical join + count + packed argmin the
