@@ -243,6 +243,68 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Point-in-time-correct churn label construction: features from
+    // strictly BEFORE the cutoff (activity count, days inactive),
+    // label from the horizon window AFTER it — the temporal-leakage
+    // discipline every training-label build needs (features can never
+    // see the future). Two date-pruned aggregates + one left join;
+    // days compare on exact DATE arithmetic.
+    "q_churn_labels" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts"))
+      val cutoff = ts("2024-01-24")
+      val before = ev.where(col("ts") < cutoff)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_before"),
+          max(to_date(col("ts"))).as("last_d"))
+      val returned = ev
+        .where(col("ts") >= cutoff && col("ts") < ts("2024-01-31"))
+        .select(col("user_id")).distinct()
+        .withColumn("r", lit(1L))
+      before.join(returned, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_before"),
+          datediff(lit("2024-01-24").cast("date"), col("last_d"))
+            .cast("long").as("days_inactive"),
+          coalesce(col("r"), lit(0L)).as("returned"))
+        .orderBy(asc("user_id"))
+    }),
+
+    // Time-decayed popularity (exponential half-life = one week,
+    // EXACT): weekly demand counts per part, each week's count
+    // right-shifted by its age in weeks — integer halving, so the
+    // decay is bit-identical on any engine (never a double pow).
+    // One weekly pre-aggregate, one rollup, top 20 via TakeOrdered.
+    "q_decayed_popularity" -> ((s, dir) => {
+      val weekly = lineitem(s, dir)
+        .where(col("l_shipdate") < ts("1998-04-01"))
+        .select(col("l_partkey"),
+          expr("CAST(datediff(DATE'1998-04-01', to_date(l_shipdate)) div 7 AS BIGINT)")
+            .as("age_w"))
+        .where(col("age_w") <= 15)
+        .groupBy(col("l_partkey"), col("age_w"))
+        .agg(count(lit(1)).as("cnt"))
+      weekly
+        .select(col("l_partkey"),
+          expr("shiftright(cnt, CAST(age_w AS INT))").as("decayed_w"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("decayed_w")).as("decayed"))
+        .where(col("decayed") > 0)
+        .orderBy(desc("decayed"), asc("l_partkey"))
+        .limit(20)
+    }),
+
+    // Diversified top-k (search-result diversification): global top
+    // 20 documents by length with AT MOST 2 per source — per-source
+    // top-2 through the bounded-heap TopK aggregate (no window), then
+    // one TakeOrdered over the tiny survivor frame.
+    "q_diversified_topk" -> ((s, dir) => {
+      graft.ops.TopK.byScore(documents(s, dir),
+          Seq("source"), "n_chars", "doc_id", k = 2)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(desc("n_chars"), asc("doc_id"))
+        .limit(20)
+    }),
+
     // TPC-H Q5 shape (local supplier volume): revenue where the
     // supplying and ordering nation coincide, per nation of one
     // region in one year. Customer and supplier dims broadcast into
@@ -645,6 +707,37 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_churn_labels" ->
+      """WITH b AS (
+        |  SELECT user_id, count(*) AS n_before, max(ts::DATE) AS last_d
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-24' GROUP BY 1),
+        |r AS (
+        |  SELECT DISTINCT user_id, 1 AS ret FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-24'
+        |    AND ts < TIMESTAMP '2024-01-31')
+        |SELECT b.user_id, n_before,
+        |  date_diff('day', last_d, DATE '2024-01-24')::BIGINT AS days_inactive,
+        |  coalesce(ret, 0)::BIGINT AS returned
+        |FROM b LEFT JOIN r ON b.user_id = r.user_id
+        |ORDER BY b.user_id""".stripMargin,
+    "q_decayed_popularity" ->
+      """WITH w AS (
+        |  SELECT l_partkey,
+        |    date_diff('day', l_shipdate::DATE, DATE '1998-04-01') // 7 AS age_w,
+        |    count(*) AS cnt
+        |  FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1998-04-01'
+        |  GROUP BY 1, 2 HAVING age_w <= 15)
+        |SELECT l_partkey, sum(cnt >> age_w)::BIGINT AS decayed
+        |FROM w GROUP BY 1 HAVING decayed > 0
+        |ORDER BY decayed DESC, l_partkey LIMIT 20""".stripMargin,
+    "q_diversified_topk" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 2 ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin,
     "q_local_supplier_volume" ->
       """SELECT n_name,
         |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
