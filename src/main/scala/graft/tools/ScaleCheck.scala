@@ -218,6 +218,32 @@ object ScaleCheck {
       graft.ops.Triangles.stats(g)
     })
 
+    // 9. Label propagation (the iterative graph family: LPA shares
+    // its per-round shape with KCore/Bfs — join on node id + count
+    // aggregate + argmin): DISJOINT graph copies never exchange
+    // labels, so per-round work and total shuffle bytes must grow
+    // linearly; a broken checkpoint (lineage re-execution) or an
+    // accidental cross-copy edge would show super-linear growth.
+    val lpaEdges = {
+      val li = graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)
+    }
+    check("label_prop", Seq(1, 2, 4), useBytes = true, { f =>
+      val g = (0 until f).map { k =>
+        lpaEdges.select((col("src") + lit(k * 10000000L)).as("src"),
+          (col("dst") + lit(k * 10000000L)).as("dst"))
+      }.reduce(_ union _)
+      graft.ops.LabelProp.run(g, rounds = 3)
+    })
+
     spark.stop()
     if (failed.nonEmpty) {
       failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))
