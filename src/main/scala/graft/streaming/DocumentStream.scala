@@ -173,6 +173,20 @@ object DocumentStream {
       model: graft.text.NaiveBayes.Model): DataFrame =
     graft.text.NaiveBayes.predict(docs, textCol, model)
 
+  /** Streaming twin of the Aho–Corasick taxonomy tagger
+    * ([[graft.functions.PhraseCountExpr]]): per-document phrase
+    * occurrence counts as documents arrive. The automaton is built
+    * ONCE at plan time and rides every microbatch via the expression's
+    * reference object — stateless scan-stage work, so streaming ≡
+    * batch doc for doc (asserted in DocumentStreamSpec), append-mode
+    * safe; a taxonomy refresh is a query restart with new literals. */
+  def tagPhrases(docs: DataFrame, textCol: String,
+      phrases: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.functions.PhraseCountExpr.phraseCounts(
+        docs.sparkSession, col(textCol), phrases)).as(Seq("pos", "cnt")))
+      .where(col("cnt") > 0)
+
   /** Streaming heavy hitters — the streaming twin of
     * [[graft.ops.HeavyHitters.topK]]: the corpus-wide top tokens
     * maintained continuously as documents arrive. The Space-Saving

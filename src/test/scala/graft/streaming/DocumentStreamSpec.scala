@@ -206,6 +206,35 @@ class DocumentStreamSpec extends SparkSpec {
     assert(keptMapped < total)
   }
 
+  test("streaming phrase tagging equals batch, doc for doc") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-docs-tag")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val phrases = Seq("hash join", "table scan", "the")
+    val stream = spark.readStream.schema(DocumentStream.docSchema)
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), col("text"))
+    val q = DocumentStream.tagPhrases(stream, "text", phrases)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("tag_docs")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2))
+    val streamed = spark.sql("SELECT doc_id, pos, cnt FROM tag_docs")
+      .collect().map(key).toSet
+    val batch = DocumentStream.tagPhrases(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "text", phrases)
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming NB classification equals batch, doc for doc") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-docs-nb")
