@@ -243,6 +243,57 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Leave-one-out kNN classification eval over the embedding space:
+    // top-5 cosine neighbors per held-out query (bounded-heap TopK,
+    // never a window over the corpus), majority label with
+    // smallest-label ties via the packed argmin, output as a
+    // confusion matrix — the standard "are my embeddings
+    // class-separable" probe. Queries broadcast; the corpus is
+    // scanned once.
+    "q_knn_classify" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val queries = emb.where(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding"))
+      val labels = emb.select(col("vec_id").as("nid"),
+        col("label").cast("long").as("nlabel"))
+      val voted = graft.similarity.Similarity.knnJoin(
+          spread(emb), "embedding", "vec_id",
+          queries, "embedding", "vec_id", k = 5)
+        .join(broadcast(labels), col("neighbor_id") === col("nid"))
+        .groupBy(col("query_id"), col("nlabel"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("query_id"))
+        .agg(min(expr("(100 - c) * 1000 + nlabel")).as("pk"))
+        .select(col("query_id"), expr("pk % 1000").as("pred"))
+      voted
+        .join(broadcast(emb.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label"))), Seq("query_id"))
+        .groupBy(col("true_label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc("true_label"), asc("pred"))
+    }),
+
+    // Cumulative user growth: first-seen date per user, daily new
+    // users, and the running total — the growth-accounting curve.
+    // The cumulative window runs over the ~30-row daily aggregate,
+    // not the event stream; days emit as strings (the cross-engine
+    // date-rendering rule).
+    "q_cumulative_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("new_users"))
+      daily
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("d").cast("string").as("day"), col("new_users"),
+          col("cum_users"))
+        .orderBy(asc("day"))
+    }),
+
     // Point-in-time-correct churn label construction: features from
     // strictly BEFORE the cutoff (activity count, days inactive),
     // label from the horizon window AFTER it — the temporal-leakage
@@ -707,6 +758,35 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |           FROM embeddings WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                            q.qvec), 4) DESC,
+        |               e.vec_id) AS rk
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        |votes AS (
+        |  SELECT s.query_id, n.label::BIGINT AS nlabel, count(*) AS c
+        |  FROM scored s JOIN embeddings n ON s.neighbor_id = n.vec_id
+        |  WHERE s.rk <= 5 GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT query_id, min((100 - c) * 1000 + nlabel) % 1000 AS pred
+        |  FROM votes GROUP BY 1)
+        |SELECT t.label::BIGINT AS true_label, p.pred, count(*) AS n
+        |FROM pred p JOIN embeddings t ON p.query_id = t.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts::DATE) AS d FROM events GROUP BY 1),
+        |daily AS (SELECT d, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT d::VARCHAR AS day, new_users,
+        |  sum(new_users) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
     "q_churn_labels" ->
       """WITH b AS (
         |  SELECT user_id, count(*) AS n_before, max(ts::DATE) AS last_d
