@@ -221,7 +221,7 @@ object Walker {
     * (thousands of dirs), deterministic, and re-runnable — which is
     * what lets [[ResumableWalk]] recompute it on resume instead of
     * persisting driver records. */
-  private[ingest] def driverSeed(rootPath: Path, exclusions: Seq[String],
+  private[graft] def driverSeed(rootPath: Path, exclusions: Seq[String],
       seedDepth: Int, prev: PrevDirs,
       progress: Option[ProgressHooks] = None): (Seq[Record], Seq[String]) = {
     val driverRecords = mutable.ArrayBuffer.empty[Record]
@@ -254,7 +254,7 @@ object Walker {
 
   /** Iteratively walk a subtree (explicit stack — no recursion-depth
     * limit), streaming records as they are produced. */
-  private def walkSubtree(start: Path, exclusions: Seq[Regex],
+  private[graft] def walkSubtree(start: Path, exclusions: Seq[Regex],
       prev: PrevDirs, progress: Option[ProgressHooks] = None): Iterator[Record] = {
     val startDepth = start.getNameCount
     val stack = mutable.Stack[(Path, Int)]((start, startDepth))
