@@ -33,7 +33,12 @@ object Retention {
   /** Delete all but the newest `keep` candidates under `dir`; returns
     * the deleted names. `protect` (e.g. the LATEST target) is never
     * deleted regardless of age. */
-  def prune(dir: String, keep: Int, protect: Option[String] = None): Seq[String] = {
+  def prune(dir: String, keep: Int, protect: Option[String] = None): Seq[String] =
+    pruneAll(dir, keep, protect.toSet)
+
+  /** Set-protect variant: every name in `protect` survives regardless
+    * of age (e.g. a segment CHAIN the latest index depends on). */
+  def pruneAll(dir: String, keep: Int, protect: Set[String]): Seq[String] = {
     require(keep >= 1, "retention must keep at least 1")
     val doomed = candidates(dir).drop(keep).filterNot(protect.contains)
     doomed.foreach(n => deleteRecursively(Paths.get(dir, n)))
