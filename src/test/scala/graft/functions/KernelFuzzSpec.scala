@@ -98,6 +98,34 @@ class KernelFuzzSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(3).mkString("\n"))
   }
 
+  test("phrase_count equals the indexOf reference on 300 fuzz strings") {
+    val s = spark
+    import s.implicits._
+    // Phrases chosen to stress fail links and self-overlap: shared
+    // prefixes ("the"/"theo"), single chars, a periodic needle, and a
+    // phrase containing another phrase.
+    val phrases = Seq("the", "theory", "a", "aa", "es", "les ", " and ")
+    def ref(t: String, p: String): Long = {
+      var n = 0L; var i = t.indexOf(p)
+      while (i >= 0) { n += 1; i = t.indexOf(p, i + p.length) }
+      n
+    }
+    val docs = ((0 until 300).map(_ => randomText()) ++
+      Seq("", "aaaa", "aaaaa", "the theory", "lesles les ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = docs.select(col("id"), col("text"),
+      PhraseCountExpr.phraseCounts(spark, col("text"), phrases).as("c"))
+      .collect()
+    val bad = got.flatMap { r =>
+      val t = r.getString(1); val c = r.getSeq[Long](2)
+      phrases.zipWithIndex.collect {
+        case (p, i) if c(i) != ref(t, p) =>
+          s"id=${r.getLong(0)} phrase='$p' kernel=${c(i)} ref=${ref(t, p)}"
+      }
+    }
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
   test("rp_lsh_sig equals the declarative signature on 200 fuzz vectors") {
     val s = spark
     import s.implicits._
