@@ -87,5 +87,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "nfc_normalize"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.NfcNormalizeExpr(exprs.head)))
+    // Materialized-aggregate query rewrite (graft.plans.AggRewrite):
+    // a no-op until summaries are registered, then matching aggregates
+    // read the summary instead of the base table.
+    ext.injectOptimizerRule(session =>
+      new graft.plans.AggRewrite.RewriteRule(session))
   }
 }

@@ -243,6 +243,40 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Materialized-aggregate query rewrite, end to end: build/refresh
+    // a summary table for (returnflag, linestatus), register it with
+    // the injected Catalyst rule (plans/AggRewrite), then run a plain
+    // aggregate over the BASE table — the optimizer answers it from
+    // the summary (the base is never scanned; AggRewriteSpec asserts
+    // the plan). The oracle recomputes from the base, so a green row
+    // proves the summary route is indistinguishable. At 100 TB this
+    // is the fact-scan-vs-summary-read difference for every dashboard
+    // query; freshness is the registrar's contract, as with any
+    // materialized view.
+    "q_agg_rewrite" -> ((s, dir) => {
+      val basePath = s"$dir/lineitem.parquet"
+      val sumDir = System.getProperty("java.io.tmpdir") +
+        s"/graft_mv_lineitem_${math.abs(dir.hashCode)}"
+      lineitem(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").parquet(sumDir)
+      graft.plans.AggRewrite.register(basePath,
+        graft.plans.AggRewrite.Summary(sumDir,
+          Seq("l_returnflag", "l_linestatus"),
+          Map("sum(l_quantity)" -> "sum_qty", "count(1)" -> "n_rows")))
+      if (!s.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.AggRewrite.RewriteRule]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            new graft.plans.AggRewrite.RewriteRule(s)
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(asc("l_returnflag"), asc("l_linestatus"))
+    }),
+
     // Leave-one-out kNN classification eval over the embedding space:
     // top-5 cosine neighbors per held-out query (bounded-heap TopK,
     // never a window over the corpus), majority label with
@@ -758,6 +792,10 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_agg_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
         |           FROM embeddings WHERE vec_id < 50),
