@@ -243,6 +243,67 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Pipeline drop-off waterfall — the per-stage accounting every
+    // cleaning pipeline needs before spending GPU-hours: how many
+    // documents each gate (language, length, quality, repetition,
+    // PII, exact-dedup) removes, sequentially. ONE scan computes all
+    // gate flags (native kernels for quality/repetition — their
+    // declarative parity is spec- and oracle-established); the
+    // cascade counts are one aggregate; the dedup stage is a distinct
+    // count over survivors in a SECOND tiny aggregate (never a mixed
+    // distinct/non-distinct Expand). PII is planted exactly as in
+    // q_pii_scrub so the gate provably fires.
+    "q_pipeline_waterfall" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val planted = spread(documents(s, dir)).select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" see https://example.org/doc/"), col("doc_id"), lit(" page")))
+            .otherwise(lit(""))).as("text"))
+      val r = graft.functions.RepetitionExpr.repetitionStats(s, col("text"))
+      val flagged = planted.select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("f1"),
+        length(col("text")).between(100, 500).cast("long").as("f2"),
+        (graft.text.TextAnalysis.qualityScoreFast(s, col("text")) >= 0.5)
+          .cast("long").as("f3"),
+        (round(lit(1.0) - element_at(r, 2).cast("double") /
+          element_at(r, 1).cast("double"), 4) <= 0.55).cast("long").as("f4"),
+        (!col("text").rlike(emailRe)).cast("long").as("f5"),
+        md5(trim(lower(col("text")))).as("h"))
+        .localCheckpoint(true) // cascade agg + survivor-distinct agg
+      val cascade = flagged.agg(
+        count(lit(1)).as("c0"), sum(col("f1")).as("c1"),
+        sum(col("f1") * col("f2")).as("c2"),
+        sum(col("f1") * col("f2") * col("f3")).as("c3"),
+        sum(col("f1") * col("f2") * col("f3") * col("f4")).as("c4"),
+        sum(col("f1") * col("f2") * col("f3") * col("f4") * col("f5")).as("c5"))
+      val dedup = flagged
+        .where(col("f1") === 1 && col("f2") === 1 && col("f3") === 1 &&
+          col("f4") === 1 && col("f5") === 1)
+        .agg(count_distinct(col("h")).as("c6"))
+      cascade.crossJoin(broadcast(dedup))
+        .select(explode(array(
+          struct(lit(1L).as("stage"), lit("lang").as("gate"),
+            col("c0").as("n_in"), col("c1").as("n_out")),
+          struct(lit(2L).as("stage"), lit("length").as("gate"),
+            col("c1").as("n_in"), col("c2").as("n_out")),
+          struct(lit(3L).as("stage"), lit("quality").as("gate"),
+            col("c2").as("n_in"), col("c3").as("n_out")),
+          struct(lit(4L).as("stage"), lit("repetition").as("gate"),
+            col("c3").as("n_in"), col("c4").as("n_out")),
+          struct(lit(5L).as("stage"), lit("pii").as("gate"),
+            col("c4").as("n_in"), col("c5").as("n_out")),
+          struct(lit(6L).as("stage"), lit("exact_dedup").as("gate"),
+            col("c5").as("n_in"), col("c6").as("n_out")))).as("s"))
+        .select(col("s.stage"), col("s.gate"), col("s.n_in"), col("s.n_out"),
+          expr("CASE WHEN s.n_in = 0 THEN 0 " +
+            "ELSE (s.n_in - s.n_out) * 10000 div s.n_in END").as("drop_bp"))
+        .orderBy(asc("stage"))
+    }),
+
     // Materialized-aggregate query rewrite, end to end: build/refresh
     // a summary table for (returnflag, linestatus), register it with
     // the injected Catalyst rule (plans/AggRewrite), then run a plain
@@ -792,6 +853,63 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_pipeline_waterfall" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      s"""WITH planted AS (
+         |  SELECT doc_id, lang,
+         |    text
+         |    || CASE WHEN doc_id % 5 = 0
+         |            THEN ' contact user' || doc_id || '@example.com now'
+         |            ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0
+         |            THEN ' see https://example.org/doc/' || doc_id || ' page'
+         |            ELSE '' END AS text
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+         |    round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+         |      / length(text), 4) AS alpha_ratio,
+         |    round(len(regexp_extract_all(text, '\\s'))::DOUBLE
+         |      / length(text), 4) AS space_ratio,
+         |    round((length(text) - len(regexp_extract_all(text, '\\s')))::DOUBLE
+         |      / len(regexp_split_to_array(trim(lower(text)), '\\s+')), 4) AS mwl
+         |  FROM planted),
+         |f AS (
+         |  SELECT doc_id, md5(trim(lower(text))) AS h,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f1,
+         |    CASE WHEN length(text) BETWEEN 100 AND 500 THEN 1 ELSE 0 END AS f2,
+         |    CASE WHEN round(least(1.0, alpha_ratio * 0.6 +
+         |        space_ratio * 2.0 * 0.2 +
+         |        (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+         |          * 0.2), 4) >= 0.5 THEN 1 ELSE 0 END AS f3,
+         |    CASE WHEN round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4)
+         |        <= 0.55 THEN 1 ELSE 0 END AS f4,
+         |    CASE WHEN NOT regexp_matches(text, '$email')
+         |        THEN 1 ELSE 0 END AS f5
+         |  FROM m),
+         |agg AS (
+         |  SELECT count(*) AS c0, sum(f1)::BIGINT AS c1,
+         |    sum(f1 * f2)::BIGINT AS c2,
+         |    sum(f1 * f2 * f3)::BIGINT AS c3,
+         |    sum(f1 * f2 * f3 * f4)::BIGINT AS c4,
+         |    sum(f1 * f2 * f3 * f4 * f5)::BIGINT AS c5,
+         |    count(DISTINCT CASE WHEN f1 * f2 * f3 * f4 * f5 = 1
+         |                        THEN h END) AS c6
+         |  FROM f),
+         |rows_ AS (
+         |  SELECT 1 AS stage, 'lang' AS gate, c0 AS n_in, c1 AS n_out FROM agg
+         |  UNION ALL SELECT 2, 'length', c1, c2 FROM agg
+         |  UNION ALL SELECT 3, 'quality', c2, c3 FROM agg
+         |  UNION ALL SELECT 4, 'repetition', c3, c4 FROM agg
+         |  UNION ALL SELECT 5, 'pii', c4, c5 FROM agg
+         |  UNION ALL SELECT 6, 'exact_dedup', c5, c6 FROM agg)
+         |SELECT stage::BIGINT AS stage, gate, n_in::BIGINT AS n_in,
+         |  n_out::BIGINT AS n_out,
+         |  (CASE WHEN n_in = 0 THEN 0
+         |        ELSE (n_in - n_out) * 10000 // n_in END)::BIGINT AS drop_bp
+         |FROM rows_ ORDER BY stage""".stripMargin
+    },
     "q_agg_rewrite" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
