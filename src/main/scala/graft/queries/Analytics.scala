@@ -34,6 +34,18 @@ object Analytics {
 
   private def ts(d: String) = lit(d).cast("timestamp")
 
+  /** Exact intersection size of two sorted long arrays (the complete-
+    * sketch regime of q_kmv_overlap). */
+  private def kmvIntersect(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** Part co-purchase graph: canonical (src < dst) part pairs sharing
     * at least `minSupport` orders. Pairs-per-order is bounded by order
     * size, the pair aggregate is one shuffle, and the support cutoff
@@ -241,6 +253,44 @@ object Analytics {
         .crossJoin(core.agg(count(lit(1)).as("n_core_edges")))
         .select(lit(3).as("k"), col("n_core_nodes"), col("n_core_edges"),
           lit(rounds).as("rounds"))
+    }),
+
+    // KMV/bottom-k source-overlap matrix: per-source sketches of the
+    // distinct 3-gram space, pairwise Jaccard + intersection from the
+    // sketch TABLE only (ops/Kmv) — the theta-sketch counterpart to
+    // the HLL overlap matrix: KMV estimates intersections directly,
+    // where HLL's inclusion-exclusion error is relative to the UNION.
+    // One sketch aggregate over the corpus; the 7-sketch table rides
+    // to the driver (bounded: sources x k longs) for the pair grid.
+    // k = 128k >> the per-source distinct count at verify scale, so
+    // every sketch is COMPLETE and the oracle is exact SQL; KmvSpec
+    // covers the estimating regime.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val k = 131072
+      val sk = graft.ops.Kmv.perGroup(
+        spread(documents(s, dir)).select(col("source"),
+          explode(graft.functions.ShingleExprs.wordWindowHashes(
+            s, col("text"), 3)).as("h")),
+        "source", col("h"), k)
+      val rows = sk.collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1)
+      val out = for {
+        i <- rows.indices; j <- (i + 1) until rows.length
+      } yield {
+        val (sa, a) = rows(i); val (sb, b) = rows(j)
+        require(a.length < k && b.length < k,
+          "q_kmv_overlap: a sketch filled to k — the exact-regime " +
+            "contract (k >> per-source distincts) no longer holds; " +
+            "raise k or accept estimates (rows-only)")
+        val inter = kmvIntersect(a, b)
+        val da = a.length.toLong; val db = b.length.toLong
+        (sa, sb, da, db, inter, inter * 10000L / (da + db - inter))
+      }
+      import s.implicits._
+      out.toSeq.toDF("source_a", "source_b", "d_a", "d_b", "d_inter",
+        "jaccard_bp")
+        .orderBy(asc("source_a"), asc("source_b"))
     }),
 
     // Pipeline drop-off waterfall — the per-stage accounting every
@@ -853,6 +903,31 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_kmv_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source, shingle FROM (
+        |    SELECT source, unnest(CASE WHEN len(w) < 3
+        |        THEN [array_to_string(w, ' ')]
+        |        ELSE [w[i]||' '||w[i+1]||' '||w[i+2]
+        |              for i in range(1, len(w) - 1)]
+        |      END) AS shingle
+        |    FROM (SELECT source,
+        |            regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |          FROM documents))),
+        |d AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT da.source AS source_a, db.source AS source_b,
+        |  da.n AS d_a, db.n AS d_b,
+        |  coalesce(p.inter, 0)::BIGINT AS d_inter,
+        |  (coalesce(p.inter, 0) * 10000
+        |    // (da.n + db.n - coalesce(p.inter, 0)))::BIGINT AS jaccard_bp
+        |FROM d da JOIN d db ON da.source < db.source
+        |LEFT JOIN p ON p.sa = da.source AND p.sb = db.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "q_pipeline_waterfall" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       s"""WITH planted AS (
