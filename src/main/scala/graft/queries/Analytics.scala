@@ -255,6 +255,44 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Split-conformal prediction thresholds, class-conditional
+    // (Mondrian): per label, the ceil((n+1)*0.9)-th SMALLEST
+    // nonconformity score (1 - cosine to the label centroid) — the
+    // distribution-free 90% coverage threshold. Engine-exact recipe:
+    // centroids on the integer-milli grid (the q_embed_centroids
+    // shift-div), scores rounded once, and the threshold is a
+    // RANK-SELECTED DATA VALUE via the skew-free GroupRank machinery
+    // (range sort + zipWithIndex + broadcast offsets) — never an
+    // interpolated quantile, never a per-label window over the corpus.
+    "q_conformal" -> ((s, dir) => {
+      val cent = embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)"))
+            .as("sum_milli"))
+        .select(col("label"), col("pos"),
+          expr("(sum_milli + n * 1000000L) div n - 1000000L").as("mean_milli"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean_milli"))))
+          .as("cm"))
+        .select(col("label"),
+          transform(col("cm"), c =>
+            c.getField("mean_milli").cast("double") / lit(1000.0)).as("cvec"))
+      val scored = embeddings(s, dir)
+        .join(broadcast(cent), Seq("label"))
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          round(lit(1.0) - graft.functions.CosineSimExpr.cosineSim(s,
+            col("embedding").cast("array<double>"), col("cvec")), 4)
+            .as("score"))
+      graft.ops.GroupRank.ranks(scored, "label", Seq("score"), "vec_id")
+        .where(col("rank") ===
+          expr("least(((n_in_group + 1) * 9 + 9) div 10, n_in_group)"))
+        .select(col("label"), col("n_in_group").as("n_cal"),
+          col("rank").as("r"), col("score").as("threshold"))
+        .orderBy(asc("label"))
+    }),
+
     // KMV/bottom-k source-overlap matrix: per-source sketches of the
     // distinct 3-gram space, pairwise Jaccard + intersection from the
     // sketch TABLE only (ops/Kmv) — the theta-sketch counterpart to
@@ -903,6 +941,36 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_conformal" ->
+      """WITH u AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT label, pos, count(*) AS n,
+        |    sum(CAST(floor(v * 1000) AS BIGINT))::BIGINT AS sum_milli
+        |  FROM u GROUP BY 1, 2),
+        |c AS (
+        |  SELECT label,
+        |    list(((sum_milli + n * 1000000) // n - 1000000) / 1000.0
+        |         ORDER BY pos) AS cvec
+        |  FROM g GROUP BY 1),
+        |sc AS (
+        |  SELECT e.label, e.vec_id,
+        |    round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], c.cvec),
+        |      4) AS score
+        |  FROM embeddings e JOIN c ON e.label = c.label),
+        |r AS (
+        |  SELECT label, vec_id, score,
+        |    row_number() OVER (PARTITION BY label
+        |                       ORDER BY score, vec_id) AS rk,
+        |    count(*) OVER (PARTITION BY label) AS n
+        |  FROM sc)
+        |SELECT label::BIGINT AS label, n::BIGINT AS n_cal,
+        |  least(((n + 1) * 9 + 9) // 10, n)::BIGINT AS r,
+        |  score AS threshold
+        |FROM r WHERE rk = least(((n + 1) * 9 + 9) // 10, n)
+        |ORDER BY label""".stripMargin,
     "q_kmv_overlap" ->
       """WITH sh AS (
         |  SELECT DISTINCT source, shingle FROM (
