@@ -255,6 +255,100 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Item-item similarity (the co-occurrence recommender primitive):
+    // per part, the top-5 most-similar parts by co-purchase cosine —
+    // cooc(a,b) / sqrt(n_a * n_b), carried as exact integer SQUARED
+    // cosine on a 1e8 grid (the q_cosine_tf_pairs trick — no sqrt, no
+    // doubles). Pair counts from one self-join on the order key
+    // (bounded by order size), both directions from one aggregate,
+    // per-part top-5 through the bounded-heap TopK (no window over
+    // the pair frame).
+    "q_item_similarity" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint(true) // degree agg + pair self-join
+      val n = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      val pairs = li.as("x")
+        .join(li.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("cooc"))
+        .where(col("cooc") >= 2)
+        .join(n.select(col("pk").as("a"), col("n").as("na")), Seq("a"))
+        .join(n.select(col("pk").as("b"), col("n").as("nb")), Seq("b"))
+        .select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst"),
+            expr("CAST(cooc AS DECIMAL(38,0)) * cooc * 100000000 DIV " +
+              "(CAST(na AS DECIMAL(38,0)) * nb)").cast("long").as("cos2_e8")),
+          struct(col("b").as("src"), col("a").as("dst"),
+            expr("CAST(cooc AS DECIMAL(38,0)) * cooc * 100000000 DIV " +
+              "(CAST(na AS DECIMAL(38,0)) * nb)").cast("long").as("cos2_e8"))))
+          .as("r"))
+        .select(col("r.src"), col("r.dst"), col("r.cos2_e8"))
+      graft.ops.TopK.byScore(pairs, Seq("src"), "cos2_e8", "dst", k = 5)
+        .select(col("src"), col("dst"), col("cos2_e8").cast("long").as("cos2_e8"),
+          col("rk"))
+        .orderBy(asc("src"), asc("rk"))
+    }),
+
+    // Relational division — "customers who bought EVERY part in the
+    // target set" (the FORALL join SQL needs double negation for):
+    // the target set is the 2 parts in the most orders (deterministic
+    // ties), broadcast; a customer qualifies iff their distinct
+    // target-part count equals the set size. One semi-joined
+    // aggregate, no NOT EXISTS nesting.
+    "q_relational_division" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val targets = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pk")).limit(2)
+        .select(col("pk"))
+      val bought = orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .join(li, col("o_orderkey") === col("ok"))
+        .join(broadcast(targets), Seq("pk"), "left_semi")
+        .select(col("o_custkey"), col("pk")).distinct()
+      bought.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_target_parts"))
+        .where(col("n_target_parts") === 2)
+        .orderBy(asc("o_custkey"))
+    }),
+
+    // Multi-touch linear attribution: each purchase's 10000 basis
+    // points of credit split EQUALLY across the user's views in the
+    // 2 hours before it, remainder to the earliest touches (largest-
+    // remainder, so every purchase's credits sum to exactly 10000 —
+    // integer arithmetic both engines agree on). The per-purchase
+    // window partitions on the purchase id (high-cardinality — the
+    // acceptable window class); output is the top-50 most-credited
+    // view events.
+    "q_attribution_multitouch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("vid"), col("ts").as("vts"))
+      val touches = p.join(v, Seq("user_id"))
+        .where(col("vts") >= col("pts") - expr("INTERVAL 2 HOURS") &&
+          col("vts") < col("pts"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("vts"), col("vid"))
+      val credited = touches
+        .withColumn("idx", row_number().over(w))
+        .withColumn("k", count(lit(1)).over(Window.partitionBy(col("pid"))))
+        .select(col("vid"),
+          (expr("10000 div k") +
+            when(col("idx") <= expr("10000 % k"), 1L).otherwise(0L))
+            .as("credit_bp"))
+      credited.groupBy(col("vid"))
+        .agg(sum(col("credit_bp")).as("credit_bp"),
+          count(lit(1)).as("n_purchases"))
+        .orderBy(desc("credit_bp"), asc("vid"))
+        .limit(50)
+    }),
+
     // Split-conformal prediction thresholds, class-conditional
     // (Mondrian): per label, the ceil((n+1)*0.9)-th SMALLEST
     // nonconformity score (1 - cosine to the label centroid) — the
@@ -941,6 +1035,66 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_item_similarity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+        |pr AS (
+        |  SELECT x.pk AS a, y.pk AS b, count(*) AS cooc
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sim AS (
+        |  SELECT a, b,
+        |    ((cooc::HUGEINT * cooc * 100000000)
+        |      // (na.n::HUGEINT * nb.n))::BIGINT AS cos2_e8
+        |  FROM pr JOIN n na ON pr.a = na.pk JOIN n nb ON pr.b = nb.pk),
+        |bi AS (
+        |  SELECT a AS src, b AS dst, cos2_e8 FROM sim
+        |  UNION ALL SELECT b, a, cos2_e8 FROM sim),
+        |r AS (
+        |  SELECT src, dst, cos2_e8,
+        |    row_number() OVER (PARTITION BY src
+        |                       ORDER BY cos2_e8 DESC, dst) AS rk
+        |  FROM bi)
+        |SELECT src, dst, cos2_e8, rk::INT AS rk FROM r
+        |WHERE rk <= 5 ORDER BY src, rk""".stripMargin,
+    "q_relational_division" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |t AS (SELECT pk FROM (
+        |        SELECT pk, count(*) AS n FROM li GROUP BY 1
+        |        ORDER BY n DESC, pk LIMIT 2)),
+        |bought AS (
+        |  SELECT DISTINCT o_custkey, li.pk
+        |  FROM orders JOIN li ON o_orderkey = li.ok
+        |  WHERE li.pk IN (SELECT pk FROM t))
+        |SELECT o_custkey, count(*) AS n_target_parts
+        |FROM bought GROUP BY 1 HAVING count(*) = 2
+        |ORDER BY o_custkey""".stripMargin,
+    "q_attribution_multitouch" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id AS vid, ts AS vts FROM events
+        |  WHERE event_type = 'view'),
+        |touches AS (
+        |  SELECT p.pid, v.vid, v.vts FROM p JOIN v USING (user_id)
+        |  WHERE v.vts >= p.pts - INTERVAL 2 HOUR AND v.vts < p.pts),
+        |ranked AS (
+        |  SELECT pid, vid,
+        |    row_number() OVER (PARTITION BY pid ORDER BY vts, vid) AS idx,
+        |    count(*) OVER (PARTITION BY pid) AS k
+        |  FROM touches),
+        |credited AS (
+        |  SELECT vid,
+        |    (10000 // k) + CASE WHEN idx <= 10000 % k THEN 1 ELSE 0 END
+        |      AS credit_bp
+        |  FROM ranked)
+        |SELECT vid, sum(credit_bp)::BIGINT AS credit_bp,
+        |  count(*) AS n_purchases
+        |FROM credited GROUP BY 1
+        |ORDER BY credit_bp DESC, vid LIMIT 50""".stripMargin,
     "q_conformal" ->
       """WITH u AS (
         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
