@@ -255,6 +255,48 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // TPC-H Q8 shape (national market share): NATION_5 suppliers'
+    // share of Asia-region revenue per order year, in basis points —
+    // numerator and denominator from ONE conditional aggregate over
+    // the same joined frame (no second pass), exact integer
+    // milli-revenue, nonneg floor-div.
+    "q_market_share" -> ((s, dir) => {
+      val asiaNations = nation(s, dir)
+        .join(broadcast(region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val sup = supplier(s, dir)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("s_nationkey") === 5, revMilli).otherwise(lit(0L)))
+            .as("nation_milli"),
+          sum(revMilli).as("region_milli"))
+        .select(col("o_year"), col("nation_milli"), col("region_milli"),
+          expr("nation_milli * 10000 div region_milli").as("share_bp"))
+        .orderBy(asc("o_year"))
+    }),
+
+    // Language-ID confusion matrix: declared lang metadata vs the
+    // native langid kernel's prediction — the per-class QA readout a
+    // corpus card needs beyond q_lang_id's marginal counts. One
+    // codegen'd pass + one aggregate; the oracle replays the
+    // stopword-count heuristic in SQL exactly as q_lang_id's does.
+    "q_lang_confusion" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("lang"),
+          graft.functions.LangIdExpr.langId(s, col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(asc("lang"), asc("lang_pred"))
+    }),
+
     // Item-item similarity (the co-occurrence recommender primitive):
     // per part, the top-5 most-similar parts by co-purchase cosine —
     // cooc(a,b) / sqrt(n_a * n_b), carried as exact integer SQUARED
@@ -1047,6 +1089,48 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_market_share" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+        |  sum(CASE WHEN s_nationkey = 5 THEN
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100) AS BIGINT)) ELSE 0 END)
+        |    ::BIGINT AS nation_milli,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS region_milli,
+        |  (sum(CASE WHEN s_nationkey = 5 THEN
+        |     CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |       (100 - CAST(floor(l_discount * 100) AS BIGINT)) ELSE 0 END)
+        |   * 10000 // sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |       (100 - CAST(floor(l_discount * 100) AS BIGINT))))::BIGINT
+        |    AS share_bp
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH scores AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|with)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une|dans)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|por|con|para|como)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang, CASE
+        |    WHEN s_zh > 0 THEN 'zh'
+        |    WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |    WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM scores)
+        |SELECT lang, lang_pred, count(*) AS n_docs FROM pred
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_item_similarity" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
