@@ -255,6 +255,68 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Seasonal adjustment (STL-lite): daily event counts minus the
+    // day-of-week mean — the deseasonalized series every ops
+    // dashboard wants. All integer: dow means on a milli grid via
+    // floor div, adjustment = count*1000 - dow_mean_milli. Windows
+    // never touch the event stream — everything runs on the tiny
+    // (type, day) pre-aggregate.
+    "q_seasonal_adjust" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val dow = daily
+        .withColumn("dw", dayofweek(col("d")).cast("long"))
+        .groupBy(col("event_type"), col("dw"))
+        .agg(expr("sum(n * 1000) div count(1)").as("dow_mean_milli"))
+      daily.withColumn("dw", dayofweek(col("d")).cast("long"))
+        .join(broadcast(dow), Seq("event_type", "dw"))
+        .select(col("event_type"), col("d").cast("string").as("day"),
+          col("n"), col("dow_mean_milli"),
+          (col("n") * 1000 - col("dow_mean_milli")).as("adj_milli"))
+        .orderBy(asc("event_type"), asc("day"))
+    }),
+
+    // The SQL surface, end to end: the same operators reached through
+    // spark.sql TEXT over a registered view, using the natively-
+    // registered kernel functions (lang_id, phrase_count) — proof
+    // that a SQL-only user of the session extensions gets the full
+    // engine, not just the Scala API.
+    "q_sql_surface" -> ((s, dir) => {
+      graft.functions.LangIdExpr.register(s)
+      graft.functions.PhraseCountExpr.register(s)
+      documents(s, dir).createOrReplaceTempView("docs_v")
+      s.sql("""
+        SELECT lang_id(lower(text)) AS lang_pred,
+          count(*) AS n_docs,
+          sum(element_at(phrase_count(text, array('table scan')), 1))
+            AS n_table_scan
+        FROM docs_v GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // Right-to-be-forgotten cascade audit: given a delete list
+    // (negative-balance customers), the rows each table would lose
+    // and keep — counted via hash semi/anti joins only, no row ever
+    // materialized twice. The governance readout behind any deletion
+    // request: blast radius BEFORE the delete runs.
+    "q_delete_cascade" -> ((s, dir) => {
+      val doomed = customer(s, dir).where(col("c_acctbal") < 0)
+        .select(col("c_custkey"))
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val doomedOrders = o.join(broadcast(doomed),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val li = lineitem(s, dir).select(col("l_orderkey"))
+      val doomedLi = li.join(doomedOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      doomed.agg(count(lit(1)).as("n_customers"))
+        .crossJoin(doomedOrders.agg(count(lit(1)).as("n_orders")))
+        .crossJoin(doomedLi.agg(count(lit(1)).as("n_lineitems")))
+        .crossJoin(customer(s, dir).agg(count(lit(1)).as("total_customers")))
+        .select(col("n_customers"), col("n_orders"), col("n_lineitems"),
+          col("total_customers"),
+          expr("n_customers * 10000 div total_customers").as("affected_bp"))
+    }),
+
     // TPC-H Q8 shape (national market share): NATION_5 suppliers'
     // share of Asia-region revenue per order year, in basis points —
     // numerator and denominator from ONE conditional aggregate over
@@ -1089,6 +1151,55 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_seasonal_adjust" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT event_type, dayofweek(d) + 1 AS dw_k,
+        |    (sum(n * 1000) // count(*))::BIGINT AS dow_mean_milli
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT daily.event_type, d::VARCHAR AS day, n, dow_mean_milli,
+        |  (n * 1000 - dow_mean_milli)::BIGINT AS adj_milli
+        |FROM daily JOIN dw
+        |  ON daily.event_type = dw.event_type
+        |  AND dayofweek(d) + 1 = dw.dw_k
+        |ORDER BY daily.event_type, day""".stripMargin,
+    "q_sql_surface" ->
+      """WITH scores AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|with)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une|dans)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|por|con|para|como)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT text, CASE
+        |    WHEN s_zh > 0 THEN 'zh'
+        |    WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |    WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM scores)
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  sum((length(text) - length(replace(text, 'table scan', '')))
+        |      // length('table scan'))::BIGINT AS n_table_scan
+        |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delete_cascade" ->
+      """WITH doomed AS (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+        |od AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM doomed)),
+        |ld AS (SELECT 1 FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM od))
+        |SELECT (SELECT count(*) FROM doomed) AS n_customers,
+        |  (SELECT count(*) FROM od) AS n_orders,
+        |  (SELECT count(*) FROM ld) AS n_lineitems,
+        |  (SELECT count(*) FROM customer) AS total_customers,
+        |  ((SELECT count(*) FROM doomed) * 10000
+        |    // (SELECT count(*) FROM customer))::BIGINT AS affected_bp""".stripMargin,
     "q_market_share" ->
       """SELECT year(o_orderdate)::BIGINT AS o_year,
         |  sum(CASE WHEN s_nationkey = 5 THEN
