@@ -255,6 +255,73 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Temporal graph churn: the co-purchase edge set rebuilt per
+    // order YEAR, and consecutive years compared by edge-set Jaccard
+    // (basis points) plus added/removed counts — how fast the
+    // relationship structure rotates. Each year's edges come from the
+    // one pair aggregate; the year-over-year compare is a full-outer
+    // join of two edge sets (8-byte keyed), nothing quadratic.
+    "q_graph_churn" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(year(col("o_orderdate")).cast("long").as("y"),
+          col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("x")
+        .join(li.as("y2"), col("x.ok") === col("y2.ok") &&
+          col("x.y") === col("y2.y") && col("x.pk") < col("y2.pk"))
+        .select(col("x.y").as("yr"), col("x.pk").as("src"),
+          col("y2.pk").as("dst"))
+        .distinct()
+        .localCheckpoint(true) // joined against itself shifted by a year
+      val a = edges.select(col("yr"), col("src"), col("dst"), lit(1).as("ina"))
+      val b = edges.select((col("yr") - 1).as("yr"), col("src"), col("dst"),
+        lit(1).as("inb"))
+      a.join(b, Seq("yr", "src", "dst"), "full_outer")
+        .groupBy(col("yr"))
+        .agg(count(col("ina")).as("n_cur"),
+          count(col("inb")).as("n_next"),
+          count(when(col("ina").isNotNull && col("inb").isNotNull, 1))
+            .as("n_shared"))
+        .where(col("n_cur") > 0 && col("n_next") > 0)
+        .select(col("yr"), (col("yr") + 1).as("yr_next"),
+          col("n_cur"), col("n_next"), col("n_shared"),
+          expr("n_shared * 10000 div (n_cur + n_next - n_shared)")
+            .as("jaccard_bp"))
+        .orderBy(asc("yr"))
+    }),
+
+    // Difference-in-differences over the md5-coin A/B arms: mean
+    // event value per (arm, pre/post) cell on an exact integer micro
+    // grid, then DiD = (B_post − B_pre) − (A_post − A_pre). Means and
+    // the final contrast can be NEGATIVE, so every floor division
+    // goes through the signed SHIFT trick (+1e9 before div, −1e9
+    // after) that makes Spark's truncating div agree with DuckDB's
+    // flooring // — the q_linreg recipe. One aggregate over four
+    // cells.
+    "q_diff_in_diff" -> ((s, dir) => {
+      val cut = ts("2024-01-16")
+      val cells = events(s, dir)
+        .select(
+          when(conv(substring(md5(concat(lit("ab1|"), col("user_id"))), 1, 13),
+            16, 10).cast("long") % 2 === 0, "A").otherwise("B").as("arm"),
+          when(col("ts") < cut, "pre").otherwise("post").as("period"),
+          expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_micro"))
+        .groupBy(col("arm"), col("period"))
+        .agg(sum(col("v_micro")).as("sv"), count(lit(1)).as("n"))
+        .select(col("arm"), col("period"),
+          expr("(sv + n * 1000000000L) div n - 1000000000L").as("mean_micro"))
+      val wide = cells.groupBy()
+        .pivot("arm", Seq("A", "B"))
+        .agg(sum(when(col("period") === "pre", col("mean_micro"))).as("pre"),
+          sum(when(col("period") === "post", col("mean_micro"))).as("post"))
+      wide.select(
+          col("A_pre"), col("A_post"), col("B_pre"), col("B_post"),
+          ((col("B_post") - col("B_pre")) - (col("A_post") - col("A_pre")))
+            .as("did_micro"))
+    }),
+
     // Seasonal adjustment (STL-lite): daily event counts minus the
     // day-of-week mean — the deseasonalized series every ops
     // dashboard wants. All integer: dow means on a milli grid via
@@ -1151,6 +1218,61 @@ object Analytics {
         |SELECT custkey, spend_cents, n_orders,
         |  (1000000 // (60 + ra) + 1000000 // (60 + rb))::BIGINT AS rrf_micro
         |FROM r ORDER BY rrf_micro DESC, custkey LIMIT 20""".stripMargin,
+    "q_graph_churn" ->
+      """WITH li AS (
+        |  SELECT DISTINCT year(o_orderdate) AS y, l_orderkey AS ok,
+        |    l_partkey AS pk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (
+        |  SELECT DISTINCT x.y AS yr, x.pk AS src, y2.pk AS dst
+        |  FROM li x JOIN li y2
+        |    ON x.ok = y2.ok AND x.y = y2.y AND x.pk < y2.pk),
+        |j AS (
+        |  SELECT coalesce(a.yr, b.yr) AS yr,
+        |    a.yr IS NOT NULL AS ina, b.yr IS NOT NULL AS inb
+        |  FROM e a FULL OUTER JOIN
+        |    (SELECT yr - 1 AS yr, src, dst FROM e) b
+        |    ON a.yr = b.yr AND a.src = b.src AND a.dst = b.dst),
+        |g AS (
+        |  SELECT yr,
+        |    count(CASE WHEN ina THEN 1 END) AS n_cur,
+        |    count(CASE WHEN inb THEN 1 END) AS n_next,
+        |    count(CASE WHEN ina AND inb THEN 1 END) AS n_shared
+        |  FROM j GROUP BY 1)
+        |SELECT yr::BIGINT AS yr, (yr + 1)::BIGINT AS yr_next,
+        |  n_cur, n_next, n_shared,
+        |  (n_shared * 10000 // (n_cur + n_next - n_shared))::BIGINT
+        |    AS jaccard_bp
+        |FROM g WHERE n_cur > 0 AND n_next > 0 ORDER BY yr""".stripMargin,
+    "q_diff_in_diff" ->
+      """WITH cells AS (
+        |  SELECT
+        |    CASE WHEN ('0x' || substring(md5('ab1|' || user_id), 1, 13))::BIGINT
+        |           % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre' ELSE 'post' END
+        |      AS period,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+        |  FROM events),
+        |m AS (
+        |  SELECT arm, period,
+        |    ((sum(v_micro) + count(*) * 1000000000) // count(*)
+        |      - 1000000000)::BIGINT AS mean_micro
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT
+        |  max(CASE WHEN arm = 'A' AND period = 'pre' THEN mean_micro END)
+        |    AS A_pre,
+        |  max(CASE WHEN arm = 'A' AND period = 'post' THEN mean_micro END)
+        |    AS A_post,
+        |  max(CASE WHEN arm = 'B' AND period = 'pre' THEN mean_micro END)
+        |    AS B_pre,
+        |  max(CASE WHEN arm = 'B' AND period = 'post' THEN mean_micro END)
+        |    AS B_post,
+        |  ((max(CASE WHEN arm = 'B' AND period = 'post' THEN mean_micro END)
+        |    - max(CASE WHEN arm = 'B' AND period = 'pre' THEN mean_micro END))
+        |   - (max(CASE WHEN arm = 'A' AND period = 'post' THEN mean_micro END)
+        |    - max(CASE WHEN arm = 'A' AND period = 'pre' THEN mean_micro END)))
+        |    ::BIGINT AS did_micro
+        |FROM m""".stripMargin,
     "q_seasonal_adjust" ->
       """WITH daily AS (
         |  SELECT event_type, ts::DATE AS d, count(*) AS n
