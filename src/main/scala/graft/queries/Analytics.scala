@@ -1116,6 +1116,180 @@ object Analytics {
             "(CAST(n2_a AS DECIMAL(38,0)) * n2_b) AS BIGINT)").as("cos2_e8"))
         .where(col("cos2_e8") >= lit(25000000L)) // cos >= 0.5
         .orderBy(asc("doc_a"), asc("doc_b"))
+    }),
+
+    // TPC-H Q6 shape (forecast revenue change): one filtered scan, one
+    // aggregate row — the pushdown sanity query. All three predicates
+    // reach the parquet scan (date range, discount band on the exact
+    // integer percent, quantity cap); "savings" = cents x discount
+    // percent, both floors of identically-shaped doubles.
+    "q_simple_revenue" -> ((s, dir) => {
+      lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01") &&
+          col("l_quantity") < 24)
+        .select(
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(floor(l_discount * 100) AS BIGINT)").as("disc_pct"))
+        .where(col("disc_pct").between(2, 4))
+        .agg(sum(col("cents") * col("disc_pct")).as("saved_milli"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q12 shape (shipmode line priority — returnflag stands in
+    // for the absent l_shipmode): among lines shipped > 60 days after
+    // the order date, count critical- vs normal-priority orders per
+    // flag. One fact-fact equi join on the order key (both sides
+    // shuffle once), 3-group aggregate.
+    "q_ship_priority_dist" -> ((s, dir) => {
+      lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(asc("l_returnflag"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit — no supplycost in the
+    // schema, so profit = revenue): revenue of 'widget' parts per
+    // supplier nation per ship year. Part/supplier/nation all
+    // broadcast (the name filter prunes part before the broadcast);
+    // the fact aggregates once on (nation, year).
+    "q_product_profit" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir)
+            .where(col("p_name").contains("widget"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).as("o_year"))
+        .agg(sum(revMilli).as("profit_milli"))
+        .orderBy(asc("nation"), desc("o_year"))
+    }),
+
+    // TPC-H Q2 shape (minimum-cost supplier — offers derived from
+    // lineitem since there is no partsupp): per (part, supplier) the
+    // min exact unit price in cents, restricted to mid-size STANDARD
+    // parts and AMERICA suppliers; keep the offers matching each
+    // part's minimum. The correlated scalar-min subquery decorrelates
+    // to ONE aggregate + an equi join-back on (part, cost); the
+    // per-part min frame is tiny and AQE broadcasts it. Unit price =
+    // cents div integer quantity (nonneg, so div ≡ //).
+    "q_min_cost_supplier" -> ((s, dir) => {
+      val amSupp = supplier(s, dir)
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).where(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val eligParts = part(s, dir)
+        .where(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      val offers = lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT) div " +
+            "CAST(floor(l_quantity) AS BIGINT)").as("unit_cents"))
+        .join(broadcast(eligParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(amSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"))
+        .agg(min(col("unit_cents")).as("unit_cents"))
+      val minCost = offers.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("unit_cents")).as("min_cents"))
+      offers.join(minCost,
+          col("p_partkey") === col("mk") && col("unit_cents") === col("min_cents"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("unit_cents"))
+        .orderBy(asc("p_partkey"), asc("s_suppkey"))
+    }),
+
+    // TPC-H Q11 shape (important stock — shipped value stands in for
+    // availqty x supplycost): per-part revenue from NATION_7's
+    // suppliers, keeping parts above 0.1% of that nation's total.
+    // The HAVING-vs-scalar-subquery shape: the grand total is a
+    // 1-row aggregate of the per-part frame, broadcast back; the
+    // threshold compare is integer cross-multiplication (value x
+    // 1000 > total) — no division anywhere.
+    "q_important_parts" -> ((s, dir) => {
+      val n7 = supplier(s, dir)
+        .join(broadcast(nation(s, dir).where(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = lineitem(s, dir)
+        .join(broadcast(n7), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(revMilli).as("value_milli"))
+      val total = perPart.agg(sum(col("value_milli")).as("t"))
+      perPart.join(broadcast(total), col("value_milli") * 1000 > col("t"))
+        .select(col("l_partkey"), col("value_milli"))
+        .orderBy(desc("value_milli"), asc("l_partkey"))
+    }),
+
+    // TPC-H Q16 shape (supplier-part relationship counting): distinct
+    // suppliers per (brand, type, size) over the observed part-
+    // supplier pairs, excluding negative-balance suppliers (the
+    // "complaints" NOT IN becomes a broadcast LEFT ANTI hash join).
+    // The pair frame is pre-distinct on (part, supplier), then ONE
+    // single-distinct aggregate (no mixed distinct -> no Expand).
+    "q_supplier_part_counts" -> ((s, dir) => {
+      val badSupp = supplier(s, dir).where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(part(s, dir)
+            .where(col("p_brand") =!= "Brand#3" &&
+              !col("p_type").startsWith("PROMO") &&
+              col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+          asc("p_size"))
+    }),
+
+    // TPC-H Q20 shape (excess inventory shippers — self-relative
+    // threshold since there is no availqty): suppliers for whom some
+    // 'cold' part's 1997 shipped quantity exceeds half their all-time
+    // quantity of that part. ONE conditional aggregate per (supplier,
+    // part) computes both sums; the threshold is integer cross-
+    // multiplication; qualifying suppliers emerge via a LEFT SEMI
+    // join (EUROPE filter broadcast on the supplier side).
+    "q_excess_shippers" -> ((s, dir) => {
+      val euSupp = supplier(s, dir)
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val excess = lineitem(s, dir)
+        .join(broadcast(part(s, dir).where(col("p_name").startsWith("cold"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(
+          sum(when(col("l_shipdate") >= ts("1997-01-01") &&
+              col("l_shipdate") < ts("1998-01-01"),
+            expr("CAST(floor(l_quantity) AS BIGINT)")).otherwise(0L))
+            .as("qty_1997"),
+          sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("qty_total"))
+        .where(col("qty_1997") * 2 > col("qty_total"))
+      euSupp.join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .orderBy(asc("s_suppkey"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -1808,5 +1982,98 @@ object Analytics {
         |JOIN norms nb ON doc_b = nb.doc_id
         |WHERE (num::HUGEINT * num * 100000000) //
         |  (na.n2::HUGEINT * nb.n2) >= 25000000
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_simple_revenue" ->
+      """SELECT
+        |  sum(floor(l_extendedprice * 100)::BIGINT *
+        |      floor(l_discount * 100)::BIGINT)::BIGINT AS saved_milli,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_quantity < 24
+        |  AND floor(l_discount * 100)::BIGINT BETWEEN 2 AND 4""".stripMargin,
+    "q_ship_priority_dist" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_product_profit" ->
+      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS profit_milli
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |    min(floor(l_extendedprice * 100)::BIGINT //
+        |        floor(l_quantity)::BIGINT) AS unit_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+        |    AND r_name = 'AMERICA'
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+        |  unit_cents::BIGINT AS unit_cents
+        |FROM offers o
+        |WHERE unit_cents = (SELECT min(unit_cents) FROM offers m
+        |                    WHERE m.p_partkey = o.p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(floor(l_discount * 100) AS BIGINT)))::BIGINT
+        |      AS value_milli
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT l_partkey, value_milli FROM pp
+        |WHERE value_milli * 1000 > (SELECT sum(value_milli) FROM pp)
+        |ORDER BY value_milli DESC, l_partkey""".stripMargin,
+    "q_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_excess_shippers" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01'
+        |        THEN floor(l_quantity)::BIGINT ELSE 0 END) AS qty_1997,
+        |    sum(floor(l_quantity)::BIGINT) AS qty_total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'cold%'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND EXISTS (SELECT 1 FROM sp WHERE l_suppkey = s_suppkey
+        |              AND qty_1997 * 2 > qty_total)
+        |ORDER BY s_suppkey""".stripMargin)
 }
