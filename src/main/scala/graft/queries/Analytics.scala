@@ -34,6 +34,18 @@ object Analytics {
 
   private def ts(d: String) = lit(d).cast("timestamp")
 
+  /** NDCG@10 discount weights floor(1e6 / log2(i+1)) for i = 1..10 —
+    * computed ONCE on the JVM and embedded as the same literal
+    * integers in both the Spark plan and the generated oracle SQL
+    * (q_ndcg), so no per-engine libm log can split a floor. */
+  private val ndcgWeights: Seq[Long] = (1 to 10).map(i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** The weight lookup as SQL: CASE <rankCol> WHEN 1 THEN w1 ... */
+  private def ndcgWeightCase(rankCol: String): String =
+    s"CASE $rankCol " + (1 to 10).map(i =>
+      s"WHEN $i THEN ${ndcgWeights(i - 1)}").mkString(" ") + " ELSE 0 END"
+
   /** Exact intersection size of two sorted long arrays (the complete-
     * sketch regime of q_kmv_overlap). */
   private def kmvIntersect(a: Array[Long], b: Array[Long]): Long = {
@@ -1290,6 +1302,162 @@ object Analytics {
         .where(col("qty_1997") * 2 > col("qty_total"))
       euSupp.join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .orderBy(asc("s_suppkey"))
+    }),
+
+    // Link prediction via the resource-allocation index (Zhou/Lu/Zhang
+    // 2009): for non-adjacent part pairs sharing co-purchase
+    // neighbors, RA(u,v) = sum over common neighbors w of 1/deg(w) —
+    // here on an exact integer micro grid (1e6 div deg, engine-exact
+    // unlike Adamic-Adar's 1/ln deg where libm ulps could split the
+    // floor). Wedge stream through the shared neighbor is
+    // shuffle_hash-joined (SMJ would sort the Θ(Σ deg²) stream twice
+    // — the q_triangles lesson); existing edges leave via LEFT ANTI;
+    // top-20 by (score, u, v) is one TakeOrdered.
+    "q_link_predict" -> ((s, dir) => {
+      val e = copurchaseEdges(s, dir, minSupport = 2)
+        .localCheckpoint(true) // consumed 3x (two adj legs + anti)
+      val adj = e.select(col("src").as("u"), col("dst").as("w"))
+        .union(e.select(col("dst").as("u"), col("src").as("w")))
+      val deg = adj.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val wadj = adj.join(deg, col("w") === col("node"))
+        .select(col("u"), col("w"), expr("1000000 div d").as("rw"))
+      val cand = wadj.as("a")
+        .join(wadj.as("b").hint("shuffle_hash"),
+          col("a.w") === col("b.w") && col("a.u") < col("b.u"))
+        .groupBy(col("a.u").as("u"), col("b.u").as("v"))
+        .agg(sum(col("a.rw")).as("ra_micro"))
+      cand.join(e, cand("u") === e("src") && cand("v") === e("dst"),
+          "left_anti")
+        .orderBy(desc("ra_micro"), asc("u"), asc("v"))
+        .limit(20)
+    }),
+
+    // Equi-depth histogram over line revenue cents: 16 buckets of
+    // equal row count (±1) from DETERMINISTIC global positions
+    // (range exchange + zipWithIndex — never a one-reducer
+    // row_number; ops/Shuffle), bucket = pos*16 div n. The optimizer
+    // statistic every engine keeps, as a first-class operator; exact
+    // and fully parallel at any scale.
+    "q_histogram_equidepth" -> ((s, dir) => {
+      val v = lineitem(s, dir).select(
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      val pos = graft.ops.Shuffle.positionsBy(
+        v, Seq("cents", "l_orderkey", "l_linenumber"), "pos")
+      val n = v.agg(count(lit(1)).as("n"))
+      pos.crossJoin(broadcast(n))
+        .groupBy(expr("pos * 16 div n").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"))
+        .orderBy(asc("bucket"))
+    }),
+
+    // CUSUM changepoint over the daily event-count series: the
+    // change day is argmax |cumsum(x_i − mean)| (the classic CUSUM
+    // estimator), with everything on an integer micro grid — the
+    // cumulative sum is a sum of exact integers, so the argmax is
+    // engine-exact. The window runs over the ~2-year DAILY
+    // pre-aggregate only (bounded rows), never the raw events; pre/
+    // post means are nonneg floor divs (−1 sentinel for an empty
+    // post segment).
+    "q_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.agg(sum(col("cnt")).as("t"), count(lit(1)).as("nd"))
+      val cum = daily.crossJoin(broadcast(tot))
+        .withColumn("mm", expr("t * 1000000 div nd"))
+        .withColumn("cum",
+          sum(col("cnt") * lit(1000000L) - col("mm"))
+            .over(Window.orderBy(col("d"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val top = cum
+        .select(col("d").as("change_day"), abs(col("cum")).as("cum_abs_micro"))
+        .orderBy(desc("cum_abs_micro"), asc("change_day"))
+        .limit(1)
+      daily.crossJoin(broadcast(top))
+        .groupBy(col("change_day"), col("cum_abs_micro"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(when(col("d") <= col("change_day"), col("cnt"))
+            .otherwise(0L)).as("s_pre"),
+          count(when(col("d") <= col("change_day"), 1)).as("n_pre"),
+          sum(when(col("d") > col("change_day"), col("cnt"))
+            .otherwise(0L)).as("s_post"),
+          count(when(col("d") > col("change_day"), 1)).as("n_post"))
+        .select(col("change_day"), col("n_days"), col("cum_abs_micro"),
+          expr("CASE WHEN n_pre = 0 THEN -1 " +
+            "ELSE s_pre * 1000000 div n_pre END").as("mean_pre_micro"),
+          expr("CASE WHEN n_post = 0 THEN -1 " +
+            "ELSE s_post * 1000000 div n_post END").as("mean_post_micro"))
+    }),
+
+    // Sorted-neighborhood record linkage (Hernandez/Stolfo 1995):
+    // records sorted by a composite blocking key (name|brand|type),
+    // each compared only to its next 3 neighbors in the total order —
+    // O(n·w) comparisons instead of O(n²). Positions come from the
+    // deterministic range-sort machinery (no one-reducer window); the
+    // neighbor pairing is an EQUI join on pos+offset (offsets
+    // exploded), so no non-equi join anywhere. levenshtein is
+    // integer DP — cross-engine exact.
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      val p = part(s, dir).select(col("p_partkey"),
+        concat_ws("|", col("p_name"), col("p_brand"), col("p_type")).as("k"))
+      val pos = graft.ops.Shuffle.positionsBy(
+          p, Seq("k", "p_partkey"), "pos")
+        .localCheckpoint(true) // self-joined: AQE gets no exchange reuse
+      val probes = pos
+        .select(col("p_partkey").as("pk_a"), col("k").as("k_a"),
+          col("pos"), explode(typedLit(Seq(1, 2, 3))).as("off"))
+        .select(col("pk_a"), col("k_a"), (col("pos") + col("off")).as("pos_b"))
+      probes.join(pos.select(col("p_partkey").as("pk_b"),
+          col("k").as("k_b"), col("pos").as("pos_b")), Seq("pos_b"))
+        .withColumn("lev", levenshtein(col("k_a"), col("k_b")).cast("long"))
+        .where(col("lev") <= 4)
+        .select(col("pk_a"), col("pk_b"), col("lev"))
+        .orderBy(asc("pk_a"), asc("pk_b"))
+    }),
+
+    // NDCG@10 retrieval eval per nation: predicted ranking = account
+    // balance (desc), graded relevance = order count capped at 10.
+    // Both rankings come from skew-free GroupRank (global range sort,
+    // not a 25-key window); the log2 discount weights are JVM-
+    // computed ONCE and embedded as the same literal integers in both
+    // engines (floor(1e6/log2(i+1)) — never a per-engine libm log),
+    // so DCG/IDCG are pure integer dot products and ndcg_bp is one
+    // nonneg floor div.
+    "q_ndcg" -> ((s, dir) => {
+      val oc = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      val base = customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation_key"),
+          expr("CAST(floor(c_acctbal * 100) AS BIGINT)").as("bal"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("nation_key"),
+          (-col("bal")).as("neg_bal"),
+          expr("least(coalesce(n_ord, 0), 10)").as("rel"))
+      val pred = graft.ops.GroupRank.ranks(base, "nation_key",
+          Seq("neg_bal"), "c_custkey")
+        .withColumnRenamed("rank", "prank").drop("n_in_group")
+      val both2 = graft.ops.GroupRank.ranks(
+          pred.withColumn("neg_rel", -col("rel")), "nation_key",
+          Seq("neg_rel"), "c_custkey")
+        .withColumnRenamed("rank", "irank")
+      val w = typedLit(ndcgWeights)
+      both2.groupBy(col("nation_key"))
+        .agg(
+          sum(when(col("prank") <= 10,
+            col("rel") * element_at(w, col("prank").cast("int")))
+            .otherwise(0L)).as("dcg_micro"),
+          sum(when(col("irank") <= 10,
+            col("rel") * element_at(w, col("irank").cast("int")))
+            .otherwise(0L)).as("idcg_micro"))
+        .where(col("idcg_micro") > 0)
+        .select(col("nation_key"), col("dcg_micro"), col("idcg_micro"),
+          expr("dcg_micro * 10000 div idcg_micro").as("ndcg_bp"))
+        .orderBy(asc("nation_key"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -2075,5 +2243,87 @@ object Analytics {
         |WHERE r_name = 'EUROPE'
         |  AND EXISTS (SELECT 1 FROM sp WHERE l_suppkey = s_suppkey
         |              AND qty_1997 * 2 > qty_total)
-        |ORDER BY s_suppkey""".stripMargin)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_link_predict" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT src AS u, dst AS w FROM e
+        |  UNION ALL SELECT dst AS u, src AS w FROM e),
+        |deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY 1),
+        |wadj AS (SELECT u, w, 1000000 // d AS rw
+        |  FROM adj JOIN deg ON w = node),
+        |cand AS (SELECT a.u AS u, b.u AS v, sum(a.rw)::BIGINT AS ra_micro
+        |  FROM wadj a JOIN wadj b ON a.w = b.w AND a.u < b.u
+        |  GROUP BY 1, 2)
+        |SELECT u, v, ra_micro FROM cand c
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE src = c.u AND dst = c.v)
+        |ORDER BY ra_micro DESC, u, v LIMIT 20""".stripMargin,
+    "q_histogram_equidepth" ->
+      """WITH v AS (SELECT floor(l_extendedprice * 100)::BIGINT AS cents,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |p AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) - 1
+        |      AS pos,
+        |    (SELECT count(*) FROM v) AS n
+        |  FROM v)
+        |SELECT (pos * 16 // n)::BIGINT AS bucket, count(*) AS n_rows,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (SELECT ts::DATE::VARCHAR AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT (sum(cnt) * 1000000 // count(*))::BIGINT AS mm,
+        |    count(*) AS nd FROM daily),
+        |c AS (SELECT d,
+        |    sum(cnt * 1000000 - mm) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily, tot),
+        |top AS (SELECT d AS change_day, abs(cum)::BIGINT AS cum_abs_micro
+        |  FROM c ORDER BY abs(cum) DESC, d LIMIT 1)
+        |SELECT t.change_day, m.nd AS n_days, t.cum_abs_micro,
+        |  (SELECT CASE WHEN count(*) = 0 THEN -1
+        |     ELSE (sum(cnt) * 1000000 // count(*))::BIGINT END
+        |   FROM daily WHERE d <= t.change_day) AS mean_pre_micro,
+        |  (SELECT CASE WHEN count(*) = 0 THEN -1
+        |     ELSE (sum(cnt) * 1000000 // count(*))::BIGINT END
+        |   FROM daily WHERE d > t.change_day) AS mean_post_micro
+        |FROM top t, tot m""".stripMargin,
+    "q_sorted_neighborhood" ->
+      """WITH p AS (SELECT p_partkey,
+        |    p_name || '|' || p_brand || '|' || p_type AS k FROM part),
+        |pos AS (SELECT p_partkey, k,
+        |    row_number() OVER (ORDER BY k, p_partkey) - 1 AS pos FROM p)
+        |SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        |  levenshtein(a.k, b.k)::BIGINT AS lev
+        |FROM pos a JOIN pos b ON b.pos - a.pos BETWEEN 1 AND 3
+        |WHERE levenshtein(a.k, b.k) <= 4
+        |ORDER BY 1, 2""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH oc AS (SELECT o_custkey, count(*) AS n_ord FROM orders
+        |  GROUP BY 1),
+        |base AS (SELECT c_custkey, c_nationkey::BIGINT AS nation_key,
+        |    floor(c_acctbal * 100)::BIGINT AS bal,
+        |    least(coalesce(n_ord, 0), 10)::BIGINT AS rel
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+        |r AS (SELECT nation_key, rel,
+        |    row_number() OVER (PARTITION BY nation_key
+        |      ORDER BY bal DESC, c_custkey) AS prank,
+        |    row_number() OVER (PARTITION BY nation_key
+        |      ORDER BY rel DESC, c_custkey) AS irank
+        |  FROM base),
+        |agg AS (SELECT nation_key,
+        |    sum(CASE WHEN prank <= 10
+        |      THEN rel * (${ndcgWeightCase("prank")}) ELSE 0 END)::BIGINT
+        |      AS dcg_micro,
+        |    sum(CASE WHEN irank <= 10
+        |      THEN rel * (${ndcgWeightCase("irank")}) ELSE 0 END)::BIGINT
+        |      AS idcg_micro
+        |  FROM r GROUP BY 1)
+        |SELECT nation_key, dcg_micro, idcg_micro,
+        |  (dcg_micro * 10000 // idcg_micro)::BIGINT AS ndcg_bp
+        |FROM agg WHERE idcg_micro > 0
+        |ORDER BY nation_key""".stripMargin)
 }
