@@ -46,6 +46,38 @@ object Analytics {
     s"CASE $rankCol " + (1 to 10).map(i =>
       s"WHEN $i THEN ${ndcgWeights(i - 1)}").mkString(" ") + " ELSE 0 END"
 
+  /** Benford expected first-digit shares floor(1e4·log10(1+1/d)),
+    * d = 1..9 — JVM-computed once, embedded as the same literals in
+    * both engines (q_benford). */
+  private val benfordBp: Seq[Long] = (1 to 9).map(d =>
+    math.floor(1e4 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  private def benfordCase(digitCol: String): String =
+    s"CASE $digitCol " + (1 to 9).map(d =>
+      s"WHEN $d THEN ${benfordBp(d - 1)}").mkString(" ") + " ELSE 0 END"
+
+  /** Sorted-neighborhood candidate pairs over the composite part key
+    * (name|brand|type): deterministic range-sort positions, each
+    * record EQUI-joined to its next 3 neighbors via exploded offsets,
+    * kept when levenshtein(key_a, key_b) <= maxLev. Shared by
+    * q_sorted_neighborhood (candidates, lev <= 4) and
+    * q_entity_resolution (matches, lev <= 2). */
+  private def snPairs(s: SparkSession, dir: String, maxLev: Int): DataFrame = {
+    val p = part(s, dir).select(col("p_partkey"),
+      concat_ws("|", col("p_name"), col("p_brand"), col("p_type")).as("k"))
+    val pos = graft.ops.Shuffle.positionsBy(p, Seq("k", "p_partkey"), "pos")
+      .localCheckpoint(true) // self-joined: AQE gets no exchange reuse
+    val probes = pos
+      .select(col("p_partkey").as("pk_a"), col("k").as("k_a"),
+        col("pos"), explode(typedLit(Seq(1, 2, 3))).as("off"))
+      .select(col("pk_a"), col("k_a"), (col("pos") + col("off")).as("pos_b"))
+    probes.join(pos.select(col("p_partkey").as("pk_b"),
+        col("k").as("k_b"), col("pos").as("pos_b")), Seq("pos_b"))
+      .withColumn("lev", levenshtein(col("k_a"), col("k_b")).cast("long"))
+      .where(col("lev") <= maxLev)
+      .select(col("pk_a"), col("pk_b"), col("lev"))
+  }
+
   /** Exact intersection size of two sorted long arrays (the complete-
     * sketch regime of q_kmv_overlap). */
   private def kmvIntersect(a: Array[Long], b: Array[Long]): Long = {
@@ -1402,22 +1434,96 @@ object Analytics {
     // neighbor pairing is an EQUI join on pos+offset (offsets
     // exploded), so no non-equi join anywhere. levenshtein is
     // integer DP — cross-engine exact.
-    "q_sorted_neighborhood" -> ((s, dir) => {
-      val p = part(s, dir).select(col("p_partkey"),
-        concat_ws("|", col("p_name"), col("p_brand"), col("p_type")).as("k"))
-      val pos = graft.ops.Shuffle.positionsBy(
-          p, Seq("k", "p_partkey"), "pos")
-        .localCheckpoint(true) // self-joined: AQE gets no exchange reuse
-      val probes = pos
-        .select(col("p_partkey").as("pk_a"), col("k").as("k_a"),
-          col("pos"), explode(typedLit(Seq(1, 2, 3))).as("off"))
-        .select(col("pk_a"), col("k_a"), (col("pos") + col("off")).as("pos_b"))
-      probes.join(pos.select(col("p_partkey").as("pk_b"),
-          col("k").as("k_b"), col("pos").as("pos_b")), Seq("pos_b"))
-        .withColumn("lev", levenshtein(col("k_a"), col("k_b")).cast("long"))
-        .where(col("lev") <= 4)
-        .select(col("pk_a"), col("pk_b"), col("lev"))
-        .orderBy(asc("pk_a"), asc("pk_b"))
+    "q_sorted_neighborhood" -> ((s, dir) =>
+      snPairs(s, dir, maxLev = 4)
+        .orderBy(asc("pk_a"), asc("pk_b"))),
+
+    // Entity resolution: the sorted-neighborhood MATCH pairs (tighter
+    // lev <= 2) closed into entities via distributed connected
+    // components (min-label propagation, ops/ConnectedComponents) —
+    // the linkage-to-golden-record step of a dedup pipeline. The
+    // oracle replays the closure as a DuckDB recursive CTE, so the
+    // iterative component algorithm itself is hash-checked, not just
+    // rows-counted. Output: one row per entity (canonical = min key).
+    "q_entity_resolution" -> ((s, dir) => {
+      val pairs = snPairs(s, dir, maxLev = 2).select(col("pk_a"), col("pk_b"))
+      val comps = graft.ops.ConnectedComponents
+        .components(pairs, "pk_a", "pk_b")
+      comps.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+        .orderBy(asc("component"))
+    }),
+
+    // Gini coefficient of customer revenue concentration — the
+    // "how skewed is this corpus/source" audit. Ranks come from the
+    // deterministic range sort (ascending, custkey ties); the
+    // textbook Gini = (2 Σ i·x_i)/(n Σx) − (n+1)/n collapses to ONE
+    // nonneg floor division in DECIMAL(38,0)/HUGEINT (Chebyshev's sum
+    // inequality makes the numerator nonneg for an ascending sort).
+    "q_gini" -> ((s, dir) => {
+      val x = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("x"))
+      val pos = graft.ops.Shuffle.positionsBy(x, Seq("x", "o_custkey"), "pos")
+      pos.agg(count(lit(1)).as("n"), sum(col("x")).as("tot"),
+          sum(expr("CAST(pos + 1 AS DECIMAL(38,0)) * x")).as("ix"))
+        .select(col("n").as("n_customers"), col("tot").as("total_cents"),
+          expr("CAST((2 * ix - CAST(n + 1 AS DECIMAL(38,0)) * tot) * 10000" +
+            " DIV (CAST(n AS DECIMAL(38,0)) * tot) AS BIGINT)").as("gini_bp"))
+    }),
+
+    // Robust outlier detection via median/MAD on the integer milli
+    // grid: both medians are the ⌈n/2⌉-th SMALLEST DATA VALUE
+    // (rank-selected through the range-sort machinery — a data value
+    // compares exactly in any engine; never an interpolated
+    // quantile), outlier = deviation > 3×MAD by integer compare.
+    // Two parallel rank selections + one aggregate — no one-reducer
+    // window anywhere.
+    "q_outliers_mad" -> ((s, dir) => {
+      val v = events(s, dir).select(col("event_id"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      val nDf = v.agg(count(lit(1)).as("n"))
+      val med = graft.ops.Shuffle.positionsBy(v, Seq("vm", "event_id"), "p")
+        .crossJoin(broadcast(nDf))
+        .where(expr("p = (n + 1) div 2 - 1"))
+        .select(col("vm").as("med"))
+      val dev = v.crossJoin(broadcast(med))
+        .select(col("event_id"), abs(col("vm") - col("med")).as("dev"),
+          col("med"))
+      val mad = graft.ops.Shuffle.positionsBy(
+          dev.select(col("event_id"), col("dev")), Seq("dev", "event_id"), "p")
+        .crossJoin(broadcast(nDf))
+        .where(expr("p = (n + 1) div 2 - 1"))
+        .select(col("dev").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .groupBy(col("med").as("median_milli"), col("mad").as("mad_milli"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("dev")).as("max_dev_milli"))
+    }),
+
+    // Benford first-digit audit of order totals — the classic
+    // fabricated-data screen for ingested numeric columns. Expected
+    // frequencies floor(1e4·log10(1+1/d)) are JVM-computed ONCE and
+    // embedded as the same literals in both engines (the ndcg-weights
+    // pattern); observed shares are nonneg floor divs, and the delta
+    // is a SUBTRACTION of two integers (sign-safe without the shift
+    // trick).
+    "q_benford" -> ((s, dir) => {
+      val c = orders(s, dir)
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .where(col("cents") > 0)
+      val t = c.agg(count(lit(1)).as("t"))
+      c.select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(t))
+        .select(col("digit"), col("n_orders"),
+          expr("n_orders * 10000 div t").as("obs_bp"),
+          element_at(typedLit(benfordBp), col("digit").cast("int"))
+            .as("exp_bp"))
+        .withColumn("delta_bp", col("obs_bp") - col("exp_bp"))
+        .orderBy(asc("digit"))
     }),
 
     // NDCG@10 retrieval eval per nation: predicted ranking = account
@@ -2301,6 +2407,64 @@ object Analytics {
         |FROM pos a JOIN pos b ON b.pos - a.pos BETWEEN 1 AND 3
         |WHERE levenshtein(a.k, b.k) <= 4
         |ORDER BY 1, 2""".stripMargin,
+    "q_entity_resolution" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey,
+        |    p_name || '|' || p_brand || '|' || p_type AS k FROM part),
+        |pos AS (SELECT p_partkey, k,
+        |    row_number() OVER (ORDER BY k, p_partkey) - 1 AS pos FROM p),
+        |pairs AS (SELECT a.p_partkey AS a, b.p_partkey AS b
+        |  FROM pos a JOIN pos b ON b.pos - a.pos BETWEEN 1 AND 3
+        |  WHERE levenshtein(a.k, b.k) <= 2),
+        |und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT und.a, reach.lab FROM und JOIN reach ON und.b = reach.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY 1)
+        |SELECT component, count(*) AS n_members, max(id) AS max_member
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gini" ->
+      """WITH x AS (SELECT o_custkey,
+        |    sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rn
+        |  FROM x),
+        |g AS (SELECT count(*) AS n, sum(x)::HUGEINT AS tot,
+        |    sum(rn::HUGEINT * x) AS ix FROM r)
+        |SELECT n AS n_customers, tot::BIGINT AS total_cents,
+        |  ((2 * ix - (n + 1)::HUGEINT * tot) * 10000 //
+        |    (n::HUGEINT * tot))::BIGINT AS gini_bp
+        |FROM g""".stripMargin,
+    "q_outliers_mad" ->
+      """WITH v AS (SELECT event_id, floor(value * 1000)::BIGINT AS vm
+        |  FROM events),
+        |n AS (SELECT count(*) AS n FROM v),
+        |med AS (SELECT vm AS med FROM
+        |    (SELECT vm, row_number() OVER (ORDER BY vm, event_id) AS rn
+        |     FROM v), n
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT event_id, abs(vm - med) AS dev FROM v, med),
+        |mad AS (SELECT dev AS mad FROM
+        |    (SELECT dev, row_number() OVER (ORDER BY dev, event_id) AS rn
+        |     FROM d), n
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT med.med AS median_milli, mad.mad AS mad_milli,
+        |  count(*) AS n_events,
+        |  sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers,
+        |  max(d.dev) AS max_dev_milli
+        |FROM d, med, mad GROUP BY 1, 2""".stripMargin,
+    "q_benford" ->
+      s"""WITH o AS (SELECT substring((floor(o_totalprice * 100)::BIGINT)
+        |      ::VARCHAR, 1, 1)::BIGINT AS digit
+        |  FROM orders WHERE floor(o_totalprice * 100) > 0),
+        |t AS (SELECT count(*) AS t FROM o)
+        |SELECT digit, count(*) AS n_orders,
+        |  (count(*) * 10000 // t.t)::BIGINT AS obs_bp,
+        |  (${benfordCase("digit")})::BIGINT AS exp_bp,
+        |  ((count(*) * 10000 // t.t) - (${benfordCase("digit")}))::BIGINT
+        |    AS delta_bp
+        |FROM o, t GROUP BY digit, t.t ORDER BY digit""".stripMargin,
     "q_ndcg" ->
       s"""WITH oc AS (SELECT o_custkey, count(*) AS n_ord FROM orders
         |  GROUP BY 1),
