@@ -1472,7 +1472,9 @@ object Analytics {
     }),
 
     // Robust outlier detection via median/MAD on the integer milli
-    // grid: both medians are the ⌈n/2⌉-th SMALLEST DATA VALUE
+    // grid — the GLOBAL single-column path (complement of
+    // q_anomaly_mad, which is per-user grouped over bounded daily
+    // counts): both medians are the ⌈n/2⌉-th SMALLEST DATA VALUE
     // (rank-selected through the range-sort machinery — a data value
     // compares exactly in any engine; never an interpolated
     // quantile), outlier = deviation > 3×MAD by integer compare.
@@ -1524,6 +1526,72 @@ object Analytics {
             .as("exp_bp"))
         .withColumn("delta_bp", col("obs_bp") - col("exp_bp"))
         .orderBy(asc("digit"))
+    }),
+
+    // Integer-exact EWMA smoothing of the daily event-count series
+    // (alpha = 1/8): s_t = s_{t-1} + trunc((x_t·1e6 − s_{t-1}) / 8).
+    // The DAILY aggregate is distributed; the recursion runs driver-
+    // side over the calendar-bounded frame (the isotonic-PAV
+    // precedent) with JVM long division, which TRUNCATES toward zero
+    // — exactly like DuckDB's integer `//` on BIGINT (measured:
+    // (-5)//8 = 0, not -1; the flooring-`//` rule in the build notes
+    // applies to HUGEINT/DOUBLE expressions, not BIGINT//BIGINT) —
+    // so the oracle's recursive-CTE replay matches on negative
+    // residuals too. Residual = x·1e6 − s is a sign-safe integer
+    // subtraction.
+    "q_ewma_smooth" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val rows = daily.orderBy(asc("d")).collect() // bounded: calendar days
+      var sm = 0L
+      val out = rows.zipWithIndex.map { case (r, i) =>
+        val d = r.getString(0); val cnt = r.getLong(1)
+        sm = if (i == 0) cnt * 1000000L
+        else sm + (cnt * 1000000L - sm) / 8L
+        (d, cnt, sm, cnt * 1000000L - sm)
+      }.toSeq
+      import s.implicits._
+      out.toDF("d", "cnt", "ewma_micro", "resid_micro").orderBy(asc("d"))
+    }),
+
+    // RFM customer segmentation (recency/frequency/monetary): each
+    // metric scored 1..4 by equi-depth quartile of its deterministic
+    // ascending rank — ONE melted range sort for all three metrics
+    // (the ops/Winsorize idiom: global positions minus each metric's
+    // start offset), never three windows. Segment = r·100+f·10+m;
+    // output is the segment census with exact monetary sums.
+    "q_rfm_segments" -> ((s, dir) => {
+      val gmax = orders(s, dir).agg(max(col("o_orderdate")).as("gm"))
+      val perCust = orders(s, dir).crossJoin(broadcast(gmax))
+        .groupBy(col("o_custkey"))
+        .agg(min(datediff(to_date(col("gm")), to_date(col("o_orderdate")))
+            .cast("long")).as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .as("monetary_cents"))
+      val melted = perCust.select(col("o_custkey").as("id"),
+        explode(map(
+          lit("r"), col("recency_days"),
+          lit("f"), col("frequency"),
+          lit("m"), col("monetary_cents"))).as(Seq("dim", "v")))
+      val pos = graft.ops.Shuffle.positionsBy(
+          melted, Seq("dim", "v", "id"), "gpos")
+        .localCheckpoint(true)
+      val dims = pos.groupBy(col("dim"))
+        .agg(min(col("gpos")).as("start"), count(lit(1)).as("n"))
+      val scored = pos.join(broadcast(dims), Seq("dim"))
+        .select(col("id"), col("dim"),
+          (expr("(gpos - start) * 4 div n") + 1L).as("score"))
+      val seg = scored.groupBy(col("id"))
+        .agg(sum(when(col("dim") === "r", col("score") * 100L)
+          .when(col("dim") === "f", col("score") * 10L)
+          .otherwise(col("score"))).as("segment"))
+      seg.join(perCust, seg("id") === perCust("o_custkey"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_cents")).as("sum_monetary_cents"))
+        .orderBy(asc("segment"))
     }),
 
     // NDCG@10 retrieval eval per nation: predicted ranking = account
@@ -2465,6 +2533,39 @@ object Analytics {
         |  ((count(*) * 10000 // t.t) - (${benfordCase("digit")}))::BIGINT
         |    AS delta_bp
         |FROM o, t GROUP BY digit, t.t ORDER BY digit""".stripMargin,
+    "q_ewma_smooth" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT d, cnt, row_number() OVER (ORDER BY d) AS rn FROM (
+        |    SELECT ts::DATE::VARCHAR AS d, count(*) AS cnt
+        |    FROM events GROUP BY 1)),
+        |rec(rn, d, cnt, s) AS (
+        |  SELECT rn, d, cnt, cnt * 1000000 FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, i.d, i.cnt, r.s + (i.cnt * 1000000 - r.s) // 8
+        |  FROM idx i JOIN rec r ON i.rn = r.rn + 1)
+        |SELECT d, cnt, s::BIGINT AS ewma_micro,
+        |  (cnt * 1000000 - s)::BIGINT AS resid_micro
+        |FROM rec ORDER BY d""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH gm AS (SELECT max(o_orderdate) AS gm FROM orders),
+        |pc AS (SELECT o_custkey,
+        |    min(gm::DATE - o_orderdate::DATE)::BIGINT AS r,
+        |    count(*) AS f,
+        |    sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS m
+        |  FROM orders, gm GROUP BY 1),
+        |rk AS (SELECT o_custkey, r, f, m,
+        |    row_number() OVER (ORDER BY r, o_custkey) - 1 AS pr,
+        |    row_number() OVER (ORDER BY f, o_custkey) - 1 AS pf,
+        |    row_number() OVER (ORDER BY m, o_custkey) - 1 AS pm,
+        |    count(*) OVER () AS n
+        |  FROM pc),
+        |seg AS (SELECT o_custkey, m,
+        |    (pr * 4 // n + 1) * 100 + (pf * 4 // n + 1) * 10 +
+        |      (pm * 4 // n + 1) AS segment
+        |  FROM rk)
+        |SELECT segment::BIGINT AS segment, count(*) AS n_customers,
+        |  sum(m)::BIGINT AS sum_monetary_cents
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ndcg" ->
       s"""WITH oc AS (SELECT o_custkey, count(*) AS n_ord FROM orders
         |  GROUP BY 1),
