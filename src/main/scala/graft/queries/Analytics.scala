@@ -1555,6 +1555,50 @@ object Analytics {
       out.toDF("d", "cnt", "ewma_micro", "resid_micro").orderBy(asc("d"))
     }),
 
+    // Kaplan-Meier survival of per-user inter-event gaps (hours):
+    // every inner gap is an observed "death" at its duration, the
+    // gap from each user's LAST event to the corpus horizon is
+    // right-CENSORED — the textbook renewal-process estimator. Gaps
+    // come from ONE lag window over the high-cardinality user
+    // partition; per-duration counts are one aggregate over the
+    // calendar-bounded hour axis; the product-limit recursion
+    // S ← (S·(n−d)) div n runs driver-side on the integer micro grid
+    // (nonneg, so truncating JVM division ≡ DuckDB BIGINT `//`),
+    // replayed by the oracle as a recursive CTE. A d=0 step
+    // multiplies by n/n — an exact no-op — so the recursion runs
+    // over every time point uniformly.
+    "q_kaplan_meier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val gaps = ev
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(expr("(us - prev) div 3600000000").as("t"),
+          lit(1L).as("death"))
+      val gm = events(s, dir).agg(max(unix_micros(col("ts"))).as("h"))
+      val cens = ev.groupBy(col("user_id")).agg(max(col("us")).as("last"))
+        .crossJoin(broadcast(gm))
+        .select(expr("(h - last) div 3600000000").as("t"), lit(0L).as("death"))
+      val byT = gaps.unionByName(cens).groupBy(col("t"))
+        .agg(count(lit(1)).as("ne"), sum(col("death")).as("d"))
+      val rows = byT.orderBy(asc("t")).collect() // bounded: calendar days
+      val total = rows.map(_.getLong(1)).sum
+      var before = 0L
+      var sm = 1000000L
+      val out = rows.flatMap { r =>
+        val t = r.getLong(0); val ne = r.getLong(1); val d = r.getLong(2)
+        val nRisk = total - before
+        before += ne
+        sm = sm * (nRisk - d) / nRisk
+        if (d > 0) Some((t, nRisk, d, sm)) else None
+      }.toSeq
+      import s.implicits._
+      out.toDF("t_days", "n_at_risk", "n_deaths", "surv_micro")
+        .orderBy(asc("t_days"))
+    }),
+
     // RFM customer segmentation (recency/frequency/monetary): each
     // metric scored 1..4 by equi-depth quartile of its deterministic
     // ascending rank — ONE melted range sort for all three metrics
@@ -2546,6 +2590,34 @@ object Analytics {
         |SELECT d, cnt, s::BIGINT AS ewma_micro,
         |  (cnt * 1000000 - s)::BIGINT AS resid_micro
         |FROM rec ORDER BY d""".stripMargin,
+    "q_kaplan_meier" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (SELECT (us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us)) // 3600000000 AS t FROM ev),
+        |gaps AS (SELECT t::BIGINT AS t, 1 AS death FROM g
+        |  WHERE t IS NOT NULL),
+        |gm AS (SELECT max(epoch_us(ts)) AS h FROM events),
+        |cens AS (SELECT ((h - max(us)) // 3600000000)::BIGINT AS t,
+        |    0 AS death
+        |  FROM ev, gm GROUP BY user_id, h),
+        |u AS (SELECT * FROM gaps UNION ALL SELECT * FROM cens),
+        |byt AS (SELECT t, count(*) AS ne, sum(death)::BIGINT AS d
+        |  FROM u GROUP BY 1),
+        |tot AS (SELECT sum(ne)::BIGINT AS total FROM byt),
+        |r AS (SELECT t, ne, d, row_number() OVER (ORDER BY t) AS rn,
+        |    (total - coalesce(sum(ne) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS nr
+        |  FROM byt, tot),
+        |rec(rn, s) AS (
+        |  SELECT rn, (1000000 * (nr - d)) // nr FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, (p.s * (i.nr - i.d)) // i.nr
+        |  FROM r i JOIN rec p ON i.rn = p.rn + 1)
+        |SELECT r.t AS t_days, r.nr AS n_at_risk, r.d AS n_deaths,
+        |  rec.s::BIGINT AS surv_micro
+        |FROM rec JOIN r USING (rn) WHERE r.d > 0 ORDER BY r.t""".stripMargin,
     "q_rfm_segments" ->
       """WITH gm AS (SELECT max(o_orderdate) AS gm FROM orders),
         |pc AS (SELECT o_custkey,
