@@ -1543,16 +1543,11 @@ object Analytics {
       val daily = events(s, dir)
         .groupBy(to_date(col("ts")).cast("string").as("d"))
         .agg(count(lit(1)).as("cnt"))
-      val rows = daily.orderBy(asc("d")).collect() // bounded: calendar days
-      var sm = 0L
-      val out = rows.zipWithIndex.map { case (r, i) =>
-        val d = r.getString(0); val cnt = r.getLong(1)
-        sm = if (i == 0) cnt * 1000000L
-        else sm + (cnt * 1000000L - sm) / 8L
-        (d, cnt, sm, cnt * 1000000L - sm)
-      }.toSeq
+      val rows = daily.collect() // bounded: calendar days
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
       import s.implicits._
-      out.toDF("d", "cnt", "ewma_micro", "resid_micro").orderBy(asc("d"))
+      graft.ops.Smoothing.ewma(rows, alphaDen = 8L)
+        .toDF("d", "cnt", "ewma_micro", "resid_micro").orderBy(asc("d"))
     }),
 
     // Kaplan-Meier survival of per-user inter-event gaps (hours):
@@ -1583,20 +1578,12 @@ object Analytics {
         .select(expr("(h - last) div 3600000000").as("t"), lit(0L).as("death"))
       val byT = gaps.unionByName(cens).groupBy(col("t"))
         .agg(count(lit(1)).as("ne"), sum(col("death")).as("d"))
-      val rows = byT.orderBy(asc("t")).collect() // bounded: calendar days
-      val total = rows.map(_.getLong(1)).sum
-      var before = 0L
-      var sm = 1000000L
-      val out = rows.flatMap { r =>
-        val t = r.getLong(0); val ne = r.getLong(1); val d = r.getLong(2)
-        val nRisk = total - before
-        before += ne
-        sm = sm * (nRisk - d) / nRisk
-        if (d > 0) Some((t, nRisk, d, sm)) else None
-      }.toSeq
+      val rows = byT.collect() // bounded: calendar-hour axis
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       import s.implicits._
-      out.toDF("t_days", "n_at_risk", "n_deaths", "surv_micro")
-        .orderBy(asc("t_days"))
+      graft.ops.Survival.productLimit(rows)
+        .toDF("t_hours", "n_at_risk", "n_deaths", "surv_micro")
+        .orderBy(asc("t_hours"))
     }),
 
     // RFM customer segmentation (recency/frequency/monetary): each
@@ -2615,7 +2602,7 @@ object Analytics {
         |  UNION ALL
         |  SELECT i.rn, (p.s * (i.nr - i.d)) // i.nr
         |  FROM r i JOIN rec p ON i.rn = p.rn + 1)
-        |SELECT r.t AS t_days, r.nr AS n_at_risk, r.d AS n_deaths,
+        |SELECT r.t AS t_hours, r.nr AS n_at_risk, r.d AS n_deaths,
         |  rec.s::BIGINT AS surv_micro
         |FROM rec JOIN r USING (rn) WHERE r.d > 0 ORDER BY r.t""".stripMargin,
     "q_rfm_segments" ->
