@@ -232,6 +232,28 @@ object RecallGates {
     val tnr = c(0, 0).toDouble / math.max(c(0, 0) + c(0, 1), 1L)
     val g11 = Gate("logreg_balacc", (tpr + tnr) / 2.0, 0.95)
 
-    Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11)
+    // CMS inner-product join-size estimate vs the exact Σ c(k)² on
+    // the skewed l_partkey self-join: the estimate is one-sided
+    // (est >= true always — a violation means broken hashing/merge),
+    // and at w=65536 the overestimate should stay well inside 10%.
+    val cmsKeys = graft.Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("l_partkey")
+        .cast("string").as("k"))
+    val cmsRow = graft.ops.CountMinSketch
+      .sketches(cmsKeys, Nil, "k", d = 5, w = 65536)
+      .collect().head.getAs[org.apache.spark.sql.Row]("cms")
+    val cmsSk = graft.ops.CountMinSketch.fromData(
+      graft.ops.CountMinSketch.CmsData(cmsRow.getInt(0), cmsRow.getInt(1),
+        cmsRow.getLong(2), cmsRow.getSeq[Long](3)))
+    val cmsEst = graft.ops.CountMinSketch.innerProduct(cmsSk, cmsSk)
+    val truePairs = {
+      import org.apache.spark.sql.functions._
+      cmsKeys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c"))).collect().head.getLong(0)
+    }
+    val g12 = Gate("cms_join_overest",
+      if (cmsEst >= truePairs) truePairs.toDouble / cmsEst else 0.0, 0.9)
+
+    Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)
   }
 }

@@ -80,6 +80,31 @@ object CountMinSketch {
     }
   }
 
+  /** CM inner-product estimate of Σ_k cA(k)·cB(k) — the equi-join
+    * cardinality of the two sketched key multisets (Cormode &
+    * Muthukrishnan 2005 §4.2): per hash row the counter dot product
+    * over-counts only by colliding key pairs, so the MINIMUM over
+    * rows is always ≥ the true join size and ≤ true + (e/w)·nA·nB
+    * with probability ≥ 1 − e^−d. Exact when no row has a cross-key
+    * collision. */
+  def innerProduct(a: Sketch, b: Sketch): Long = {
+    require(a.d == b.d && a.w == b.w,
+      s"shape mismatch: ${a.d}x${a.w} vs ${b.d}x${b.w}")
+    var best = Long.MaxValue
+    var i = 0
+    while (i < a.d) {
+      var s = 0L
+      var j = 0
+      while (j < a.w) {
+        s += a.counters(i * a.w + j) * b.counters(i * a.w + j)
+        j += 1
+      }
+      if (s < best) best = s
+      i += 1
+    }
+    if (best == Long.MaxValue) 0L else best
+  }
+
   def toData(s: Sketch): CmsData = CmsData(s.d, s.w, s.n, s.counters.toSeq)
 
   def fromData(x: CmsData): Sketch = {

@@ -1365,6 +1365,35 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // Equi-join cardinality estimation from CMS inner products
+    // (Cormode & Muthukrishnan 2005 §4.2) — the planner/skew question
+    // "how big would this join be" answered from two kilobyte-scale
+    // sketches WITHOUT running the join: est = min over hash rows of
+    // the counter dot product, always >= the true Σ cA(k)·cB(k) and
+    // within (e/w)·nA·nB w.h.p. Demonstrated on the skewed
+    // l_partkey self-join (true size = Σ c(p)² — heavy parts
+    // dominate); the true size comes from the per-key count
+    // aggregate, never a materialized join. Rows-only (the estimate
+    // is sketch-internal); the one-sided bound and the
+    // cms_join_overest recall gate pin the accuracy.
+    "q_join_size_est" -> ((s, dir) => {
+      val keys = lineitem(s, dir)
+        .select(col("l_partkey").cast("string").as("k"))
+      val skRow = graft.ops.CountMinSketch
+        .sketches(keys, Nil, "k", d = 5, w = 65536)
+        .collect().head.getAs[org.apache.spark.sql.Row]("cms")
+      val sk = graft.ops.CountMinSketch.fromData(
+        graft.ops.CountMinSketch.CmsData(skRow.getInt(0), skRow.getInt(1),
+          skRow.getLong(2), skRow.getSeq[Long](3)))
+      val est = graft.ops.CountMinSketch.innerProduct(sk, sk)
+      keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+          sum(col("c") * col("c")).as("true_pairs"))
+        .select(col("n_rows"), col("true_pairs"),
+          lit(est).as("est_pairs"),
+          expr(s"($est - true_pairs) * 10000 div true_pairs").as("over_bp"))
+    }),
+
     // Skew-free per-language ranks + percentile basis points: the
     // window-free replacement for row_number over a LOW-cardinality
     // partition key (ops/GroupRank — one global range sort, ranks

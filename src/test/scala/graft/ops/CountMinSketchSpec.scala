@@ -70,6 +70,38 @@ class CountMinSketchSpec extends SparkSpec {
     assert(dist.n === rows.size.toLong)
   }
 
+  test("inner product is one-sided and exact without cross collisions") {
+    def sketchOf(items: Seq[String], w: Int = 4096): CountMinSketch.Sketch =
+      items.foldLeft(new CountMinSketch.Sketch(5, w))((s, i) => s.add(i))
+    // true join size of two multisets = Σ cA(k)·cB(k)
+    def trueJoin(a: Seq[String], b: Seq[String]): Long = {
+      val cb = b.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      a.groupBy(identity).map { case (k, v) =>
+        v.size.toLong * cb.getOrElse(k, 0L)
+      }.sum
+    }
+    val rnd = new scala.util.Random(5)
+    (0 until 20).foreach { _ =>
+      val a = Seq.fill(200)(s"k${rnd.nextInt(40)}")
+      val b = Seq.fill(300)(s"k${rnd.nextInt(60)}")
+      val est = CountMinSketch.innerProduct(sketchOf(a), sketchOf(b))
+      val t = trueJoin(a, b)
+      assert(est >= t, s"inner product below truth: $est < $t")
+      // e/w · nA · nB Markov bound, d=5 rows: overwhelmingly inside
+      assert(est <= t + math.ceil(math.E / 4096 * 200 * 300).toLong)
+    }
+    // 40+60 distinct keys in w=65536: collision-free w.h.p. -> exact
+    val a = Seq.fill(500)(s"k${rnd.nextInt(40)}")
+    val b = Seq.fill(500)(s"k${rnd.nextInt(60)}")
+    assert(CountMinSketch.innerProduct(sketchOf(a, 65536), sketchOf(b, 65536))
+      === trueJoin(a, b))
+    // disjoint key spaces: zero unless a row collides
+    val est0 = CountMinSketch.innerProduct(
+      sketchOf(Seq.fill(100)("left"), 65536),
+      sketchOf(Seq.fill(100)("right"), 65536))
+    assert(est0 === 0L)
+  }
+
   test("heavy items separate from the tail at practical widths") {
     val sk = rows.foldLeft(new CountMinSketch.Sketch(5, 2048)) {
       case (s, (_, item)) => s.add(item)
