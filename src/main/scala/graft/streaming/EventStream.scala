@@ -328,6 +328,44 @@ object EventStream {
           .otherwise(0L))
   }
 
+  /** Streaming twin of q_ewma_smooth, one smoothed series per
+    * event_type: stateful flatMapGroupsWithState whose state is the
+    * day→count map (calendar-bounded — the same axis the batch query
+    * aggregates onto). EWMA is ORDER-SENSITIVE: a late-arriving
+    * earlier day changes every later smoothed value, so the state
+    * retains exactly what the derivation reads and RE-DERIVES the
+    * whole curve on every update (the funnel late-data rule — never
+    * freeze a non-monotone derivation), emitting the refreshed curve
+    * through [[graft.ops.Smoothing.ewma]] — bit-identical arithmetic
+    * to the batch/oracle path. `seen` (total observations in state)
+    * is monotone per key, so the final snapshot = rows where seen is
+    * maximal per key. */
+  def ewmaDaily(spark: SparkSession, events: DataFrame,
+      alphaDen: Long = 8L): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long],
+          (String, Long, String, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val m = scala.collection.mutable.Map.empty[String, Long]
+          m ++= state.getOption.getOrElse(Map.empty)
+          rows.foreach { case (_, d) => m(d) = m.getOrElse(d, 0L) + 1L }
+          val snapshot = m.toMap
+          state.update(snapshot)
+          val seen = snapshot.valuesIterator.sum
+          graft.ops.Smoothing.ewma(snapshot.toSeq, alphaDen)
+            .iterator.map { case (d, c, sMicro, r) =>
+              (key, seen, d, c, sMicro, r)
+            }
+      }
+      .toDF("event_type", "seen", "d", "cnt", "ewma_micro", "resid_micro")
+  }
+
   /** Run a parquet-backed streaming query into an in-memory sink until
     * all available input is processed (test/dev harness). */
   def runToMemory(spark: SparkSession, sourceDir: String, name: String,

@@ -200,6 +200,71 @@ class EventStreamSpec extends SparkSpec {
       s"resumed state diverged: ${streamed.toSeq} vs ${batch.toSeq}")
   }
 
+  test("streaming EWMA re-derives on late-arriving earlier days, equals batch") {
+    // EWMA is order-sensitive: micro-batch 1 sees ONLY the later half
+    // of the calendar, micro-batch 2 delivers the earlier days "late"
+    // (mtime-ordered files, maxFilesPerTrigger=1; the memory sink
+    // cannot recover an Update-mode query across restarts, so late
+    // data arrives within ONE query) — the state must re-derive the
+    // whole curve, converging to the batch ops.Smoothing.ewma.
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ewma")
+    val ev = Tables.events(spark, dir)
+    val cut = "2024-01-15"
+    ev.where(to_date(col("ts")).cast("string") >= cut).coalesce(1)
+      .write.parquet(streamDir.resolve("late").toString)
+    ev.where(to_date(col("ts")).cast("string") < cut).coalesce(1)
+      .write.parquet(streamDir.resolve("early").toString)
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(streamDir.resolve(sub).toString)
+      d.listFiles().foreach(_.setLastModified(t))
+      d.setLastModified(t)
+    }
+    stamp("late", 1000000L)
+    stamp("early", 2000000L)
+    val q = EventStream.runToMemory(spark, s"$streamDir/*", "ewma_daily",
+      EventStream.ewmaDaily(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+
+    val all = spark.sql("SELECT * FROM ewma_daily").collect()
+    val byType = all.groupBy(_.getString(0))
+    val streamed = byType.map { case (t, rs) =>
+      val mx = rs.map(_.getLong(1)).max
+      t -> rs.filter(_.getLong(1) == mx)
+        .map(r => (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1).toSeq
+    }
+    // seen (total observations in state) is monotone per key, so rows
+    // below the key's max seen are batch-1 emits: they must cover ONLY
+    // the later half — proof the early days really arrived late
+    val firstBatchDays = byType.toSeq.flatMap { case (t, rs) =>
+      val mx = rs.map(_.getLong(1)).max
+      rs.filter(_.getLong(1) < mx).map(r => (t, r.getString(2)))
+    }
+    assert(firstBatchDays.nonEmpty, "everything arrived in one batch")
+    assert(firstBatchDays.forall(_._2 >= cut),
+      s"batch 1 leaked early days: $firstBatchDays")
+
+    val batch = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> graft.ops.Smoothing.ewma(
+          rs.map(r => (r.getString(1), r.getLong(2))).toSeq, 8L)
+          .map { case (d, c, s, r) => (d, c, s, r) }
+      }
+
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (t, exp) =>
+      assert(streamed(t) == exp, s"type $t diverged after late arrival")
+    }
+    // the late batch really changed the curve: final states include
+    // pre-cut days no batch-1 emit could have carried
+    assert(batch.exists(_._2.exists(_._1 < cut)))
+  }
+
   test("streaming heavy hitters equal batch exact counts (no-eviction regime)") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-hh")
