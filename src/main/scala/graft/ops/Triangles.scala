@@ -61,4 +61,42 @@ object Triangles {
     val nodeCount = deg.agg(count(lit(1)).as("n_nodes"))
     nodeCount.crossJoin(edgeCount).crossJoin(tri) // three 1-row frames
   }
+
+  /** Same count via edge-adjacency intersection (the "node iterator"
+    * form): each oriented edge (a,b) contributes |N+(a) ∩ N+(b)|.
+    * Ships the same Θ(Σ outdeg²) neighbor IDs as the wedge form but
+    * PACKED into per-node long arrays, and replaces the 72M-row
+    * closing shuffle-hash join with one native array_intersect per
+    * EDGE (1.2M calls at sf0.1) — rows through the final shuffle drop
+    * ~60×. Degree orientation still bounds every array at O(sqrt m).
+    */
+  def statsAdjacency(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    val deg = e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = e0
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+    val oriented = withDeg.select(
+      when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+        col("src")).otherwise(col("dst")).as("a"),
+      when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
+        col("dst")).otherwise(col("src")).as("b"))
+      .localCheckpoint(true) // 3 consumers: adj build + two join legs
+    val adj = oriented.groupBy(col("a").as("node"))
+      .agg(collect_list(col("b")).as("nbrs"))
+      .localCheckpoint(true) // consumed by both join legs
+    val tri = oriented
+      .join(adj.select(col("node").as("a"), col("nbrs").as("na")), "a")
+      .join(adj.select(col("node").as("b"), col("nbrs").as("nb"))
+        .hint("shuffle_hash"), "b")
+      .agg(sum(size(array_intersect(col("na"), col("nb"))))
+        .as("n_triangles"))
+    val edgeCount = e0.agg(count(lit(1)).as("n_edges"))
+    val nodeCount = deg.agg(count(lit(1)).as("n_nodes"))
+    nodeCount.crossJoin(edgeCount).crossJoin(tri)
+  }
 }

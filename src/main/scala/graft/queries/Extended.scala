@@ -252,9 +252,11 @@ object Extended {
     // Triangle count on the co-purchase graph (parts sharing an
     // order). Edge build is an equi self-join on orderkey (pairs per
     // order bounded by order size); counting is ops/Triangles'
-    // degree-oriented forward algorithm — out-degree O(sqrt(m)), so
-    // the wedge join survives hub parts where the id-ordered oracle
-    // form is hub-degree-quadratic.
+    // degree-oriented adjacency-intersection form — out-degree
+    // O(sqrt(m)) bounds every neighbor array, and per-edge
+    // array_intersect replaces the 72M-row wedge closing shuffle
+    // (6.7 -> 4.7 s solo at sf0.1; equivalence to the wedge form and
+    // brute force pinned in TrianglesSpec).
     "q_triangles" -> ((s, dir) => {
       val li = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -264,7 +266,7 @@ object Extended {
           col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
         .distinct()
-      graft.ops.Triangles.stats(edges)
+      graft.ops.Triangles.statsAdjacency(edges)
     }),
 
     // Blocked fuzzy (record-linkage) join: probe names are a

@@ -46,6 +46,27 @@ class TrianglesSpec extends SparkSpec {
     assert(t == bruteTriangles(edges), s"got $t (nodes=$n)")
   }
 
+  test("adjacency-intersection form equals the wedge form and brute force") {
+    var s = 777L
+    def nxt(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s }
+    val edges = (0 until 300).map { _ =>
+      val a = nxt() % 40; val b = nxt() % 40
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).toSet
+    val viaAdj = Triangles.statsAdjacency(edges.toSeq.toDF("src", "dst"))
+      .collect()(0)
+    val (n, m, t) = run(edges)
+    assert((viaAdj.getLong(0), viaAdj.getLong(1), viaAdj.getLong(2))
+      == ((n, m, t)))
+    assert(t == bruteTriangles(edges))
+    // and on the wheel (hub stress): both forms agree
+    val star = (1L to 20L).map(i => (0L, i)).toSet
+    val rim = (1L to 19L).map(i => (i, i + 1)).toSet + ((1L, 20L))
+    val w = Triangles.statsAdjacency((star ++ rim).toSeq.toDF("src", "dst"))
+      .collect()(0)
+    assert(w.getLong(2) == 20L)
+  }
+
   test("hub graph: star has zero triangles, wheel has spoke count") {
     val star = (1L to 20L).map(i => (0L, i)).toSet
     assert(run(star)._3 == 0L)
