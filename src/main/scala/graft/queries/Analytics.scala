@@ -1663,6 +1663,109 @@ object Analytics {
         .select(col("nation_key"), col("dcg_micro"), col("idcg_micro"),
           expr("dcg_micro * 10000 div idcg_micro").as("ndcg_bp"))
         .orderBy(asc("nation_key"))
+    }),
+
+    // Cohen's kappa — chance-corrected agreement between the langid
+    // kernel and the declared label (the inter-annotator/labeling-QA
+    // statistic that complements q_lang_confusion's raw matrix).
+    // kappa = (p_o - p_e)/(1 - p_e) computed as ONE integer fraction:
+    // (n·agree - Σ r_i·c_i) / (n² - Σ r_i·c_i) over the tiny confusion
+    // frame (≤ 6×6 cells — everything after the one distributed
+    // aggregate is broadcast-sized). kappa can be NEGATIVE (worse than
+    // chance), so the bp emit uses the signed shift-div trick; BIGINT
+    // holds to n ≈ 3e7 docs — shift both engines to DECIMAL(38,0)
+    // beyond that.
+    "q_kappa" -> ((s, dir) => {
+      val cm = documents(s, dir)
+        .select(col("lang"),
+          graft.functions.LangIdExpr.langId(s, col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // tiny; 3 consumers below
+      val tot = cm.agg(sum(col("n")).as("n_total"),
+        sum(when(col("lang") === col("lang_pred"), col("n")).otherwise(0L))
+          .as("n_agree"))
+      val r = cm.groupBy(col("lang").as("cls")).agg(sum(col("n")).as("r"))
+      val c = cm.groupBy(col("lang_pred").as("cls")).agg(sum(col("n")).as("c"))
+      val rc = r.join(c, Seq("cls"), "full_outer")
+        .agg(sum(coalesce(col("r"), lit(0L)) * coalesce(col("c"), lit(0L)))
+          .as("sum_rc"))
+      tot.crossJoin(rc).select(col("n_total"), col("n_agree"), col("sum_rc"),
+        expr("""(10000 * (n_total * n_agree - sum_rc)
+                 + 100000 * (n_total * n_total - sum_rc))
+                div (n_total * n_total - sum_rc) - 100000""").as("kappa_bp"))
+    }),
+
+    // PPS (probability-proportional-to-size) Bernoulli sample of
+    // orders by price + the Horvitz-Thompson total estimator — the
+    // survey-sampling primitive behind "estimate corpus totals from a
+    // weighted sample". Inclusion prob pi_i = min(1, k·w_i/T); the
+    // draw is the deterministic 52-bit md5 coin compared in ONE fixed
+    // IEEE op order that the oracle mirrors literally (u·T < k·w·2^52
+    // — identical doubles, identical rounding both engines). The HT
+    // term w_i/pi_i is T div k exactly for every uncapped row and w_i
+    // for capped rows, so the estimate is an exact integer sum. One
+    // scan + one grand-total broadcast; nothing sorts.
+    "q_pps_estimate" -> ((s, dir) => {
+      val k = 200L
+      val w = orders(s, dir).select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("w"))
+      val tot = w.agg(sum(col("w")).as("t"), count(lit(1)).as("n_pop"))
+      val u = conv(substring(md5(concat(lit("pps|"),
+        col("o_orderkey").cast("string"))), 1, 13), 16, 10).cast("double")
+      w.crossJoin(broadcast(tot))
+        .where(u * col("t").cast("double") <
+          (col("w") * lit(k)).cast("double") * lit(4503599627370496.0))
+        .agg(max(col("n_pop")).as("n_pop"), max(col("t")).as("total_cents"),
+          count(lit(1)).as("n_sampled"),
+          sum(when(col("w") * lit(k) >= col("t"), col("w"))
+            .otherwise(expr(s"t div $k"))).as("ht_estimate_cents"))
+        .select(col("n_pop"), col("total_cents"), col("n_sampled"),
+          col("ht_estimate_cents"),
+          expr("ht_estimate_cents * 10000 div total_cents").as("est_bp"))
+    }),
+
+    // Distribution matching by rejection sampling: downsample every
+    // doc-length bucket to the SMALLEST bucket's expected count (the
+    // length/quality rebalancing step before training mixes).
+    // Acceptance is Bernoulli with p = m/count(bucket) on the
+    // deterministic md5 coin — scan-stage, zero shuffle beyond the
+    // two tiny count aggregates, and the same fixed-op-order double
+    // compare as q_pps_estimate (u·cnt < m·2^52; m·2^52 is a power-
+    // of-two product, exact in a double).
+    "q_dist_match" -> ((s, dir) => {
+      val bucket = expr(
+        """CASE WHEN n_chars < 200 THEN 'xs' WHEN n_chars < 400 THEN 's'
+                WHEN n_chars < 600 THEN 'm' WHEN n_chars < 800 THEN 'l'
+                ELSE 'xl' END""")
+      val d = documents(s, dir).select(col("doc_id"), bucket.as("bucket"))
+      val counts = d.groupBy(col("bucket")).agg(count(lit(1)).as("n_before"))
+      val m = counts.agg(min(col("n_before")).as("m"))
+      val u = conv(substring(md5(concat(lit("dm|"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double")
+      d.join(broadcast(counts), Seq("bucket"))
+        .crossJoin(broadcast(m))
+        .where(u * col("n_before").cast("double") <
+          col("m").cast("double") * lit(4503599627370496.0))
+        .groupBy(col("bucket"))
+        .agg(max(col("n_before")).as("n_before"), max(col("m")).as("target"),
+          count(lit(1)).as("n_accepted"))
+        .orderBy(asc("bucket"))
+    }),
+
+    // Hard-negative mining (contrastive-training data prep): per
+    // query embedding, the 5 most cosine-similar corpus vectors with
+    // a DIFFERENT label — filter-then-rank through the bounded-heap
+    // TopK (similarity/Similarity.hardNegatives), corpus scanned
+    // once, queries broadcast.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("ql"))
+      graft.similarity.Similarity.hardNegatives(
+          emb, "embedding", "vec_id", "label", qs, "qe", "qid", "ql", 5)
+        .orderBy(asc("query_id"), asc("rk"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -2649,5 +2752,92 @@ object Analytics {
         |SELECT nation_key, dcg_micro, idcg_micro,
         |  (dcg_micro * 10000 // idcg_micro)::BIGINT AS ndcg_bp
         |FROM agg WHERE idcg_micro > 0
-        |ORDER BY nation_key""".stripMargin)
+        |ORDER BY nation_key""".stripMargin,
+    // Replays the langid kernel (identical stopword/CJK rules as
+    // q_lang_confusion's oracle), then kappa as one integer fraction
+    // with the signed shift-div emit.
+    "q_kappa" ->
+      """WITH scores AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|with)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une|dans)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|una|por|con|para|como)\b')) AS s_es,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang, CASE
+        |    WHEN s_zh > 0 THEN 'zh'
+        |    WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |    WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |    WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM scores),
+        |cm AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+        |  FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT sum(n)::BIGINT AS n_total,
+        |    sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)::BIGINT
+        |      AS n_agree
+        |  FROM cm),
+        |rm AS (SELECT lang AS cls, sum(n)::BIGINT AS r FROM cm GROUP BY 1),
+        |cmg AS (SELECT lang_pred AS cls, sum(n)::BIGINT AS c
+        |  FROM cm GROUP BY 1),
+        |rc AS (SELECT sum(coalesce(r, 0) * coalesce(c, 0))::BIGINT AS sum_rc
+        |  FROM rm FULL OUTER JOIN cmg ON rm.cls = cmg.cls)
+        |SELECT n_total, n_agree, sum_rc,
+        |  ((10000 * (n_total * n_agree - sum_rc)
+        |    + 100000 * (n_total * n_total - sum_rc))
+        |   // (n_total * n_total - sum_rc) - 100000)::BIGINT AS kappa_bp
+        |FROM tot, rc""".stripMargin,
+    // Mirrors the Spark predicate's exact IEEE op order:
+    // double(u52) * double(T) < double(k*w) * 2^52.
+    "q_pps_estimate" ->
+      """WITH w AS (SELECT o_orderkey,
+        |    floor(o_totalprice * 100)::BIGINT AS w FROM orders),
+        |tot AS (SELECT sum(w)::BIGINT AS t, count(*)::BIGINT AS n_pop
+        |  FROM w),
+        |s AS (
+        |  SELECT w.w, tot.t, tot.n_pop FROM w, tot
+        |  WHERE ('0x' || substring(md5('pps|' || o_orderkey::VARCHAR), 1, 13))::BIGINT::DOUBLE
+        |      * t::DOUBLE < (w * 200)::DOUBLE * 4503599627370496.0)
+        |SELECT max(n_pop) AS n_pop, max(t) AS total_cents,
+        |  count(*)::BIGINT AS n_sampled,
+        |  sum(CASE WHEN w * 200 >= t THEN w ELSE t // 200 END)::BIGINT
+        |    AS ht_estimate_cents,
+        |  (sum(CASE WHEN w * 200 >= t THEN w ELSE t // 200 END)
+        |    * 10000 // max(t))::BIGINT AS est_bp
+        |FROM s""".stripMargin,
+    "q_dist_match" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars < 200 THEN 'xs' WHEN n_chars < 400 THEN 's'
+        |         WHEN n_chars < 600 THEN 'm' WHEN n_chars < 800 THEN 'l'
+        |         ELSE 'xl' END AS bucket
+        |  FROM documents),
+        |counts AS (SELECT bucket, count(*)::BIGINT AS n_before
+        |  FROM d GROUP BY 1),
+        |mm AS (SELECT min(n_before)::BIGINT AS m FROM counts),
+        |acc AS (
+        |  SELECT d.bucket, counts.n_before, mm.m
+        |  FROM d JOIN counts USING (bucket), mm
+        |  WHERE ('0x' || substring(md5('dm|' || doc_id::VARCHAR), 1, 13))::BIGINT::DOUBLE
+        |      * n_before::DOUBLE < m::DOUBLE * 4503599627370496.0)
+        |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
+        |  count(*)::BIGINT AS n_accepted
+        |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+        |    label AS qlabel
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4) AS score,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 4) DESC,
+        |               e.vec_id) AS rk
+        |  FROM embeddings e JOIN q
+        |    ON e.vec_id <> q.query_id AND e.label <> q.qlabel)
+        |SELECT query_id, neighbor_id, score, rk FROM scored
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
 }

@@ -111,6 +111,28 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most cosine-similar corpus rows whose label DIFFERS from
+    * the query's — the informative negatives near the decision
+    * boundary (the in-batch-negatives upgrade every embedding-model
+    * pipeline ships). Same broadcast + bounded-heap shape as
+    * [[knnJoin]]; the label filter runs BEFORE ranking (top-k OF the
+    * wrong-label set, not a post-filter of the top-k, which could
+    * return fewer than k). */
+  def hardNegatives(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, queries: DataFrame, qVecCol: String,
+      qIdCol: String, qLabelCol: String, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(
+        broadcast(queries.select(col(qIdCol).as("query_id"),
+          col(qVecCol).as("qvec"), col(qLabelCol).as("qlabel"))))
+      .where(col(idCol) =!= col("query_id") && col(labelCol) =!= col("qlabel"))
+      .withColumn("score", round(ncos(corpus, col(vecCol), col("qvec")), 4))
+      .select(col("query_id"), col("score"), col(idCol))
+    graft.ops.TopK.byScore(scored, Seq("query_id"), "score", idCol, k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("score"), col("rk"))
+  }
+
   /** Truncated-dimension recall evaluation (the matryoshka-
     * representation question, Kusupati et al., NeurIPS 2022): how
     * much top-k recall survives keeping only the first `dim`
