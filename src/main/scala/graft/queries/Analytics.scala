@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -1753,6 +1753,86 @@ object Analytics {
         .orderBy(asc("bucket"))
     }),
 
+    // Bradley-Terry preference strengths (the RLHF reward-comparison
+    // model) from ship-speed "duels": within an order, the brand of
+    // an earlier-shipping line beats the brand of a later-shipping
+    // one. The pairwise win aggregate is the distributed half (self
+    // equi-join bounded by order size, one shuffle); the item set is
+    // the ~25 brands, so the 3 fixed MM iterations run driver-side
+    // on the integer micro grid (ops.BradleyTerry) and the oracle
+    // unrolls the same iterations as plain CTEs — hash-exact.
+    "q_bradley_terry" -> ((s, dir) => {
+      val lb = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+          col("l_shipdate").as("sd"))
+        .join(broadcast(part(s, dir).select(col("p_partkey").as("pk"),
+          col("p_brand").as("brand"))), "pk")
+        .select(col("ok"), col("brand"), col("sd"))
+      val wins = lb.as("x")
+        .join(lb.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.sd") < col("y.sd") && col("x.brand") =!= col("y.brand"))
+        .groupBy(col("x.brand").as("wi"), col("y.brand").as("lo"))
+        .agg(count(lit(1)).as("w"))
+      val rows = wins.collect() // bounded: brand x brand
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      import s.implicits._
+      graft.ops.BradleyTerry.ratings(rows, iters = 3)
+        .toDF("brand", "wins", "n_matches", "rating_micro")
+        .orderBy(asc("brand"))
+    }),
+
+    // Clipped n-gram precision (the BLEU modified-precision core)
+    // between pipeline stages: hypothesis = the PII-scrubbed planted
+    // text, reference = the original — "how much text did the
+    // cleaning stage preserve", the stage-diff eval every corpus
+    // rewrite should report. Per-(doc, gram) counts clip at the
+    // reference count; corpus precision is an exact integer ratio in
+    // bp. Bigrams build from ONE materialized token array per side
+    // (element_at on an attribute is O(1)); everything aggregates in
+    // two (doc,gram)-keyed shuffles per order.
+    "q_ngram_precision" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[^\\s]+"
+      val planted = spread(documents(s, dir)).select(col("doc_id"),
+        col("text"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" see https://example.org/doc/"), col("doc_id"),
+              lit(" page"))).otherwise(lit(""))).as("ptext"))
+      val scrubbed = regexp_replace(
+        regexp_replace(col("ptext"), urlRe, "<URL>"), emailRe, "<EMAIL>")
+      def toks(c: Column) = split(trim(lower(c)), "\\s+")
+      val base = planted
+        .select(col("doc_id"), toks(scrubbed).as("h"), toks(col("text")).as("r"))
+        .localCheckpoint(true) // 4 exploding consumers
+      def bigrams(a: Column) = when(size(a) >= 2,
+        transform(sequence(lit(1), size(a) - 1),
+          i => concat_ws(" ", element_at(a, i), element_at(a, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      def prec(hyp: DataFrame, ref: DataFrame): DataFrame = {
+        val hc = hyp.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("hc"))
+        val rc = ref.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("rc"))
+        hc.join(rc, Seq("doc_id", "g"), "left")
+          .agg(sum(col("hc")).as("hyp"),
+            sum(least(col("hc"), coalesce(col("rc"), lit(0L)))).as("clip"))
+      }
+      val p1 = prec(base.select(col("doc_id"), explode(col("h")).as("g")),
+          base.select(col("doc_id"), explode(col("r")).as("g")))
+        .select(col("hyp").as("hyp_1grams"), col("clip").as("clip_1grams"),
+          expr("clip * 10000 div hyp").as("p1_bp"))
+      val p2 = prec(
+          base.select(col("doc_id"), explode(bigrams(col("h"))).as("g")),
+          base.select(col("doc_id"), explode(bigrams(col("r"))).as("g")))
+        .select(col("hyp").as("hyp_2grams"), col("clip").as("clip_2grams"),
+          expr("clip * 10000 div hyp").as("p2_bp"))
+      p1.crossJoin(p2)
+    }),
+
     // Hard-negative mining (contrastive-training data prep): per
     // query embedding, the 5 most cosine-similar corpus vectors with
     // a DIFFERENT label — filter-then-rank through the bounded-heap
@@ -2826,6 +2906,99 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Unrolls the 3 MM iterations as plain CTEs: iteration 1's
+    // denominators use p0 = 1e6 for every item (so p_i + p_j is the
+    // constant 2e6), iterations 2/3 join the previous ratings twice.
+    // All operands nonnegative, so `//` ≡ the driver's truncating
+    // long division.
+    "q_bradley_terry" ->
+      """WITH lb AS (
+        |  SELECT l_orderkey AS ok, p_brand AS brand, l_shipdate AS sd
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |wins AS (
+        |  SELECT x.brand AS wi, y.brand AS lo, count(*)::BIGINT AS w
+        |  FROM lb x JOIN lb y
+        |    ON x.ok = y.ok AND x.sd < y.sd AND x.brand <> y.brand
+        |  GROUP BY 1, 2),
+        |nm AS (
+        |  SELECT i, j, sum(w)::BIGINT AS n FROM (
+        |    SELECT wi AS i, lo AS j, w FROM wins
+        |    UNION ALL SELECT lo AS i, wi AS j, w FROM wins)
+        |  GROUP BY 1, 2),
+        |wt AS (SELECT wi AS i, sum(w)::BIGINT AS wtot FROM wins GROUP BY 1),
+        |base AS (
+        |  SELECT nm.i, coalesce(max(wt.wtot), 0)::BIGINT AS wtot,
+        |    sum(nm.n)::BIGINT AS n_matches
+        |  FROM nm LEFT JOIN wt ON nm.i = wt.i GROUP BY 1),
+        |p1 AS (
+        |  SELECT d.i, CASE WHEN d.denom > 0
+        |      THEN (base.wtot * 1000000000000 // d.denom)::BIGINT
+        |      ELSE 0 END AS p
+        |  FROM (SELECT i, sum(n * 1000000000000 // 2000000)::BIGINT AS denom
+        |        FROM nm GROUP BY 1) d JOIN base ON d.i = base.i),
+        |p2 AS (
+        |  SELECT d.i, CASE WHEN d.denom > 0
+        |      THEN (base.wtot * 1000000000000 // d.denom)::BIGINT
+        |      ELSE 0 END AS p
+        |  FROM (SELECT nm.i,
+        |          sum(nm.n * 1000000000000 // (a.p + b.p))::BIGINT AS denom
+        |        FROM nm JOIN p1 a ON nm.i = a.i JOIN p1 b ON nm.j = b.i
+        |        GROUP BY 1) d JOIN base ON d.i = base.i),
+        |p3 AS (
+        |  SELECT d.i, CASE WHEN d.denom > 0
+        |      THEN (base.wtot * 1000000000000 // d.denom)::BIGINT
+        |      ELSE 0 END AS p
+        |  FROM (SELECT nm.i,
+        |          sum(nm.n * 1000000000000 // (a.p + b.p))::BIGINT AS denom
+        |        FROM nm JOIN p2 a ON nm.i = a.i JOIN p2 b ON nm.j = b.i
+        |        GROUP BY 1) d JOIN base ON d.i = base.i)
+        |SELECT base.i AS brand, base.wtot AS wins, base.n_matches,
+        |  p3.p::BIGINT AS rating_micro
+        |FROM base JOIN p3 ON base.i = p3.i ORDER BY brand""".stripMargin,
+    "q_ngram_precision" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text,
+        |    text
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' contact user' || doc_id || '@example.com now'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN ' see https://example.org/doc/' || doc_id || ' page'
+        |            ELSE '' END AS ptext
+        |  FROM documents),
+        |pair AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(regexp_replace(
+        |      regexp_replace(ptext, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'
+        |    ))), '\s+') AS h,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS r
+        |  FROM planted),
+        |h1 AS (SELECT doc_id, unnest(h) AS g FROM pair),
+        |r1 AS (SELECT doc_id, unnest(r) AS g FROM pair),
+        |h2 AS (SELECT doc_id,
+        |    unnest([h[i] || ' ' || h[i+1] for i in range(1, len(h))]) AS g
+        |  FROM pair),
+        |r2 AS (SELECT doc_id,
+        |    unnest([r[i] || ' ' || r[i+1] for i in range(1, len(r))]) AS g
+        |  FROM pair),
+        |c1 AS (
+        |  SELECT sum(hc)::BIGINT AS hyp,
+        |    sum(least(hc, coalesce(rc, 0)))::BIGINT AS clip
+        |  FROM (SELECT doc_id, g, count(*)::BIGINT AS hc FROM h1 GROUP BY 1, 2) a
+        |  LEFT JOIN (SELECT doc_id, g, count(*)::BIGINT AS rc FROM r1
+        |             GROUP BY 1, 2) b USING (doc_id, g)),
+        |c2 AS (
+        |  SELECT sum(hc)::BIGINT AS hyp,
+        |    sum(least(hc, coalesce(rc, 0)))::BIGINT AS clip
+        |  FROM (SELECT doc_id, g, count(*)::BIGINT AS hc FROM h2 GROUP BY 1, 2) a
+        |  LEFT JOIN (SELECT doc_id, g, count(*)::BIGINT AS rc FROM r2
+        |             GROUP BY 1, 2) b USING (doc_id, g))
+        |SELECT c1.hyp AS hyp_1grams, c1.clip AS clip_1grams,
+        |  (c1.clip * 10000 // c1.hyp)::BIGINT AS p1_bp,
+        |  c2.hyp AS hyp_2grams, c2.clip AS clip_2grams,
+        |  (c2.clip * 10000 // c2.hyp)::BIGINT AS p2_bp
+        |FROM c1, c2""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
         |    label AS qlabel
