@@ -1004,6 +1004,65 @@ object Analytics {
           .as("n_risky_customers"))
     }),
 
+    // l-diversity over the same quasi-identifier groups as
+    // q_k_anonymity, sensitive attribute = account-balance band:
+    // per (nation, segment) cell, distinct sensitive values (l) and
+    // the entropy of the sensitive distribution in integer
+    // micro-nats (each term floored ONCE from an identically-shaped
+    // double expression, then summed as integers — the divergence-
+    // aggregate rule). The k-anonymity complement: a k-safe cell can
+    // still leak if everyone in it shares one sensitive value.
+    "q_l_diversity" -> ((s, dir) => {
+      val sens = customer(s, dir).select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").as("band"))
+      val cells = sens
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        .agg(count(lit(1)).as("c"))
+      val g = cells
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(col("c")).as("k"), count(lit(1)).as("l"))
+      cells.join(g, Seq("c_nationkey", "c_mktsegment"))
+        .withColumn("term_micro", expr(
+          """CAST(floor(-(c / CAST(k AS DOUBLE))
+             | * ln(c / CAST(k AS DOUBLE)) * 1000000) AS BIGINT)"""
+            .stripMargin))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(max(col("k")).as("k"), max(col("l")).as("l"),
+          sum(col("term_micro")).as("entropy_micronat"))
+        .orderBy(asc("c_nationkey"), asc("c_mktsegment"))
+    }),
+
+    // Exact ROC AUC as the Mann-Whitney rank-sum statistic with
+    // midrank tie handling, all-integer: per distinct score s the
+    // tied group's doubled midrank is 2·cum_below + n_s + 1 (always
+    // an integer), so 2U = Σ p_s·(2cum+n_s+1) − n_pos·(n_pos+1) and
+    // auc_bp = 10000·2U div (2·n_pos·n_neg) — no doubles anywhere.
+    // Detector: English-stopword hits; label: declared lang = 'en'.
+    // The ranking window runs over the ≤|distinct scores| aggregate
+    // frame, never the corpus.
+    "q_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = documents(s, dir).select(
+        regexp_count(lower(col("text")),
+          lit("\\b(the|and|of|to|in|is|that|with)\\b")).cast("long")
+          .as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val byScore = sc.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .agg(sum(col("p")).as("n_pos"),
+          (sum(col("n")) - sum(col("p"))).as("n_neg"),
+          sum(col("p") * (lit(2L) * col("cum") + col("n") + lit(1L)))
+            .as("rank2_sum"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("""(rank2_sum - n_pos * (n_pos + 1)) * 10000
+                  div (2 * n_pos * n_neg)""").as("auc_bp"))
+    }),
+
     // Dedup-method agreement: EXACT lexical near-dup pairs (distinct
     // 3-gram Jaccard >= 0.3, NO df cutoff) vs EXACT embedding
     // near-dup pairs (cosine >= 0.45) over the aligned doc_id/vec_id
@@ -2906,6 +2965,44 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_l_diversity" ->
+      """WITH sens AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 2000)::BIGINT AS band
+        |  FROM customer),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, band, count(*)::BIGINT AS c
+        |  FROM sens GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment, sum(c)::BIGINT AS k,
+        |    count(*)::BIGINT AS l
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT g.c_nationkey, g.c_mktsegment, max(g.k) AS k, max(g.l) AS l,
+        |  sum(floor(-(c / k::DOUBLE) * ln(c / k::DOUBLE)
+        |      * 1000000)::BIGINT)::BIGINT AS entropy_micronat
+        |FROM cells JOIN g USING (c_nationkey, c_mktsegment)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_auc" ->
+      """WITH sc AS (
+        |  SELECT len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|is|that|with)\b'))::BIGINT AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |bys AS (SELECT score, count(*)::BIGINT AS n, sum(pos)::BIGINT AS p
+        |  FROM sc GROUP BY 1),
+        |r AS (SELECT score, n, p,
+        |    coalesce(sum(n) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum
+        |  FROM bys),
+        |agg AS (SELECT sum(p)::BIGINT AS n_pos,
+        |    (sum(n) - sum(p))::BIGINT AS n_neg,
+        |    sum(p * (2 * cum + n + 1))::BIGINT AS rank2_sum
+        |  FROM r)
+        |SELECT n_pos, n_neg,
+        |  ((rank2_sum - n_pos * (n_pos + 1)) * 10000
+        |    // (2 * n_pos * n_neg))::BIGINT AS auc_bp
+        |FROM agg""".stripMargin,
     // Unrolls the 3 MM iterations as plain CTEs: iteration 1's
     // denominators use p0 = 1e6 for every item (so p_i + p_j is the
     // constant 2e6), iterations 2/3 join the previous ratings twice.
