@@ -1004,6 +1004,75 @@ object Analytics {
           .as("n_risky_customers"))
     }),
 
+    // Deterministic random-walk corpus (DeepWalk/node2vec input
+    // generation): 3-step walks over the undirected co-purchase
+    // graph; each step picks neighbor index md5('rw|'seed'|'t'|'cur)
+    // mod degree from the node's SORTED adjacency array — fully
+    // reproducible on any engine that can md5, no RNG state. The
+    // adjacency build is one aggregate; each step is an equi join of
+    // the walk frontier against it (frontier size = |seeds|, never
+    // grows); element_at on the materialized array attribute is O(1).
+    "q_random_walks" -> ((s, dir) => {
+      val e = copurchaseEdges(s, dir, minSupport = 2)
+      val adj = e.select(col("src").as("u"), col("dst").as("w"))
+        .union(e.select(col("dst").as("u"), col("src").as("w")))
+        .groupBy(col("u"))
+        .agg(sort_array(collect_list(col("w"))).as("nbrs"))
+        .localCheckpoint(true) // joined at every step + seed scan
+      def step(df: DataFrame, t: Int, cur: String, out: String) =
+        df.join(adj.select(col("u").as(cur), col("nbrs")), Seq(cur))
+          .withColumn(out, expr(
+            s"""element_at(nbrs, CAST(
+               |  CAST(conv(substring(md5(concat('rw|',
+               |    CAST(seed AS STRING), '|$t|', CAST($cur AS STRING))),
+               |    1, 13), 16, 10) AS BIGINT) % size(nbrs) + 1
+               |AS INT))""".stripMargin))
+          .drop("nbrs")
+      val seeds = adj.where(col("u") % 20 === 0)
+        .select(col("u").as("seed"), col("u").as("n0"))
+      step(step(step(seeds, 1, "n0", "n1"), 2, "n1", "n2"), 3, "n2", "n3")
+        .select(col("seed"), col("n1"), col("n2"), col("n3"))
+        .orderBy(asc("seed"))
+    }),
+
+    // Leave-one-out influence (training-data valuation): for each
+    // doc, the change in ITS OWN log-likelihood under the corpus
+    // add-1 unigram LM when the doc is removed from the training
+    // counts — the closed-form LOO that data-attribution methods
+    // approximate; the most negative deltas are the most
+    // "memorized"/unique docs. Per-(doc, token-type) delta terms are
+    // floored ONCE from one identically-shaped double expression
+    // (micro-nats), then summed as integers (order-free). One corpus
+    // explode; token counts derive from the tf frame (the q_tfidf
+    // one-explode rule); corpus scalars ride a 1-row broadcast.
+    "q_loo_influence" -> ((s, dir) => {
+      val tf = documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // 3 consumers: nt, len, join
+      val nt = tf.groupBy(col("t")).agg(sum(col("tf")).as("nt"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+      // nn and v both derive from the nt frame (vocab-sized): a
+      // sum + count_distinct in one agg over tf would plan an Expand.
+      val scal = nt.agg(sum(col("nt")).as("nn"), count(lit(1)).as("v"))
+      tf.join(nt, Seq("t"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(scal))
+        .withColumn("term_micro", expr(
+          """CAST(floor(tf * (
+             |  ln((nt - tf + 1) / CAST(nn - len + v AS DOUBLE))
+             |  - ln((nt + 1) / CAST(nn + v AS DOUBLE))
+             |) * 1000000) AS BIGINT)""".stripMargin))
+        .groupBy(col("doc_id"))
+        .agg(max(col("len")).as("n_tokens"),
+          sum(col("term_micro")).as("influence_micronat"))
+        .orderBy(asc("influence_micronat"), asc("doc_id"))
+        .limit(20)
+    }),
+
     // l-diversity over the same quasi-identifier groups as
     // q_k_anonymity, sensitive attribute = account-balance band:
     // per (nation, segment) cell, distinct sensitive values (l) and
@@ -2965,6 +3034,52 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_random_walks" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u, list_sort(list(w)) AS nbrs FROM (
+        |    SELECT src AS u, dst AS w FROM e
+        |    UNION ALL SELECT dst AS u, src AS w FROM e)
+        |  GROUP BY 1),
+        |s0 AS (SELECT u AS seed, u AS n0, nbrs FROM adj WHERE u % 20 = 0),
+        |s1 AS (SELECT seed,
+        |    nbrs[(('0x' || substring(md5('rw|' || seed || '|1|' || n0),
+        |      1, 13))::BIGINT % len(nbrs) + 1)::INT] AS n1
+        |  FROM s0),
+        |s1j AS (SELECT s1.seed, s1.n1, adj.nbrs FROM s1
+        |  JOIN adj ON adj.u = s1.n1),
+        |s2 AS (SELECT seed, n1,
+        |    nbrs[(('0x' || substring(md5('rw|' || seed || '|2|' || n1),
+        |      1, 13))::BIGINT % len(nbrs) + 1)::INT] AS n2
+        |  FROM s1j),
+        |s2j AS (SELECT s2.seed, s2.n1, s2.n2, adj.nbrs FROM s2
+        |  JOIN adj ON adj.u = s2.n2)
+        |SELECT seed, n1, n2,
+        |  nbrs[(('0x' || substring(md5('rw|' || seed || '|3|' || n2),
+        |    1, 13))::BIGINT % len(nbrs) + 1)::INT] AS n3
+        |FROM s2j ORDER BY seed""".stripMargin,
+    "q_loo_influence" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |nt AS (SELECT t, sum(tf)::BIGINT AS nt FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS len FROM tf GROUP BY 1),
+        |scal AS (SELECT sum(nt)::BIGINT AS nn, count(*)::BIGINT AS v
+        |  FROM nt)
+        |SELECT doc_id, max(len)::BIGINT AS n_tokens,
+        |  sum(floor(tf * (
+        |    ln((nt - tf + 1) / (nn - len + v)::DOUBLE)
+        |    - ln((nt + 1) / (nn + v)::DOUBLE)
+        |  ) * 1000000)::BIGINT)::BIGINT AS influence_micronat
+        |FROM tf JOIN nt USING (t) JOIN dl USING (doc_id), scal
+        |GROUP BY doc_id
+        |ORDER BY influence_micronat, doc_id LIMIT 20""".stripMargin,
     "q_l_diversity" ->
       """WITH sens AS (
         |  SELECT c_nationkey, c_mktsegment,
