@@ -92,5 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // read the summary instead of the base table.
     ext.injectOptimizerRule(session =>
       new graft.plans.AggRewrite.RewriteRule(session))
+    // Physical as-of join (graft.plans.AsOfMergeJoin): plans the
+    // AsOfJoinNode logical operator to the co-partitioned merge exec.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -96,6 +96,29 @@ object Events {
         .orderBy(asc("user_id"))
     }),
 
+    // The SAME as-of semantics through the custom PHYSICAL operator
+    // (plans/AsOfMergeJoin: logical node -> planner strategy ->
+    // co-partitioned merge exec) — the driver's hash gate proves the
+    // whole extension path end-to-end against DuckDB's native ASOF
+    // JOIN. Identity with the union-sweep form is additionally
+    // asserted row-for-row in AsOfMergeJoinSpec.
+    "q_asof_merge" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.plans.AsOfMergeJoin.asof(purchases, clicks, "user_id", "ts",
+        Seq("click_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("asof_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          coalesce(round(sum(col("asof_click_value")), 2), lit(0.0))
+            .as("matched_value"))
+        .orderBy(asc("user_id"))
+    }),
+
     // Interval range join (graft.ops.RangeJoin): events vs overlapping
     // campaign windows (stride 3 d, length 5 d — most events match two
     // campaigns), bucketed into 5-day bins so the plan is an EQUI-join
@@ -670,6 +693,17 @@ object Events {
         |SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, count(*) AS n_purchases,
+        |  sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        |  coalesce(round(sum(c.click_value), 2), 0.0) AS matched_value
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_merge" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |c AS (
