@@ -1004,6 +1004,117 @@ object Analytics {
           .as("n_risky_customers"))
     }),
 
+    // Zipf rank-frequency slope (the corpus-health check: natural
+    // text ~ -1): least-squares fit of ln(freq) on ln(rank) over the
+    // top-1000 vocabulary, both axes floored ONCE to integer micro
+    // (identically-shaped exprs) and the slope emitted through the
+    // q_linreg DECIMAL(38,0) signed shift-div. Ranks come from the
+    // deterministic range-sort positions (freq desc, token asc) —
+    // no one-reducer row_number over the vocabulary.
+    "q_zipf_slope" -> ((s, dir) => {
+      val freq = documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      val ranked = graft.ops.Shuffle.positionsBy(
+          freq.withColumn("negf", -col("f")), Seq("negf", "t"), "pos")
+        .where(col("pos") < 1000)
+        .select(
+          expr("CAST(floor(ln(CAST(pos + 1 AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("x"),
+          expr("CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("y"))
+      ranked
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"), expr(
+          """CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+            |  * 1000000 + CAST(100000000000000000 AS DECIMAL(38,0))
+            |  * (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+            |  AS DECIMAL(38,0)) div
+            |  (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+            |  - 100000000000000000""".stripMargin).as("slope_micro"))
+    }),
+
+    // Neyman (optimal) stratified-sample allocation: per-stratum
+    // budget n_h ∝ N_h·σ_h for a fixed total k=1000 — the survey-
+    // design complement to q_pps_estimate. Variance numerator
+    // N·Σx² − (Σx)² is exact in DECIMAL(38,0) (the q_linreg shape);
+    // σ drops to ONE identically-shaped floor(sqrt(double)) per
+    // stratum (IEEE sqrt is correctly rounded — engine-exact on
+    // identical inputs); integer base quotas + largest-remainder
+    // top-up land on exactly k.
+    "q_neyman_alloc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = orders(s, dir)
+        .select(col("o_orderpriority").as("stratum"),
+          expr("CAST(floor(o_totalprice) AS BIGINT)").as("w"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("nh"), sum(col("w")).as("sx"),
+          sum(col("w") * col("w")).as("sxx"))
+        .withColumn("s_milli", expr(
+          """CAST(floor(sqrt(CAST(
+             |  CAST(nh AS DECIMAL(38,0)) * sxx
+             |  - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+             |  / (CAST(nh AS DOUBLE) * (nh - 1))) * 1000) AS BIGINT)"""
+            .stripMargin))
+        .withColumn("num", col("nh") * col("s_milli"))
+      val stc = st.localCheckpoint(true) // 5 rows; total + main consumer
+      val tot = stc.agg(sum(col("num")).as("den"))
+      val w = Window.orderBy(desc("rem"), asc("stratum")) // 5-row frame
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      stc.crossJoin(broadcast(tot))
+        .withColumn("base", expr("num * 1000 div den"))
+        .withColumn("rem", expr("(num * 1000) % den"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("short", lit(1000L) - sum(col("base")).over(wAll))
+        .select(col("stratum"), col("nh"), col("s_milli"),
+          (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+            .as("n_alloc"))
+        .orderBy(asc("stratum"))
+    }),
+
+    // Stratified-matching treatment-effect estimate (observational
+    // causal shape): treatment = BUILDING segment, outcome = total
+    // order spend (cents, zero-filled), strata = nation × acctbal
+    // quartile (deterministic range-sort quartiles — skew-free).
+    // Cells missing either group drop (the common-support rule);
+    // ATT = treated-weighted mean of per-cell mean differences.
+    // Per-cell means are nonneg floor-divs; the final signed ratio
+    // goes through the shift-div.
+    "q_att_match" -> ((s, dir) => {
+      val spend = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))").as("y"))
+      val c = customer(s, dir)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0L, Seq("y"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("treated"),
+          col("y"))
+      val n = c.count()
+      val q = graft.ops.Shuffle.positionsBy(c, Seq("c_acctbal", "c_custkey"),
+          "pos")
+        .withColumn("quart", expr(s"pos * 4 div ${n}L"))
+      val cells = q.groupBy(col("c_nationkey"), col("quart"))
+        .agg(sum(col("treated")).as("nt"),
+          (count(lit(1)) - sum(col("treated"))).as("nc"),
+          sum(when(col("treated") === 1, col("y")).otherwise(0L)).as("yt"),
+          sum(when(col("treated") === 0, col("y")).otherwise(0L)).as("yc"))
+        .where(col("nt") > 0 && col("nc") > 0)
+        .withColumn("diff_micro",
+          expr("yt * 1000000 div nt - yc * 1000000 div nc"))
+      cells.agg(count(lit(1)).as("n_cells"), sum(col("nt")).as("n_treated"),
+          sum(col("nt") * col("diff_micro")).as("num"))
+        .select(col("n_cells"), col("n_treated"), expr(
+          """CAST((CAST(num AS DECIMAL(38,0))
+             |  + CAST(10000000000000000 AS DECIMAL(38,0)) * n_treated)
+             |  div n_treated - 10000000000000000 AS BIGINT)"""
+            .stripMargin).as("att_micro"))
+    }),
+
     // Deterministic random-walk corpus (DeepWalk/node2vec input
     // generation): 3-step walks over the undirected co-purchase
     // graph; each step picks neighbor index md5('rw|'seed'|'t'|'cur)
@@ -3034,6 +3145,83 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT t, count(*)::BIGINT AS f FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1),
+        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) - 1 AS pos
+        |  FROM freq),
+        |xy AS (SELECT
+        |    floor(ln((pos + 1)::DOUBLE) * 1000000)::BIGINT AS x,
+        |    floor(ln(f::DOUBLE) * 1000000)::BIGINT AS y
+        |  FROM r WHERE pos < 1000),
+        |agg AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM xy)
+        |SELECT n,
+        |  (((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+        |    + 100000000000000000::HUGEINT *
+        |      (n::HUGEINT * sxx - sx::HUGEINT * sx))
+        |   // (n::HUGEINT * sxx - sx::HUGEINT * sx)
+        |   - 100000000000000000)::BIGINT AS slope_micro
+        |FROM agg""".stripMargin,
+    "q_neyman_alloc" ->
+      """WITH st AS (
+        |  SELECT o_orderpriority AS stratum, count(*)::BIGINT AS nh,
+        |    sum(floor(o_totalprice)::BIGINT)::BIGINT AS sx,
+        |    sum(floor(o_totalprice)::BIGINT
+        |        * floor(o_totalprice)::BIGINT)::BIGINT AS sxx
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT stratum, nh,
+        |    floor(sqrt((nh::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+        |      / (nh::DOUBLE * (nh - 1))) * 1000)::BIGINT AS s_milli
+        |  FROM st),
+        |n AS (SELECT stratum, nh, s_milli, nh * s_milli AS num,
+        |    sum(nh * s_milli) OVER () AS den FROM s),
+        |b AS (SELECT stratum, nh, s_milli,
+        |    (num * 1000 // den)::BIGINT AS base,
+        |    ((num * 1000) % den)::BIGINT AS rem FROM n),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum)
+        |      AS rk,
+        |    1000 - sum(base) OVER () AS short FROM b)
+        |SELECT stratum, nh, s_milli,
+        |  (base + CASE WHEN rk <= short THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_alloc
+        |FROM rk ORDER BY stratum""".stripMargin,
+    "q_att_match" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(floor(o_totalprice * 100)::BIGINT)::BIGINT
+        |      AS y
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+        |    coalesce(y, 0) AS y
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |q AS (SELECT *,
+        |    row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS pos,
+        |    count(*) OVER () AS n FROM c),
+        |qq AS (SELECT c_nationkey, pos * 4 // n AS quart, treated, y FROM q),
+        |cells AS (
+        |  SELECT c_nationkey, quart,
+        |    sum(treated)::BIGINT AS nt,
+        |    (count(*) - sum(treated))::BIGINT AS nc,
+        |    sum(CASE WHEN treated = 1 THEN y ELSE 0 END)::BIGINT AS yt,
+        |    sum(CASE WHEN treated = 0 THEN y ELSE 0 END)::BIGINT AS yc
+        |  FROM qq GROUP BY 1, 2),
+        |d AS (SELECT nt,
+        |    yt * 1000000 // nt - yc * 1000000 // nc AS diff_micro
+        |  FROM cells WHERE nt > 0 AND nc > 0),
+        |agg AS (SELECT count(*)::BIGINT AS n_cells, sum(nt)::BIGINT
+        |      AS n_treated,
+        |    sum(nt * diff_micro)::BIGINT AS num FROM d)
+        |SELECT n_cells, n_treated,
+        |  ((num::HUGEINT + 10000000000000000::HUGEINT * n_treated)
+        |    // n_treated - 10000000000000000)::BIGINT AS att_micro
+        |FROM agg""".stripMargin,
     "q_random_walks" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
