@@ -22,4 +22,28 @@ object Smoothing {
       (k, x, s, x * 1000000L - s)
     }
   }
+
+  /** Holt double-exponential (level + trend) smoothing with the same
+    * integer contract: with f = l + b (the 1-step-ahead forecast),
+    *   l' = f + (x·1e6 − f) / alphaDen   (≡ α·x + (1−α)·f)
+    *   b' = b + ((l' − l) − b) / betaDen (≡ β·(l'−l) + (1−β)·b)
+    * both in truncating long division (numerators signed — trunc ≡
+    * DuckDB BIGINT `//`). Init l₁ = x₁·1e6, b₁ = 0, f₁ = l₁ (err 0).
+    * Returns (key, x, levelMicro, trendMicro, forecastMicro,
+    * errMicro) ascending; errMicro = x·1e6 − f is the 1-step-ahead
+    * forecast error. */
+  def holt(series: Seq[(String, Long)], alphaDen: Long,
+      betaDen: Long): Seq[(String, Long, Long, Long, Long, Long)] = {
+    var l = 0L
+    var b = 0L
+    series.sortBy(_._1).zipWithIndex.map { case ((k, x), i) =>
+      val xm = x * 1000000L
+      val f = if (i == 0) xm else l + b
+      val lNew = if (i == 0) xm else f + (xm - f) / alphaDen
+      val bNew = if (i == 0) 0L else b + ((lNew - l) - b) / betaDen
+      l = lNew
+      b = bNew
+      (k, x, l, b, f, xm - f)
+    }
+  }
 }

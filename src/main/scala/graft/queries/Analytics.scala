@@ -1789,6 +1789,84 @@ object Analytics {
         .toDF("d", "cnt", "ewma_micro", "resid_micro").orderBy(asc("d"))
     }),
 
+    // Holt double-exponential (level + trend) forecast over the daily
+    // event counts — the trend-aware upgrade of q_ewma_smooth, same
+    // recipe: ONE distributed daily aggregate, then the coupled
+    // level/trend recursion driver-side on the integer micro grid
+    // (ops.Smoothing.holt; signed truncating division ≡ DuckDB BIGINT
+    // `//`), replayed by the oracle as a two-state recursive CTE.
+    // err_micro is the 1-step-ahead forecast error the monitoring
+    // alert would fire on.
+    "q_holt_forecast" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val rows = daily.collect() // bounded: calendar days
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      import s.implicits._
+      graft.ops.Smoothing.holt(rows, alphaDen = 8L, betaDen = 4L)
+        .toDF("d", "cnt", "level_micro", "trend_micro", "forecast_micro",
+          "err_micro")
+        .orderBy(asc("d"))
+    }),
+
+    // Log-rank test between two md5-coin cohorts on time-to-first-
+    // purchase (right-censored at the corpus horizon) — the
+    // hypothesis test that pairs with q_kaplan_meier's estimator.
+    // Per event time: observed-minus-expected deaths in arm A and the
+    // hypergeometric variance, each floored ONCE to integer micro
+    // from one identically-shaped double expression (the divergence-
+    // aggregate rule), then integer-summed; risk sets come from
+    // cumulative windows over the bounded hour axis (an aggregated
+    // frame, never the corpus). chi2 = U²·1000/V runs in
+    // DECIMAL(38,0) (U² can exceed a long).
+    "q_logrank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      val gm = ev.agg(max(col("us")).as("h"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("us")).as("t0"),
+          min(when(col("event_type") === "purchase", col("us"))).as("tp"))
+        .crossJoin(broadcast(gm))
+        .select(
+          when(expr("CAST(conv(substring(md5(concat('lr|', " +
+            "CAST(user_id AS STRING))), 1, 13), 16, 10) AS BIGINT) % 2 = 0"),
+            lit("A")).otherwise(lit("B")).as("arm"),
+          when(col("tp").isNotNull, expr("(tp - t0) div 3600000000"))
+            .otherwise(expr("(h - t0) div 3600000000")).as("t"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("death"))
+      val byT = perUser.groupBy(col("t")).agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ne1"),
+        sum(when(col("arm") === "A", col("death")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("ne2"),
+        sum(when(col("arm") === "B", col("death")).otherwise(0L)).as("d2"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byT
+        .withColumn("n1", sum(col("ne1")).over(wAll)
+          - coalesce(sum(col("ne1")).over(wCum), lit(0L)))
+        .withColumn("n2", sum(col("ne2")).over(wAll)
+          - coalesce(sum(col("ne2")).over(wCum), lit(0L)))
+        .withColumn("d", col("d1") + col("d2"))
+        .withColumn("n", col("n1") + col("n2"))
+        .where(col("d") > 0)
+        .withColumn("term_micro", expr(
+          "CAST(floor((d1 - d * n1 / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .withColumn("var_micro", expr(
+          """CASE WHEN n > 1 THEN CAST(floor(d * (n1 / CAST(n AS DOUBLE))
+             |  * (n2 / CAST(n AS DOUBLE))
+             |  * ((n - d) / CAST(n - 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             |ELSE 0 END""".stripMargin))
+        .agg(sum(col("term_micro")).as("u_micro"),
+          sum(col("var_micro")).as("v_micro"))
+        .select(col("u_micro"), col("v_micro"), expr(
+          """CAST(CAST(u_micro AS DECIMAL(38,0)) * u_micro * 1000
+             | div v_micro AS BIGINT)""".stripMargin).as("chi2_milli"))
+    }),
+
     // Kaplan-Meier survival of per-user inter-event gaps (hours):
     // every inner gap is an observed "death" at its duration, the
     // gap from each user's LAST event to the corpus horizon is
@@ -2998,6 +3076,77 @@ object Analytics {
         |  FROM idx i JOIN rec r ON i.rn = r.rn + 1)
         |SELECT d, cnt, s::BIGINT AS ewma_micro,
         |  (cnt * 1000000 - s)::BIGINT AS resid_micro
+        |FROM rec ORDER BY d""".stripMargin,
+    "q_logrank" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |gm AS (SELECT max(us) AS h FROM ev),
+        |pu AS (
+        |  SELECT
+        |    CASE WHEN ('0x' || substring(md5('lr|' || user_id), 1, 13))::BIGINT
+        |           % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN us END)
+        |           IS NOT NULL
+        |      THEN (min(CASE WHEN event_type = 'purchase' THEN us END)
+        |            - min(us)) // 3600000000
+        |      ELSE (max(gm.h) - min(us)) // 3600000000 END AS t,
+        |    CASE WHEN min(CASE WHEN event_type = 'purchase' THEN us END)
+        |           IS NOT NULL THEN 1 ELSE 0 END AS death
+        |  FROM ev, gm GROUP BY user_id),
+        |byt AS (
+        |  SELECT t,
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS ne1,
+        |    sum(CASE WHEN arm = 'A' THEN death ELSE 0 END)::BIGINT AS d1,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS ne2,
+        |    sum(CASE WHEN arm = 'B' THEN death ELSE 0 END)::BIGINT AS d2
+        |  FROM pu GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    (sum(ne1) OVER () - coalesce(sum(ne1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS n1,
+        |    (sum(ne2) OVER () - coalesce(sum(ne2) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+        |      AS n2
+        |  FROM byt),
+        |terms AS (
+        |  SELECT
+        |    floor((d1 - (d1 + d2) * n1 / (n1 + n2)::DOUBLE) * 1000000)::BIGINT
+        |      AS term_micro,
+        |    CASE WHEN n1 + n2 > 1 THEN
+        |      floor((d1 + d2) * (n1 / (n1 + n2)::DOUBLE)
+        |        * (n2 / (n1 + n2)::DOUBLE)
+        |        * (((n1 + n2) - (d1 + d2)) / ((n1 + n2) - 1)::DOUBLE)
+        |        * 1000000)::BIGINT
+        |    ELSE 0 END AS var_micro
+        |  FROM r WHERE d1 + d2 > 0),
+        |agg AS (SELECT sum(term_micro)::BIGINT AS u_micro,
+        |    sum(var_micro)::BIGINT AS v_micro FROM terms)
+        |SELECT u_micro, v_micro,
+        |  (u_micro::HUGEINT * u_micro * 1000 // v_micro)::BIGINT
+        |    AS chi2_milli
+        |FROM agg""".stripMargin,
+    // Two-state recursive CTE; the level expression is repeated
+    // textually inside the trend update (same integer ops → same
+    // value), mirroring ops.Smoothing.holt step for step.
+    "q_holt_forecast" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT d, cnt, row_number() OVER (ORDER BY d) AS rn FROM (
+        |    SELECT ts::DATE::VARCHAR AS d, count(*) AS cnt
+        |    FROM events GROUP BY 1)),
+        |rec(rn, d, cnt, l, b, f) AS (
+        |  SELECT rn, d, cnt, cnt * 1000000, 0::BIGINT, cnt * 1000000
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, i.d, i.cnt,
+        |    (r.l + r.b) + (i.cnt * 1000000 - (r.l + r.b)) // 8,
+        |    r.b + ((((r.l + r.b) + (i.cnt * 1000000 - (r.l + r.b)) // 8)
+        |            - r.l) - r.b) // 4,
+        |    r.l + r.b
+        |  FROM idx i JOIN rec r ON i.rn = r.rn + 1)
+        |SELECT d, cnt, l::BIGINT AS level_micro, b::BIGINT AS trend_micro,
+        |  f::BIGINT AS forecast_micro, (cnt * 1000000 - f)::BIGINT
+        |    AS err_micro
         |FROM rec ORDER BY d""".stripMargin,
     "q_kaplan_meier" ->
       """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS us

@@ -28,6 +28,36 @@ class SmoothingSpec extends AnyFunSuite {
     }
   }
 
+  test("holt: constant series is a fixpoint; linear trend is tracked") {
+    // Constant input: level locks to the value, trend stays 0,
+    // forecast errors are 0 after the first step.
+    val const = Smoothing.holt((0 until 10).map(i => (f"d$i%02d", 7L)), 8L, 4L)
+    const.foreach { case (_, _, l, b, _, _) =>
+      assert(l == 7000000L && b == 0L)
+    }
+    assert(const.drop(1).forall(_._6 == 0L))
+    // Linear ramp: the trend estimate converges toward the true slope
+    // (1e6 micro/step) and the late forecast errors shrink below the
+    // early ones.
+    val ramp = Smoothing.holt(
+      (0 until 40).map(i => (f"d$i%02d", 100L + i)), 8L, 4L)
+    val lateTrend = ramp.takeRight(5).map(_._4)
+    lateTrend.foreach(b => assert(b > 500000L && b < 1500000L, b))
+    val earlyErr = ramp.slice(1, 6).map(r => math.abs(r._6)).max
+    val lateErr = ramp.takeRight(5).map(r => math.abs(r._6)).max
+    assert(lateErr <= earlyErr)
+    // step-by-step integer replay of the declared recursion
+    var l = 0L; var b = 0L
+    ramp.zipWithIndex.foreach { case ((_, x, lG, bG, fG, eG), i) =>
+      val xm = x * 1000000L
+      val f = if (i == 0) xm else l + b
+      val l2 = if (i == 0) xm else f + (xm - f) / 8L
+      val b2 = if (i == 0) 0L else b + ((l2 - l) - b) / 4L
+      l = l2; b = b2
+      assert(lG == l && bG == b && fG == f && eG == xm - f)
+    }
+  }
+
   test("truncating division matches DuckDB BIGINT // on negative residuals") {
     // step from s=8e6 to x=7: residual -1e6, /8 = -125000 exactly;
     // then from 7e6+... pick a residual NOT divisible by 8:
