@@ -215,7 +215,10 @@ object ScaleCheck {
         edgeBase.select((col("src") + lit(k * 10000000L)).as("src"),
           (col("dst") + lit(k * 10000000L)).as("dst"))
       }.reduce(_ union _)
-      graft.ops.Triangles.stats(g)
+      // statsAdjacency is what q_triangles declares; disjoint copies
+      // keep per-copy adjacency arrays constant-size, so the shipped
+      // array bytes must grow linearly.
+      graft.ops.Triangles.statsAdjacency(g)
     })
 
     // 9. Label propagation (the iterative graph family: LPA shares
@@ -242,6 +245,22 @@ object ScaleCheck {
           (col("dst") + lit(k * 10000000L)).as("dst"))
       }.reduce(_ union _)
       graft.ops.LabelProp.run(g, rounds = 3)
+    })
+
+    // 10. Physical as-of merge join (plans/AsOfMergeJoin): replicated
+    // DISJOINT user bands double both sides; the exec is one merge
+    // per co-partition after SMJ-grade exchanges, so shuffle bytes
+    // must track the inputs — a broken distribution requirement
+    // (e.g. a fallback to BNLJ) would blow up immediately.
+    check("asof_merge", Seq(1, 2, 4, 8), useBytes = true, { f =>
+      val ev = replicate(eventsBase, f, "user_id", 1000000L,
+        tagTokens = false)
+      val l = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("seq").as("ts"), col("event_id"))
+      val r = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("seq").as("ts"))
+        .agg(count(lit(1)).as("v"))
+      graft.plans.AsOfMergeJoin.asof(l, r, "user_id", "ts", Seq("v"))
     })
 
     spark.stop()
