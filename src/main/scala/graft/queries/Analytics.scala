@@ -1004,6 +1004,66 @@ object Analytics {
           .as("n_risky_customers"))
     }),
 
+    // Rendezvous (highest-random-weight) shard routing + the
+    // reassignment-stability proof: each doc goes to the shard with
+    // the max md5('hrw|'doc'|'shard) draw; removing shard 15 moves
+    // ONLY the docs that lived there (the HRW guarantee vs mod-N's
+    // full reshuffle). argmax via max_by over a (score, shard)
+    // struct — deterministic, scan-stage, 31 hashes per doc, zero
+    // shuffle beyond two tiny aggregates.
+    "q_rendezvous_routing" -> ((s, dir) => {
+      def pick(nShards: Int) = documents(s, dir)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(nShards - 1))).as("sh"))
+        .withColumn("score", expr(
+          """CAST(conv(substring(md5(concat('hrw|',
+             |  CAST(doc_id AS STRING), '|', CAST(sh AS STRING))),
+             |  1, 13), 16, 10) AS BIGINT)""".stripMargin))
+        .groupBy(col("doc_id"))
+        // tiebreak packed into one key: score <= 2^52, so score*16+sh
+        // is unique per (score, shard) and fits a long
+        .agg(max_by(col("sh"), col("score") * 16 + col("sh")).as("shard"))
+      val a = pick(16).withColumnRenamed("shard", "shard16")
+      val b = pick(15).withColumnRenamed("shard", "shard15")
+      a.join(b, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard16") =!= col("shard15"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("shard16") === 15, 1L).otherwise(0L))
+            .as("n_on_removed"))
+        .select(col("n_docs"), col("n_moved"), col("n_on_removed"),
+          expr("n_moved * 10000 div n_docs").as("moved_bp"),
+          (col("n_moved") === col("n_on_removed")).as("only_removed_moved"))
+    }),
+
+    // 1-D earth-mover (Wasserstein-1) distance between two sources'
+    // length distributions on a 50-char bucket grid — the
+    // distribution-shift metric that, unlike the KS statistic
+    // (q_drift), weighs HOW FAR mass moved. Integer-exact: EMD =
+    // Σ|cumA·NB − cumB·NA| over the bounded grid, scaled to micro by
+    // one nonneg floor division at the end.
+    "q_emd_lengths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = documents(s, dir)
+        .where(col("source").isin("src0", "src1"))
+        .groupBy(expr("n_chars div 50").as("bucket"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      val wCum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      d.withColumn("cuma", sum(col("ca")).over(wCum))
+        .withColumn("cumb", sum(col("cb")).over(wCum))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+            .as("num"))
+        .select(col("n_a"), col("n_b"),
+          expr("num * 1000000 div (n_a * n_b)").as("emd_buckets_micro"))
+    }),
+
     // Zipf rank-frequency slope (the corpus-health check: natural
     // text ~ -1): least-squares fit of ln(freq) on ln(rank) over the
     // top-1000 vocabulary, both axes floored ONCE to integer micro
@@ -3294,6 +3354,55 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rendezvous_routing" ->
+      """WITH s16 AS (
+        |  SELECT doc_id, arg_max(sh, sc * 16 + sh) AS shard16 FROM (
+        |    SELECT doc_id, sh,
+        |      ('0x' || substring(md5('hrw|' || doc_id || '|' || sh),
+        |        1, 13))::BIGINT AS sc
+        |    FROM documents, unnest(range(0, 16)) AS t(sh))
+        |  GROUP BY 1),
+        |s15 AS (
+        |  SELECT doc_id, arg_max(sh, sc * 16 + sh) AS shard15 FROM (
+        |    SELECT doc_id, sh,
+        |      ('0x' || substring(md5('hrw|' || doc_id || '|' || sh),
+        |        1, 13))::BIGINT AS sc
+        |    FROM documents, unnest(range(0, 15)) AS t(sh))
+        |  GROUP BY 1),
+        |j AS (SELECT * FROM s16 JOIN s15 USING (doc_id)),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN shard16 <> shard15 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_moved,
+        |    sum(CASE WHEN shard16 = 15 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_on_removed
+        |  FROM j)
+        |SELECT n_docs, n_moved, n_on_removed,
+        |  (n_moved * 10000 // n_docs)::BIGINT AS moved_bp,
+        |  n_moved = n_on_removed AS only_removed_moved
+        |FROM agg""".stripMargin,
+    "q_emd_lengths" ->
+      """WITH d AS (
+        |  SELECT n_chars // 50 AS bucket,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |c AS (
+        |  SELECT bucket,
+        |    sum(ca) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cuma,
+        |    sum(cb) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cumb,
+        |    sum(ca) OVER ()::BIGINT AS na,
+        |    sum(cb) OVER ()::BIGINT AS nb
+        |  FROM d),
+        |agg AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+        |    sum(abs(cuma * nb - cumb * na))::BIGINT AS num FROM c)
+        |SELECT n_a, n_b,
+        |  (num * 1000000 // (n_a * n_b))::BIGINT AS emd_buckets_micro
+        |FROM agg""".stripMargin,
     "q_zipf_slope" ->
       """WITH freq AS (
         |  SELECT t, count(*)::BIGINT AS f FROM (
