@@ -366,6 +366,40 @@ object EventStream {
       .toDF("event_type", "seen", "d", "cnt", "ewma_micro", "resid_micro")
   }
 
+  /** Streaming twin of q_holt_forecast — the [[ewmaDaily]] recipe
+    * with the coupled level+trend recursion: state is the per-type
+    * calendar-day count map, and every update RE-DERIVES the whole
+    * curve through [[graft.ops.Smoothing.holt]] (order-sensitive
+    * derivation — the funnel late-data rule), so late-arriving
+    * earlier days reshape level, trend, and every later forecast
+    * exactly as the batch query would. */
+  def holtDaily(spark: SparkSession, events: DataFrame,
+      alphaDen: Long = 8L, betaDen: Long = 4L): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long],
+          (String, Long, String, Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val m = scala.collection.mutable.Map.empty[String, Long]
+          m ++= state.getOption.getOrElse(Map.empty)
+          rows.foreach { case (_, d) => m(d) = m.getOrElse(d, 0L) + 1L }
+          val snapshot = m.toMap
+          state.update(snapshot)
+          val seen = snapshot.valuesIterator.sum
+          graft.ops.Smoothing.holt(snapshot.toSeq, alphaDen, betaDen)
+            .iterator.map { case (d, c, l, b, f, e) =>
+              (key, seen, d, c, l, b, f, e)
+            }
+      }
+      .toDF("event_type", "seen", "d", "cnt", "level_micro", "trend_micro",
+        "forecast_micro", "err_micro")
+  }
+
   /** Run a parquet-backed streaming query into an in-memory sink until
     * all available input is processed (test/dev harness). */
   def runToMemory(spark: SparkSession, sourceDir: String, name: String,

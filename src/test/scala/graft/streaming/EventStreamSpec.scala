@@ -265,6 +265,38 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(_._2.exists(_._1 < cut)))
   }
 
+  test("streaming Holt twin converges to the batch level/trend curves") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-holt")
+    Tables.events(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(streamDir.toString)
+    val q = EventStream.runToMemory(spark, streamDir.toString,
+      "holt_daily", EventStream.holtDaily(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(120000)
+    val all = spark.sql("SELECT * FROM holt_daily").collect()
+    val streamed = all.groupBy(_.getString(0)).map { case (t, rs) =>
+      val mx = rs.map(_.getLong(1)).max
+      t -> rs.filter(_.getLong(1) == mx)
+        .map(r => (r.getString(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))
+        .sortBy(_._1).toSeq
+    }
+    val batch = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> graft.ops.Smoothing.holt(
+          rs.map(r => (r.getString(1), r.getLong(2))).toSeq, 8L, 4L)
+      }
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (t, exp) =>
+      assert(streamed(t) == exp, s"type $t diverged")
+    }
+    // the curves are non-trivial: some type has a nonzero trend
+    assert(batch.exists(_._2.exists(_._4 != 0L)))
+  }
+
   test("streaming heavy hitters equal batch exact counts (no-eviction regime)") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-hh")
