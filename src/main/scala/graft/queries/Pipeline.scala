@@ -701,6 +701,63 @@ object Pipeline {
     // which-crawl-is-internally-duplicative signal that decides where
     // dedup budget goes. The pair frame is tiny after the threshold,
     // so the source join-backs broadcast; one final per-source agg.
+    // Preference-pair construction (DPO/RLHF data prep): near-dup
+    // pairs (same machinery as q_near_dup_jaccard) become
+    // (chosen, rejected) training pairs ranked by an integer
+    // type-token-ratio quality score; ties drop (a pair must have a
+    // strictly better side), and the margin ships with the pair so
+    // downstream loss weighting stays possible. The pair frame is
+    // tiny post-threshold, so the quality join-backs broadcast.
+    "q_pref_pairs" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(spread(documents(s, dir)), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleDf = 10)
+        .select(col("doc_a"), col("doc_b"))
+      val tf = documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val qs = tf.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("types"), sum(col("c")).as("toks"))
+        .select(col("doc_id"), expr("types * 10000 div toks").as("qs"))
+      pairs
+        .join(broadcast(qs.select(col("doc_id").as("doc_a"),
+          col("qs").as("qa"))), Seq("doc_a"))
+        .join(broadcast(qs.select(col("doc_id").as("doc_b"),
+          col("qs").as("qb"))), Seq("doc_b"))
+        .where(col("qa") =!= col("qb"))
+        .select(
+          when(col("qa") > col("qb"), col("doc_a")).otherwise(col("doc_b"))
+            .as("chosen"),
+          when(col("qa") > col("qb"), col("doc_b")).otherwise(col("doc_a"))
+            .as("rejected"),
+          abs(col("qa") - col("qb")).as("margin_bp"))
+        .orderBy(asc("chosen"), asc("rejected"))
+    }),
+
+    // Normalization-ladder dedup census: how many MORE duplicate docs
+    // each normalization level exposes (raw -> NFC -> casefold ->
+    // whitespace collapse) — the decision input for "which normalizer
+    // does exact dedup run behind". ONE corpus scan: the four
+    // normalized forms posexplode to (level, norm) rows and one
+    // distinct-shaped aggregate per level comes out of a single
+    // shuffle (no per-level rescans, no mixed-distinct Expand).
+    "q_dedup_normalization" -> ((s, dir) => {
+      val nfc = (c: Column) =>
+        graft.functions.NfcNormalizeExpr.nfcNormalize(s, c)
+      val lv = documents(s, dir).select(posexplode(array(
+          col("text"),
+          nfc(col("text")),
+          lower(nfc(col("text"))),
+          trim(regexp_replace(lower(nfc(col("text"))), "\\s+", " "))))
+        .as(Seq("level", "norm")))
+      lv.groupBy(col("level"), col("norm")).agg(count(lit(1)).as("c"))
+        .groupBy(col("level"))
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_distinct"),
+          (sum(col("c")) - count(lit(1))).as("n_dup_docs"))
+        .orderBy(asc("level"))
+    }),
+
     "q_dup_rate" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("source"))
       val pairs = Dedup.jaccardPairs(spread(documents(s, dir)), "text",
@@ -2280,6 +2337,50 @@ object Pipeline {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs
         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_pref_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] END) AS ws
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |tf AS (
+        |  SELECT doc_id, t, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |qs AS (
+        |  SELECT doc_id, (count(*) * 10000 // sum(c))::BIGINT AS qs
+        |  FROM tf GROUP BY 1)
+        |SELECT
+        |  CASE WHEN qa.qs > qb.qs THEN doc_a ELSE doc_b END AS chosen,
+        |  CASE WHEN qa.qs > qb.qs THEN doc_b ELSE doc_a END AS rejected,
+        |  abs(qa.qs - qb.qs)::BIGINT AS margin_bp
+        |FROM pairs
+        |JOIN qs qa ON doc_a = qa.doc_id
+        |JOIN qs qb ON doc_b = qb.doc_id
+        |WHERE jaccard >= 0.3 AND qa.qs <> qb.qs
+        |ORDER BY chosen, rejected""".stripMargin,
+    "q_dedup_normalization" ->
+      """WITH lv AS (
+        |  SELECT 0 AS level, text AS norm FROM documents
+        |  UNION ALL SELECT 1, nfc_normalize(text) FROM documents
+        |  UNION ALL SELECT 2, lower(nfc_normalize(text)) FROM documents
+        |  UNION ALL SELECT 3,
+        |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |  FROM documents),
+        |g AS (SELECT level, norm, count(*)::BIGINT AS c
+        |  FROM lv GROUP BY 1, 2)
+        |SELECT level, sum(c)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_distinct,
+        |  (sum(c) - count(*))::BIGINT AS n_dup_docs
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dup_rate" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
