@@ -55,6 +55,15 @@ object AsOfMergeJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    GraftClassicBridge.ofRows(spark,
+      buildNode(left, right, key, ts, rightVals))
+  }
+
+  /** The logical node alone (no strategy registration) — the path a
+    * cluster session configured with `GraftExtensions` uses, where
+    * `injectPlannerStrategy` already installed [[AsOfJoinStrategy]]. */
+  private[graft] def buildNode(left: DataFrame, right: DataFrame,
+      key: String, ts: String, rightVals: Seq[String]): AsOfJoinNode = {
     val lp = left.where(col(key).isNotNull && col(ts).isNotNull)
       .queryExecution.analyzed
     val rp = right.where(col(key).isNotNull && col(ts).isNotNull)
@@ -65,8 +74,7 @@ object AsOfMergeJoin {
       AttributeReference("asof_ts", rTs.dataType, nullable = true)() +:
         rVals.map(v =>
           AttributeReference(s"asof_${v.name}", v.dataType, nullable = true)())
-    GraftClassicBridge.ofRows(spark,
-      AsOfJoinNode(lp, rp, key, ts, rightVals, asofOut))
+    AsOfJoinNode(lp, rp, key, ts, rightVals, asofOut)
   }
 }
 
