@@ -922,6 +922,46 @@ object Pipeline {
     // range-partitioned sort + zipWithIndex, never a single-partition
     // row_number window. The oracle replays the identical md5 order in
     // DuckDB, proving position-for-position parity.
+    // Vocabulary richness estimation — "how many unseen tokens
+    // remain": Good-Turing unseen mass (singleton share V1/N) and the
+    // Chao1 species-richness lower bound V + V1²/(2·V2), both exact
+    // integer quotients over the frequency-of-frequency counts (one
+    // explode, two aggregates — the corpus-planning signal for
+    // whether more data keeps buying vocabulary).
+    "q_vocab_richness" -> ((s, dir) => {
+      val freq = documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      freq.agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("v_observed"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("f") === 2, 1L).otherwise(0L)).as("v2"))
+        .select(col("n_tokens"), col("v_observed"), col("v1"), col("v2"),
+          expr("v1 * 1000000 div n_tokens").as("gt_unseen_micro"),
+          expr("""v_observed + CASE WHEN v2 > 0
+                  THEN (v1 * v1) div (2 * v2) ELSE 0 END""")
+            .as("chao1_est"))
+    }),
+
+    // Systematic sampling (every k-th in the deterministic md5
+    // shuffle order — the survey-design classic; with a hashed order
+    // it is equivalent to simple random sampling but needs only a
+    // modulo on the global position). Completes the sampling family:
+    // Bernoulli / stratified / weighted / exact-k / PPS / Neyman /
+    // systematic.
+    "q_systematic_sample" -> ((s, dir) => {
+      val k = 29L
+      graft.ops.Shuffle.shuffled(
+          orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+          "o_orderkey", seed = 17L)
+        .where(pmod(col("shuffle_pos"), lit(k)) === 0)
+        .agg(count(lit(1)).as("n_sampled"),
+          expr("sum(CAST(floor(o_totalprice * 100) AS BIGINT))")
+            .as("sum_cents"))
+        .select(col("n_sampled"), col("sum_cents"),
+          expr(s"sum_cents * $k").as("est_total_cents"))
+    }),
+
     "q_corpus_shuffle" -> ((s, dir) => {
       graft.ops.Shuffle.shuffled(
           documents(s, dir).select(col("doc_id")), "doc_id", seed = 42L)
@@ -2478,6 +2518,34 @@ object Pipeline {
         |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
         |SELECT component, count(*)::BIGINT AS n_members
         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vocab_richness" ->
+      """WITH freq AS (
+        |  SELECT t, count(*)::BIGINT AS f FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1),
+        |agg AS (
+        |  SELECT sum(f)::BIGINT AS n_tokens, count(*)::BIGINT AS v_observed,
+        |    sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS v1,
+        |    sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)::BIGINT AS v2
+        |  FROM freq)
+        |SELECT n_tokens, v_observed, v1, v2,
+        |  (v1 * 1000000 // n_tokens)::BIGINT AS gt_unseen_micro,
+        |  (v_observed + CASE WHEN v2 > 0
+        |     THEN (v1 * v1) // (2 * v2) ELSE 0 END)::BIGINT AS chao1_est
+        |FROM agg""".stripMargin,
+    "q_systematic_sample" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY md5('17|' || o_orderkey::VARCHAR),
+        |      o_orderkey) - 1 AS pos
+        |  FROM orders),
+        |s AS (SELECT * FROM r WHERE pos % 29 = 0)
+        |SELECT count(*)::BIGINT AS n_sampled,
+        |  sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents,
+        |  (sum(floor(o_totalprice * 100)::BIGINT) * 29)::BIGINT
+        |    AS est_total_cents
+        |FROM s""".stripMargin,
     "q_corpus_shuffle" ->
       """WITH r AS (
         |  SELECT doc_id,
