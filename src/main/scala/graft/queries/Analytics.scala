@@ -46,6 +46,15 @@ object Analytics {
     s"CASE $rankCol " + (1 to 10).map(i =>
       s"WHEN $i THEN ${ndcgWeights(i - 1)}").mkString(" ") + " ELSE 0 END"
 
+  /** (z_{0.975} + z_{0.8})² in integer micro — the power-analysis
+    * constant, JVM-computed once and embedded as the same literal in
+    * both engines (q_power_analysis). */
+  private[queries] val powerCMicro: Long = {
+    val za = 1.959963985
+    val zb = 0.8416212336
+    math.floor((za + zb) * (za + zb) * 1e6).toLong
+  }
+
   /** Benford expected first-digit shares floor(1e4·log10(1+1/d)),
     * d = 1..9 — JVM-computed once, embedded as the same literals in
     * both engines (q_benford). */
@@ -1002,6 +1011,63 @@ object Analytics {
         sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_risky_groups"),
         sum(when(col("sz") < 5, col("sz")).otherwise(lit(0L)))
           .as("n_risky_customers"))
+    }),
+
+    // A/B sample-size design (power analysis): n per arm for
+    // detecting a 10% relative lift on the observed purchase
+    // conversion at alpha=0.05 (two-sided), power=0.8 —
+    // n = (z_a+z_b)^2 * 2 p(1-p) / delta^2. The z constant is
+    // JVM-computed ONCE and embedded as the same integer-micro
+    // literal in both engines (the ndcg-weights recipe); everything
+    // else is exact integer bp arithmetic with an integer ceil.
+    "q_power_analysis" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val base = ev
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase"))
+        .select(col("n_events"), col("n_purchase"),
+          expr("n_purchase * 10000 div n_events").as("p_bp"))
+        .withColumn("delta_bp", expr("p_bp div 10"))
+      base.select(col("n_events"), col("n_purchase"), col("p_bp"),
+        col("delta_bp"),
+        expr(s"""(${Analytics.powerCMicro} * 2 * p_bp * (10000 - p_bp)
+                 | + delta_bp * delta_bp * 1000000 - 1)
+                 | div (delta_bp * delta_bp * 1000000)""".stripMargin)
+          .as("n_per_arm"))
+    }),
+
+    // Luhn-validated PII scan: 13-16 digit runs are only reported as
+    // card numbers when the Luhn checksum holds — the false-positive
+    // cut every production PII detector layers over the regex. Digit
+    // runs come from one scan-stage regexp; the checksum is a single
+    // per-candidate pass over a materialized reversed-digit string
+    // (identical shape both engines; candidates per doc are bounded
+    // by the regex, not the text).
+    "q_luhn_scan" -> ((s, dir) => {
+      val planted = spread(documents(s, dir)).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit(" card 4539578763621486 on file")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" ref 4539578763621487 logged")).otherwise(lit("")))
+          .as("text"))
+      val cands = planted.select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, '\\\\b\\\\d{13,16}\\\\b', 0)"))
+            .as("num"))
+        .withColumn("rev", reverse(col("num")))
+      val luhnSum = expr(
+        """aggregate(sequence(1, length(rev)), 0L, (acc, i) -> acc +
+           |  CASE WHEN i % 2 = 1
+           |    THEN CAST(substring(rev, i, 1) AS LONG)
+           |    ELSE CASE WHEN CAST(substring(rev, i, 1) AS LONG) * 2 > 9
+           |      THEN CAST(substring(rev, i, 1) AS LONG) * 2 - 9
+           |      ELSE CAST(substring(rev, i, 1) AS LONG) * 2 END
+           |  END)""".stripMargin)
+      cands.withColumn("valid", (luhnSum % 10 === 0))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_luhn_valid"),
+          sum(when(!col("valid"), 1L).otherwise(0L)).as("n_rejected"))
     }),
 
     // Rendezvous (highest-random-weight) shard routing + the
@@ -3354,6 +3420,44 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_power_analysis" ->
+      s"""WITH base AS (
+        |  SELECT count(*)::BIGINT AS n_events,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_purchase
+        |  FROM events),
+        |p AS (SELECT n_events, n_purchase,
+        |    (n_purchase * 10000 // n_events)::BIGINT AS p_bp FROM base),
+        |d AS (SELECT *, (p_bp // 10)::BIGINT AS delta_bp FROM p)
+        |SELECT n_events, n_purchase, p_bp, delta_bp,
+        |  (($powerCMicro * 2 * p_bp * (10000 - p_bp)
+        |    + delta_bp * delta_bp * 1000000 - 1)
+        |   // (delta_bp * delta_bp * 1000000))::BIGINT AS n_per_arm
+        |FROM d""".stripMargin,
+    "q_luhn_scan" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ' card 4539578763621486 on file' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |            THEN ' ref 4539578763621487 logged' ELSE '' END AS text
+        |  FROM documents),
+        |cands AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text,
+        |      '\b\d{13,16}\b')) AS num
+        |  FROM planted),
+        |checked AS (
+        |  SELECT num,
+        |    list_sum([CASE WHEN i % 2 = 1 THEN r[i]::BIGINT
+        |      ELSE CASE WHEN r[i]::BIGINT * 2 > 9
+        |        THEN r[i]::BIGINT * 2 - 9 ELSE r[i]::BIGINT * 2 END
+        |      END for i in range(1, len(r) + 1)]) % 10 = 0 AS valid
+        |  FROM (SELECT num, string_split(reverse(num), '') AS r FROM cands))
+        |SELECT count(*)::BIGINT AS n_candidates,
+        |  sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT AS n_luhn_valid,
+        |  sum(CASE WHEN valid THEN 0 ELSE 1 END)::BIGINT AS n_rejected
+        |FROM checked""".stripMargin,
     "q_rendezvous_routing" ->
       """WITH s16 AS (
         |  SELECT doc_id, arg_max(sh, sc * 16 + sh) AS shard16 FROM (
