@@ -1013,6 +1013,68 @@ object Analytics {
           .as("n_risky_customers"))
     }),
 
+    // Degree assortativity of the co-purchase graph — do hubs attach
+    // to hubs? The graph-health scalar that predicts whether
+    // degree-oriented algorithms (our triangle/LSH bounds) see a
+    // friendly or adversarial topology. Emitted as the REGRESSION
+    // SLOPE of neighbor degree on own degree over all directed edge
+    // endpoints (same sign and monotone in Newman's r, whose sqrt
+    // denominator would leave the integer grid); moments are exact
+    // integer sums, the ratio runs in DECIMAL(38,0) signed shift-div.
+    "q_assortativity" -> ((s, dir) => {
+      val e = copurchaseEdges(s, dir, minSupport = 2)
+        .localCheckpoint(true) // degree agg + both join legs
+      val adj = e.select(col("src").as("u"), col("dst").as("w"))
+        .union(e.select(col("dst").as("u"), col("src").as("w")))
+      val deg = adj.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("d"))
+      adj
+        .join(deg.select(col("node").as("u"), col("d").as("dx")), Seq("u"))
+        .join(deg.select(col("node").as("w"), col("d").as("dy")), Seq("w"))
+        .agg(count(lit(1)).as("m2"), sum(col("dx")).as("sx"),
+          sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"))
+        .select(col("m2"), expr(
+          """CAST(((CAST(m2 AS DECIMAL(38,0)) * sxy
+             |   - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+             |  + CAST(10000000 AS DECIMAL(38,0))
+             |    * (CAST(m2 AS DECIMAL(38,0)) * sxx
+             |       - CAST(sx AS DECIMAL(38,0)) * sx))
+             | div (CAST(m2 AS DECIMAL(38,0)) * sxx
+             |      - CAST(sx AS DECIMAL(38,0)) * sx)
+             | - 10000000 AS BIGINT)""".stripMargin).as("slope_micro"))
+    }),
+
+    // Entropy rate of the first-order event-type Markov chain — "how
+    // predictable is user behavior": H = -Σ_s p(s) Σ_t p(t|s) ln
+    // p(t|s), each (s,t) term floored ONCE to integer nano-nats from
+    // one identically-shaped double expression then integer-summed
+    // (the divergence-aggregate rule). Transition counts come from
+    // ONE lag window over per-user partitions; everything after is
+    // broadcast-sized.
+    "q_markov_entropy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("rn"))
+      val grand = pairs.agg(sum(col("n")).as("g"))
+      pairs.join(broadcast(rowTot), Seq("prev_type"))
+        .crossJoin(broadcast(grand))
+        .withColumn("term_nano", expr(
+          """CAST(floor(-(rn / CAST(g AS DOUBLE)) * (n / CAST(rn AS DOUBLE))
+             |  * ln(n / CAST(rn AS DOUBLE)) * 1000000000) AS BIGINT)"""
+            .stripMargin))
+        .agg(max(col("g")).as("n_transitions"),
+          count(lit(1)).as("n_cells"),
+          sum(col("term_nano")).as("entropy_rate_nano"))
+    }),
+
     // A/B sample-size design (power analysis): n per arm for
     // detecting a 10% relative lift on the observed purchase
     // conversion at alpha=0.05 (two-sided), power=0.8 —
@@ -3420,6 +3482,43 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT src AS u, dst AS w FROM e
+        |  UNION ALL SELECT dst AS u, src AS w FROM e),
+        |deg AS (SELECT u AS node, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS m2, sum(a.d)::BIGINT AS sx,
+        |    sum(b.d)::BIGINT AS sy, sum(a.d * b.d)::BIGINT AS sxy,
+        |    sum(a.d * a.d)::BIGINT AS sxx
+        |  FROM adj JOIN deg a ON adj.u = a.node JOIN deg b ON adj.w = b.node)
+        |SELECT m2,
+        |  (((m2::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+        |    + 10000000::HUGEINT * (m2::HUGEINT * sxx - sx::HUGEINT * sx))
+        |   // (m2::HUGEINT * sxx - sx::HUGEINT * sx)
+        |   - 10000000)::BIGINT AS slope_micro
+        |FROM m""".stripMargin,
+    "q_markov_entropy" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type, count(*)::BIGINT AS n FROM seq
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT prev_type, sum(n)::BIGINT AS rn FROM pairs
+        |  GROUP BY 1),
+        |g AS (SELECT sum(n)::BIGINT AS g FROM pairs)
+        |SELECT max(g.g) AS n_transitions, count(*)::BIGINT AS n_cells,
+        |  sum(floor(-(rn / g.g::DOUBLE) * (n / rn::DOUBLE)
+        |    * ln(n / rn::DOUBLE) * 1000000000)::BIGINT)::BIGINT
+        |    AS entropy_rate_nano
+        |FROM pairs JOIN rt USING (prev_type), g""".stripMargin,
     "q_power_analysis" ->
       s"""WITH base AS (
         |  SELECT count(*)::BIGINT AS n_events,
