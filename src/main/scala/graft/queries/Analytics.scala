@@ -1013,6 +1013,56 @@ object Analytics {
           .as("n_risky_customers"))
     }),
 
+    // Capture-recapture (Lincoln-Petersen) population estimate: two
+    // INDEPENDENT deterministic md5 screens of the order population;
+    // N_hat = n1·n2/m from the overlap — the estimate-what-you-
+    // haven't-seen tool (how many dups/PII hits remain after partial
+    // screens). Both screens are scan-stage predicates; the estimate
+    // is one integer quotient, compared against the true count the
+    // synthetic setting exposes.
+    "q_capture_recapture" -> ((s, dir) => {
+      def coin(salt: String) = conv(substring(md5(concat(lit(salt),
+        col("o_orderkey").cast("string"))), 1, 13), 16, 10)
+        .cast("double") < lit(0.3 * 4503599627370496.0)
+      orders(s, dir).select(col("o_orderkey"),
+          coin("cr1|").cast("long").as("s1"),
+          coin("cr2|").cast("long").as("s2"))
+        .agg(count(lit(1)).as("n_true"), sum(col("s1")).as("n1"),
+          sum(col("s2")).as("n2"),
+          sum(col("s1") * col("s2")).as("m"))
+        .select(col("n_true"), col("n1"), col("n2"), col("m"),
+          expr("n1 * n2 div m").as("n_est"),
+          expr("""(n1 * n2 div m) * 10000 div n_true""").as("est_bp_of_true"))
+    }),
+
+    // Deterministic half-sample error bars: 16 independent md5 coins
+    // each select ~half the orders; the spread of the 16 half-sample
+    // mean prices estimates the sampling error of the full-corpus
+    // mean — the bootstrap-flavored CI that stays bit-reproducible
+    // (no RNG state). One 16× explode of (order, rep), one aggregate;
+    // means are nonneg floor-div micro, the SD drops to one
+    // identically-shaped floor(sqrt(double)).
+    "q_halfsample_ci" -> ((s, dir) => {
+      val reps = orders(s, dir)
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("w"),
+          col("o_orderkey"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .where(conv(substring(md5(concat(lit("hs|"), col("b").cast("string"),
+          lit("|"), col("o_orderkey").cast("string"))), 1, 13), 16, 10)
+          .cast("double") < lit(0.5 * 4503599627370496.0))
+      val perRep = reps.groupBy(col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+        .select(col("b"), expr("sw div n").as("mean_cents"))
+      perRep
+        .agg(count(lit(1)).as("n_reps"), sum(col("mean_cents")).as("sm"),
+          sum(col("mean_cents") * col("mean_cents")).as("smm"))
+        .select(col("n_reps"),
+          expr("sm div n_reps").as("mean_of_means_cents"),
+          expr("""CAST(floor(sqrt(CAST(n_reps * smm - sm * sm AS DOUBLE)
+                 |  / (CAST(n_reps AS DOUBLE) * (n_reps - 1)))) AS BIGINT)"""
+            .stripMargin).as("halfsample_sd_cents"))
+    }),
+
     // Degree assortativity of the co-purchase graph — do hubs attach
     // to hubs? The graph-health scalar that predicts whether
     // degree-oriented algorithms (our triangle/LSH bounds) see a
@@ -3482,6 +3532,39 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_capture_recapture" ->
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN ('0x' || substring(md5('cr1|' || o_orderkey::VARCHAR),
+        |        1, 13))::BIGINT::DOUBLE < 0.3 * 4503599627370496.0
+        |      THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN ('0x' || substring(md5('cr2|' || o_orderkey::VARCHAR),
+        |        1, 13))::BIGINT::DOUBLE < 0.3 * 4503599627370496.0
+        |      THEN 1 ELSE 0 END AS s2
+        |  FROM orders),
+        |agg AS (SELECT count(*)::BIGINT AS n_true, sum(s1)::BIGINT AS n1,
+        |    sum(s2)::BIGINT AS n2, sum(s1 * s2)::BIGINT AS m FROM s)
+        |SELECT n_true, n1, n2, m,
+        |  (n1 * n2 // m)::BIGINT AS n_est,
+        |  ((n1 * n2 // m) * 10000 // n_true)::BIGINT AS est_bp_of_true
+        |FROM agg""".stripMargin,
+    "q_halfsample_ci" ->
+      """WITH reps AS (
+        |  SELECT floor(o_totalprice * 100)::BIGINT AS w, b
+        |  FROM orders, unnest(range(0, 16)) AS t(b)
+        |  WHERE ('0x' || substring(md5('hs|' || b || '|' ||
+        |      o_orderkey::VARCHAR), 1, 13))::BIGINT::DOUBLE
+        |    < 0.5 * 4503599627370496.0),
+        |pr AS (SELECT b, (sum(w) // count(*))::BIGINT AS mean_cents
+        |  FROM reps GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS n_reps,
+        |    sum(mean_cents)::BIGINT AS sm,
+        |    sum(mean_cents * mean_cents)::BIGINT AS smm FROM pr)
+        |SELECT n_reps, (sm // n_reps)::BIGINT AS mean_of_means_cents,
+        |  floor(sqrt((n_reps * smm - sm * sm)::DOUBLE
+        |    / (n_reps::DOUBLE * (n_reps - 1))))::BIGINT
+        |    AS halfsample_sd_cents
+        |FROM agg""".stripMargin,
     "q_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
