@@ -96,6 +96,27 @@ object Events {
         .orderBy(asc("user_id"))
     }),
 
+    // Arrival burstiness per event type — the Fano factor
+    // (variance/mean) of daily counts: 1000 milli ≈ Poisson,
+    // above = bursty, below = regular. The capacity-planning scalar
+    // for stream sizing. One daily pre-aggregate onto the bounded
+    // calendar axis, then exact integer moments and ONE nonneg
+    // floor division: fano = (n·Σx² − (Σx)²) / ((n−1)·Σx).
+    "q_burstiness" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .where(col("n_days") > 1)
+        .select(col("event_type"), col("n_days"),
+          expr("sx div n_days").as("mean_per_day"),
+          expr("""(n_days * sxx - sx * sx) * 1000
+                  div ((n_days - 1) * sx)""").as("fano_milli"))
+        .orderBy(asc("event_type"))
+    }),
+
     // The SAME as-of semantics through the custom PHYSICAL operator
     // (plans/AsOfMergeJoin: logical node -> planner strategy ->
     // co-partitioned merge exec) — the driver's hash gate proves the
@@ -703,6 +724,19 @@ object Events {
         |  coalesce(round(sum(c.click_value), 2), 0.0) AS matched_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE::VARCHAR AS d, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days,
+        |    sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  (sx // n_days)::BIGINT AS mean_per_day,
+        |  ((n_days * sxx - sx * sx) * 1000
+        |   // ((n_days - 1) * sx))::BIGINT AS fano_milli
+        |FROM m WHERE n_days > 1 ORDER BY event_type""".stripMargin,
     "q_asof_merge" ->
       """WITH p AS (
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),

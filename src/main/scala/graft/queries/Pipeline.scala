@@ -943,6 +943,32 @@ object Pipeline {
             .as("chao1_est"))
     }),
 
+    // Vocabulary growth curve (empirical rarefaction): distinct
+    // tokens at NESTED deterministic doc subsamples of 1/8, 1/4,
+    // 1/2, 1 — does vocabulary saturate, the q_vocab_richness
+    // companion. The Expand-free trick: a token is in the rate-r
+    // subsample iff the MIN doc-coin over its occurrences is below r,
+    // so ONE min-aggregate per token replaces four count-distincts
+    // (which would plan input×5 Expand); rates then read off as
+    // plain conditional sums.
+    "q_vocab_growth" -> ((s, dir) => {
+      val coinBp = (conv(substring(md5(concat(lit("vg|"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long"))
+      val tokMin = documents(s, dir)
+        .select(coinBp.as("coin"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy(col("t")).agg(min(col("coin")).as("mc"))
+      val rates = Seq(8192L, 16384L, 32768L, 65536L) // /8, /4, /2, all of 16^4
+      val aggExprs = rates.map(r =>
+        sum(when(col("mc") < r, 1L).otherwise(0L)).as(s"v_$r"))
+      val wide = tokMin.agg(aggExprs.head, aggExprs.tail: _*)
+      wide.selectExpr(
+          "stack(4, 8192L, v_8192, 16384L, v_16384, 32768L, v_32768, " +
+            "65536L, v_65536) AS (rate_64k, n_distinct_tokens)")
+        .orderBy(asc("rate_64k"))
+    }),
+
     // Systematic sampling (every k-th in the deterministic md5
     // shuffle order — the survey-design classic; with a hashed order
     // it is equivalent to simple random sampling but needs only a
@@ -2534,6 +2560,27 @@ object Pipeline {
         |  (v_observed + CASE WHEN v2 > 0
         |     THEN (v1 * v1) // (2 * v2) ELSE 0 END)::BIGINT AS chao1_est
         |FROM agg""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT ('0x' || substring(md5('vg|' || doc_id::VARCHAR),
+        |      1, 4))::BIGINT AS coin, t
+        |  FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |tm AS (SELECT t, min(coin)::BIGINT AS mc FROM tok GROUP BY 1),
+        |wide AS (
+        |  SELECT
+        |    sum(CASE WHEN mc < 8192 THEN 1 ELSE 0 END)::BIGINT AS v1,
+        |    sum(CASE WHEN mc < 16384 THEN 1 ELSE 0 END)::BIGINT AS v2,
+        |    sum(CASE WHEN mc < 32768 THEN 1 ELSE 0 END)::BIGINT AS v3,
+        |    sum(CASE WHEN mc < 65536 THEN 1 ELSE 0 END)::BIGINT AS v4
+        |  FROM tm)
+        |SELECT 8192::BIGINT AS rate_64k, v1 AS n_distinct_tokens FROM wide
+        |UNION ALL SELECT 16384, v2 FROM wide
+        |UNION ALL SELECT 32768, v3 FROM wide
+        |UNION ALL SELECT 65536, v4 FROM wide
+        |ORDER BY rate_64k""".stripMargin,
     "q_systematic_sample" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_totalprice,
