@@ -1013,6 +1013,37 @@ object Analytics {
           .as("n_risky_customers"))
     }),
 
+    // ABC / Pareto classification of parts by exact revenue: class A
+    // covers the first 70% of cumulative revenue, B to 90%, C the
+    // tail — the inventory-policy cut (which parts deserve per-item
+    // treatment). Revenue is the exact integer milli grid; the
+    // cumulative window runs over the DIMENSION-sized per-part
+    // aggregate (like q_auc's score frame), never the fact table;
+    // class boundaries are integer cross-multiplications.
+    "q_abc_classes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perPart = lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(revMilli).as("rev"))
+      val w = Window.orderBy(desc("rev"), asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perPart
+        .withColumn("cum_before", coalesce(sum(col("rev")).over(w), lit(0L)))
+        .withColumn("total", sum(col("rev")).over(wAll))
+        .withColumn("cls", expr(
+          """CASE WHEN cum_before * 10 < total * 7 THEN 'A'
+             |     WHEN cum_before * 10 < total * 9 THEN 'B'
+             |     ELSE 'C' END""".stripMargin))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_milli"),
+          max(col("total")).as("total"))
+        .select(col("cls"), col("n_parts"), col("revenue_milli"),
+          expr("revenue_milli * 10000 div total").as("share_bp"))
+        .orderBy(asc("cls"))
+    }),
+
     // Capture-recapture (Lincoln-Petersen) population estimate: two
     // INDEPENDENT deterministic md5 screens of the order population;
     // N_hat = n1·n2/m from the overlap — the estimate-what-you-
@@ -3532,6 +3563,28 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_abc_classes" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(floor(l_extendedprice * 100)::BIGINT
+        |        * (100 - floor(l_discount * 100)::BIGINT))::BIGINT AS rev
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, rev,
+        |    coalesce(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cum_before,
+        |    sum(rev) OVER ()::BIGINT AS total
+        |  FROM pp),
+        |cl AS (
+        |  SELECT CASE WHEN cum_before * 10 < total * 7 THEN 'A'
+        |              WHEN cum_before * 10 < total * 9 THEN 'B'
+        |              ELSE 'C' END AS cls, rev, total
+        |  FROM r)
+        |SELECT cls, count(*)::BIGINT AS n_parts,
+        |  sum(rev)::BIGINT AS revenue_milli,
+        |  (sum(rev) * 10000 // max(total))::BIGINT AS share_bp
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_capture_recapture" ->
       """WITH s AS (
         |  SELECT o_orderkey,
