@@ -1013,6 +1013,72 @@ object Analytics {
           .as("n_risky_customers"))
     }),
 
+    // Decile lift / gains table for the stopword detector (the q_auc
+    // scorer): per score-ranked decile, response rate and CUMULATIVE
+    // lift vs base rate — the model-targeting readout that tells you
+    // how deep to mail. Deciles come from the deterministic
+    // range-sort positions (skew-free); cumulative stats are a window
+    // over the 10-row decile aggregate; everything emits as integer
+    // bp cross-products.
+    "q_lift_table" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = documents(s, dir).select(col("doc_id"),
+        regexp_count(lower(col("text")),
+          lit("\\b(the|and|of|to|in|is|that|with)\\b")).cast("long")
+          .as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val n = sc.count()
+      val ranked = graft.ops.Shuffle.positionsBy(
+          sc.withColumn("neg", -col("score")), Seq("neg", "doc_id"), "p")
+        .withColumn("decile", expr(s"p * 10 div ${n}L + 1"))
+      val dec = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      dec
+        .withColumn("cum_n", sum(col("n_docs")).over(wCum))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .withColumn("tot_n", sum(col("n_docs")).over(wAll))
+        .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          expr("n_pos * 10000 div n_docs").as("response_bp"),
+          expr("cum_pos * tot_n * 10000 div (tot_pos * cum_n)")
+            .as("cum_lift_bp"))
+        .orderBy(asc("decile"))
+    }),
+
+    // Population Stability Index between the first and second half of
+    // the month's event-value distribution — the model-monitoring
+    // standard (PSI < 0.1 stable, > 0.25 investigate). Laplace-
+    // smoothed bucket shares keep empty buckets finite with the SAME
+    // integers on both engines; each (p−q)·ln(p/q) term floors ONCE
+    // to nano units then integer-sums (the divergence rule).
+    "q_psi" -> ((s, dir) => {
+      // floor of a double division — DuckDB ::BIGINT would ROUND
+      val bucket = expr("CAST(floor(value / 50) AS BIGINT)")
+      // the q_diff_in_diff period cut — proven cross-engine pairing
+      val half = when(col("ts") < lit("2024-01-16").cast("timestamp"), "a")
+        .otherwise("b")
+      val counts = events(s, dir)
+        .groupBy(bucket.as("bucket"))
+        .agg(sum(when(half === "a", 1L).otherwise(0L)).as("ca"),
+          sum(when(half === "b", 1L).otherwise(0L)).as("cb"))
+      val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("k"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("term_nano", expr(
+          """CAST(floor((
+             |  (ca + 1) / CAST(na + k AS DOUBLE)
+             |  - (cb + 1) / CAST(nb + k AS DOUBLE)
+             |) * ln(((ca + 1) / CAST(na + k AS DOUBLE))
+             |       / ((cb + 1) / CAST(nb + k AS DOUBLE)))
+             | * 1000000000) AS BIGINT)""".stripMargin))
+        .agg(max(col("na")).as("n_first_half"), max(col("nb")).as("n_second_half"),
+          count(lit(1)).as("n_buckets"), sum(col("term_nano")).as("psi_nano"))
+    }),
+
     // ABC / Pareto classification of parts by exact revenue: class A
     // covers the first 70% of cumulative revenue, B to 90%, C the
     // tail — the inventory-policy cut (which parts deserve per-item
@@ -3563,6 +3629,52 @@ object Analytics {
         |SELECT bucket, max(n_before) AS n_before, max(m) AS target,
         |  count(*)::BIGINT AS n_accepted
         |FROM acc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lift_table" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|is|that|with)\b'))::BIGINT AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS p,
+        |    count(*) OVER () AS n FROM sc),
+        |d AS (SELECT p * 10 // n + 1 AS decile, count(*)::BIGINT AS n_docs,
+        |    sum(pos)::BIGINT AS n_pos
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT *,
+        |    sum(n_docs) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum_pos,
+        |    sum(n_docs) OVER ()::BIGINT AS tot_n,
+        |    sum(n_pos) OVER ()::BIGINT AS tot_pos
+        |  FROM d)
+        |SELECT decile::BIGINT AS decile, n_docs, n_pos,
+        |  (n_pos * 10000 // n_docs)::BIGINT AS response_bp,
+        |  (cum_pos * tot_n * 10000 // (tot_pos * cum_n))::BIGINT
+        |    AS cum_lift_bp
+        |FROM c ORDER BY decile""".stripMargin,
+    "q_psi" ->
+      """WITH counts AS (
+        |  SELECT floor(value / 50)::BIGINT AS bucket,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)::BIGINT
+        |      AS ca,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)::BIGINT
+        |      AS cb
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+        |    count(*)::BIGINT AS k FROM counts)
+        |SELECT max(na) AS n_first_half, max(nb) AS n_second_half,
+        |  count(*)::BIGINT AS n_buckets,
+        |  sum(floor((
+        |    (ca + 1) / (na + k)::DOUBLE - (cb + 1) / (nb + k)::DOUBLE
+        |  ) * ln(((ca + 1) / (na + k)::DOUBLE)
+        |         / ((cb + 1) / (nb + k)::DOUBLE))
+        |   * 1000000000)::BIGINT)::BIGINT AS psi_nano
+        |FROM counts, tot""".stripMargin,
     "q_abc_classes" ->
       """WITH pp AS (
         |  SELECT l_partkey,
