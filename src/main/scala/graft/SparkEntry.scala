@@ -32,7 +32,8 @@ object SparkEntry {
         (Events.queries, Events.oracle),
         (Pipeline.queries, Pipeline.oracle),
         (Extended.queries, Extended.oracle),
-        (Analytics.queries, Analytics.oracle))
+        (Analytics.queries, Analytics.oracle),
+        (Diagnostics.queries, Diagnostics.oracle))
     val queries: Map[String, (SparkSession, String) => DataFrame] =
       modules.map(_._1).reduce(_ ++ _)
     val oracle: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
