@@ -179,6 +179,147 @@ object Diagnostics {
         .orderBy(asc("label"))
     }),
 
+    // Spearman rank correlation between document length and distinct
+    // vocabulary (the monotone-association complement to q_linreg's
+    // linear slope). Ranks are the DETERMINISTIC total order
+    // (value, doc_id) through the range-sort position machinery — a
+    // permutation of 0..n−1 on both engines, so ρ = 1 − 6Σd²/(n(n²−1))
+    // is an exact rational; the subtracted term is nonnegative, so
+    // truncating div agrees cross-engine without a shift. No window
+    // over the corpus — positions come from the skew-free
+    // repartitionByRange + zipWithIndex path.
+    "q_spearman" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"),
+        col("n_chars").as("x"),
+        size(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+          .cast("long").as("y"))
+      val rx = graft.ops.Shuffle.positionsBy(base, Seq("x", "doc_id"), "rx")
+      val rxy = graft.ops.Shuffle.positionsBy(rx, Seq("y", "doc_id"), "ry")
+      rxy.select(((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+        .select(col("n"), col("sd2"),
+          expr("""1000000L - CAST(CAST(sd2 AS DECIMAL(38,0)) * 6000000
+                 | div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))
+                 | AS BIGINT)""".stripMargin).as("rho_micro"))
+    }),
+
+    // Collocation discovery via Dunning's G² log-likelihood ratio
+    // (Dunning 1993) — the statistically-sound upgrade over raw PMI
+    // for "which bigrams are real phrases": per bigram the 2×2
+    // contingency (a, r−a, c−a, N−r−c+a) against the independence
+    // model, G² = 2·Σ k·ln(kN/(row·col)). Every k, row, col, N is an
+    // exact integer count (products < 2⁵³ stay exact in the double
+    // ln argument), the whole G² floors ONCE to integer nano units,
+    // and ranking happens on the floored integer. Bigrams come from
+    // ONE materialized token array per doc (element_at on an
+    // attribute is O(1)); marginals derive from the bigram-count
+    // frame itself, so the corpus explodes exactly once.
+    "q_collocations" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+        .localCheckpoint(true)
+      val big = toks
+        .where(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("g"))
+        .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .agg(count(lit(1)).as("a"))
+        .localCheckpoint(true) // marginals + grand total + final join
+      val r = big.groupBy(col("w1")).agg(sum(col("a")).as("row_n"))
+      val c = big.groupBy(col("w2")).agg(sum(col("a")).as("col_n"))
+      val nTot = big.agg(sum(col("a")).as("nn"))
+      big.where(col("a") >= 5)
+        .join(broadcast(r), Seq("w1"))
+        .join(broadcast(c), Seq("w2"))
+        .crossJoin(broadcast(nTot))
+        .select(col("w1"), col("w2"), col("a"), expr(
+          """CAST(floor((
+            |  CASE WHEN a > 0 THEN a * ln(CAST(a * nn AS DOUBLE)
+            |    / CAST(row_n * col_n AS DOUBLE)) ELSE 0.0 END
+            |  + CASE WHEN row_n - a > 0 THEN (row_n - a)
+            |    * ln(CAST((row_n - a) * nn AS DOUBLE)
+            |      / CAST(row_n * (nn - col_n) AS DOUBLE)) ELSE 0.0 END
+            |  + CASE WHEN col_n - a > 0 THEN (col_n - a)
+            |    * ln(CAST((col_n - a) * nn AS DOUBLE)
+            |      / CAST((nn - row_n) * col_n AS DOUBLE)) ELSE 0.0 END
+            |  + CASE WHEN nn - row_n - col_n + a > 0
+            |    THEN (nn - row_n - col_n + a)
+            |    * ln(CAST((nn - row_n - col_n + a) * nn AS DOUBLE)
+            |      / CAST((nn - row_n) * (nn - col_n) AS DOUBLE)) ELSE 0.0 END
+            |) * 2000000000) AS BIGINT)""".stripMargin).as("g2_nano"))
+        .orderBy(desc("g2_nano"), asc("w1"), asc("w2"))
+        .limit(30)
+    }),
+
+    // Near-dup threshold sweep — the tuning curve that decides WHERE
+    // to set the dedup knife: from ONE exact Jaccard pair frame
+    // (same machinery/params as q_near_dup_jaccard), the pair count
+    // and distinct higher-id docs dropped at each candidate
+    // threshold. Exactness: jaccard is round(·,4) on both engines,
+    // so jbp = floor(j·10⁴ + 0.5) is the identical integer, and the
+    // sweep compares integers. The pair frame is tiny post-0.3, so
+    // the 7× threshold explode and the distinct agg are free.
+    "q_dedup_sweep" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.jaccardPairs(
+          spread(documents(s, dir)), "text", "doc_id",
+          n = 3, threshold = 0.3, maxShingleDf = 10)
+        .select(expr("CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)")
+          .as("jbp"), col("doc_b"))
+      pairs
+        .select(col("jbp"), col("doc_b"), explode(typedLit(
+          Seq(3000L, 4000L, 5000L, 6000L, 7000L, 8000L, 9000L)))
+          .as("threshold_bp"))
+        .where(col("jbp") >= col("threshold_bp"))
+        .groupBy(col("threshold_bp"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_docs_dropped"))
+        .orderBy(asc("threshold_bp"))
+    }),
+
+    // Permutation test for the A/B conversion lift — the
+    // nonparametric complement to q_power_analysis: 16 md5-seeded
+    // re-randomizations of the arm assignment (p = 0 IS the observed
+    // experiment — same coin family), per-permutation statistic
+    // T = |rate₁ − rate₀| floored ONCE to micro from one
+    // identically-shaped double expression, and the one-sided
+    // p-value (1 + #{T_perm ≥ T_obs})/(n_perms + 1) in basis points.
+    // One scan builds the per-user frame; the 17× explode and all
+    // aggregates run on |users| rows then a 17-row frame.
+    "q_perm_test" -> ((s, dir) => {
+      val users = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long"))
+          .as("converted"))
+      val armed = users
+        .select(col("user_id"), col("converted"),
+          explode(typedLit((0 to 16).toList)).as("p"))
+        .withColumn("arm",
+          conv(substring(md5(concat(lit("perm|"), col("p").cast("string"),
+            lit("|"), col("user_id").cast("string"))), 1, 13), 16, 10)
+            .cast("long") % 2)
+      val stats = armed.groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("sc"),
+          sum(col("arm")).as("n1"),
+          sum(col("arm") * col("converted")).as("s1"))
+        .select(col("p"), col("n1"), (col("n") - col("n1")).as("n0"),
+          col("s1"), (col("sc") - col("s1")).as("s0"))
+        .select(col("p"), expr(
+          """CAST(floor(abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            | - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1000000)
+            | AS BIGINT)""".stripMargin).as("t_micro"))
+      val obs = stats.where(col("p") === 0)
+        .select(col("t_micro").as("t_obs_micro"))
+      stats.where(col("p") >= 1)
+        .crossJoin(broadcast(obs))
+        .agg(max(col("t_obs_micro")).as("t_obs_micro"),
+          count(lit(1)).as("n_perms"),
+          sum((col("t_micro") >= col("t_obs_micro")).cast("long"))
+            .as("n_ge"))
+        .select(col("t_obs_micro"), col("n_perms"), col("n_ge"),
+          expr("(1 + n_ge) * 10000L div (n_perms + 1)").as("p_value_bp"))
+    }),
+
     // Modularity of the brand partition on the co-purchase part graph
     // (Newman–Girvan): per community c, the contribution
     // (m_c/m − (d_c/2m)²) — emitted exactly as
@@ -339,6 +480,106 @@ object Diagnostics {
         |  ((sum(sv) + count(*) * 10000000) // count(*) - 10000000)::BIGINT
         |    AS mean_s_milli
         |FROM sv GROUP BY label ORDER BY label""".stripMargin,
+    "q_spearman" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars::BIGINT AS x,
+        |    len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::BIGINT AS y
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY x, doc_id) - 1 AS rx,
+        |    row_number() OVER (ORDER BY y, doc_id) - 1 AS ry
+        |  FROM base)
+        |SELECT count(*)::BIGINT AS n,
+        |  sum((rx - ry) * (rx - ry))::BIGINT AS sd2,
+        |  (1000000 - sum((rx - ry) * (rx - ry))::HUGEINT * 6000000
+        |   // (count(*)::HUGEINT * (count(*)::HUGEINT * count(*) - 1)))::BIGINT
+        |    AS rho_micro
+        |FROM rk""".stripMargin,
+    "q_collocations" ->
+      """WITH w AS (
+        |  SELECT doc_id AS did,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT did, generate_subscripts(w, 1) AS i, unnest(w) AS t
+        |  FROM w),
+        |big AS (
+        |  SELECT a.t AS w1, b.t AS w2, count(*)::BIGINT AS a
+        |  FROM tok a JOIN tok b ON b.did = a.did AND b.i = a.i + 1
+        |  GROUP BY 1, 2),
+        |r AS (SELECT w1, sum(a)::BIGINT AS row_n FROM big GROUP BY 1),
+        |c AS (SELECT w2, sum(a)::BIGINT AS col_n FROM big GROUP BY 1),
+        |nt AS (SELECT sum(a)::BIGINT AS nn FROM big)
+        |SELECT w1, w2, a,
+        |  CAST(floor((
+        |    CASE WHEN a > 0 THEN a * ln(CAST(a * nn AS DOUBLE)
+        |      / CAST(row_n * col_n AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN row_n - a > 0 THEN (row_n - a)
+        |      * ln(CAST((row_n - a) * nn AS DOUBLE)
+        |        / CAST(row_n * (nn - col_n) AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN col_n - a > 0 THEN (col_n - a)
+        |      * ln(CAST((col_n - a) * nn AS DOUBLE)
+        |        / CAST((nn - row_n) * col_n AS DOUBLE)) ELSE 0.0 END
+        |    + CASE WHEN nn - row_n - col_n + a > 0
+        |      THEN (nn - row_n - col_n + a)
+        |      * ln(CAST((nn - row_n - col_n + a) * nn AS DOUBLE)
+        |        / CAST((nn - row_n) * (nn - col_n) AS DOUBLE)) ELSE 0.0 END
+        |  ) * 2000000000) AS BIGINT) AS g2_nano
+        |FROM big JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN nt
+        |WHERE a >= 5
+        |ORDER BY g2_nano DESC, w1, w2 LIMIT 30""".stripMargin,
+    "q_dedup_sweep" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] END) AS ws
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |jp AS (
+        |  SELECT floor(jaccard * 10000 + 0.5)::BIGINT AS jbp, doc_b
+        |  FROM pairs WHERE jaccard >= 0.3)
+        |SELECT t.threshold_bp::BIGINT AS threshold_bp,
+        |  count(*)::BIGINT AS n_pairs,
+        |  count(DISTINCT doc_b)::BIGINT AS n_docs_dropped
+        |FROM jp CROSS JOIN (VALUES (3000), (4000), (5000), (6000), (7000),
+        |  (8000), (9000)) t(threshold_bp)
+        |WHERE jbp >= t.threshold_bp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_perm_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |armed AS (
+        |  SELECT p.p, converted,
+        |    ('0x' || substring(md5('perm|' || p.p::VARCHAR || '|'
+        |      || user_id::VARCHAR), 1, 13))::BIGINT % 2 AS arm
+        |  FROM u CROSS JOIN (SELECT unnest(range(0, 17)) AS p) p),
+        |st AS (
+        |  SELECT p, count(*)::BIGINT AS n, sum(converted)::BIGINT AS sc,
+        |    sum(arm)::BIGINT AS n1, sum(arm * converted)::BIGINT AS s1
+        |  FROM armed GROUP BY 1),
+        |t AS (
+        |  SELECT p,
+        |    CAST(floor(abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(sc - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+        |      * 1000000) AS BIGINT) AS t_micro
+        |  FROM st),
+        |obs AS (SELECT t_micro AS t_obs_micro FROM t WHERE p = 0)
+        |SELECT max(t_obs_micro)::BIGINT AS t_obs_micro,
+        |  count(*)::BIGINT AS n_perms,
+        |  sum(CASE WHEN t_micro >= t_obs_micro THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_ge,
+        |  ((1 + sum(CASE WHEN t_micro >= t_obs_micro THEN 1 ELSE 0 END))
+        |   * 10000 // (count(*) + 1))::BIGINT AS p_value_bp
+        |FROM t CROSS JOIN obs WHERE p >= 1""".stripMargin,
     "q_modularity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
