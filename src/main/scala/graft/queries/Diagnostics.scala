@@ -320,6 +320,89 @@ object Diagnostics {
           expr("(1 + n_ge) * 10000L div (n_perms + 1)").as("p_value_bp"))
     }),
 
+    // Average precision of the stopword-density ranking against the
+    // English label — the area-under-PR complement to q_auc's ROC
+    // rank-sum. The ranking is the DETERMINISTIC total order
+    // (score DESC, doc_id), so every per-positive term j/k is a pure
+    // integer floor division (j·10⁶ div k) and AP is integers end to
+    // end — no float ever enters. Both global rank k and
+    // within-positives rank j come from the skew-free range-sort
+    // position machinery, never a corpus-wide window.
+    "q_avg_precision" -> ((s, dir) => {
+      val sc = documents(s, dir).select(col("doc_id"),
+        regexp_count(lower(col("text")),
+          lit("\\b(the|and|of|to|in|is|that|with)\\b")).cast("long")
+          .as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val ranked = graft.ops.Shuffle.positionsBy(
+        sc.select(col("doc_id"), col("pos"), (-col("score")).as("negs")),
+        Seq("negs", "doc_id"), "k0")
+      val tot = sc.agg(count(lit(1)).as("n"))
+      val j = graft.ops.Shuffle.positionsBy(
+        ranked.where(col("pos") === 1).select(col("k0")), Seq("k0"), "j0")
+      j.agg(count(lit(1)).as("n_pos"),
+          sum(expr("(j0 + 1) * 1000000L div (k0 + 1)")).as("term_sum"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("n_pos"),
+          expr("term_sum div n_pos").as("ap_micro"),
+          expr("n_pos * 1000000L div n").as("prevalence_micro"))
+    }),
+
+    // Blocking-key quality audit for the fuzzy-join family — the
+    // check CLAUDE.md's record-linkage rule demands BEFORE running a
+    // blocked join at a new scale: block count, exact p50/p90/max
+    // block sizes (rank-selected DATA VALUES via the range-sort
+    // positions — engine-exact, never interpolated), total candidate
+    // pairs Σ b(b−1)/2, and the comparison-reduction ratio vs the
+    // full n(n−1)/2 in basis points. The key is the composite
+    // (first char, token-1 length, tail) the sorted-neighborhood /
+    // fuzzy-join queries block on. Everything after the one groupBy
+    // runs on the |blocks| frame.
+    "q_blocking_audit" -> ((s, dir) => {
+      val toks = split(col("p_name"), " ")
+      val key = concat(substring(col("p_name"), 1, 1), lit("|"),
+        length(element_at(toks, 1)).cast("string"), lit("|"),
+        concat_ws(" ", slice(toks, lit(2), size(toks))))
+      val blocks = part(s, dir).groupBy(key.as("bkey"))
+        .agg(count(lit(1)).as("bn"))
+        .localCheckpoint(true) // stats agg + the ranked quantile pass
+      val stats = blocks.agg(count(lit(1)).as("n_blocks"),
+        sum(col("bn")).as("n_rows"), max(col("bn")).as("max_block"),
+        sum(expr("bn * (bn - 1) div 2")).as("n_candidate_pairs"))
+      val ranked = graft.ops.Shuffle.positionsBy(
+          blocks, Seq("bn", "bkey"), "pos")
+        .crossJoin(broadcast(stats.select(col("n_blocks").as("nb"))))
+      val p50 = ranked.where(col("pos") + 1 === expr("(nb * 50 + 99) div 100"))
+        .select(col("bn").as("p50_block"))
+      val p90 = ranked.where(col("pos") + 1 === expr("(nb * 90 + 99) div 100"))
+        .select(col("bn").as("p90_block"))
+      stats.crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+        .select(col("n_blocks"), col("n_rows"), col("max_block"),
+          col("p50_block"), col("p90_block"), col("n_candidate_pairs"),
+          expr("""n_candidate_pairs * 10000L
+                  div (n_rows * (n_rows - 1) div 2)""").as("reduction_bp"))
+    }),
+
+    // IVF nprobe recall sweep — the index-tuning table: recall@10 of
+    // the probed kNN join vs the exact join at nprobe 1/2/4/8/16 over
+    // a 16-cell index (rows-only: the quantizer is iterative k-means;
+    // SimilaritySpec pins monotonicity and exhaustive-probe recall =
+    // 10000 bp). Exact neighbors compute once; each probe width only
+    // re-ranks through the index, so the sweep costs little more
+    // than one exact join.
+    "q_ivf_sweep" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = graft.similarity.Similarity.ivfCentroids(
+        emb, "embedding", "vec_id", 16, trainPct = 25)
+      val assigned = graft.similarity.Similarity.ivfAssign(
+        spread(emb), "embedding", "vec_id", cents)
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.similarity.Similarity.ivfRecallSweep(assigned, "embedding",
+        "vec_id", queries, "qv", "qid", cents, k = 10,
+        nprobes = Seq(1, 2, 4, 8, 16))
+    }),
+
     // Modularity of the brand partition on the co-purchase part graph
     // (Newman–Girvan): per community c, the contribution
     // (m_c/m − (d_c/2m)²) — emitted exactly as
@@ -480,6 +563,50 @@ object Diagnostics {
         |  ((sum(sv) + count(*) * 10000000) // count(*) - 10000000)::BIGINT
         |    AS mean_s_milli
         |FROM sv GROUP BY label ORDER BY label""".stripMargin,
+    "q_avg_precision" ->
+      """WITH sc AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text),
+        |      '\b(the|and|of|to|in|is|that|with)\b'))::BIGINT AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS k
+        |  FROM sc),
+        |pr AS (
+        |  SELECT k, row_number() OVER (ORDER BY k) AS j
+        |  FROM rk WHERE pos = 1),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM sc)
+        |SELECT n, count(*)::BIGINT AS n_pos,
+        |  (sum(j * 1000000 // k) // count(*))::BIGINT AS ap_micro,
+        |  (count(*) * 1000000 // n)::BIGINT AS prevalence_micro
+        |FROM pr CROSS JOIN tot GROUP BY n""".stripMargin,
+    "q_blocking_audit" ->
+      """WITH keys AS (
+        |  SELECT substring(p_name, 1, 1) || '|'
+        |      || length(w[1])::VARCHAR || '|'
+        |      || array_to_string(w[2:], ' ') AS bkey
+        |  FROM (SELECT p_name, regexp_split_to_array(p_name, ' ') AS w
+        |        FROM part)),
+        |blocks AS (
+        |  SELECT bkey, count(*)::BIGINT AS bn FROM keys GROUP BY 1),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n_blocks, sum(bn)::BIGINT AS n_rows,
+        |    max(bn)::BIGINT AS max_block,
+        |    sum(bn * (bn - 1) // 2)::BIGINT AS n_candidate_pairs
+        |  FROM blocks),
+        |ranked AS (
+        |  SELECT bn, row_number() OVER (ORDER BY bn, bkey) AS rn
+        |  FROM blocks),
+        |p50 AS (SELECT bn AS p50_block FROM ranked CROSS JOIN st
+        |  WHERE rn = (n_blocks * 50 + 99) // 100),
+        |p90 AS (SELECT bn AS p90_block FROM ranked CROSS JOIN st
+        |  WHERE rn = (n_blocks * 90 + 99) // 100)
+        |SELECT n_blocks, n_rows, max_block, p50_block, p90_block,
+        |  n_candidate_pairs,
+        |  (n_candidate_pairs * 10000
+        |   // (n_rows * (n_rows - 1) // 2))::BIGINT AS reduction_bp
+        |FROM st CROSS JOIN p50 CROSS JOIN p90""".stripMargin,
     "q_spearman" ->
       """WITH base AS (
         |  SELECT doc_id, n_chars::BIGINT AS x,

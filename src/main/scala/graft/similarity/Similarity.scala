@@ -167,6 +167,35 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy(asc("dim"))
   }
 
+  /** Recall@k of the IVF-probed kNN join against the exact join, per
+    * `nprobe` — the tuning curve that prices the recall/compute
+    * trade-off before committing an index config (the IVF analogue of
+    * [[truncationRecall]]). The exact neighbor set computes ONCE
+    * (checkpointed); each probe width re-ranks only through the
+    * index, and recall joins FROM the exact set so queries whose
+    * probed cells miss entirely still count their misses. At
+    * `nprobe = |cells|` the probe is exhaustive — recall must be
+    * 10000 bp (asserted in SimilaritySpec).
+    */
+  def ivfRecallSweep(assigned: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qVecCol: String, qIdCol: String,
+      centroids: DataFrame, k: Int, nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one probe width")
+    val exact = knnJoin(assigned, vecCol, idCol, queries, qVecCol, qIdCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // consumed once per probe width below
+    nprobes.map { np =>
+      val approx = ivfKnnJoin(assigned, vecCol, idCol, queries, qVecCol,
+          qIdCol, centroids, k, np)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(lit(np.toLong).as("nprobe"),
+          expr("sum(coalesce(__hit, 0L)) * 10000L div count(1)")
+            .as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy(asc("nprobe"))
+  }
+
   /** kNN JOIN through the IVF index — the scale path when the query
     * side is a SET. [[knnJoin]] scores corpus × queries (right for a
     * handful of probes); here each query ranks the centroid table

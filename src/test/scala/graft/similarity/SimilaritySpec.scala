@@ -266,4 +266,19 @@ class SimilaritySpec extends SparkSpec {
       .collect().head.getAs[Long]("recall_bp")
     assert(rInv < r, s"noise-prefix recall $rInv should trail $r")
   }
+
+  test("ivfRecallSweep: monotone nondecreasing; exhaustive probe = 10000 bp") {
+    val cents = Similarity.ivfCentroids(corpus, "embedding", "vec_id", 6)
+    val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", cents)
+    val qs = corpus.where(col("vec_id").isin(0L, 20L, 40L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val sweep = Similarity.ivfRecallSweep(assigned, "embedding", "vec_id",
+        qs, "qe", "qid", cents, k = 5, nprobes = Seq(1, 2, 6))
+      .collect().map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("recall_bp"))
+    assert(sweep.map(_._1).toSeq === Seq(1L, 2L, 6L))
+    val rec = sweep.map(_._2)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${rec.toSeq}")
+    assert(rec.last === 10000L, "probing every cell is exhaustive")
+  }
 }
