@@ -320,6 +320,119 @@ object Diagnostics {
           expr("(1 + n_ge) * 10000L div (n_perms + 1)").as("p_value_bp"))
     }),
 
+    // Cramér's V² association strength between categorical column
+    // pairs — the any-shape r×c generalization of q_chi2's 2×2 token
+    // test, the "which dimensions are redundant" screen before
+    // stratification/blocking choices. Never a float: each cell's
+    // χ² term (o·n − r·c)²/(n·r·c) is an exact integer division on
+    // the nano grid in DECIMAL(38,0) (the squared numerator exceeds
+    // double precision, so floor-once-from-double would NOT be exact
+    // here — integer division per cell is), terms integer-sum, and
+    // V² = χ²/(n·min(r−1,c−1)) emits in basis points. One hash agg
+    // per pair builds the cell frame; marginals derive from it.
+    "q_cramers_v" -> ((s, dir) => {
+      def v2(name: String, df: DataFrame, a: String, b: String) = {
+        val cells = df.groupBy(col(a).cast("string").as("ca"),
+            col(b).cast("string").as("cb"))
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint(true) // marginals ×2 + total + final join
+        val margR = cells.groupBy(col("ca")).agg(sum(col("o")).as("rn"))
+        val margC = cells.groupBy(col("cb")).agg(sum(col("o")).as("cn"))
+        val tot = cells.agg(sum(col("o")).as("nn"),
+          count_distinct(col("ca")).as("r_levels"),
+          count_distinct(col("cb")).as("c_levels"))
+        cells.join(broadcast(margR), Seq("ca"))
+          .join(broadcast(margC), Seq("cb"))
+          .crossJoin(broadcast(tot))
+          .select(col("r_levels"), col("c_levels"), col("nn"), expr(
+            """CAST((CAST(o AS DECIMAL(38,0)) * nn - CAST(rn AS DECIMAL(38,0)) * cn)
+              |  * (CAST(o AS DECIMAL(38,0)) * nn - CAST(rn AS DECIMAL(38,0)) * cn)
+              |  * 1000000000
+              | div (CAST(nn AS DECIMAL(38,0)) * rn * cn)
+              | AS DECIMAL(38,0))""".stripMargin).as("term_nano"))
+          .groupBy(col("r_levels"), col("c_levels"), col("nn"))
+          .agg(sum(col("term_nano")).as("chi2_nano"))
+          .select(lit(name).as("pair"), col("nn").as("n"),
+            col("r_levels"), col("c_levels"),
+            expr("CAST(chi2_nano div 1000000 AS BIGINT)").as("chi2_milli"),
+            expr("""CAST(chi2_nano * 10000
+                   | div (CAST(least(r_levels - 1, c_levels - 1) AS DECIMAL(38,0))
+                   |      * nn * 1000000000) AS BIGINT)""".stripMargin)
+              .as("v2_bp"))
+      }
+      v2("lineitem.returnflag~linestatus", lineitem(s, dir),
+          "l_returnflag", "l_linestatus")
+        .unionAll(v2("orders.priority~status", orders(s, dir),
+          "o_orderpriority", "o_orderstatus"))
+        .unionAll(v2("part.brand~size", part(s, dir), "p_brand", "p_size"))
+        .orderBy(asc("pair"))
+    }),
+
+    // Quantile normalization mapping table — the batch-effect
+    // remover's lookup: for each source and decile p, the source's
+    // own p-th length value next to the POOLED p-th value it maps
+    // onto. Every quantile is the ⌈p·n⌉-th smallest DATA VALUE
+    // (rank-selected, never interpolated — the Winsorize rule), so
+    // both engines agree exactly. Per-source ranks via the skew-free
+    // GroupRank (never a per-source window at scale); pooled ranks
+    // via the same global range sort.
+    "q_quantile_normalize" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val ps = typedLit(Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L))
+      val srcRanks = graft.ops.GroupRank.ranks(
+        docs, "source", Seq("n_chars"), "doc_id")
+      val src = srcRanks
+        .select(col("source"), col("n_chars"), col("rank"),
+          col("n_in_group"), explode(ps).as("p"))
+        .where(col("rank") === expr("(n_in_group * p + 99) div 100"))
+        .select(col("source"), col("p"), col("n_chars").as("src_value"))
+      val pooledRanks = graft.ops.Shuffle.positionsBy(
+        docs, Seq("n_chars", "doc_id"), "gpos")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val pooled = pooledRanks.crossJoin(broadcast(n))
+        .select(col("n_chars"), (col("gpos") + 1).as("rank"), col("n"),
+          explode(ps).as("p"))
+        .where(col("rank") === expr("(n * p + 99) div 100"))
+        .select(col("p"), col("n_chars").as("pooled_value"))
+      src.join(broadcast(pooled), Seq("p"))
+        .select(col("source"), col("p"), col("src_value"),
+          col("pooled_value"))
+        .orderBy(asc("source"), asc("p"))
+    }),
+
+    // One-way ANOVA of document length by source on the integer
+    // milli grid: SSB = Σ_g S_g²/n_g − S²/n and SST = ΣQ − S²/n with
+    // every fractional term an exact integer division (DECIMAL —
+    // S² exceeds BIGINT), so η² (variance explained by source) and
+    // the F statistic are engine-exact integer ratios. The corpus
+    // contributes one partial+final aggregate; everything else runs
+    // on the |sources| frame.
+    "q_anova" -> ((s, dir) => {
+      val byG = documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("ng"), sum(col("n_chars")).as("sg"))
+        .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg")).as("s"),
+          sum(expr("CAST(sg AS DECIMAL(38,0)) * sg * 1000 div ng"))
+            .as("ssb_raw"))
+      val q = documents(s, dir)
+        .agg(sum(col("n_chars") * col("n_chars")).as("qq"))
+      byG.crossJoin(broadcast(q))
+        .select(col("k"), col("n"),
+          expr("""CAST(ssb_raw - CAST(s AS DECIMAL(38,0)) * s * 1000 div n
+                 | AS BIGINT)""".stripMargin).as("ssb_milli"),
+          expr("""CAST(CAST(qq AS DECIMAL(38,0)) * 1000
+                 | - CAST(s AS DECIMAL(38,0)) * s * 1000 div n
+                 | AS BIGINT)""".stripMargin).as("sst_milli"))
+        .select(col("k"), col("n"), col("ssb_milli"), col("sst_milli"),
+          (col("sst_milli") - col("ssb_milli")).as("ssw_milli"),
+          expr("ssb_milli * 10000L div sst_milli").as("eta2_bp"),
+          expr("""CAST(CAST(ssb_milli AS DECIMAL(38,0)) * (n - k) * 1000
+                 | div (CAST(sst_milli - ssb_milli AS DECIMAL(38,0)) * (k - 1))
+                 | AS BIGINT)""".stripMargin).as("f_milli"))
+    }),
+
     // Average precision of the stopword-density ranking against the
     // English label — the area-under-PR complement to q_auc's ROC
     // rank-sum. The ranking is the DETERMINISTIC total order
@@ -563,6 +676,89 @@ object Diagnostics {
         |  ((sum(sv) + count(*) * 10000000) // count(*) - 10000000)::BIGINT
         |    AS mean_s_milli
         |FROM sv GROUP BY label ORDER BY label""".stripMargin,
+    "q_cramers_v" ->
+      """WITH cand AS (
+        |  SELECT 'lineitem.returnflag~linestatus' AS pair,
+        |    l_returnflag AS ca, l_linestatus AS cb FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.priority~status', o_orderpriority, o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'part.brand~size', p_brand, p_size::VARCHAR FROM part),
+        |cells AS (
+        |  SELECT pair, ca, cb, count(*)::BIGINT AS o
+        |  FROM cand GROUP BY 1, 2, 3),
+        |mr AS (SELECT pair, ca, sum(o)::BIGINT AS rn FROM cells GROUP BY 1, 2),
+        |mc AS (SELECT pair, cb, sum(o)::BIGINT AS cn FROM cells GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT pair, sum(o)::BIGINT AS nn,
+        |    count(DISTINCT ca)::BIGINT AS r_levels,
+        |    count(DISTINCT cb)::BIGINT AS c_levels
+        |  FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT cells.pair,
+        |    (cells.o::HUGEINT * nn - rn::HUGEINT * cn)
+        |      * (cells.o::HUGEINT * nn - rn::HUGEINT * cn) * 1000000000
+        |      // (nn::HUGEINT * rn * cn) AS term_nano
+        |  FROM cells
+        |  JOIN mr ON mr.pair = cells.pair AND mr.ca = cells.ca
+        |  JOIN mc ON mc.pair = cells.pair AND mc.cb = cells.cb
+        |  JOIN tot ON tot.pair = cells.pair)
+        |SELECT terms.pair, nn AS n, r_levels, c_levels,
+        |  (sum(term_nano) // 1000000)::BIGINT AS chi2_milli,
+        |  (sum(term_nano) * 10000
+        |   // (least(r_levels - 1, c_levels - 1)::HUGEINT * nn
+        |      * 1000000000))::BIGINT AS v2_bp
+        |FROM terms JOIN tot ON tot.pair = terms.pair
+        |GROUP BY 1, 2, 3, 4 ORDER BY terms.pair""".stripMargin,
+    "q_quantile_normalize" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |g AS (
+        |  SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |ps AS (SELECT unnest(range(1, 10)) * 10 AS p),
+        |src AS (
+        |  SELECT source, p, n_chars AS src_value
+        |  FROM r JOIN ps ON rk = (ns * p + 99) // 100),
+        |pool AS (
+        |  SELECT p, n_chars AS pooled_value
+        |  FROM g JOIN ps ON rk = (n * p + 99) // 100)
+        |SELECT source, src.p::BIGINT AS p, src_value, pooled_value
+        |FROM src JOIN pool ON pool.p = src.p
+        |ORDER BY source, src.p""".stripMargin,
+    "q_anova" ->
+      """WITH byg AS (
+        |  SELECT source, count(*)::BIGINT AS ng,
+        |    sum(n_chars)::BIGINT AS sg
+        |  FROM documents GROUP BY 1),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+        |    sum(sg)::BIGINT AS s,
+        |    sum(sg::HUGEINT * sg * 1000 // ng)::HUGEINT AS ssb_raw
+        |  FROM byg),
+        |q AS (
+        |  SELECT sum(n_chars::BIGINT * n_chars)::BIGINT AS qq
+        |  FROM documents),
+        |ss AS (
+        |  SELECT k, n,
+        |    (ssb_raw - s::HUGEINT * s * 1000 // n)::BIGINT AS ssb_milli,
+        |    (qq::HUGEINT * 1000 - s::HUGEINT * s * 1000 // n)::BIGINT
+        |      AS sst_milli
+        |  FROM agg CROSS JOIN q)
+        |SELECT k, n, ssb_milli, sst_milli,
+        |  (sst_milli - ssb_milli)::BIGINT AS ssw_milli,
+        |  (ssb_milli * 10000 // sst_milli)::BIGINT AS eta2_bp,
+        |  (ssb_milli::HUGEINT * (n - k) * 1000
+        |   // ((sst_milli - ssb_milli)::HUGEINT * (k - 1)))::BIGINT
+        |    AS f_milli
+        |FROM ss""".stripMargin,
     "q_avg_precision" ->
       """WITH sc AS (
         |  SELECT doc_id, len(regexp_extract_all(lower(text),
