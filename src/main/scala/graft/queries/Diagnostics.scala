@@ -320,6 +320,18 @@ object Diagnostics {
           expr("(1 + n_ge) * 10000L div (n_perms + 1)").as("p_value_bp"))
     }),
 
+    // Greedy maximum-coverage exemplar selection (Nemhauser 1978
+    // (1−1/e) guarantee) — "which 5 docs show the most vocabulary":
+    // the sequential argmax runs driver-side over a bounded md5-order
+    // candidate set (the ivfCentroids/coreset recipe) and the corpus
+    // is touched by ONE distributed pass scoring the chosen prefix
+    // against the full vocabulary. The oracle replays the greedy
+    // EXACTLY as five unrolled argmax CTE layers (gain DESC, doc_id
+    // tie-break mirrored), so the selection itself is hash-checked.
+    "q_greedy_cover" -> ((s, dir) =>
+      graft.ops.Coverage.coverageReport(documents(s, dir), "text",
+        "doc_id", candidates = 100, k = 5)),
+
     // Cramér's V² association strength between categorical column
     // pairs — the any-shape r×c generalization of q_chi2's 2×2 token
     // test, the "which dimensions are redundant" screen before
@@ -676,6 +688,94 @@ object Diagnostics {
         |  ((sum(sv) + count(*) * 10000000) // count(*) - 10000000)::BIGINT
         |    AS mean_s_milli
         |FROM sv GROUP BY label ORDER BY label""".stripMargin,
+    "q_greedy_cover" ->
+      """WITH cand AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+        |  FROM documents
+        |  ORDER BY ('0x' || substring(md5('cov|' || doc_id::VARCHAR), 1, 13))::BIGINT,
+        |    doc_id
+        |  LIMIT 100),
+        |s1 AS (SELECT doc_id, ts, len(ts)::BIGINT AS gain FROM cand
+        |  ORDER BY gain DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT ts AS cov FROM s1),
+        |s2 AS (SELECT c.doc_id, c.ts,
+        |    (len(list_distinct(list_concat(cov, c.ts))) - len(cov))::BIGINT AS gain
+        |  FROM cand c CROSS JOIN c1
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1)
+        |  ORDER BY gain DESC, c.doc_id LIMIT 1),
+        |c2 AS (SELECT list_distinct(list_concat(cov, ts)) AS cov
+        |  FROM c1 CROSS JOIN s2),
+        |s3 AS (SELECT c.doc_id, c.ts,
+        |    (len(list_distinct(list_concat(cov, c.ts))) - len(cov))::BIGINT AS gain
+        |  FROM cand c CROSS JOIN c2
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1
+        |    UNION SELECT doc_id FROM s2)
+        |  ORDER BY gain DESC, c.doc_id LIMIT 1),
+        |c3 AS (SELECT list_distinct(list_concat(cov, ts)) AS cov
+        |  FROM c2 CROSS JOIN s3),
+        |s4 AS (SELECT c.doc_id, c.ts,
+        |    (len(list_distinct(list_concat(cov, c.ts))) - len(cov))::BIGINT AS gain
+        |  FROM cand c CROSS JOIN c3
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1
+        |    UNION SELECT doc_id FROM s2 UNION SELECT doc_id FROM s3)
+        |  ORDER BY gain DESC, c.doc_id LIMIT 1),
+        |c4 AS (SELECT list_distinct(list_concat(cov, ts)) AS cov
+        |  FROM c3 CROSS JOIN s4),
+        |s5 AS (SELECT c.doc_id, c.ts,
+        |    (len(list_distinct(list_concat(cov, c.ts))) - len(cov))::BIGINT AS gain
+        |  FROM cand c CROSS JOIN c4
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM s1
+        |    UNION SELECT doc_id FROM s2 UNION SELECT doc_id FROM s3
+        |    UNION SELECT doc_id FROM s4)
+        |  ORDER BY gain DESC, c.doc_id LIMIT 1),
+        |c5 AS (SELECT list_distinct(list_concat(cov, ts)) AS cov
+        |  FROM c4 CROSS JOIN s5),
+        |sel AS (
+        |  SELECT 1 AS step, doc_id, gain FROM s1
+        |  UNION ALL SELECT 2, doc_id, gain FROM s2
+        |  UNION ALL SELECT 3, doc_id, gain FROM s3
+        |  UNION ALL SELECT 4, doc_id, gain FROM s4
+        |  UNION ALL SELECT 5, doc_id, gain FROM s5),
+        |covs AS (
+        |  SELECT 1 AS step, len(cov)::BIGINT AS covered_sample FROM c1
+        |  UNION ALL SELECT 2, len(cov)::BIGINT FROM c2
+        |  UNION ALL SELECT 3, len(cov)::BIGINT FROM c3
+        |  UNION ALL SELECT 4, len(cov)::BIGINT FROM c4
+        |  UNION ALL SELECT 5, len(cov)::BIGINT FROM c5),
+        |vocab AS (
+        |  SELECT DISTINCT token FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS token
+        |    FROM documents) WHERE token <> ''),
+        |fs AS (
+        |  SELECT token, CASE
+        |    WHEN list_contains(t1, token) THEN 1
+        |    WHEN list_contains(t2, token) THEN 2
+        |    WHEN list_contains(t3, token) THEN 3
+        |    WHEN list_contains(t4, token) THEN 4
+        |    WHEN list_contains(t5, token) THEN 5
+        |    ELSE NULL END AS first_step
+        |  FROM vocab
+        |  CROSS JOIN (SELECT ts AS t1 FROM s1)
+        |  CROSS JOIN (SELECT ts AS t2 FROM s2)
+        |  CROSS JOIN (SELECT ts AS t3 FROM s3)
+        |  CROSS JOIN (SELECT ts AS t4 FROM s4)
+        |  CROSS JOIN (SELECT ts AS t5 FROM s5)),
+        |tot AS (SELECT count(*)::BIGINT AS vocab_total FROM vocab),
+        |cum AS (
+        |  SELECT st.step,
+        |    sum(CASE WHEN first_step <= st.step THEN 1 ELSE 0 END)::BIGINT
+        |      AS corpus_covered
+        |  FROM fs CROSS JOIN (SELECT unnest(range(1, 6)) AS step) st
+        |  GROUP BY 1)
+        |SELECT sel.step::BIGINT AS step, doc_id, gain, covered_sample,
+        |  corpus_covered, vocab_total,
+        |  (corpus_covered * 10000 // vocab_total)::BIGINT AS cover_bp
+        |FROM sel JOIN covs ON covs.step = sel.step
+        |JOIN cum ON cum.step = sel.step
+        |CROSS JOIN tot
+        |ORDER BY sel.step""".stripMargin,
     "q_cramers_v" ->
       """WITH cand AS (
         |  SELECT 'lineitem.returnflag~linestatus' AS pair,

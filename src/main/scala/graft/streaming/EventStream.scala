@@ -400,6 +400,44 @@ object EventStream {
         "forecast_micro", "err_micro")
   }
 
+  /** Streaming twin of q_burstiness — the live Fano-factor monitor
+    * for capacity planning: state per event_type is the SAME
+    * calendar-day count map the batch query aggregates onto (the
+    * ewmaDaily recipe), and every update re-derives n_days, the mean
+    * and the Fano factor from the map with the batch query's exact
+    * integer arithmetic (JVM truncating long division ≡ Spark `div` ≡
+    * DuckDB BIGINT `//` on these nonnegative quantities). Emits only
+    * once a type has >1 day, mirroring the batch filter; `seen` is
+    * monotone per key, so the final snapshot = rows at max seen. */
+  def burstinessDaily(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long],
+          (String, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val m = scala.collection.mutable.Map.empty[String, Long]
+          m ++= state.getOption.getOrElse(Map.empty)
+          rows.foreach { case (_, d) => m(d) = m.getOrElse(d, 0L) + 1L }
+          val snapshot = m.toMap
+          state.update(snapshot)
+          val seen = snapshot.valuesIterator.sum
+          val nd = snapshot.size.toLong
+          if (nd <= 1) Iterator.empty
+          else {
+            val sx = seen
+            val sxx = snapshot.valuesIterator.map(x => x * x).sum
+            Iterator.single((key, seen, nd, sx / nd,
+              (nd * sxx - sx * sx) * 1000L / ((nd - 1) * sx)))
+          }
+      }
+      .toDF("event_type", "seen", "n_days", "mean_per_day", "fano_milli")
+  }
+
   /** Run a parquet-backed streaming query into an in-memory sink until
     * all available input is processed (test/dev harness). */
   def runToMemory(spark: SparkSession, sourceDir: String, name: String,

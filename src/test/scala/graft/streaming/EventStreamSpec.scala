@@ -297,6 +297,54 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(_._2.exists(_._4 != 0L)))
   }
 
+  test("streaming burstiness twin equals batch Fano after late days arrive") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-fano")
+    val ev = Tables.events(spark, dir)
+    val cut = "2024-01-15"
+    ev.where(to_date(col("ts")).cast("string") >= cut).coalesce(1)
+      .write.parquet(streamDir.resolve("late").toString)
+    ev.where(to_date(col("ts")).cast("string") < cut).coalesce(1)
+      .write.parquet(streamDir.resolve("early").toString)
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(streamDir.resolve(sub).toString)
+      d.listFiles().foreach(_.setLastModified(t))
+      d.setLastModified(t)
+    }
+    stamp("late", 1000000L)
+    stamp("early", 2000000L)
+    val q = EventStream.runToMemory(spark, s"$streamDir/*", "fano_daily",
+      EventStream.burstinessDaily(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val all = spark.sql("SELECT * FROM fano_daily").collect()
+    val streamed = all.groupBy(_.getString(0)).map { case (t, rs) =>
+      val mx = rs.map(_.getLong(1)).max
+      t -> rs.filter(_.getLong(1) == mx)
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    }
+    // batch truth: the q_burstiness arithmetic over the same table
+    val batch = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .collect().groupBy(_.getString(0)).collect {
+        case (t, rs) if rs.length > 1 =>
+          val xs = rs.map(_.getLong(2))
+          val nd = xs.length.toLong
+          val sx = xs.sum
+          val sxx = xs.map(x => x * x).sum
+          t -> (nd, sx / nd, (nd * sxx - sx * sx) * 1000L / ((nd - 1) * sx))
+      }
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (t, exp) =>
+      assert(streamed(t) == exp, s"type $t Fano diverged after late days")
+    }
+    // both halves really contributed: intermediate emits exist
+    assert(all.map(_.getLong(1)).distinct.length > 1,
+      "everything arrived in one batch")
+  }
+
   test("streaming heavy hitters equal batch exact counts (no-eviction regime)") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-hh")
