@@ -254,6 +254,47 @@ object RecallGates {
     val g12 = Gate("cms_join_overest",
       if (cmsEst >= truePairs) truePairs.toDouble / cmsEst else 0.0, 0.9)
 
-    Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12)
+    // DIMSUM estimate quality: over co-occurring item pairs (exact
+    // binary cos ≥ 0.07, ~36k pairs at verify SF) on a bounded basket
+    // slice, the SUM of sampled estimates must track the sum of exact
+    // cosines (per-pair draws are deterministic but high-variance;
+    // the ratio of sums concentrates over the pair population, so the
+    // gate is robust to testdata regeneration). γ = 4 sits well below
+    // the slice's mean norm product (~10.7, max ~21), so the BULK of
+    // pairs are genuinely sampled at p < 1 — measured at γ = 15 only
+    // 37/36k pairs sampled and the gate was vacuous (ratio = 1.0000
+    // because the exact p = 1 path dominated).
+    val basket = graft.Tables.lineitem(spark, sfDir)
+      .where(col("l_orderkey") < 5000)
+      .select(col("l_orderkey").as("r"), col("l_partkey").as("c"))
+    val bD = basket.distinct().localCheckpoint(true)
+    val bn = bD.groupBy(col("c")).agg(count(lit(1)).as("n"))
+    val bSides = bD.join(broadcast(bn), Seq("c"))
+    val exactCos = bSides.as("x").join(bSides.as("y"),
+        col("x.r") === col("y.r") && col("x.c") < col("y.c"))
+      .groupBy(col("x.c").as("a"), col("y.c").as("b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(count(lit(1)).as("cooc"))
+      .withColumn("cos_e4", expr(
+        """CAST(floor(CAST(cooc AS DOUBLE) * 10000.0 /
+          |  (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+          | AS BIGINT)""".stripMargin))
+      .where(col("cos_e4") >= 700)
+      .select(col("a"), col("b"), col("cos_e4"))
+    val dimsumEst = graft.similarity.Dimsum.pairs(basket, "r", "c",
+        gamma = 4.0)
+      .select(col("a"), col("b"), col("est_cos_e4"))
+    val joined = exactCos.join(dimsumEst, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n"), sum(col("cos_e4")).as("se"),
+        sum(coalesce(col("est_cos_e4"), lit(0L))).as("sa"))
+      .collect().head
+    val g13 = Gate("dimsum_mean_ratio",
+      if (joined.getLong(0) < 5) 1.0
+      else {
+        val ratio = joined.getLong(2).toDouble / joined.getLong(1)
+        1.0 - math.abs(ratio - 1.0)
+      }, 0.8)
+
+    Seq(g1, g2, g3, g4, g5, g6, g7, g8, g9, g10, g11, g12, g13)
   }
 }

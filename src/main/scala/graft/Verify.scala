@@ -23,7 +23,11 @@ object Verify {
     // the driver always runs the full set — same contract as Bench).
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_GATES_ONLY=1 skips the query dump and runs just the
+    // recall gates (local gate iteration; the driver never sets it).
+    val gatesOnly = sys.env.get("SPARK_GRAFT_GATES_ONLY").contains("1")
     val selected = only match {
+      case _ if gatesOnly => Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
       case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
       case None => SparkEntry.queries
     }
@@ -67,7 +71,8 @@ object Verify {
     // rows-only check would stay green through a silent recall collapse.
     // Gates are skipped on a filtered local iteration run; the driver's
     // unfiltered run always exercises them.
-    val gates = if (only.isDefined) Nil else RecallGates.run(spark, sfDir)
+    val gates =
+      if (only.isDefined && !gatesOnly) Nil else RecallGates.run(spark, sfDir)
     gates.foreach { g =>
       val status = if (g.pass) "PASS" else "FAIL"
       println(f"[recall] ${g.name}%-24s value=${g.value}%.4f floor=${g.floor}%.3f $status")

@@ -320,6 +320,25 @@ object Diagnostics {
           expr("(1 + n_ge) * 10000L div (n_perms + 1)").as("p_value_bp"))
     }),
 
+    // DIMSUM-sampled all-pairs item cosine (Zadeh & Carlson, KDD'13 /
+    // RowMatrix.columnSimilarities) — the shuffle-bounded scale path
+    // behind q_item_similarity's exact wedge join: each in-basket
+    // pair survives to the shuffle with p = min(1, γ/(‖cᵢ‖·‖cⱼ‖)), so
+    // hot-item pairs (the quadratic blowup) are thinned hardest while
+    // cold pairs pass exactly. Deterministic 52-bit md5 coin →
+    // bit-reproducible estimates (rows-only: the sampling is the
+    // point; DimsumSpec pins exact-equivalence at p=1 and the
+    // dimsum_mean_ratio gate tracks estimate quality at verify SF).
+    "q_dimsum" -> ((s, dir) =>
+      graft.similarity.Dimsum.pairs(
+        lineitem(s, dir).select(col("l_orderkey").as("r"),
+          col("l_partkey").as("c")),
+        "r", "c", gamma = 20.0, minCosE4 = 500L)
+        // support cutoff mirrors q_item_similarity's cooc >= 2: the
+        // cooc=1 tiny-support tail is high-cosine but meaningless
+        .where(col("n_sampled") >= 2)
+        .orderBy(asc("a"), asc("b"))),
+
     // Greedy maximum-coverage exemplar selection (Nemhauser 1978
     // (1−1/e) guarantee) — "which 5 docs show the most vocabulary":
     // the sequential argmax runs driver-side over a bounded md5-order
