@@ -44,7 +44,10 @@ object Coverage {
       .as[(Long, Seq[String])].collect()
     val covered = scala.collection.mutable.Set.empty[String]
     val taken = scala.collection.mutable.Set.empty[Long]
-    (1 to k).map { step =>
+    // The greedy loop stops early when candidates run out (k larger
+    // than the corpus/candidate count) — reduceLeft on an empty
+    // remainder would throw.
+    (1 to math.min(k, cand.length)).map { step =>
       val (bestId, bestTs, bestGain) = cand.iterator
         .filterNot(c => taken(c._1))
         .map { case (id, ts) => (id, ts, ts.count(!covered(_)).toLong) }

@@ -95,4 +95,23 @@ object Layout {
       case a: AdaptiveSparkPlanExec => noShuffle(a.executedPlan)
     }.forall(identity)
   }
+
+  /** True if the executed plan contains NO Window operator — the
+    * plan assert for queries rebuilt on [[PrefixSum]]/[[Shuffle]]
+    * positions: a running-sum window over a low-cardinality (or
+    * absent) partition key funnels each key's whole extent through
+    * one task at scale, and the rebuilt plans must not regress to it.
+    * Same AQE recursion caveat as [[isExchangeFree]]. */
+  def isWindowFree(df: DataFrame): Boolean =
+    noWindow(df.queryExecution.executedPlan)
+
+  private def noWindow(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    p.collectWithSubqueries {
+      case _: WindowExecBase => false
+      case a: AdaptiveSparkPlanExec => noWindow(a.executedPlan)
+    }.forall(identity)
+  }
 }

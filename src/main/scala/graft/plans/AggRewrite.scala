@@ -144,7 +144,7 @@ object AggRewrite {
                 case None => ok = false; a
               }
             case al: Alias =>
-              val rewritten = al.child.transform {
+              val aggRewritten = al.child.transform {
                 case ae: AggregateExpression =>
                   measureKey(ae).flatMap(s.measures.get)
                     .flatMap(byName.get) match {
@@ -152,6 +152,21 @@ object AggRewrite {
                       if (sa.dataType == ae.dataType) sa
                       else Cast(sa, ae.dataType)
                     case None => ok = false; ae
+                  }
+              }
+              // Base-table attributes referenced OUTSIDE aggregate calls
+              // (group columns inside expressions like sum(x)+g or
+              // concat(g, ...)) still carry base-relation exprIds; remap
+              // them onto the summary's attributes (group columns exist
+              // there by construction) and bail out on any miss so such
+              // shapes fall back to the base scan instead of emitting a
+              // Project over attributes absent from its child.
+              val summaryIds = summaryPlan.outputSet
+              val rewritten = aggRewritten.transform {
+                case a: AttributeReference if !summaryIds.contains(a) =>
+                  byName.get(a.name) match {
+                    case Some(sa) => sa
+                    case None => ok = false; a
                   }
               }
               Alias(rewritten, al.name)(exprId = al.exprId)

@@ -1087,17 +1087,23 @@ object Analytics {
     // aggregate (like q_auc's score frame), never the fact table;
     // class boundaries are integer cross-multiplications.
     "q_abc_classes" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // per-part is dimension-sized but grows with SF: a global
+      // cumulative Window.orderBy would sort it on ONE reducer. The
+      // running revenue instead comes from ops/PrefixSum over the
+      // (-rev, partkey) total order — range-partitioned, parallel,
+      // exact — with the grand total attached as a broadcast 1-row
+      // frame. localCheckpoint: the per-part aggregate feeds both the
+      // prefix-sum branch and the broadcast total (shuffle + broadcast
+      // consumers never share an exchange).
       val perPart = lineitem(s, dir)
         .groupBy(col("l_partkey"))
         .agg(sum(revMilli).as("rev"))
-      val w = Window.orderBy(desc("rev"), asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy(lit(1))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      perPart
-        .withColumn("cum_before", coalesce(sum(col("rev")).over(w), lit(0L)))
-        .withColumn("total", sum(col("rev")).over(wAll))
+        .withColumn("neg", -col("rev"))
+        .localCheckpoint(true)
+      val run = graft.ops.PrefixSum.runningTotal(
+        perPart, Nil, Seq("neg", "l_partkey"), "rev", "cum_incl")
+      run.crossJoin(broadcast(perPart.agg(sum(col("rev")).as("total"))))
+        .withColumn("cum_before", col("cum_incl") - col("rev"))
         .withColumn("cls", expr(
           """CASE WHEN cum_before * 10 < total * 7 THEN 'A'
              |     WHEN cum_before * 10 < total * 9 THEN 'B'

@@ -161,20 +161,23 @@ object Pipeline {
     }),
 
     // Context-window packing: documents pack greedily into fixed
-    // token-budget bins per language via a cumulative-sum window (the
-    // distributable form of sequential packing — bin boundaries come
-    // from the running total, deterministic in doc_id order). The
-    // window and both aggregations share the lang hash partitioning,
-    // so the whole query is ONE shuffle.
+    // token-budget bins per language; bin boundaries come from the
+    // per-lang running token total in doc_id order. `lang` is a
+    // LOW-cardinality key, so a running-sum window would stream each
+    // language's entire corpus through ONE task at scale — the running
+    // total instead comes from ops/PrefixSum (range-sorted partitions
+    // + per-partition subtotals + broadcast offsets): identical values,
+    // fully parallel, no per-lang serialization.
     "q_context_pack" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val budget = 512L
-      val w = Window.partitionBy(col("lang")).orderBy(asc("doc_id"))
-      documents(s, dir)
+      val toks = documents(s, dir)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
-        .withColumn("bin",
-          floor((sum(col("tok")).over(w) - col("tok")) / budget))
+      graft.ops.PrefixSum.runningTotal(
+          toks, Seq("lang"), Seq("doc_id"), "tok", "run")
+        // bin start = running total BEFORE this doc; nonneg, so
+        // truncating div ≡ floor.
+        .withColumn("bin", expr(s"(run - tok) DIV ${budget}L"))
         .groupBy(col("lang"), col("bin"))
         .agg(sum(col("tok")).as("bin_tokens"))
         .groupBy(col("lang"))

@@ -41,36 +41,53 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("win_epoch"),
         col("event_type"), col("n_events"), col("total_value"))
 
-  /** Per-user running session state via flatMapGroupsWithState: emits a
-    * session row when a user is idle past `gapMs` (reference has no
-    * streaming analogue; this is the KeyValueGroupedDataset custom
-    * state pattern). */
-  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  /** Per-user session log state for [[sessionize]]: sessionization is
+    * ORDER-SENSITIVE under disorder — a late-arriving event can BRIDGE
+    * two sessions previously judged separate (or extend one backward),
+    * so greedy freezing mis-assigns every subsequent gap decision. Per
+    * the order-sensitive-derivation rule (funnel/scd2/ewma twins), the
+    * state retains exactly what the derivation reads — the per-user
+    * (ts, value) log, bounded by events per key (production: bound it
+    * with a retention horizon/timeout) — and re-derives ALL sessions on
+    * every update. */
+  final case class SessionLog(log: List[(Long, Double)], nSeen: Long)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
-      n_events: Long, total_value: Double)
+      n_events: Long, total_value: Double, is_open: Long, n_seen: Long)
 
+  /** Streaming twin of the batch gap sessionizer (q_sessionize's
+    * gap-vs-threshold rule on millis): each update re-emits the user's
+    * full current session list — including the still-open final session
+    * (`is_open` = 1), which a frozen Append-mode design could never
+    * emit — stamped with the monotone `n_seen` version; readers keep
+    * each user's max-n_seen rows. */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
     val typed = events.select(col("user_id"), col("ts").cast("long") * 1000,
       col("value")).as[(Long, Long, Double)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[(Long, Long, Double)],
-            state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(_._2)
-          var st = state.getOption.getOrElse(
-            SessionState(Long.MinValue, Long.MinValue, 0, 0))
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { case (_, t, v) =>
-            if (st.n == 0) st = SessionState(t, t, 1, v)
-            else if (t - st.last > gapMs) {
-              out += SessionOut(user, st.start, st.last, st.n, st.total)
-              st = SessionState(t, t, 1, v)
-            } else st = st.copy(last = t, n = st.n + 1, total = st.total + v)
+            state: GroupState[SessionLog]) => {
+          var st = state.getOption.getOrElse(SessionLog(Nil, 0L))
+          rows.foreach { case (_, t, v) =>
+            st = SessionLog((t, v) :: st.log, st.nSeen + 1)
           }
           state.update(st)
-          out.result().iterator
+          val ordered = st.log.sortBy(_._1)
+          // re-derive: split the ordered log at gaps > gapMs.
+          val sessions = ordered.foldLeft(
+            List.empty[(Long, Long, Long, Double)]) {
+            case (acc, (t, v)) => acc match {
+              case (s0, last, n, tot) :: rest if t - last <= gapMs =>
+                (s0, t, n + 1, tot + v) :: rest
+              case _ => (t, t, 1L, v) :: acc
+            }
+          }.reverse
+          sessions.zipWithIndex.map { case ((s0, e, n, tot), i) =>
+            SessionOut(user, s0, e, n, tot,
+              if (i == sessions.length - 1) 1L else 0L, st.nSeen)
+          }.iterator
         }).toDF()
   }
 

@@ -59,6 +59,14 @@ class CoverageSpec extends SparkSpec {
       "greedy marginal gains must be non-increasing (submodularity)")
   }
 
+  test("k beyond the candidate count stops at the candidates (no throw)") {
+    val rows = Seq((3L, "a b"), (1L, "c"))
+    val picks = Coverage.greedySelect(docsDF(rows), "text", "doc_id",
+      candidates = 10, k = 5)
+    assert(picks.map(_.docId) == Seq(3L, 1L))
+    assert(picks.map(_.step) == Seq(1, 2))
+  }
+
   test("coverageReport: corpus coverage is cumulative and caps at vocab") {
     val rows = (0L until 20L).map(id => id -> s"t$id shared common")
     val rep = Coverage.coverageReport(docsDF(rows), "text", "doc_id",

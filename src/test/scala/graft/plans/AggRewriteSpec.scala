@@ -133,4 +133,38 @@ class AggRewriteSpec extends SparkSpec {
       assert(got === exp && got.nonEmpty)
     }
   }
+
+  test("group column referenced OUTSIDE an aggregate call still rewrites") {
+    // sum(v) + length(g): the Alias child mixes an AggregateExpression
+    // with a bare group-column reference. The group attribute's
+    // base-relation exprId must be remapped onto the summary plan's
+    // output — an unmapped reference would fail analysis/execution on
+    // every registered query (the rule is injected cluster-wide).
+    val (base, sumPath) = setup()
+    withRule {
+      val df = spark.read.parquet(base).groupBy("g")
+        .agg((sum(col("v")) + length(col("g"))).as("svl"))
+      assert(scanPaths(df).exists(_.contains(sumPath)),
+        scanPaths(df).mkString(";"))
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      AggRewrite.clear()
+      val exp = spark.read.parquet(base).groupBy("g")
+        .agg((sum(col("v")) + length(col("g"))).as("svl"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === exp && got.nonEmpty)
+    }
+  }
+
+  test("a mixed expression with an unregistered aggregate falls back to base") {
+    // min(v) isn't a registered measure: ok flips false inside the
+    // composite Alias child, and the query must run (correctly)
+    // against the base scan instead of a half-rewritten expression.
+    val (base, sumPath) = setup()
+    withRule {
+      val df = spark.read.parquet(base).groupBy("g")
+        .agg((sum(col("v")) * lit(0) + min(col("v"))).as("m"))
+      assert(!scanPaths(df).exists(_.contains(sumPath)))
+      assert(df.collect().length === 7)
+    }
+  }
 }

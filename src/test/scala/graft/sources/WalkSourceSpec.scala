@@ -75,6 +75,26 @@ class WalkSourceSpec extends SparkSpec {
       Walker.walk(spark, root.toString, seedDepth = 2).entries.count())
   }
 
+  test("contradictory pushed is_dir conjuncts plan an empty scan") {
+    // Exercise the builder directly: Catalyst may fold the boolean
+    // contradiction before it ever reaches pushFilters, but a v2
+    // source must stay correct for ANY conjunct set it accepts.
+    val root = buildTree()
+    val b = new WalkScanBuilder(root.toString, 2, 8, Nil)
+    val remaining = b.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("is_dir", java.lang.Boolean.TRUE),
+      org.apache.spark.sql.sources.EqualTo("is_dir", java.lang.Boolean.FALSE)))
+    assert(remaining.isEmpty, "both conjuncts are consumed")
+    assert(b.build().toBatch.planInputPartitions().isEmpty,
+      "an unsatisfiable conjunction must plan zero partitions")
+    // agreeing duplicates still scan
+    val b2 = new WalkScanBuilder(root.toString, 2, 8, Nil)
+    b2.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("is_dir", java.lang.Boolean.TRUE),
+      org.apache.spark.sql.sources.EqualTo("is_dir", java.lang.Boolean.TRUE)))
+    assert(b2.build().toBatch.planInputPartitions().nonEmpty)
+  }
+
   test("partitions option bounds planned input partitions") {
     val root = buildTree()
     val df = readSource(root, "partitions" -> "2", "seedDepth" -> "1")

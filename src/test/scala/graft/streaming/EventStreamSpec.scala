@@ -577,4 +577,92 @@ class EventStreamSpec extends SparkSpec {
       (2L, "b", us(5), Some(us(9)), 0L),
       (3L, "a", us(9), None, 1L)), s"got $hist")
   }
+
+  /** Latest session snapshot per user from the sessionize memory sink:
+    * rows carrying each user's max n_seen (the re-derivation version). */
+  private def sessionSnapshot(table: String)
+      : Map[Long, Seq[(Long, Long, Long, Long)]] =
+    spark.sql(s"SELECT * FROM $table").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val maxSeen = rows.map(_.getLong(6)).max
+        u -> rows.filter(_.getLong(6) == maxSeen)
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+          .sortBy(_._1).toSeq
+      }
+
+  test("streaming sessionize equals the batch gap sessionizer") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString, "sess_t",
+      EventStream.sessionize(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update())
+    q.awaitTermination(120000)
+    val streamed = sessionSnapshot("sess_t")
+      .map { case (u, ss) => u -> (ss.length.toLong,
+        ss.map(s => s._2 - s._1).sum) }
+    // batch twin: same truncated-seconds gap rule as q_sessionize.
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, dir)
+        .withColumn("t", unix_timestamp(col("ts")))
+        .withColumn("prev", lag(col("t"), 1).over(byUser))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("t") - col("prev") > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("t")).as("s0"), max(col("t")).as("s1"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum((col("s1") - col("s0")) * 1000).as("dur"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionize: a late event bridges two open sessions") {
+    val s = spark
+    import s.implicits._
+    def n(min: Int) = min * 60L * 1000000000L + 1704067200L * 1000000000L
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sessl")
+    // batch 1: events at minute 0 and minute 40 — gap 40 min > 30 min,
+    // so the snapshot shows TWO sessions.
+    Seq((1L, n(0), 1L, "view", 1.0, "{}"), (2L, n(40), 1L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(streamDir.resolve("a").toString)
+    // batch 2 (late): minute 20 lands between them — both gaps are now
+    // 20 min, so the sessions MERGE into one. A frozen greedy state
+    // (already closed session [0,0]) could never undo the split.
+    Seq((3L, n(20), 1L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(streamDir.resolve("b").toString)
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(streamDir.resolve(sub).toString)
+      d.listFiles().foreach(_.setLastModified(t))
+      d.setLastModified(t)
+    }
+    stamp("a", 1000000L)
+    stamp("b", 2000000L)
+    val q = EventStream.runToMemory(spark, s"$streamDir/*", "sess_late",
+      EventStream.sessionize(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val all = spark.sql("SELECT * FROM sess_late").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getLong(6)))
+    val ms = (m: Int) => n(m) / 1000000L
+    // after batch 1 (n_seen=2): two sessions, the last one open.
+    assert(all.filter(_._6 == 2L).sortBy(_._1).toSeq == Seq(
+      (ms(0), ms(0), 1L, 1.0, 0L, 2L), (ms(40), ms(40), 1L, 2.0, 1L, 2L)),
+      s"got ${all.toSeq}")
+    // after the late batch (n_seen=3): ONE bridged open session.
+    assert(all.filter(_._6 == 3L).toSeq == Seq(
+      (ms(0), ms(40), 3L, 7.0, 1L, 3L)), s"got ${all.toSeq}")
+  }
 }
