@@ -31,7 +31,20 @@ object Export {
       .withColumn("__shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
     sharded.write.mode(SaveMode.ErrorIfExists)
       .partitionBy("__shard").parquet(outDir)
-    val stats = manifestStats(sharded, idCol)
+    attest(df.sparkSession, outDir, idCol, nShards)
+  }
+
+  /** Cut (or re-cut) the manifest from a READ-BACK of `outDir`: the
+    * manifest attests the ARTIFACT, not the writing plan, so a
+    * write-side fault (truncated/lost part file) shows up in the
+    * manifest stats the moment it is cut — a consumer comparing them
+    * to the producer's expected counts catches the loss before any
+    * GPU-hours are spent, instead of only at a later verify(). */
+  def attest(spark: SparkSession, outDir: String, idCol: String,
+      nShards: Int): Seq[ShardStat] = {
+    // never trust a cached listing of the files being attested
+    spark.catalog.refreshByPath(outDir)
+    val stats = manifestStats(spark.read.parquet(outDir), idCol)
     writeManifest(outDir, nShards, stats)
     stats
   }

@@ -140,6 +140,29 @@ object Events {
         .orderBy(asc("user_id"))
     }),
 
+    // STRING-keyed as-of through the same physical merge exec — the
+    // reference-shaped use (paths as keys). The exec's general path
+    // compares projected UnsafeRows under the natural (binary UTF8)
+    // ordering; the long fast path covers q_asof_merge above.
+    "q_asof_merge_str" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val skey = format_string("u%03d", pmod(col("user_id"), lit(50L)))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(skey.as("ukey"), col("ts"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(skey.as("ukey"), col("ts"), col("value"))
+        .groupBy(col("ukey"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.plans.AsOfMergeJoin.asof(purchases, clicks, "ukey", "ts",
+        Seq("click_value"))
+        .groupBy(col("ukey"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("asof_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          coalesce(round(sum(col("asof_click_value")), 2), lit(0.0))
+            .as("matched_value"))
+        .orderBy(asc("ukey"))
+    }),
+
     // Interval range join (graft.ops.RangeJoin): events vs overlapping
     // campaign windows (stride 3 d, length 5 d — most events match two
     // campaigns), bucketed into 5-day bins so the plan is an EQUI-join
@@ -747,6 +770,19 @@ object Events {
         |  sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
         |  coalesce(round(sum(c.click_value), 2), 0.0) AS matched_value
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_merge_str" ->
+      """WITH p AS (
+        |  SELECT printf('u%03d', user_id % 50) AS ukey, ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT printf('u%03d', user_id % 50) AS ukey, ts,
+        |    max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.ukey, count(*) AS n_purchases,
+        |  sum(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        |  coalesce(round(sum(c.click_value), 2), 0.0) AS matched_value
+        |FROM p ASOF LEFT JOIN c ON p.ukey = c.ukey AND p.ts >= c.ts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join" ->
       """WITH c AS (

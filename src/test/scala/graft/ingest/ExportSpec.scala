@@ -43,6 +43,36 @@ class ExportSpec extends SparkSpec {
     assert(bad2.contains(1L) && bad2.contains(0L), bad2.toString)
   }
 
+  test("manifest attests the artifact: a write-side fault shows at cut time") {
+    val out = Files.createTempDirectory("graft-export4").toString + "/c"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val intact = Export.shards(docs, "doc_id", out, nShards = 4)
+    // the no-fault manifest equals the input-side aggregate
+    val inputStats = docs
+      .groupBy(pmod(xxhash64(col("doc_id")), lit(4L)).as("shard"))
+      .agg(count(lit(1)).as("rows"),
+        expr("bit_xor(xxhash64(doc_id))").as("checksum"))
+      .collect()
+      .map(r => Export.ShardStat(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.shard).toSeq
+    assert(intact === inputStats)
+    // simulate a write-side fault BEFORE the manifest is cut: a part
+    // file of shard 0 vanishes; re-cutting the manifest must already
+    // disagree with the input-side stats (attesting what's on disk),
+    // while staying self-consistent with the damaged artifact.
+    val shard0 = new java.io.File(s"$out/__shard=0")
+    val part = shard0.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(part.delete())
+    val recut = Export.attest(spark, out, "doc_id", 4)
+    val in0 = inputStats.find(_.shard == 0L).get
+    val re0 = recut.find(_.shard == 0L)
+    assert(re0.forall(s => s.rows < in0.rows),
+      s"manifest must reflect the lost part: input=$in0 recut=$re0")
+    assert(recut.filter(_.shard != 0L) === inputStats.filter(_.shard != 0L))
+    assert(Export.verify(spark, out, "doc_id").isEmpty,
+      "re-cut manifest is consistent with the (damaged) artifact")
+  }
+
   test("manifest parses back exactly what was written") {
     val out = Files.createTempDirectory("graft-export3").toString + "/c"
     val docs = Tables.documents(spark, dir).select("doc_id")

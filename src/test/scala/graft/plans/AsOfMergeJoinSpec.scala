@@ -79,4 +79,54 @@ class AsOfMergeJoinSpec extends SparkSpec {
     assert(got.exists(r => r(3) != null)) // some matches exist
     assert(got.exists(r => r(3) == null)) // and some non-matches
   }
+
+  test("string keys (general comparator path) equal the union-sweep") {
+    var s = 7L
+    def nxt(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.abs(s % 1000) }
+    // path-shaped keys, deliberately prefix-nested (binary UTF8 order
+    // must agree between the required sort and the merge comparator)
+    def key(): String = s"/data/d${nxt() % 7}/f${nxt() % 5}"
+    val left = (0 until 400).map(_ => (key(), nxt(), nxt().toDouble))
+      .toDF("k", "t", "lv").repartition(5)
+    val right = (0 until 300).map(_ => (key(), nxt(), nxt().toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, t)
+      .toDF("k", "t", "v").repartition(3)
+    val merge = AsOfMergeJoin.asof(left, right, "k", "t", Seq("v"))
+    assert(hasMergeExec(merge.queryExecution.executedPlan))
+    val got = merge.select("k", "t", "lv", "asof_ts", "asof_v")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val want = graft.ops.AsOfJoin.asof(left, right, "k", "t", Seq("v"))
+      .select("k", "t", "lv", "asof_ts", "asof_v")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.length == want.length && got.sameElements(want))
+    assert(got.exists(r => r(3) != null) && got.exists(r => r(3) == null))
+  }
+
+  test("composite (string, long) keys match a brute-force replay") {
+    var s = 13L
+    def nxt(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.abs(s % 1000) }
+    val lRows = (0 until 300).map(_ => (s"s${nxt() % 5}", nxt() % 4, nxt()))
+    val rRows = (0 until 250).map(_ => (s"s${nxt() % 5}", nxt() % 4, nxt(), nxt().toDouble))
+      .groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq // unique (k1,k2,t)
+    val left = lRows.toDF("k1", "k2", "t").repartition(6)
+    val right = rRows.toDF("k1", "k2", "t", "v").repartition(2)
+    val merge = AsOfMergeJoin.asofKeys(left, right, Seq("k1", "k2"), "t",
+      Seq("v"))
+    assert(hasMergeExec(merge.queryExecution.executedPlan))
+    val got = merge.select("k1", "k2", "t", "asof_ts", "asof_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .sortBy(_.toString)
+    val want = lRows.map { case (k1, k2, t) =>
+      val m = rRows.filter(r => r._1 == k1 && r._2 == k2 && r._3 <= t)
+      if (m.isEmpty) (k1, k2, t, None, None)
+      else {
+        val best = m.maxBy(_._3)
+        (k1, k2, t, Some(best._3), Some(best._4))
+      }
+    }.sortBy(_.toString)
+    assert(got.toSeq == want)
+    assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty))
+  }
 }
