@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   * independent, associative: grain sketches roll up like the other
   * three.
   *
-  * Hashing: row i uses xxhash-style mixing of (seed=i, item bytes)
-  * via Scala's MurmurHash3 over the UTF-8 bytes — deterministic
-  * across JVMs and partitionings (integer arithmetic only), so
-  * unlike the HLL/KLL estimates a CMS sketch is BIT-IDENTICAL for
-  * any partitioning of the same multiset (counter sums commute
-  * exactly).
+  * Hashing: ONE md5 per item; hash row i parses hex chars
+  * [6i, 6i+6) of the digest (24 independent bits per row, d ≤ 5)
+  * mod w — deterministic across JVMs and partitionings, so unlike
+  * the HLL/KLL estimates a CMS sketch is BIT-IDENTICAL for any
+  * partitioning of the same multiset (counter sums commute exactly).
+  * The md5-substring rows are also SQL-replayable —
+  * `('0x' || substring(md5(t), 1+6*i, 6))::INT % w` reproduces every
+  * counter AND every probe estimate in DuckDB, which is what lets
+  * q_cms_freq run as a hash-exact oracle query rather than rows-only
+  * (use power-of-2 w ≤ 2^24: 2^24 mod w = 0, so the fold is
+  * bias-free).
   */
 object CountMinSketch {
 
@@ -37,19 +42,30 @@ object CountMinSketch {
   final case class CmsData(d: Int, w: Int, n: Long, counters: Seq[Long])
 
   final class Sketch(val d: Int, val w: Int) extends Serializable {
+    require(d <= 5, s"md5-substring rows support d <= 5, got $d")
     var n: Long = 0L
     val counters: Array[Long] = new Array[Long](d * w)
 
-    private def bucket(row: Int, item: String): Int = {
-      val h = scala.util.hashing.MurmurHash3.bytesHash(
-        item.getBytes("UTF-8"), row * 0x9e3779b9 + 1)
-      math.floorMod(h, w)
+    @transient private lazy val md5 =
+      java.security.MessageDigest.getInstance("MD5")
+
+    /** All d buckets from ONE digest: row i = hex[6i, 6i+6) mod w
+      * (see class doc — SQL-replayable by construction). */
+    private def buckets(item: String): Array[Int] = {
+      val dig = md5.digest(item.getBytes("UTF-8"))
+      Array.tabulate(d) { i =>
+        // hex chars [6i, 6i+6) = 24 bits from byte offset 3i
+        val v = ((dig(3 * i) & 0xff) << 16) |
+          ((dig(3 * i + 1) & 0xff) << 8) | (dig(3 * i + 2) & 0xff)
+        v % w
+      }
     }
 
     def add(item: String, count: Long = 1L): Sketch = {
+      val bs = buckets(item)
       var i = 0
       while (i < d) {
-        counters(i * w + bucket(i, item)) += count
+        counters(i * w + bs(i)) += count
         i += 1
       }
       n += count
@@ -57,10 +73,12 @@ object CountMinSketch {
     }
 
     def estimate(item: String): Long = {
+      if (d == 0) return 0L
+      val bs = buckets(item)
       var best = Long.MaxValue
       var i = 0
       while (i < d) {
-        val c = counters(i * w + bucket(i, item))
+        val c = counters(i * w + bs(i))
         if (c < best) best = c
         i += 1
       }

@@ -1473,12 +1473,15 @@ object Pipeline {
         .orderBy(asc("g_a"), asc("g_b"))
     }),
 
-    // Count-min point-frequency estimates (rows-only — one-sided
-    // error bound, exact merge, and cross-partitioning bit-equality
-    // are pinned in CountMinSketchSpec): per-(lang, source) token
+    // Count-min point-frequency estimates: per-(lang, source) token
     // sketches merged per lang, probed for a fixed word set — the
     // "how often does THIS token occur per language" query served
     // from kilobyte sketch rows without rescanning the corpus.
+    // HASH-EXACT oracle: the md5-substring hash rows are pure integer
+    // SQL, so DuckDB replays every counter (grouped token-count sums
+    // per bucket) and every probe (min over rows) bit-for-bit; the
+    // one-sided bound and cross-partitioning bit-equality stay pinned
+    // in CountMinSketchSpec.
     "q_cms_freq" -> ((s, dir) => {
       val tokens = documents(s, dir)
         .select(col("lang"), col("source"),
@@ -1554,11 +1557,13 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
-    // Capped proportional mixture allocation (rows-only — the
-    // water-filling fixed point is iterative; exactness invariants
-    // are pinned in WaterFillSpec): per-source quotas for a 300-doc
-    // budget with even-index sources weighted 3:1, capped by actual
-    // supply. The only distributed work is the per-source count.
+    // Capped proportional mixture allocation: per-source quotas for a
+    // 300-doc budget with even-index sources weighted 3:1, capped by
+    // actual supply. The only distributed work is the per-source
+    // count. HASH-EXACT oracle: the fixed point is all-integer and
+    // each pass saturates >=1 source or terminates, so 21 unrolled
+    // CTE layers replay the driver loop exactly (mixtureCapsSql);
+    // exactness invariants stay pinned in WaterFillSpec.
     "q_mixture_caps" -> ((s, dir) => {
       val weights = (0 until 20).map(i =>
         s"src$i" -> (if (i % 2 == 0) 3L else 1L)).toMap
@@ -1620,10 +1625,12 @@ object Pipeline {
         .orderBy(asc("qid"), asc("rk"))
     }),
 
-    // Exact-k weighted sample (rows-only — the E-S exponential clock
-    // uses ln, whose cross-engine bit-parity is the round()-midpoint
-    // class; the driver-side bit-for-bit replay is pinned in
-    // SamplingSpec). "Exactly 50 docs, length-weighted."
+    // Exact-k weighted sample: "exactly 50 docs, length-weighted."
+    // HASH-EXACT oracle: the E-S clock -ln(u)/w is ONE identically-
+    // shaped float expression per row over an exact 52-bit md5 dyadic
+    // u, used for ORDERING only and never emitted — the selected id
+    // set is engine-stable; the driver-side bit-for-bit replay stays
+    // pinned in SamplingSpec.
     "q_weighted_exact_k" -> ((s, dir) => {
       graft.ops.Sampling.weightedExactK(
           documents(s, dir).select(col("doc_id"), col("n_chars")),
@@ -1834,7 +1841,73 @@ object Pipeline {
   /** Fixed query terms for q_bm25 — shared with the oracle SQL. */
   private val Bm25Terms = Seq("join", "vector", "stream", "checkpoint", "spill")
 
+  /** q_mixture_caps oracle: the water-filling fixed point UNROLLED as
+    * `nSources + 1` identical CTE layers (each loop pass saturates at
+    * least one source or is the terminal floor+largest-remainder pass,
+    * so 21 layers replay ANY input exactly — fuzz-verified against the
+    * driver loop on 300 random saturation cascades). All arithmetic is
+    * nonneg integer (`//` ≡ Spark div ≡ the Scala loop's Long `/`);
+    * the remainder ranking mirrors allocate()'s
+    * (preR·wᵢ mod W desc, name) order. */
+  private def mixtureCapsSql(budget: Long, nLayers: Int): String = {
+    val src =
+      """src AS (
+        |  SELECT source, count(*)::BIGINT AS cap,
+        |    (CASE WHEN substring(source, 4)::INT % 2 = 0
+        |          THEN 3 ELSE 1 END)::BIGINT AS wi
+        |  FROM documents GROUP BY 1)""".stripMargin
+    val s0 =
+      s"""s0 AS (
+         |  SELECT source, cap, wi, 0::BIGINT AS alloc,
+         |    (cap > 0 AND wi > 0) AS active,
+         |    least($budget, (SELECT sum(cap) FROM src))::BIGINT AS rem,
+         |    FALSE AS done
+         |  FROM src)""".stripMargin
+    val layers = (1 to nLayers).map { i =>
+      val p = i - 1
+      s"""a$i AS (SELECT *,
+         |  sum(CASE WHEN active THEN wi ELSE 0 END) OVER () AS w FROM s$p),
+         |b$i AS (SELECT *,
+         |  CASE WHEN active AND NOT done AND rem > 0 AND w > 0
+         |       THEN least(cap - alloc, (rem * wi) // w) ELSE 0 END AS give
+         |  FROM a$i),
+         |c$i AS (SELECT *,
+         |  max(CASE WHEN active AND alloc + give >= cap THEN 1 ELSE 0 END)
+         |    OVER () AS sat_any,
+         |  sum(give) OVER () AS handed,
+         |  sum(CASE WHEN active AND alloc + give >= cap
+         |      THEN cap - alloc ELSE 0 END) OVER () AS sat_used,
+         |  row_number() OVER (PARTITION BY active
+         |    ORDER BY (rem * wi) % w DESC, source) - 1 AS rrank
+         |  FROM b$i),
+         |s$i AS (SELECT source, cap, wi,
+         |  CASE WHEN done OR rem <= 0 OR NOT active THEN alloc
+         |       WHEN sat_any = 1 AND alloc + give >= cap THEN cap
+         |       WHEN sat_any = 1 THEN alloc
+         |       ELSE alloc + give +
+         |         (CASE WHEN rrank < rem - handed THEN 1 ELSE 0 END)
+         |  END AS alloc,
+         |  CASE WHEN done OR rem <= 0 THEN active
+         |       WHEN sat_any = 1 AND active AND alloc + give >= cap
+         |         THEN FALSE
+         |       ELSE active END AS active,
+         |  CASE WHEN done OR rem <= 0 THEN rem
+         |       WHEN sat_any = 1 THEN rem - sat_used
+         |       ELSE 0 END AS rem,
+         |  CASE WHEN done OR rem <= 0 THEN TRUE
+         |       WHEN sat_any = 1 THEN FALSE
+         |       ELSE TRUE END AS done
+         |  FROM c$i)""".stripMargin
+    }.mkString(",\n")
+    // window sums (handed/sat_used) are HUGEINT — alloc touches them,
+    // so pin the emitted type or pandas renders it float
+    s"WITH $src,\n$s0,\n$layers\n" +
+      s"SELECT source, cap AS supply, wi AS weight, alloc::BIGINT AS alloc " +
+      s"FROM s$nLayers ORDER BY source"
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_mixture_caps" -> mixtureCapsSql(budget = 300L, nLayers = 21),
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
@@ -2997,6 +3070,63 @@ object Pipeline {
         |  ((rank - 1) * 10000 // greatest(n_in_group - 1, 1))::BIGINT
         |    AS pct_bp
         |FROM r ORDER BY lang, rank""".stripMargin,
+    // CMS replay: counters = per-(lang, row, bucket) token-count sums
+    // under the md5-substring bucket hash; estimate = min over the 5
+    // rows, 0 when a probed bucket is empty. w=2048 divides 2^24, so
+    // the 24-bit fold is bias-free and the % is on nonneg ints
+    // (trunc ≡ floor). Parallel unnest zips the probe arrays.
+    "q_cms_freq" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, token, count(*)::BIGINT AS c FROM tok
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |hr AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+        |ctr AS (
+        |  SELECT lang, i,
+        |    ('0x' || substring(md5(token), 1 + 6*i, 6))::BIGINT % 2048 AS b,
+        |    sum(c)::BIGINT AS v
+        |  FROM cnt, hr GROUP BY 1, 2, 3),
+        |probes AS (
+        |  SELECT unnest(['table', 'key', 'row', 'spark', 'value']) AS word,
+        |    unnest([1, 2, 3, 4, 5]) AS pi),
+        |pb AS (
+        |  SELECT word, pi, i,
+        |    ('0x' || substring(md5(word), 1 + 6*i, 6))::BIGINT % 2048 AS b
+        |  FROM probes, hr),
+        |est AS (
+        |  SELECT l.lang, pb.pi, min(coalesce(ctr.v, 0))::BIGINT AS est
+        |  FROM (SELECT DISTINCT lang FROM cnt) l
+        |  CROSS JOIN pb
+        |  LEFT JOIN ctr ON ctr.lang = l.lang AND ctr.i = pb.i
+        |    AND ctr.b = pb.b
+        |  GROUP BY 1, 2)
+        |SELECT lang,
+        |  max(CASE WHEN pi = 1 THEN est END)::BIGINT AS est_1,
+        |  max(CASE WHEN pi = 2 THEN est END)::BIGINT AS est_2,
+        |  max(CASE WHEN pi = 3 THEN est END)::BIGINT AS est_3,
+        |  max(CASE WHEN pi = 4 THEN est END)::BIGINT AS est_4,
+        |  max(CASE WHEN pi = 5 THEN est END)::BIGINT AS est_5
+        |FROM est GROUP BY 1 ORDER BY lang""".stripMargin,
+    // E-S exponential clocks: u is an exact 52-bit md5 dyadic (the
+    // /2^52 division and greatest() are exact), so the only float op
+    // chain is -ln(u)/w — ONE identically-shaped expression per row
+    // on both engines (the divergence-aggregate recipe); the clock is
+    // used for ORDERING only and never emitted, so a shared ulp in ln
+    // cancels and the selected id set is engine-stable. The spec
+    // additionally pins the driver-side bit-for-bit replay.
+    "q_weighted_exact_k" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln(greatest((('0x' || substring(md5('7|' || doc_id::VARCHAR),
+        |        1, 13))::BIGINT)::DOUBLE, 1.0)
+        |      / 4503599627370496.0) / (n_chars::DOUBLE) AS es
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars
+        |FROM (SELECT * FROM t ORDER BY es, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
     "q_unicode_nfc" ->
       """WITH d AS (
         |  SELECT doc_id,

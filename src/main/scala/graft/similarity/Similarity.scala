@@ -171,11 +171,18 @@ object Similarity {
     * `nprobe` — the tuning curve that prices the recall/compute
     * trade-off before committing an index config (the IVF analogue of
     * [[truncationRecall]]). The exact neighbor set computes ONCE
-    * (checkpointed); each probe width re-ranks only through the
-    * index, and recall joins FROM the exact set so queries whose
-    * probed cells miss entirely still count their misses. At
-    * `nprobe = |cells|` the probe is exhaustive — recall must be
-    * 10000 bp (asserted in SimilaritySpec).
+    * (checkpointed), and — since every probe width is a PREFIX of the
+    * same ranked cell list (TopK's (score desc, id asc) order is
+    * strict, so rank ≤ np ≡ the width-np probe set) — the index is
+    * scanned and scored ONCE at the WIDEST probe, each candidate
+    * tagged with its cell's rank; per width, a bounded-heap TopK over
+    * the checkpointed candidates (filtered to cell_rank ≤ np)
+    * reproduces [[ivfKnnJoin]]'s result exactly. Recall joins FROM
+    * the exact set so queries whose probed cells miss entirely still
+    * count their misses. At `nprobe = |cells|` the probe is
+    * exhaustive — recall must be 10000 bp (asserted in
+    * SimilaritySpec, which also pins per-width identity with
+    * ivfKnnJoin).
     */
   def ivfRecallSweep(assigned: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qVecCol: String, qIdCol: String,
@@ -184,10 +191,26 @@ object Similarity {
     val exact = knnJoin(assigned, vecCol, idCol, queries, qVecCol, qIdCol, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true) // consumed once per probe width below
+    val maxNp = nprobes.max
+    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))
+    val ranked = q.crossJoin(broadcast(centroids))
+      .withColumn("s", ncos(queries, col("qvec"), col("cvec")))
+      .select(col("query_id"), col("s"), col("centroid_id"))
+    val probes = graft.ops.TopK.byScore(ranked, Seq("query_id"), "s",
+        "centroid_id", maxNp)
+      .select(col("query_id"), col("centroid_id"), col("rk").as("cell_rank"))
+    val qSide = probes.join(q, Seq("query_id"))
+    // the ONE scan+score of the index for the whole sweep
+    val scored = assigned.join(broadcast(qSide), Seq("centroid_id"))
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("score", round(ncos(assigned, col(vecCol), col("qvec")), 4))
+      .select(col("query_id"), col("score"), col(idCol), col("cell_rank"))
+      .localCheckpoint(true)
     nprobes.map { np =>
-      val approx = ivfKnnJoin(assigned, vecCol, idCol, queries, qVecCol,
-          qIdCol, centroids, k, np)
-        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.ops.TopK.byScore(
+          scored.where(col("cell_rank") <= np),
+          Seq("query_id"), "score", idCol, k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"))
       exact.join(approx.withColumn("__hit", lit(1L)),
           Seq("query_id", "neighbor_id"), "left")
         .agg(lit(np.toLong).as("nprobe"),

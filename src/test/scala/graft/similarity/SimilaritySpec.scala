@@ -281,4 +281,33 @@ class SimilaritySpec extends SparkSpec {
       s"recall must be monotone in nprobe: ${rec.toSeq}")
     assert(rec.last === 10000L, "probing every cell is exhaustive")
   }
+
+  test("ivfRecallSweep single-scan widths equal per-width ivfKnnJoin runs") {
+    // The sweep scores the index ONCE at the widest probe and derives
+    // each width from cell ranks; that is only sound because every
+    // width is a prefix of the same strictly-ordered cell list — pin
+    // the per-width recall against independent ivfKnnJoin runs.
+    val cents = Similarity.ivfCentroids(corpus, "embedding", "vec_id", 6)
+    val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", cents)
+    val qs = corpus.where(col("vec_id").isin(1L, 21L, 41L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val sweep = Similarity.ivfRecallSweep(assigned, "embedding", "vec_id",
+        qs, "qe", "qid", cents, k = 5, nprobes = Seq(1, 2, 3, 6))
+      .collect().map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("recall_bp"))
+      .toMap
+    val exact = Similarity.knnJoin(assigned, "embedding", "vec_id",
+        qs, "qe", "qid", 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(1, 2, 3, 6).foreach { np =>
+      val approx = Similarity.ivfKnnJoin(assigned, "embedding", "vec_id",
+          qs, "qe", "qid", cents, 5, np)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hits = exact.count(approx.contains)
+      val want = hits.toLong * 10000L / exact.size
+      assert(sweep(np.toLong) === want,
+        s"nprobe=$np sweep=${sweep(np.toLong)} independent=$want")
+    }
+  }
 }
