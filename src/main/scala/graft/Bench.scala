@@ -72,12 +72,35 @@ object Bench {
       // failed — never under "queries" with a min over surviving runs.
       if (times.isEmpty || failed(n)) None else Some(n -> times.min)
     }
+    // Solo re-timing for the 5 slowest: cross-round total comparisons
+    // kept needing manual drift adjudication because suite times carry
+    // neighbor bleed; a settled re-run (full GC + pause, best of
+    // `runs`) in the SAME session is the comparable number. Emitted as
+    // an EXTRA field — the driver's "queries" contract is unchanged.
+    val top5 = results.sortBy(-_._2).take(5).flatMap { case (n, suiteS) =>
+      System.gc()
+      Thread.sleep(1000)
+      try {
+        val solo = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).foreach(_ => ())
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        Some(n -> ((suiteS, solo)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] solo $n FAILED: ${e.getMessage}")
+        None
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val t5 = top5.map { case (k, (su, so)) =>
+      "\"" + k + f"""\":{"suite_s":$su%.3f,"solo_s":$so%.3f}"""
+    }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top5":$t5,"failed":$fs,"sf":"$sfDir"}"""
     // Belt and braces: the JSON goes to stdout (sole machine-readable
     // line; build.sbt routes forked output straight through, no [info]
     // prefix) AND to bench.json in the repo root.

@@ -88,13 +88,14 @@ object Main {
       }
     case "database" :: "prune" :: rest => prune(rest)
     case "database" :: "list" :: rest => listArtifacts(rest)
+    case "export" :: rest => exportCmd(rest)
     case "diff" :: rest => diffSnapshots(rest)
     case "expression-syntax" :: Nil => println(expressionSyntax)
     case "config-syntax" :: Nil => println(Main.configSyntax)
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: analyze|find|stats|reports [generate|locate]|errors|logs|config|diff|database locate|database prune|expression-syntax")
+        "usage: analyze|find|stats|reports [generate|locate]|errors|logs|config|diff|export|database locate|database prune|expression-syntax")
       sys.exit(2)
   }
 
@@ -203,14 +204,10 @@ object Main {
     }
     val name = nameOpt.getOrElse { spark.stop(); return }
     // One aggregation pass over the fresh snapshot for the summary
-    // line (files/dirs/bytes as conditional sums), plus the error
-    // count from its own table.
-    val files = Snapshot.readFiles(spark, o.db)
-    val row = files.agg(
-      sum(when(!col("is_dir"), 1L).otherwise(0L)),
-      sum(when(col("is_dir"), 1L).otherwise(0L)),
-      coalesce(sum(when(!col("is_dir"), col("size"))), lit(0L))).collect()(0)
-    val (nFiles, nDirs, bytes) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // line (files/dirs/bytes as conditional sums) WITH the in-flight
+    // quality metrics riding the same job, plus the error count from
+    // its own table.
+    val (nFiles, nDirs, bytes, _) = summarize(spark, o.db)
     val nErr = Snapshot.readErrors(spark, o.db).count()
     import spark.implicits._
     Snapshot.appendLog(spark, o.db, Seq(graft.model.ScanLog(
@@ -223,6 +220,60 @@ object Main {
     println(s"snapshot $name: $nDirs prefixes, $nFiles files, " +
       s"${Reports.formatSize(bytes)}, $nErr errors")
     spark.stop()
+  }
+
+  /** The analyze summary aggregation with in-flight quality metrics
+    * (ops/Observe — the reference's progress/summary ethos,
+    * analyze.go:144-161, applied to the pipeline ops): rows /
+    * null_keys / violations ride the SAME aggregation job as the
+    * files/dirs/bytes sums — zero extra scans — and print as a
+    * `quality[analyze]:` line. Violation contract: negative size or
+    * negative link count. */
+  private[cli] def summarize(spark: SparkSession, db: String)
+      : (Long, Long, Long, Map[String, Any]) = {
+    val files = Snapshot.readFiles(spark, db)
+    val (inst, obs) = graft.ops.Observe.quality(files, "analyze_quality",
+      Seq("path"), col("size") < 0 || col("nlink") < 0)
+    val row = inst.agg(
+      sum(when(!col("is_dir"), 1L).otherwise(0L)),
+      sum(when(col("is_dir"), 1L).otherwise(0L)),
+      coalesce(sum(when(!col("is_dir"), col("size"))), lit(0L))).collect()(0)
+    val m = obs.get
+    println(qualityLine("analyze", m))
+    (row.getLong(0), row.getLong(1), row.getLong(2), m)
+  }
+
+  private[cli] def qualityLine(stage: String, m: Map[String, Any]): String =
+    s"quality[$stage]: rows=${m.getOrElse("rows", "?")} " +
+      s"null_keys=${m.getOrElse("null_keys", "?")} " +
+      s"violations=${m.getOrElse("violations", "?")}"
+
+  /** `export --db DIR [--n SHARDS] OUT`: deterministic sharded export
+    * of the current snapshot's files table (ingest/Export — stable
+    * shard = hash(path) mod n, read-back manifest) with the same
+    * in-flight quality metrics attached to the write job. */
+  private def exportCmd(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.db.nonEmpty && o.positional.nonEmpty,
+      "export --db DIR [--n SHARDS] OUT_DIR")
+    val spark = session()
+    val (stats, _) = exportRun(spark, o.db, o.positional.head, o.n)
+    stats.foreach(s =>
+      println(s"shard ${s.shard}: ${s.rows} rows checksum=${s.checksum}"))
+    spark.stop()
+  }
+
+  /** Building block of `exportCmd` (session-free, testable): observe +
+    * shard + manifest; prints the `quality[export]:` line. */
+  private[cli] def exportRun(spark: SparkSession, db: String, out: String,
+      nShards: Int): (Seq[graft.ingest.Export.ShardStat], Map[String, Any]) = {
+    val files = Snapshot.readFiles(spark, db)
+    val (inst, obs) = graft.ops.Observe.quality(files, "export_quality",
+      Seq("path"), col("size") < 0 || col("nlink") < 0)
+    val stats = graft.ingest.Export.shards(inst, "path", out, nShards)
+    val m = obs.get
+    println(qualityLine("export", m))
+    (stats, m)
   }
 
   /** First-scan path of `analyze`: resumable walk (per-seed-batch
@@ -259,21 +310,32 @@ object Main {
   }
 
   private def find(args: List[String]): Unit = {
-    val o = parseOpts(args)
-    require_(o.db.nonEmpty, "find --db DIR [ROOT] EXPR...")
+    val o0 = parseOpts(args)
     // First positional starting with '/' is the ROOT restriction
     // (reference find.go:75-96 seeks to the root key and stops at the
     // range end); the rest is the boolean expression.
-    val (root, exprToks) = o.positional match {
+    val (root, exprToks) = o0.positional match {
       case r :: rest if r.startsWith("/") => (Some(r.stripSuffix("/")), rest)
       case toks => (None, toks)
     }
+    // --config resolves db + display separator for the root by longest
+    // prefix (reference find.go:72 reads cfg.Separator); --db wins.
+    val (o, sep) =
+      if (o0.config.isEmpty) (o0, "/")
+      else graft.config.Config.forPath(
+          graft.config.Config.load(o0.config),
+          root.map(graft.config.Config.resolvePrefix(_)).getOrElse("/")) match {
+        case Some(c) =>
+          (if (o0.db.nonEmpty) o0 else o0.copy(db = c.database), c.separator)
+        case None => (o0, "/")
+      }
+    require_(o.db.nonEmpty, "find [--db DIR | --config FILE] [ROOT] EXPR...")
     val expr = exprToks.mkString(" ")
     val spark = session()
     val files = Snapshot.readFiles(spark, o.db)
     val m = operands().compile(expr)
     // Ordered enumeration, streamed to stdout (reference find.go:75-96).
-    findFrame(files, root, m)
+    findFrame(files, root, m, sep)
       .toLocalIterator().forEachRemaining(r => println(r.getString(0)))
     spark.stop()
   }
@@ -285,13 +347,20 @@ object Main {
     * Spark analogue of the reference's key-range seek
     * (find.go:75-96). */
   private[cli] def findFrame(files: DataFrame, root: Option[String],
-      m: org.apache.spark.sql.Column): DataFrame = {
+      m: org.apache.spark.sql.Column, sep: String = "/"): DataFrame = {
     val scoped = root match {
       case Some(r) =>
         files.where(col("path") === r || col("path").startsWith(r + "/"))
       case None => files
     }
-    scoped.where(m).select("path").orderBy("path")
+    // Display join: entries render as parent <sep> name (reference
+    // printEntry, find.go:72 + config separator); prefixes print their
+    // key as-is. For '/' this IS the stored path — no expression cost.
+    val rendered =
+      if (sep == "/") col("path")
+      else when(col("is_dir"), col("path"))
+        .otherwise(concat(col("parent"), lit(sep), col("name")))
+    scoped.where(m).select(rendered.as("path")).orderBy("path")
   }
 
   private def stats(args: List[String]): Unit = {
@@ -651,6 +720,8 @@ object Main {
       |    exclusions: [GLOB, ..]  subtrees pruned from the walk
       |    calculator: NAME        storage-bytes layout (see below)
       |    count_hardlinks: BOOL   count each hardlink as a file
+      |    separator: STR          filename separator used when find
+      |                            renders entry paths (default /)
       |
       |Supported layouts (calculator:):
       |  identity                  storage = file size

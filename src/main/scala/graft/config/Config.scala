@@ -27,7 +27,8 @@ final case class PrefixConfig(
     seedDepth: Int = 2,
     exclusions: Seq[String] = Nil,
     calculator: String = "identity",
-    countHardlinkAsFiles: Boolean = false) {
+    countHardlinkAsFiles: Boolean = false,
+    separator: String = "/") {
   def calc: Calculator = Calculator.parse(calculator)
 }
 
@@ -59,7 +60,11 @@ object Config {
           }.getOrElse(Nil),
           calculator = str("calculator").getOrElse("identity"),
           countHardlinkAsFiles =
-            str("count_hardlink_as_files").exists(_.toBoolean))
+            str("count_hardlink_as_files").exists(_.toBoolean),
+          // filename separator for display joins on non-'/'
+          // filesystems (reference config.go:22,111-112 — empty
+          // defaults to the platform separator; ours defaults '/')
+          separator = str("separator").filter(_.nonEmpty).getOrElse("/"))
       case other =>
         throw new IllegalArgumentException(s"config entry must be a map: $other")
     }

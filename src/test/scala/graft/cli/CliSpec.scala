@@ -62,6 +62,20 @@ class CliSpec extends SparkSpec {
     assert(got == Seq("/a/x.txt")) // /ab/z.txt must NOT match /a
   }
 
+  test("find renders entries with the config separator; dirs keep their key") {
+    val files = snapshotOf(Map("a/x.txt" -> "1", "a/y.txt" -> "22"))
+    val m = FileOperands().compile("name=*.txt || type=d")
+    val got = Main.findFrame(files, Some("/a"), m, sep = ":")
+      .collect().map(_.getString(0)).toSeq
+    // entries join parent:name; the prefix row itself prints as-is
+    assert(got.contains("/a:x.txt") && got.contains("/a:y.txt"), got.toString)
+    assert(got.contains("/a"), got.toString)
+    // default '/' is byte-identical to the stored path
+    val slash = Main.findFrame(files, Some("/a"), m)
+      .collect().map(_.getString(0)).toSeq
+    assert(slash.forall(p => !p.contains(":")), slash.toString)
+  }
+
   test("find root predicate pushes down to the parquet scan") {
     val dir = Files.createTempDirectory("graft-clip").toString
     snapshotOf(Map("a/x.txt" -> "1", "b/y.txt" -> "2"))
@@ -211,5 +225,40 @@ class CliSpec extends SparkSpec {
         .collect().map(_.toString).toSeq.sorted
     assert(rows(db1) == rows(db2),
       "resumed snapshot diverged from the one-shot snapshot")
+  }
+
+  test("analyze summary and export emit in-flight quality metrics") {
+    import graft.ingest.Snapshot
+    val root = Files.createTempDirectory("graft-quality-tree")
+    for (i <- 0 until 4)
+      Files.write(root.resolve(s"f$i.txt"), ("y" * (5 + i)).getBytes)
+    val db = Files.createTempDirectory("graft-quality-db").toString
+    assert(Main.firstScan(spark, db, root.toString, Nil).nonEmpty)
+    val nEntries = Snapshot.readFiles(spark, db).count()
+
+    // analyze's summary pass: metrics ride the same aggregation job
+    val outA = new java.io.ByteArrayOutputStream()
+    val (nFiles, nDirs, bytes, mA) = Console.withOut(outA) {
+      Main.summarize(spark, db)
+    }
+    assert(nFiles === 4L && nDirs >= 1L && bytes > 0L)
+    assert(mA("rows") === nEntries)
+    assert(mA("null_keys") === 0L && mA("violations") === 0L)
+    assert(outA.toString.contains(
+      s"quality[analyze]: rows=$nEntries null_keys=0 violations=0"),
+      outA.toString)
+
+    // export: metrics attach to the write job; manifest attests disk
+    val outDir = Files.createTempDirectory("graft-quality-exp").toString + "/e"
+    val outE = new java.io.ByteArrayOutputStream()
+    val (stats, mE) = Console.withOut(outE) {
+      Main.exportRun(spark, db, outDir, nShards = 3)
+    }
+    assert(stats.map(_.rows).sum === nEntries)
+    assert(mE("rows") === nEntries)
+    assert(outE.toString.contains(
+      s"quality[export]: rows=$nEntries null_keys=0 violations=0"),
+      outE.toString)
+    assert(graft.ingest.Export.verify(spark, outDir, "path").isEmpty)
   }
 }

@@ -44,6 +44,20 @@ class ConfigSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Config.parse("- database: /x"))
   }
 
+  test("separator parses, empty falls back to '/' (config.go:22,111-112)") {
+    assert(Config.parse(yaml).head.separator == "/")
+    val withSep = Config.parse(
+      """- prefix: /v
+        |  database: /var/v
+        |  separator: ":"
+        |- prefix: /w
+        |  database: /var/w
+        |  separator: ""
+        |""".stripMargin)
+    assert(withSep.head.separator == ":")
+    assert(withSep(1).separator == "/")
+  }
+
   test("relative prefixes resolve against cwd (reference TestPrefixLookupRelative)") {
     val cwd = "/work/dir"
     // "", ".", "./" and bare local names all land on / under cwd
