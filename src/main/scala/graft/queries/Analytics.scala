@@ -293,9 +293,14 @@ object Analytics {
     // meaningful): iterative peeling to the unique fixpoint via
     // ops/KCore — one degree aggregate + two LEFT SEMI joins per
     // round, localCheckpoint-truncated lineage, rounds bounded by the
-    // peeling depth. Rows-only (iterative antitone peeling has no
-    // monotone recursive-CTE form); KCoreSpec pins the algorithm to
-    // brute force. Output is the core's size plus the rounds taken.
+    // peeling depth. HASH-EXACT oracle: antitone peeling has no
+    // monotone recursive-CTE form, but the loop UNROLLS as generated
+    // materialized CTE layers (kcoreSql — 18 layers vs 10 measured
+    // rounds at sf0.01; layers past the fixpoint are no-ops and the
+    // CASE chain reads rounds/core off the first repeated survivor
+    // count, which is the loop's own stop rule since the survivor
+    // set shrinks monotonically). KCoreSpec still pins the algorithm
+    // to brute force. Output is the core's size plus the rounds.
     "q_kcore" -> ((s, dir) => {
       val edges = copurchaseEdges(s, dir, minSupport = 2)
       val (core, rounds) = graft.ops.KCore.core(edges, k = 3)
@@ -2506,7 +2511,52 @@ object Analytics {
         .orderBy(asc("query_id"), asc("rk"))
     }))
 
+  /** q_kcore oracle: the peeling loop UNROLLED as `nLayers` generated
+    * CTE layers (each = one degree aggregate + the two survivor
+    * joins, AS MATERIALIZED so DuckDB evaluates each layer once
+    * instead of inlining the whole chain per reference). The survivor
+    * set shrinks monotonically, so an unchanged count IS the fixpoint
+    * — exactly ops/KCore.core's stop rule — and the CASE chain reads
+    * (rounds, core nodes, core edges) off the first repeated count;
+    * layers past the fixpoint reproduce it verbatim, so any
+    * `rounds < nLayers` replay is exact. */
+  private def kcoreSql(k: Int, nLayers: Int): String = {
+    val layers = (1 to nLayers).map { t =>
+      val p = t - 1
+      s"""k$t AS MATERIALIZED (SELECT node FROM (
+         |    SELECT src AS node FROM e$p
+         |    UNION ALL SELECT dst AS node FROM e$p) u
+         |  GROUP BY node HAVING count(*) >= $k),
+         |e$t AS MATERIALIZED (SELECT e.src, e.dst FROM e$p e
+         |  JOIN k$t a ON e.src = a.node JOIN k$t b ON e.dst = b.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val stats = "st AS (SELECT " + (1 to nLayers).map(t =>
+      s"(SELECT count(*) FROM k$t) AS n$t, " +
+        s"(SELECT count(*) FROM e$t) AS m$t").mkString(", ") + ")"
+    val rounds = "CASE WHEN n1 = 0 THEN 0 " + (2 to nLayers).map(t =>
+      s"WHEN n$t = 0 OR n$t = n${t - 1} THEN ${t - 1}").mkString(" ") +
+      s" ELSE $nLayers END"
+    val nodes = "CASE WHEN n1 = 0 THEN 0 " + (2 to nLayers).map(t =>
+      s"WHEN n$t = 0 THEN 0 WHEN n$t = n${t - 1} THEN n${t - 1}")
+      .mkString(" ") + s" ELSE n$nLayers END"
+    val edges = "CASE WHEN n1 = 0 THEN 0 " + (2 to nLayers).map(t =>
+      s"WHEN n$t = 0 THEN 0 WHEN n$t = n${t - 1} THEN m${t - 1}")
+      .mkString(" ") + s" ELSE m$nLayers END"
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.pk AS src, y.pk AS dst
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$layers,
+       |$stats
+       |SELECT $k AS k, ($nodes)::BIGINT AS n_core_nodes,
+       |  ($edges)::BIGINT AS n_core_edges, ($rounds) AS rounds
+       |FROM st""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_kcore" -> kcoreSql(k = 3, nLayers = 18),
     "q_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

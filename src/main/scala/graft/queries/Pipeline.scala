@@ -1502,9 +1502,11 @@ object Pipeline {
     // within (e/w)·nA·nB w.h.p. Demonstrated on the skewed
     // l_partkey self-join (true size = Σ c(p)² — heavy parts
     // dominate); the true size comes from the per-key count
-    // aggregate, never a materialized join. Rows-only (the estimate
-    // is sketch-internal); the one-sided bound and the
-    // cms_join_overest recall gate pin the accuracy.
+    // aggregate, never a materialized join. HASH-EXACT oracle: the
+    // md5-substring counters are pure integer SQL (the q_cms_freq
+    // recipe), so DuckDB replays the w=65536 counter table and the
+    // min-over-rows dot product bit-for-bit; the one-sided bound and
+    // the cms_join_overest recall gate still pin the accuracy.
     "q_join_size_est" -> ((s, dir) => {
       val keys = lineitem(s, dir)
         .select(col("l_partkey").cast("string").as("k"))
@@ -1638,10 +1640,13 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
-    // Matryoshka truncation recall (rows-only — planted-signal
-    // exactness cases pinned in SimilaritySpec): top-10 recall kept
-    // when the index stores only the first 2/4/6 of 8 embedding
-    // components. Integer basis points via floor div.
+    // Matryoshka truncation recall: top-10 recall kept when the
+    // index stores only the first 2/4/6 of 8 embedding components.
+    // Integer basis points via floor div. HASH-EXACT oracle: every
+    // width is the q_knn_join recipe on DOUBLE[]-cast slices
+    // (round-4 score desc, id asc — identical rank rule), and the
+    // recall join/counting is pure integers; planted-signal
+    // exactness cases stay pinned in SimilaritySpec.
     "q_matryoshka" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val queries = emb.where(col("vec_id") < 5)
@@ -1908,6 +1913,58 @@ object Pipeline {
 
   def oracle: Map[String, String] = Map(
     "q_mixture_caps" -> mixtureCapsSql(budget = 300L, nLayers = 21),
+    // md5-substring CMS counters replayed as grouped integer sums;
+    // min-over-rows dot product; over_bp nonneg so // ≡ div.
+    "q_join_size_est" ->
+      """WITH keys AS (SELECT l_partkey::VARCHAR AS k FROM lineitem),
+        |cnt AS (SELECT k, count(*)::BIGINT AS c FROM keys GROUP BY 1),
+        |hr AS (SELECT unnest([0, 1, 2, 3, 4]) AS i),
+        |ctr AS (
+        |  SELECT i,
+        |    ('0x' || substring(md5(k), 1 + 6*i, 6))::BIGINT % 65536 AS b,
+        |    sum(c)::BIGINT AS v
+        |  FROM cnt, hr GROUP BY 1, 2),
+        |ip AS (SELECT i, sum(v * v)::BIGINT AS dot FROM ctr GROUP BY 1),
+        |est AS (SELECT min(dot)::BIGINT AS est_pairs FROM ip),
+        |tru AS (SELECT sum(c)::BIGINT AS n_rows,
+        |               sum(c * c)::BIGINT AS true_pairs FROM cnt)
+        |SELECT n_rows, true_pairs, est_pairs,
+        |  ((est_pairs - true_pairs) * 10000 // true_pairs)::BIGINT AS over_bp
+        |FROM tru, est""".stripMargin,
+    // Per truncation width the q_knn_join recipe on DOUBLE[]-cast
+    // slices (round-4 score desc, id asc); recall joins FROM the
+    // full-width set so all-miss queries still count their misses.
+    "q_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |fullk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(
+        |            e.embedding::DOUBLE[], q.qvec), 4) DESC,
+        |          e.vec_id) AS rk
+        |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id) s
+        |  WHERE rk <= 10),
+        |dims AS (SELECT unnest([2, 4, 6]) AS dim),
+        |tr AS (
+        |  SELECT dim, query_id, neighbor_id FROM (
+        |    SELECT d.dim, q.query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY d.dim, q.query_id
+        |        ORDER BY round(list_cosine_similarity(
+        |            (e.embedding::DOUBLE[])[1:d.dim], q.qvec[1:d.dim]), 4) DESC,
+        |          e.vec_id) AS rk
+        |    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+        |    CROSS JOIN dims d) s
+        |  WHERE rk <= 10)
+        |SELECT d.dim,
+        |  (sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+        |     // count(*))::BIGINT AS recall_bp
+        |FROM dims d
+        |JOIN fullk f ON TRUE
+        |LEFT JOIN tr t ON t.dim = d.dim AND t.query_id = f.query_id
+        |  AND t.neighbor_id = f.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
