@@ -203,6 +203,83 @@ object Diagnostics {
                  | AS BIGINT)""".stripMargin).as("rho_micro"))
     }),
 
+    // Kendall τ-b between daily order count and daily revenue — the
+    // tie-aware pairwise-concordance complement to q_spearman's
+    // rank-difference ρ (τ's pair classes are what bootstrap CIs and
+    // partial correlations build on). Exactness: the five pair
+    // classes (concordant / discordant / x-tie-only / y-tie-only /
+    // both-tied) are integer counts from sign comparisons on exact
+    // integers (order counts, revenue cents); τ-b floors ONCE from
+    // one identically-shaped double, (C−D)·10⁶ / √((n0−n1)(n0−n2)),
+    // whose integer inputs (≤ ~10¹³) are double-exact. Scale shape:
+    // the corpus aggregates to the bounded calendar axis FIRST (the
+    // q_acf rule — the axis does not grow with SF), and the pair
+    // enumeration runs on that broadcast-bounded frame only; nothing
+    // quadratic ever touches raw rows.
+    "q_kendall" -> ((s, dir) => {
+      val daily = orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("x"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("y"))
+        .localCheckpoint(true) // both legs of the pair join
+      val p = daily.as("a")
+        .join(broadcast(daily.as("b")), col("a.d") < col("b.d"))
+        .select(signum(col("b.x") - col("a.x")).cast("int").as("sx"),
+          signum(col("b.y") - col("a.y")).cast("int").as("sy"))
+      p.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L)).as("conc"),
+          sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L)).as("disc"),
+          sum(when(col("sx") === 0 && col("sy") =!= 0, 1L).otherwise(0L))
+            .as("tie_x"),
+          sum(when(col("sy") === 0 && col("sx") =!= 0, 1L).otherwise(0L))
+            .as("tie_y"),
+          sum(when(col("sx") === 0 && col("sy") === 0, 1L).otherwise(0L))
+            .as("tie_xy"))
+        .select(col("n0"), col("conc"), col("disc"), col("tie_x"),
+          col("tie_y"), col("tie_xy"),
+          expr("""CAST(floor((conc - disc) * 1000000.0
+                 | / sqrt(CAST(n0 - tie_x - tie_xy AS DOUBLE)
+                 |        * CAST(n0 - tie_y - tie_xy AS DOUBLE))) AS BIGINT)"""
+            .stripMargin).as("tau_micro"))
+    }),
+
+    // Theil–Sen robust trend of daily revenue (median of all pairwise
+    // slopes, Sen 1968 — 29% breakdown point vs q_linreg's OLS, the
+    // outlier-immune answer to "is volume drifting"). Slopes are
+    // exact rationals Δcents/Δdays; the median is the lower-median
+    // rank-selected PAIR under the (slope-double, d1, d2) total order
+    // — the double is ONE identically-shaped expression on both
+    // engines used for ORDERING only (rationals colliding in double
+    // order deterministically by date pair), and the emitted value is
+    // the selected pair's exact integer micro-slope (num·10⁶ div den;
+    // BIGINT div truncates identically on both engines either sign).
+    // Scale shape: calendar-bounded axis first (the q_acf rule), then
+    // one skew-free range-sort rank selection (ops/Shuffle
+    // positionsBy, never a single-reducer window) over the ~axis²/2
+    // pair frame — bounded at ANY SF.
+    "q_theil_sen" -> ((s, dir) => {
+      val daily = orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("rev"))
+        .localCheckpoint(true) // both legs of the pair join
+      val pairs = daily.as("a")
+        .join(broadcast(daily.as("b")), col("a.d") < col("b.d"))
+        .select((col("b.rev") - col("a.rev")).as("num"),
+          datediff(col("b.d"), col("a.d")).cast("long").as("den"),
+          col("a.d").as("d1"), col("b.d").as("d2"))
+        .withColumn("s",
+          col("num").cast("double") / col("den").cast("double"))
+      val ranked = graft.ops.Shuffle.positionsBy(
+        pairs, Seq("s", "d1", "d2"), "pos")
+      val n = ranked.agg(count(lit(1)).as("n_pairs"))
+      ranked.crossJoin(broadcast(n))
+        .where(col("pos") === expr("(n_pairs - 1) div 2"))
+        .select(col("n_pairs"), col("num").as("slope_num"),
+          col("den").as("slope_den"),
+          expr("num * 1000000L div den").as("slope_micro"))
+    }),
+
     // Collocation discovery via Dunning's G² log-likelihood ratio
     // (Dunning 1993) — the statistically-sound upgrade over raw PMI
     // for "which bigrams are real phrases": per bigram the 2×2
@@ -938,6 +1015,55 @@ object Diagnostics {
         |   // (count(*)::HUGEINT * (count(*)::HUGEINT * count(*) - 1)))::BIGINT
         |    AS rho_micro
         |FROM rk""".stripMargin,
+    // Pair classes are exact integer counts; τ-b floors once from the
+    // identically-shaped double (the q_collocations ln recipe).
+    "q_kendall" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS d, count(*)::BIGINT AS x,
+        |    sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sx,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |ag AS (
+        |  SELECT count(*)::BIGINT AS n0,
+        |    sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)::BIGINT AS conc,
+        |    sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)::BIGINT AS disc,
+        |    sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS tie_x,
+        |    sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS tie_y,
+        |    sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS tie_xy
+        |  FROM p)
+        |SELECT n0, conc, disc, tie_x, tie_y, tie_xy,
+        |  CAST(floor((conc - disc) * 1000000.0
+        |    / sqrt(CAST(n0 - tie_x - tie_xy AS DOUBLE)
+        |           * CAST(n0 - tie_y - tie_xy AS DOUBLE))) AS BIGINT)
+        |    AS tau_micro
+        |FROM ag""".stripMargin,
+    // The slope double is ordering-only; the emitted micro-slope is
+    // the selected pair's exact integer division (both engines
+    // truncate BIGINT division toward zero).
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS d,
+        |    sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT (b.rev - a.rev)::BIGINT AS num, (b.d - a.d)::BIGINT AS den,
+        |    a.d AS d1, b.d AS d2,
+        |    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY s, d1, d2) - 1 AS pos,
+        |    count(*) OVER () AS np
+        |  FROM p)
+        |SELECT np::BIGINT AS n_pairs, num AS slope_num, den AS slope_den,
+        |  (num * 1000000 // den)::BIGINT AS slope_micro
+        |FROM r WHERE pos = (np - 1) // 2""".stripMargin,
     "q_collocations" ->
       """WITH w AS (
         |  SELECT doc_id AS did,
