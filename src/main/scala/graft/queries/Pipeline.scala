@@ -1315,6 +1315,58 @@ object Pipeline {
         Bm25Terms, k = 20)
     }),
 
+    // Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    // the BM25 ranking and the naive term-density ranking for the
+    // same query — the standard top-weighted "how different are two
+    // rankings" eval (here: how much idf + length normalization
+    // actually changes the result list), p = 0.9 truncated at depth
+    // 20. EXACT INTEGER throughout: overlap_d = |S1@d ∩ S2@d| comes
+    // from the max(rk1, rk2) histogram of the joined top lists, and
+    // each depth's weight p^(d−1)/d rides as the exact rational
+    // 9^(d−1)/(d·10^(d−1)) — term_nano = overlap·9^(d−1)·10⁹ div
+    // (d·10^(d−1)) in DECIMAL(38,0) (10^19 exceeds int64), integer
+    // sum, then the (1−p) scaling is div 10. No float ever enters.
+    // Scale shape: both rankings are bounded-heap top-20s (TopK, one
+    // corpus scan each); everything after runs on ≤ 20 rows × 20
+    // depths.
+    "q_rank_rbo" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val bm = graft.text.Bm25.search(docs, "text", "doc_id", Bm25Terms,
+        k = 20)
+      val r1 = graft.ops.TopK.byScore(bm, Seq(), "score_micronats",
+          "doc_id", 20)
+        .select(col("doc_id"), col("rk").as("rk1"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val tfs = Bm25Terms.map(t =>
+        size(filter(toks, x => x === lit(t))).cast("long")).reduce(_ + _)
+      val dens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+          tfs.as("tfs"))
+        .where(col("tfs") > 0 && col("dl") > 0)
+        .select(col("doc_id"), expr("tfs * 1000000L div dl").as("s2"))
+      val r2 = graft.ops.TopK.byScore(dens, Seq(), "s2", "doc_id", 20)
+        .select(col("doc_id"), col("rk").as("rk2"))
+      val j = r1.join(r2, Seq("doc_id"))
+        .select(greatest(col("rk1"), col("rk2")).as("m"))
+      val consts = (1 to 20).map(d => (d, BigInt(9).pow(d - 1).toString,
+        (BigInt(10).pow(d - 1) * d).toString))
+      val cdf = s.range(1).select(explode(typedLit(consts)).as("c"))
+        .select(col("c._1").as("d"), col("c._2").as("n9"),
+          col("c._3").as("dn"))
+      cdf.join(j, lit(true), "left")
+        .groupBy(col("d"), col("n9"), col("dn"))
+        .agg(sum(when(col("m").isNotNull && col("m") <= col("d"), 1L)
+          .otherwise(0L)).as("overlap"))
+        .select(col("d"), col("overlap"),
+          expr("""CAST(CAST(overlap AS DECIMAL(38,0))
+                 | * CAST(n9 AS DECIMAL(38,0)) * 1000000000
+                 | div CAST(dn AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+            .as("term_nano"))
+        .agg(max(when(col("d") === 20, col("overlap"))).as("overlap_at_depth"),
+          sum(col("term_nano")).as("sum_nano"))
+        .select(lit(20).as("depth"), col("overlap_at_depth"),
+          col("sum_nano"), expr("sum_nano div 10").as("rbo_nano"))
+    }),
+
     // Supervised hashed-feature Naive Bayes (graft.text.NaiveBayes) —
     // the CCNet/GPT-3 quality-classifier pattern: label a seed set
     // with the cheap heuristic (quality score ≥ its corpus median →
@@ -1911,8 +1963,88 @@ object Pipeline {
       s"FROM s$nLayers ORDER BY source"
   }
 
+  /** q_rank_rbo oracle: BM25 scoring replayed via the q_bm25 CTEs,
+    * the density ranking as one integer floor-div, both ranked by
+    * (score desc, doc_id); per-depth weights ride as the exact
+    * integer rationals 9^(d−1)/(d·10^(d−1)) in HUGEINT — no float
+    * ever enters either engine. */
+  private def rboSql(depth: Int): String = {
+    val consts = (1 to depth).map(d =>
+      s"($d, '${BigInt(9).pow(d - 1)}', '${BigInt(10).pow(d - 1) * d}')")
+      .mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |  FROM documents),
+       |per AS (
+       |  SELECT doc_id, len(w)::BIGINT AS dl,
+       |    len(list_filter(w, x -> x = 'join'))::BIGINT AS tf0,
+       |    len(list_filter(w, x -> x = 'vector'))::BIGINT AS tf1,
+       |    len(list_filter(w, x -> x = 'stream'))::BIGINT AS tf2,
+       |    len(list_filter(w, x -> x = 'checkpoint'))::BIGINT AS tf3,
+       |    len(list_filter(w, x -> x = 'spill'))::BIGINT AS tf4
+       |  FROM tok),
+       |st AS (
+       |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS t,
+       |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+       |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+       |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2,
+       |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::BIGINT AS df3,
+       |    sum(CASE WHEN tf4 > 0 THEN 1 ELSE 0 END)::BIGINT AS df4
+       |  FROM per),
+       |idf AS (
+       |  SELECT n, t,
+       |    CAST(floor(ln(2.0*(n+1)/(2*df0+1))*1000000 + 0.5) AS BIGINT) AS idf0,
+       |    CAST(floor(ln(2.0*(n+1)/(2*df1+1))*1000000 + 0.5) AS BIGINT) AS idf1,
+       |    CAST(floor(ln(2.0*(n+1)/(2*df2+1))*1000000 + 0.5) AS BIGINT) AS idf2,
+       |    CAST(floor(ln(2.0*(n+1)/(2*df3+1))*1000000 + 0.5) AS BIGINT) AS idf3,
+       |    CAST(floor(ln(2.0*(n+1)/(2*df4+1))*1000000 + 0.5) AS BIGINT) AS idf4
+       |  FROM st),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END +
+       |     CASE WHEN tf2 > 0 THEN 1 ELSE 0 END + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END +
+       |     CASE WHEN tf4 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_match,
+       |    (CASE WHEN tf0 > 0 THEN (idf0*44*tf0*t) // (20*tf0*t + 6*t + 18*p.dl*n) ELSE 0 END +
+       |     CASE WHEN tf1 > 0 THEN (idf1*44*tf1*t) // (20*tf1*t + 6*t + 18*p.dl*n) ELSE 0 END +
+       |     CASE WHEN tf2 > 0 THEN (idf2*44*tf2*t) // (20*tf2*t + 6*t + 18*p.dl*n) ELSE 0 END +
+       |     CASE WHEN tf3 > 0 THEN (idf3*44*tf3*t) // (20*tf3*t + 6*t + 18*p.dl*n) ELSE 0 END +
+       |     CASE WHEN tf4 > 0 THEN (idf4*44*tf4*t) // (20*tf4*t + 6*t + 18*p.dl*n) ELSE 0 END
+       |    )::BIGINT AS score_micronats
+       |  FROM per p, idf),
+       |r1 AS (
+       |  SELECT doc_id, rk1 FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY score_micronats DESC, doc_id) AS rk1
+       |    FROM sc WHERE n_match > 0) WHERE rk1 <= $depth),
+       |r2 AS (
+       |  SELECT doc_id, rk2 FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY s2 DESC, doc_id) AS rk2
+       |    FROM (SELECT doc_id,
+       |            (tf0+tf1+tf2+tf3+tf4) * 1000000 // dl AS s2
+       |          FROM per WHERE tf0+tf1+tf2+tf3+tf4 > 0 AND dl > 0))
+       |  WHERE rk2 <= $depth),
+       |j AS (SELECT greatest(rk1, rk2) AS m FROM r1 JOIN r2 USING (doc_id)),
+       |consts(d, n9, dn) AS (VALUES $consts),
+       |ov AS (
+       |  SELECT d, n9, dn,
+       |    sum(CASE WHEN m IS NOT NULL AND m <= d THEN 1 ELSE 0 END)::BIGINT
+       |      AS overlap
+       |  FROM consts LEFT JOIN j ON TRUE GROUP BY 1, 2, 3),
+       |t AS (
+       |  SELECT d, overlap,
+       |    (overlap::HUGEINT * n9::HUGEINT * 1000000000 // dn::HUGEINT)::BIGINT
+       |      AS term_nano
+       |  FROM ov)
+       |SELECT $depth AS depth,
+       |  max(CASE WHEN d = $depth THEN overlap END)::BIGINT AS overlap_at_depth,
+       |  sum(term_nano)::BIGINT AS sum_nano,
+       |  (sum(term_nano) // 10)::BIGINT AS rbo_nano
+       |FROM t""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q_mixture_caps" -> mixtureCapsSql(budget = 300L, nLayers = 21),
+    "q_rank_rbo" -> rboSql(depth = 20),
     // md5-substring CMS counters replayed as grouped integer sums;
     // min-over-rows dot product; over_bp nonneg so // ≡ div.
     "q_join_size_est" ->
