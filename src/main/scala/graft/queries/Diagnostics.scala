@@ -280,6 +280,48 @@ object Diagnostics {
           expr("num * 1000000L div den").as("slope_micro"))
     }),
 
+    // Kendall τ-b over the UNBOUNDED corpus — q_kendall without the
+    // calendar-axis restriction: doc length vs distinct vocabulary
+    // per document, discordant pairs counted EXACTLY in O(n log n)
+    // by ops/Inversions (Knight's construction: D = inversions of
+    // the (y,x,id)-rank sequence read in (x,y,id) order — the
+    // consistent tie-breaks make rank-space inversions equal
+    // value-space discordant pairs), tie classes n1/n2/n3 from three
+    // group-size aggregates, C derived by inclusion–exclusion
+    // (C = n0 − D − n1 − n2 + n3, pinned against brute force in
+    // InversionsSpec). τ-b floors once from the identically-shaped
+    // double (integer inputs < 2⁵³ at verify/bench scales). Scale
+    // shape: no pair frame EVER materializes — two skew-free
+    // range-sort rank passes, two perfectly-balanced grouped local
+    // counts, one P×B histogram; the oracle replays the O(n²) pair
+    // definition, affordable only because DuckDB verifies at sf0.01.
+    "q_kendall_docs" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("x"),
+          size(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+            .cast("long").as("y"))
+        .localCheckpoint(true) // rank passes + three tie aggregates
+      val d = graft.ops.Inversions.count(
+        base, Seq("x", "y", "doc_id"), Seq("y", "x", "doc_id"))
+      def tiePairs(cols: Seq[String], out: String) =
+        base.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as(out))
+      base.agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tiePairs(Seq("x"), "n1")))
+        .crossJoin(broadcast(tiePairs(Seq("y"), "n2")))
+        .crossJoin(broadcast(tiePairs(Seq("x", "y"), "n3")))
+        .select(col("n"), expr("n * (n - 1) div 2").as("n0"),
+          col("n1"), col("n2"), col("n3"), lit(d).as("disc"))
+        .select(col("n"), col("n0"), col("n1"), col("n2"), col("n3"),
+          expr("n0 - disc - n1 - n2 + n3").as("conc"), col("disc"))
+        .select(col("n"), col("n0"), col("n1"), col("n2"), col("n3"),
+          col("conc"), col("disc"),
+          expr("""CAST(floor((conc - disc) * 1000000.0
+                 | / sqrt(CAST(n0 - n1 AS DOUBLE)
+                 |        * CAST(n0 - n2 AS DOUBLE))) AS BIGINT)"""
+            .stripMargin).as("tau_micro"))
+    }),
+
     // Collocation discovery via Dunning's G² log-likelihood ratio
     // (Dunning 1993) — the statistically-sound upgrade over raw PMI
     // for "which bigrams are real phrases": per bigram the 2×2
@@ -1044,6 +1086,34 @@ object Diagnostics {
         |           * CAST(n0 - tie_y - tie_xy AS DOUBLE))) AS BIGINT)
         |    AS tau_micro
         |FROM ag""".stripMargin,
+    // O(n²) value-space pair replay of the Knight-construction count
+    // (sf0.01 is ~125k pairs in DuckDB; Spark never builds a pair
+    // frame). Tie classes and the τ-b floor mirror the query.
+    "q_kendall_docs" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars::BIGINT AS x,
+        |    len(list_distinct(regexp_split_to_array(trim(lower(text)),
+        |      '\s+')))::BIGINT AS y
+        |  FROM documents),
+        |p AS (
+        |  SELECT
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sx,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+        |  FROM base a JOIN base b ON a.doc_id < b.doc_id),
+        |ag AS (
+        |  SELECT count(*)::BIGINT AS n0,
+        |    sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)::BIGINT AS conc,
+        |    sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)::BIGINT AS disc,
+        |    sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |    sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)::BIGINT AS n3
+        |  FROM p),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM base)
+        |SELECT n, n0, n1, n2, n3, conc, disc,
+        |  CAST(floor((conc - disc) * 1000000.0
+        |    / sqrt(CAST(n0 - n1 AS DOUBLE)
+        |           * CAST(n0 - n2 AS DOUBLE))) AS BIGINT) AS tau_micro
+        |FROM ag, nn""".stripMargin,
     // The slope double is ordering-only; the emitted micro-slope is
     // the selected pair's exact integer division (both engines
     // truncate BIGINT division toward zero).
