@@ -263,6 +263,24 @@ object ScaleCheck {
       graft.plans.AsOfMergeJoin.asof(l, r, "user_id", "ts", Seq("v"))
     })
 
+    // 11. Exact inversion counting (ops/Inversions — the Kendall
+    // core): two range-sort rank passes, two perfectly-balanced
+    // grouped local counts, one P×B aggregate. The STATISTIC grows
+    // ~quadratically under replication (cross-copy pairs are real
+    // pairs) but the algorithm's WORK must stay ~n·log n — shuffle
+    // bytes are the metric. Inversions.count runs eagerly inside the
+    // builder (metered); the returned 1-row frame just carries the
+    // result for run()'s forcing count.
+    check("inversions", Seq(1, 2, 4, 8), useBytes = true, { f =>
+      val docs = replicate(docsBase, f, "doc_id", 1000000L,
+          tagTokens = false)
+        .select(col("doc_id"), length(col("text")).cast("long").as("x"),
+          xxhash64(col("text"), col("doc_id")).as("y"))
+      val d = graft.ops.Inversions.count(docs,
+        Seq("x", "y", "doc_id"), Seq("y", "x", "doc_id"))
+      spark.range(1).withColumn("inv", lit(d)).toDF()
+    })
+
     spark.stop()
     if (failed.nonEmpty) {
       failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))
