@@ -263,19 +263,25 @@ object Diagnostics {
         .groupBy(to_date(col("o_orderdate")).as("d"))
         .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("rev"))
         .localCheckpoint(true) // both legs of the pair join
-      val pairs = daily.as("a")
+      // The streamed side of the broadcast nested loop is the tiny
+      // daily aggregate — AQE coalesces it to ~1 partition, which
+      // would serialize the axis² pair generation; spread it so the
+      // loop runs on every core.
+      val pairs = daily.repartition(32).as("a")
         .join(broadcast(daily.as("b")), col("a.d") < col("b.d"))
         .select((col("b.rev") - col("a.rev")).as("num"),
           datediff(col("b.d"), col("a.d")).cast("long").as("den"),
           col("a.d").as("d1"), col("b.d").as("d2"))
         .withColumn("s",
           col("num").cast("double") / col("den").cast("double"))
-      val ranked = graft.ops.Shuffle.positionsBy(
-        pairs, Seq("s", "d1", "d2"), "pos")
-      val n = ranked.agg(count(lit(1)).as("n_pairs"))
-      ranked.crossJoin(broadcast(n))
-        .where(col("pos") === expr("(n_pairs - 1) div 2"))
-        .select(col("n_pairs"), col("num").as("slope_num"),
+      // n_pairs is pure arithmetic on the (tiny) axis count, so the
+      // ranked pair frame has exactly ONE consumer — the median
+      // filter — and is evaluated once, no checkpoint needed.
+      val nd = daily.count()
+      val np = nd * (nd - 1) / 2
+      graft.ops.Shuffle.positionsBy(pairs, Seq("s", "d1", "d2"), "pos")
+        .where(col("pos") === lit((np - 1) / 2))
+        .select(lit(np).as("n_pairs"), col("num").as("slope_num"),
           col("den").as("slope_den"),
           expr("num * 1000000L div den").as("slope_micro"))
     }),

@@ -1326,21 +1326,19 @@ object Pipeline {
     // 9^(d−1)/(d·10^(d−1)) — term_nano = overlap·9^(d−1)·10⁹ div
     // (d·10^(d−1)) in DECIMAL(38,0) (10^19 exceeds int64), integer
     // sum, then the (1−p) scaling is div 10. No float ever enters.
-    // Scale shape: both rankings are bounded-heap top-20s (TopK, one
-    // corpus scan each); everything after runs on ≤ 20 rows × 20
-    // depths.
+    // Scale shape: ONE tokenize pass (the checkpointed perDocTf
+    // frame feeds both rankings), both rankings bounded-heap top-20s;
+    // everything after runs on ≤ 20 rows × 20 depths.
     "q_rank_rbo" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val bm = graft.text.Bm25.search(docs, "text", "doc_id", Bm25Terms,
-        k = 20)
+      val per = graft.text.Bm25.perDocTf(documents(s, dir), "text",
+          "doc_id", Bm25Terms)
+        .localCheckpoint(true) // BM25 stats+scores AND the density list
+      val bm = graft.text.Bm25.searchTf(per, Bm25Terms.size, k = 20)
       val r1 = graft.ops.TopK.byScore(bm, Seq(), "score_micronats",
           "doc_id", 20)
         .select(col("doc_id"), col("rk").as("rk1"))
-      val toks = TextAnalysis.tokens(col("text"))
-      val tfs = Bm25Terms.map(t =>
-        size(filter(toks, x => x === lit(t))).cast("long")).reduce(_ + _)
-      val dens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
-          tfs.as("tfs"))
+      val tfs = Bm25Terms.indices.map(i => col(s"tf$i")).reduce(_ + _)
+      val dens = per.select(col("doc_id"), col("dl"), tfs.as("tfs"))
         .where(col("tfs") > 0 && col("dl") > 0)
         .select(col("doc_id"), expr("tfs * 1000000L div dl").as("s2"))
       val r2 = graft.ops.TopK.byScore(dens, Seq(), "s2", "doc_id", 20)

@@ -50,20 +50,34 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** Top-k docs for `terms`, scored by BM25 (k1=1.2, b=0.75).
-    * Output: (doc_id, dl, n_match, score_micronats), score-descending
-    * with doc_id tiebreak. */
-  def search(docs: DataFrame, textCol: String, idCol: String,
-      terms: Seq[String], k: Int): DataFrame = {
+  /** Per-doc term-frequency frame `(doc_id, dl, tf0..tfN−1)` — the
+    * ONE tokenize pass of [[search]], exposed so callers deriving a
+    * second ranking from the same scan (q_rank_rbo's density list)
+    * can checkpoint and share it instead of re-tokenizing the
+    * corpus. */
+  def perDocTf(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16,
       s"literal-term search expects a handful of terms, got ${terms.size}")
     val toks = TextAnalysis.tokens(col(textCol))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
     }
-    val perDoc = docs.select(
+    docs.select(
       (col(idCol).as("doc_id") +: size(toks).cast("long").as("dl") +:
         tfCols): _*)
+  }
+
+  /** Top-k docs for `terms`, scored by BM25 (k1=1.2, b=0.75).
+    * Output: (doc_id, dl, n_match, score_micronats), score-descending
+    * with doc_id tiebreak. */
+  def search(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame =
+    searchTf(perDocTf(docs, textCol, idCol, terms), terms.size, k)
+
+  /** [[search]] over an already-computed [[perDocTf]] frame. */
+  def searchTf(perDoc: DataFrame, nTerms: Int, k: Int): DataFrame = {
+    val terms = (0 until nTerms) // index-only below; names fixed tf$i
 
     // ONE aggregate row: corpus size, token mass, per-term df.
     val statsRow = perDoc.agg(
