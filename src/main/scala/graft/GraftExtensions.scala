@@ -95,5 +95,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Physical as-of join (graft.plans.AsOfMergeJoin): plans the
     // AsOfJoinNode logical operator to the co-partitioned merge exec.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Physical keyed interval-overlap join
+    // (graft.plans.IntervalSweepJoin): co-partitioned start-order
+    // sweep, no bins, each input row shuffles once.
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

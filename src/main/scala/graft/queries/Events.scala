@@ -405,6 +405,36 @@ object Events {
         .orderBy(asc("event_type"))
     }),
 
+    // PHYSICAL keyed interval-overlap join
+    // (plans/IntervalSweepJoin — the second whole-operator Catalyst
+    // extension): per customer, which of their 30-day order windows
+    // overlap across the even/odd order-key halves. One exchange +
+    // sort per side, then a per-co-partition start-order sweep whose
+    // working set is the true concurrent-overlap count — no bin
+    // width to tune and no bin-exploded shuffle rows, vs
+    // overlapByBinning below. Oracle: the plain inequality join.
+    // Spec (IntervalSweepJoinSpec) pins row-for-row parity with the
+    // inequality join incl. empty intervals, dup groups, self-scan
+    // re-aliasing, timestamp bounds.
+    "q_interval_overlap_merge" -> ((s, dir) => {
+      val win = 30L * 86400
+      val o = orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("st"))
+      val l = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_custkey"), col("o_orderkey").as("l_okey"),
+          col("st").as("ls"), (col("st") + win).as("le"))
+      val r = o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("r_okey"),
+          col("st").as("rs"), (col("st") + win).as("re"))
+      graft.plans.IntervalSweepJoin.overlap(l, r, Seq("o_custkey"),
+          "ls", "le", "rs", "re", Seq("r_okey"))
+        .select(col("o_custkey"), col("l_okey"),
+          col("iv_r_okey").as("r_okey"),
+          (least(col("le"), col("iv_end")) -
+            greatest(col("ls"), col("iv_start"))).as("ov_secs"))
+        .orderBy(asc("o_custkey"), asc("l_okey"), asc("r_okey"))
+    }),
+
     // Interval×interval OVERLAP join (ops/RangeJoin.overlapByBinning):
     // each user's first-activity window vs the staggered campaign
     // windows — both sides binned, equi-join on the bin, each pair
@@ -895,6 +925,23 @@ object Events {
         |        json_extract(props, '$.k')::INTEGER AS k
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // epoch_us // 1e6 (epoch(ts)::BIGINT ROUNDS; Spark truncates).
+    "q_interval_overlap_merge" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) // 1000000 AS st
+        |  FROM orders),
+        |l AS (SELECT o_custkey, o_orderkey AS l_okey, st AS ls,
+        |        st + 2592000 AS le
+        |      FROM o WHERE o_orderkey % 2 = 0),
+        |r AS (SELECT o_custkey, o_orderkey AS r_okey, st AS rs,
+        |        st + 2592000 AS re
+        |      FROM o WHERE o_orderkey % 2 = 1)
+        |SELECT l.o_custkey, l_okey, r_okey,
+        |  (least(le, re) - greatest(ls, rs))::BIGINT AS ov_secs
+        |FROM l JOIN r ON l.o_custkey = r.o_custkey
+        |  AND ls < re AND rs < le
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_interval_overlap" ->
       """WITH c AS (
         |  SELECT i AS campaign_id,
