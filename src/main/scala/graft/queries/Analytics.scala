@@ -1635,9 +1635,13 @@ object Analytics {
     // the bounded bin table; the pool-adjacent-violators loop runs
     // driver-side on those bins (exact integer rationals,
     // cross-multiplied comparisons) and the fitted rates ride back as
-    // a literal map (ops/Isotonic). Rows-only — PAV's pooling isn't
-    // SQL-expressible — with IsotonicSpec pinning the algorithm to
-    // the brute-force fixpoint.
+    // a literal map (ops/Isotonic). HASH-EXACT oracle since round 7:
+    // the PAV fit is UNIQUE under any adjacent-violator merge order,
+    // so the oracle unrolls "merge the leftmost violating pair" as
+    // generated CTE layers over exact integer (pos, n) pool states
+    // (isotonicSql — 16 layers vs ≤ ~12 price bins at any SF) and
+    // maps bins to pools with an ASOF join; IsotonicSpec still pins
+    // the driver loop to the brute-force fixpoint.
     "q_isotonic" -> ((s, dir) => {
       val binned = orders(s, dir)
         .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT) div 5000000")
@@ -2555,8 +2559,48 @@ object Analytics {
        |FROM st""".stripMargin
   }
 
+  /** q_isotonic oracle: PAV unrolled as `nLayers` generated CTE
+    * layers, each merging the LEFTMOST adjacent violating pool pair
+    * (exact integer cross-multiply test on (pos, n) pool states) —
+    * valid because the PAV fit is unique under ANY adjacent-violator
+    * merge order, so the layer rule need not mirror the driver
+    * stack's. Layers past the fixpoint are no-ops; bins map to their
+    * pool (greatest pool key ≤ bin) via ASOF join. */
+  private def isotonicSql(nLayers: Int): String = {
+    val layers = (1 to nLayers).map { t =>
+      val p = t - 1
+      s"""p$t AS MATERIALIZED (
+         |  SELECT k, n, pos,
+         |    lag(k) OVER (ORDER BY k) AS pk,
+         |    lag(n) OVER (ORDER BY k) AS pn,
+         |    lag(pos) OVER (ORDER BY k) AS ppos
+         |  FROM s$p),
+         |v$t AS MATERIALIZED (
+         |  SELECT min(pk) AS mk FROM p$t WHERE ppos * n > pos * pn),
+         |s$t AS MATERIALIZED (
+         |  SELECT k, n, pos FROM p$t, v$t
+         |  WHERE mk IS NULL OR (k <> mk AND (pk IS NULL OR pk <> mk))
+         |  UNION ALL
+         |  SELECT mk AS k, pn + n AS n, ppos + pos AS pos FROM p$t, v$t
+         |  WHERE mk IS NOT NULL AND pk = mk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b0 AS MATERIALIZED (
+       |  SELECT floor(o_totalprice * 100)::BIGINT // 5000000 AS bin,
+       |    count(*)::BIGINT AS n,
+       |    sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+       |      AS pos
+       |  FROM orders GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT bin AS k, n, pos FROM b0),
+       |$layers
+       |SELECT b.bin, b.n, b.pos, (b.pos * 10000 // b.n)::BIGINT AS rate_bp,
+       |  (p.pos * 10000 // p.n)::BIGINT AS fitted_bp
+       |FROM b0 b ASOF JOIN s$nLayers p ON p.k <= b.bin
+       |ORDER BY b.bin""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(k = 3, nLayers = 18),
+    "q_isotonic" -> isotonicSql(nLayers = 16),
     "q_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders
