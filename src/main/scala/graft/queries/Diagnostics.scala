@@ -451,9 +451,13 @@ object Diagnostics {
     // pair survives to the shuffle with p = min(1, γ/(‖cᵢ‖·‖cⱼ‖)), so
     // hot-item pairs (the quadratic blowup) are thinned hardest while
     // cold pairs pass exactly. Deterministic 52-bit md5 coin →
-    // bit-reproducible estimates (rows-only: the sampling is the
-    // point; DimsumSpec pins exact-equivalence at p=1 and the
-    // dimsum_mean_ratio gate tracks estimate quality at verify SF).
+    // bit-reproducible estimates. HASH-EXACT oracle since round 7:
+    // the coin is an exact md5 dyadic and every float op (sqrt
+    // products, the p·2⁵² threshold, the floor-once estimate) is ONE
+    // identically-shaped IEEE expression mirrored verbatim in SQL, so
+    // DuckDB replays the SAMPLE itself bit-for-bit; DimsumSpec still
+    // pins exact-equivalence at p=1 and the dimsum_mean_ratio gate
+    // tracks estimate quality at verify SF.
     "q_dimsum" -> ((s, dir) =>
       graft.similarity.Dimsum.pairs(
         lineitem(s, dir).select(col("l_orderkey").as("r"),
@@ -1063,6 +1067,38 @@ object Diagnostics {
         |   // (count(*)::HUGEINT * (count(*)::HUGEINT * count(*) - 1)))::BIGINT
         |    AS rho_micro
         |FROM rk""".stripMargin,
+    // Replays the DIMSUM sample itself: the coin dyadic, the
+    // p·2⁵² threshold and the estimator are the query's expressions
+    // verbatim (IEEE sqrt/×/÷ are deterministic, floor taken once).
+    "q_dimsum" ->
+      """WITH rc AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS r, l_partkey AS c FROM lineitem),
+        |nn AS (SELECT c, count(*)::BIGINT AS n FROM rc GROUP BY 1),
+        |sides AS MATERIALIZED (
+        |  SELECT rc.r, rc.c, nn.n FROM rc JOIN nn USING (c)),
+        |sampled AS (
+        |  SELECT x.c AS a, y.c AS b, x.n AS na, y.n AS nb
+        |  FROM sides x JOIN sides y ON x.r = y.r AND x.c < y.c
+        |  WHERE ('0x' || substring(md5('ds|' || x.r::VARCHAR || '|'
+        |        || x.c::VARCHAR || '|' || y.c::VARCHAR), 1, 13))
+        |      ::BIGINT::DOUBLE
+        |    < least(1.0, 20.0 / (sqrt(CAST(x.n AS DOUBLE))
+        |        * sqrt(CAST(y.n AS DOUBLE)))) * 4503599627370496.0),
+        |agg AS (
+        |  SELECT a, b, na, nb, count(*)::BIGINT AS n_sampled
+        |  FROM sampled GROUP BY 1, 2, 3, 4)
+        |SELECT a, b, n_sampled,
+        |  CAST(floor(CAST(n_sampled AS DOUBLE) * 10000.0 /
+        |    (least(1.0, 20.0 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+        |     * sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+        |   AS BIGINT) AS est_cos_e4
+        |FROM agg
+        |WHERE CAST(floor(CAST(n_sampled AS DOUBLE) * 10000.0 /
+        |    (least(1.0, 20.0 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+        |     * sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+        |   AS BIGINT) >= 500
+        |  AND n_sampled >= 2
+        |ORDER BY a, b""".stripMargin,
     // Pair classes are exact integer counts; τ-b floors once from the
     // identically-shaped double (the q_collocations ln recipe).
     "q_kendall" ->
