@@ -170,6 +170,38 @@ object EventStream {
         unix_micros(col("p_ts")).as("purchase_us"), col("value"))
   }
 
+  /** Streaming twin of the PHYSICAL interval-overlap join
+    * (plans/IntervalSweepJoin / q_interval_overlap_merge): per user,
+    * click activity windows × view activity windows that strictly
+    * overlap. Both interval streams have CONSTANT length `winMin`, so
+    * strict overlap ⇔ |c_start − v_start| < winMin — the overlap
+    * predicate IS the event-time range conjunct that stream-stream
+    * state bounding requires (both sides watermarked; each side's
+    * state is one window's worth of rows past the watermark, exactly
+    * the sweep exec's open-interval working set translated to
+    * streaming). Variable-length intervals would add the length bound
+    * as a separate conjunct; the equal-length case needs nothing
+    * else. */
+  def overlapJoin(events: DataFrame, winMin: Int = 20): DataFrame = {
+    val win = expr(s"INTERVAL $winMin MINUTES")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_start"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_start", "10 minutes")
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_start"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_start", "10 minutes")
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("v_start") > col("c_start") - win &&
+          col("v_start") < col("c_start") + win)
+      .select(col("click_id"), col("view_id"),
+        col("c_user").as("user_id"),
+        unix_micros(col("c_start")).as("click_us"),
+        unix_micros(col("v_start")).as("view_us"))
+  }
+
   /** Streaming twin of the rate limiter (q_rate_limit): admit each
     * user's EARLIEST `n` events per hour. Order-sensitive under
     * disorder — a late-arriving EARLIER event must displace a

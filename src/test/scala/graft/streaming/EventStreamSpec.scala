@@ -445,6 +445,37 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream overlap join equals the batch strict-overlap join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ovlp")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventStream.runToMemory(spark, streamDir.toString, "ovlp_t",
+      EventStream.overlapJoin(_),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Append())
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT click_id, view_id FROM ovlp_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference: the STRICT-OVERLAP inequality join of the same
+    // constant-length windows (ls < re AND rs < le with len = 20 min)
+    val ev = Tables.events(spark, dir)
+    val win = expr("INTERVAL 20 MINUTES")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cs"),
+        col("event_id").as("cid"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vs"),
+        col("event_id").as("vid"))
+    val batch = clicks.join(views,
+        col("cu") === col("vu") &&
+          col("cs") < col("vs") + win && col("vs") < col("cs") + win)
+      .select("cid", "vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming rate limiter equals the batch earliest-n-per-hour rule") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-rate")
