@@ -1143,21 +1143,22 @@ object Analytics {
           expr("""(n1 * n2 div m) * 10000 div n_true""").as("est_bp_of_true"))
     }),
 
-    // Deterministic half-sample error bars: 16 independent md5 coins
-    // each select ~half the orders; the spread of the 16 half-sample
-    // mean prices estimates the sampling error of the full-corpus
-    // mean — the bootstrap-flavored CI that stays bit-reproducible
-    // (no RNG state). One 16× explode of (order, rep), one aggregate;
-    // means are nonneg floor-div micro, the SD drops to one
+    // Deterministic half-sample error bars: 16 independent coins per
+    // order each select ~half the corpus; the spread of the 16
+    // half-sample mean prices estimates the sampling error of the
+    // full-corpus mean — the bootstrap-flavored CI that stays
+    // bit-reproducible (no RNG state). A half-sample coin is ONE BIT,
+    // so all 16 draw from ONE md5 digest (coin b = top bit of hex
+    // nibble b — independent fair bits), not 16 digests: the md5 work
+    // drops 16× and only the cheap nibble test rides the 16× explode.
+    // Means are nonneg floor-div, the SD drops to one
     // identically-shaped floor(sqrt(double)).
     "q_halfsample_ci" -> ((s, dir) => {
       val reps = orders(s, dir)
         .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("w"),
-          col("o_orderkey"),
+          md5(concat(lit("hs|"), col("o_orderkey").cast("string"))).as("h"),
           explode(sequence(lit(0), lit(15))).as("b"))
-        .where(conv(substring(md5(concat(lit("hs|"), col("b").cast("string"),
-          lit("|"), col("o_orderkey").cast("string"))), 1, 13), 16, 10)
-          .cast("double") < lit(0.5 * 4503599627370496.0))
+        .where(expr("conv(substring(h, b + 1, 1), 16, 10) >= 8"))
       val perRep = reps.groupBy(col("b"))
         .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
         .select(col("b"), expr("sw div n").as("mean_cents"))
@@ -3817,9 +3818,8 @@ object Analytics {
       """WITH reps AS (
         |  SELECT floor(o_totalprice * 100)::BIGINT AS w, b
         |  FROM orders, unnest(range(0, 16)) AS t(b)
-        |  WHERE ('0x' || substring(md5('hs|' || b || '|' ||
-        |      o_orderkey::VARCHAR), 1, 13))::BIGINT::DOUBLE
-        |    < 0.5 * 4503599627370496.0),
+        |  WHERE ('0x' || substring(md5('hs|' || o_orderkey::VARCHAR),
+        |      (b + 1)::INT, 1))::INT >= 8),
         |pr AS (SELECT b, (sum(w) // count(*))::BIGINT AS mean_cents
         |  FROM reps GROUP BY 1),
         |agg AS (SELECT count(*)::BIGINT AS n_reps,
