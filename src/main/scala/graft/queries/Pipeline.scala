@@ -999,6 +999,32 @@ object Pipeline {
         .orderBy(asc("shuffle_pos"))
     }),
 
+    // Deterministic source-interleaved training order — the
+    // complement of q_corpus_shuffle's uniform shuffle: place source
+    // S's r-th doc at fraction (r−1)/|S| of the stream, so every
+    // source spreads evenly and no long same-source run can occur (a
+    // run of source S needs two of its docs within 1/|S| of each
+    // other — impossible by construction). The standard mixture
+    // interleave a trainer wants when sources must not batch
+    // together. Exact integers: the fraction rides a 10⁹ grid
+    // (nonneg floor div), ranks come from GroupRank (range-sort
+    // positions + broadcast per-source offsets) and the final order
+    // from positionsBy — no corpus-sized window anywhere; the
+    // oracle's windows are oracle-only.
+    "q_interleave_sources" -> ((s, dir) => {
+      val ranked = graft.ops.GroupRank.ranks(
+        documents(s, dir).select(col("doc_id"), col("source")),
+        "source", Seq(), "doc_id")
+      val keyed = ranked.select(col("doc_id"), col("source"),
+        col("rank").as("src_rank"),
+        expr("(rank - 1L) * 1000000000L div n_in_group").as("ik"))
+      graft.ops.Shuffle.positionsBy(
+          keyed, Seq("ik", "source", "doc_id"), "train_pos")
+        .select(col("train_pos"), col("doc_id"), col("source"),
+          col("src_rank"))
+        .orderBy(asc("train_pos"))
+    }),
+
     // Corpus n-gram diversity per source: corpus-wide DISTINCT
     // 3-grams over the sum of per-doc distinct 3-grams, in basis
     // points — 10000 means no 3-gram repeats across documents; low
@@ -2043,6 +2069,18 @@ object Pipeline {
   def oracle: Map[String, String] = Map(
     "q_mixture_caps" -> mixtureCapsSql(budget = 300L, nLayers = 21),
     "q_rank_rbo" -> rboSql(depth = 20),
+    "q_interleave_sources" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS sr,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |k AS (SELECT doc_id, source, sr,
+        |    (sr - 1) * 1000000000 // ns AS ik FROM r)
+        |SELECT row_number() OVER (ORDER BY ik, source, doc_id) - 1
+        |    AS train_pos,
+        |  doc_id, source, sr AS src_rank
+        |FROM k ORDER BY train_pos""".stripMargin,
     // md5-substring CMS counters replayed as grouped integer sums;
     // min-over-rows dot product; over_bp nonneg so // ≡ div.
     "q_join_size_est" ->
