@@ -222,7 +222,10 @@ object Diagnostics {
         .agg(count(lit(1)).as("x"),
           sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("y"))
         .localCheckpoint(true) // both legs of the pair join
-      val p = daily.as("a")
+      // spread the streamed side of the nested loop (the q_theil_sen
+      // lesson: AQE coalesces the tiny daily aggregate to ~1
+      // partition, serializing the axis² pair enumeration)
+      val p = daily.repartition(32).as("a")
         .join(broadcast(daily.as("b")), col("a.d") < col("b.d"))
         .select(signum(col("b.x") - col("a.x")).cast("int").as("sx"),
           signum(col("b.y") - col("a.y")).cast("int").as("sy"))
