@@ -69,6 +69,32 @@ class InversionsSpec extends SparkSpec {
     assert(discordant(reversed) === 50L * 49L / 2)
   }
 
+  test("property sweep: parity across tie/order regimes") {
+    // regime axes: value cardinality (1 = all tied .. distinct),
+    // correlation direction, and size — distributed count must match
+    // value-space brute force in every seeded config.
+    val regimes = Seq(
+      (1, 1, 1, 80),    // everything tied in both
+      (2, 3, 3, 120),   // heavy ties both sides
+      (3, 100, 2, 150), // x nearly distinct, y binary
+      (4, 0, 0, 100),   // perfectly correlated (x=y=i)
+      (5, -1, -1, 100)) // perfectly anti-correlated
+    for ((seed, cx, cy, n) <- regimes) {
+      val rnd = new Random(seed)
+      val rows = (0L until n.toLong).map { i =>
+        val x = cx match {
+          case 0 => i; case -1 => i; case c => rnd.nextInt(c).toLong
+        }
+        val y = cy match {
+          case 0 => i; case -1 => n - i; case c => rnd.nextInt(c).toLong
+        }
+        (i, x, y)
+      }
+      assert(discordant(rows, blocks = 3, buckets = 7) ===
+        bruteDiscordant(rows), s"regime seed=$seed cx=$cx cy=$cy")
+    }
+  }
+
   test("tau-b identity: C = n0 - D - n1 - n2 + n3 on random data") {
     val rnd = new Random(17)
     val rows = (0L until 150L).map(i =>

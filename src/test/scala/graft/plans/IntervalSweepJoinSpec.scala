@@ -86,6 +86,32 @@ class IntervalSweepJoinSpec extends SparkSpec {
     assert(sorted(viaExec(l, r)) == sorted(reference(l, r)))
   }
 
+  test("property sweep: parity across overlap regimes") {
+    // regime axes: key cardinality (1 = everything collides, 50 =
+    // sparse), interval length (0 = all empty, 500 = near-total
+    // overlap), and side sizes — each seeded config must match the
+    // reference join row-for-row.
+    val regimes = Seq(
+      (1, 1, 60, 40, 30),   // one key, short intervals
+      (2, 50, 60, 40, 30),  // many keys, short
+      (3, 4, 500, 80, 80),  // dense: near-total overlap within key
+      (4, 8, 0, 50, 50),    // all empty intervals
+      (5, 6, 15, 1, 120),   // single left row
+      (6, 6, 15, 120, 1))   // single right row
+    for ((seed, keys, len, nl, nr) <- regimes) {
+      val rnd = new Random(seed)
+      def mk(n: Int) = (0 until n).map { i =>
+        val s = rnd.nextInt(600).toLong
+        (rnd.nextInt(keys).toLong, i.toLong, s,
+          s + (if (len == 0) 0L else rnd.nextInt(len).toLong))
+      }
+      val l = mk(nl).toDF("k", "lid", "ls", "le")
+      val r = mk(nr).toDF("k", "rid", "rs", "re")
+      assert(sorted(viaExec(l, r)) == sorted(reference(l, r)),
+        s"regime seed=$seed keys=$keys len=$len")
+    }
+  }
+
   test("timestamp-typed bounds work end to end") {
     val l = Seq((1L, 1L, "2024-01-01 00:00:00", "2024-01-10 00:00:00"))
       .toDF("k", "lid", "a", "b")
