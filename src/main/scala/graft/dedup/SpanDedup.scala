@@ -1,0 +1,74 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-SPAN detection — the token-level twin of document
+  * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better": mask any span of ≥ k tokens that occurs verbatim
+  * more than once in the corpus, rather than dropping whole documents).
+  * The reference engine's dedup surface is file-level
+  * (/root/reference/internal/prefixinfo/ hardlink identity); this is
+  * the content-level generalization a training-data pipeline needs.
+  *
+  * Shape, designed for the 100 TB profile:
+  *
+  *   1. every token position emits its k-gram KEY (52-bit md5 prefix —
+  *      constant width; at production scale you'd use xxhash64, the
+  *      md5 prefix is what lets the DuckDB oracle replay bit-for-bit);
+  *      text itself never shuffles, only (key, doc_id, pos) triples;
+  *   2. ONE aggregate groups postings per key (collect_list in the
+  *      same aggregate — no count-then-join-back second exchange, the
+  *      Dedup.jaccardPairs lesson) and keeps keys with ≥ minCount
+  *      occurrences; survivors re-explode map-side;
+  *   3. per-doc covered-token count via interval union on the SORTED
+  *      hit positions: sum(min(k, pos − prev_pos)) — a window over
+  *      doc_id, a HIGH-cardinality key, so no skew (unlike the
+  *      low-cardinality-window shape CLAUDE.md bans).
+  *
+  * Duplicated coverage is emitted as integer BASIS POINTS via floor
+  * div (the count-ratio rule — round(x,4) sits on cross-engine
+  * rounding midpoints).
+  */
+object SpanDedup {
+
+  /** (doc_id, pos) of every k-gram start whose gram occurs at least
+    * `minCount` times corpus-wide (positions of BOTH/ALL occurrences). */
+  def dupSpanPositions(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minCount: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    val grams = toks.where(col("n") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n") - k),
+          p => substring(md5(concat_ws(" ", slice(col("t"), p + 1, lit(k)))), 1, 13))))
+      .toDF("doc_id", "pos", "g")
+    grams.groupBy(col("g"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("posts"))
+      .where(size(col("posts")) >= minCount)
+      .select(explode(col("posts")).as("h"))
+      .select(col("h.doc_id").as("doc_id"), col("h.pos").as("pos"))
+  }
+
+  /** Per-document duplicated-span report: total tokens, tokens covered
+    * by some duplicated k-gram (interval union of the hit spans), and
+    * the duplicated fraction in basis points. Every input doc appears
+    * (zero coverage included). */
+  def spanStats(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minCount: Int = 2): DataFrame = {
+    val hits = dupSpanPositions(docs, textCol, idCol, k, minCount)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = hits
+      .withColumn("gap", col("pos") - coalesce(lag("pos", 1).over(w), col("pos") - k))
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(k), col("gap")).cast("long")).as("dup_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .selectExpr("doc_id", "n_tokens", "dup_tokens",
+        "CAST(dup_tokens * 10000 DIV n_tokens AS BIGINT) AS dup_bp")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SpanDedup}
 import graft.similarity.{Coreset, Similarity}
 import graft.text.TextAnalysis
 
@@ -451,6 +451,19 @@ object Pipeline {
         .agg(count(lit(1)).as("n_groups"),
           sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
           sum(col("n_copies") - 1).as("n_redundant_docs"))
+    }),
+
+    // Exact duplicated-SPAN masking (Lee et al. 2022): any 8-token
+    // window occurring verbatim >= 2 times corpus-wide marks its
+    // tokens duplicated; per-doc coverage = interval union of the hit
+    // spans (sum over sorted positions of min(k, pos - prev)). Only
+    // (52-bit gram key, doc_id, pos) triples shuffle — never text —
+    // and the union window partitions by doc_id (high cardinality, no
+    // skew). Coverage emitted in basis points (floor div). See
+    // dedup/SpanDedup.
+    "q_span_dedup" -> ((s, dir) => {
+      SpanDedup.spanStats(spread(documents(s, dir)), "text", "doc_id", 8)
+        .orderBy(asc("doc_id"))
     }),
 
     // Provenance-priority dedup: identical content across sources
@@ -2427,6 +2440,30 @@ object Pipeline {
         |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
         |  sum(n_copies - 1)::BIGINT AS n_redundant_docs
         |FROM groups""".stripMargin,
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t)::BIGINT AS n_tokens, t FROM toks),
+        |grams AS (
+        |  SELECT doc_id, p::BIGINT AS pos,
+        |    substring(md5(array_to_string(t[p+1:p+8], ' ')), 1, 13) AS g
+        |  FROM base, UNNEST(range(0, n_tokens - 7)) AS u(p)
+        |  WHERE n_tokens >= 8),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        |gaps AS (
+        |  SELECT doc_id,
+        |    least(8, pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - 8)) AS cov_add
+        |  FROM hits),
+        |cov AS (
+        |  SELECT doc_id, sum(cov_add)::BIGINT AS dup_tokens
+        |  FROM gaps GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+        |  (coalesce(c.dup_tokens, 0) * 10000 // b.n_tokens)::BIGINT AS dup_bp
+        |FROM base b LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_priority" ->
       """WITH planted AS (
         |  SELECT doc_id, text, source FROM documents

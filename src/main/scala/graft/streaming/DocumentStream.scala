@@ -187,6 +187,49 @@ object DocumentStream {
         docs.sparkSession, col(textCol), phrases)).as(Seq("pos", "cnt")))
       .where(col("cnt") > 0)
 
+  /** Streaming exact dedup-on-ingest — the streaming twin of
+    * [[graft.dedup.Dedup.exact]]: only the FIRST copy of each
+    * normalized text ever passes through (the crawl-ingest rule: drop
+    * re-crawls at the door, never store them). Emits one Append-mode
+    * row per NEW content hash — (text_hash, canonical_id,
+    * first_batch_copies) — where canonical_id is the min id among the
+    * copies in the first microbatch that contains the hash;
+    * re-arrivals in later batches emit nothing.
+    *
+    * State is the irreducible exact-dedup minimum: one long per
+    * DISTINCT document seen (the same bound a batch exact dedup's
+    * shuffle keys occupy). When that is too large, the bounded
+    * alternatives are the horizon-windowed [[EventStream.dedupByKey]]
+    * or the probabilistic gate in [[graft.dedup.BloomFilters]] —
+    * this operator is the exact tier.
+    *
+    * First-ARRIVAL semantics, not global min-id: a later batch can
+    * carry a smaller id and the earlier canonical stands (matching
+    * what an ingest pipeline can know online). Over a stream whose
+    * first-containing batches also hold the min ids, streaming output
+    * equals the batch [[graft.dedup.Dedup.exact]] canonicals
+    * (asserted both ways in DocumentStreamSpec). */
+  def dedupOnIngest(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("text_hash"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (hash: String, rows: Iterator[(String, Long)], st: GroupState[Long]) =>
+          if (st.exists) Iterator.empty
+          else {
+            var minId = Long.MaxValue
+            var n = 0L
+            rows.foreach { r => n += 1; if (r._2 < minId) minId = r._2 }
+            st.update(minId)
+            Iterator.single((hash, minId, n))
+          })
+      .toDF("text_hash", "canonical_id", "first_batch_copies")
+  }
+
   /** Streaming heavy hitters — the streaming twin of
     * [[graft.ops.HeavyHitters.topK]]: the corpus-wide top tokens
     * maintained continuously as documents arrive. The Space-Saving

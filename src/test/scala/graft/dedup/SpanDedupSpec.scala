@@ -1,0 +1,93 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class SpanDedupSpec extends SparkSpec {
+
+  /** Brute-force reference: duplicated-token count per doc = size of
+    * the union of [p, p+k) over every position p whose k-gram occurs
+    * >= minCount times across all docs. */
+  private def brute(docs: Seq[(Long, String)], k: Int, minCount: Int)
+      : Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val gramCounts = toks.flatMap { case (_, ts) =>
+      if (ts.length >= k) ts.sliding(k).map(_.mkString(" ")).toSeq else Seq.empty
+    }.groupBy(identity).map { case (g, occ) => g -> occ.size }
+    toks.map { case (id, ts) =>
+      val covered = (0 to ts.length - k)
+        .filter(p => gramCounts(ts.slice(p, p + k).mkString(" ")) >= minCount)
+        .flatMap(p => p until p + k).toSet
+      id -> (ts.length.toLong, covered.size.toLong)
+    }.toMap
+  }
+
+  private def run(docs: Seq[(Long, String)], k: Int, minCount: Int = 2)
+      : Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    SpanDedup.spanStats(df, "text", "doc_id", k, minCount).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("spanStats matches the brute-force interval union") {
+    val docs = Seq[(Long, String)](
+      // shares an 8-token run with doc 2 (overlapping hits must union)
+      1L -> "a b c d e f g h i j unique one tail x y z",
+      2L -> "prefix p q a b c d e f g h i j other words here",
+      // internal repetition: the same 8-gram twice within ONE doc
+      3L -> "r s t u v w x y r s t u v w x y closing",
+      // no duplication at all
+      4L -> "totally fresh content nothing shared with anyone at all ok",
+      // shorter than k: no grams, zero coverage
+      5L -> "tiny doc")
+    val k = 8
+    val expected = brute(docs, k, 2)
+    val got = run(docs, k)
+    assert(got.keySet == docs.map(_._1).toSet) // every doc present
+    for ((id, (n, cov)) <- expected) {
+      val (gn, gcov, gbp) = got(id)
+      assert(gn == n, s"doc $id n_tokens")
+      assert(gcov == cov, s"doc $id dup_tokens")
+      assert(gbp == cov * 10000 / n, s"doc $id dup_bp")
+    }
+    // sanity: docs 1/2/3 have coverage, 4/5 none
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0 && got(3L)._2 > 0)
+    assert(got(4L)._2 == 0 && got(5L)._2 == 0)
+  }
+
+  test("randomized corpus with planted shared spans matches brute force") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val planted = (1 to 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs: Seq[(Long, String)] = (0L until 40L).map { id =>
+      val body = (1 to 10 + rnd.nextInt(30))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // every 5th doc embeds the planted 12-token span mid-body
+      val t = if (id % 5 == 0) {
+        val ws = body.split(" ", -1)
+        (ws.take(ws.length / 2) ++ planted.split(" ") ++ ws.drop(ws.length / 2))
+          .mkString(" ")
+      } else body
+      id -> t
+    }
+    for (k <- Seq(5, 8); mc <- Seq(2, 3)) {
+      val expected = brute(docs, k, mc)
+      val got = run(docs, k, mc)
+      for ((id, (n, cov)) <- expected)
+        assert(got(id) == ((n, cov, cov * 10000 / n)), s"doc $id k=$k mc=$mc")
+    }
+  }
+
+  test("dupSpanPositions emits all occurrences of a duplicated gram") {
+    import spark.implicits._
+    val docs = Seq[(Long, String)](
+      10L -> "one two three four five six",
+      11L -> "zero one two three four five six seven").toDF("doc_id", "text")
+    val pos = SpanDedup.dupSpanPositions(docs, "text", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // "one two three four five" at pos 0 in doc 10 and pos 1 in doc 11;
+    // "two three four five six" at pos 1 in doc 10 and pos 2 in doc 11
+    assert(pos == Set((10L, 0), (11L, 1), (10L, 1), (11L, 2)))
+  }
+}

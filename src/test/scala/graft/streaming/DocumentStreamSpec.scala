@@ -318,4 +318,97 @@ class DocumentStreamSpec extends SparkSpec {
     // exact regime: zero estimation error end to end
     assert(streamed.forall(_._3 == 0L), "expected exact counts (max_err 0)")
   }
+
+  test("streaming dedup-on-ingest equals batch exact dedup across microbatches") {
+    val s = spark
+    import s.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    // batch 0: originals 0..19 with a SAME-batch duplicate pair
+    // (id 100 copies id 3 with whitespace noise → same normalized hash,
+    // canonical must be min id = 3); batch 1: re-crawls of every even
+    // original (ids 200+) plus two genuinely new docs.
+    val b0 = ((0L until 20L).map(i => i -> s"doc number $i words w$i x y z") :+
+      (100L -> "doc  number 3 words w3 x y  z ")).toDF("doc_id", "text")
+    val b1 = ((0L until 20L by 2).map(i => (200L + i) -> s"doc number $i words w$i x y z") ++
+      Seq(300L -> "fresh content alpha", 301L -> "fresh content beta")).toDF("doc_id", "text")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ingest-w")
+    val t0 = System.currentTimeMillis()
+    Seq((b0, "f0", t0 - 60000), (b1, "f1", t0)).foreach { case (df, name, mtime) =>
+      val out = scratch.resolve(name)
+      df.coalesce(1).write.parquet(out.toString)
+      val part = java.nio.file.Files.list(out).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = streamDir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = DocumentStream.dedupOnIngest(stream, "text", "doc_id")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("ingest_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark
+      .sql("SELECT text_hash, canonical_id, first_batch_copies FROM ingest_dedup")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly one emission per distinct content, never a re-emission
+    assert(streamed.map(_._1).distinct.length == streamed.length)
+    // min ids all live in their first-containing batch here, so the
+    // streaming canonicals equal the batch exact-dedup canonicals
+    val batch = graft.dedup.Dedup.exact(
+        b0.unionByName(b1), "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed.map(s0 => s0._1 -> s0._2).toMap == batch.map {
+      case (h, c) => h -> c })
+    assert(streamed.length == batch.size)
+    // the same-batch duplicate collapsed to min id 3 with 2 copies seen
+    val dup3 = streamed.filter(_._2 == 3L)
+    assert(dup3.length == 1 && dup3.head._3 == 2L)
+    // re-crawled batch-1 copies emitted nothing; new docs emitted once
+    assert(streamed.count(x => x._2 >= 300L) == 2)
+    assert(!streamed.exists(x => x._2 >= 200L && x._2 < 300L))
+  }
+
+  test("dedup-on-ingest pins FIRST-ARRIVAL semantics for late smaller ids") {
+    val s = spark
+    import s.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ingest2")
+    // batch 0 carries id 50; batch 1 carries id 7 with the SAME text:
+    // the online canonical must remain 50 (batch exact would say 7).
+    val b0 = Seq(50L -> "same exact text here").toDF("doc_id", "text")
+    val b1 = Seq(7L -> "same exact text here").toDF("doc_id", "text")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-ingest2-w")
+    val t0 = System.currentTimeMillis()
+    Seq((b0, "f0", t0 - 60000), (b1, "f1", t0)).foreach { case (df, name, mtime) =>
+      val out = scratch.resolve(name)
+      df.coalesce(1).write.parquet(out.toString)
+      val part = java.nio.file.Files.list(out).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = streamDir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = DocumentStream.dedupOnIngest(stream, "text", "doc_id")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("ingest_dedup_late")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.sql(
+      "SELECT canonical_id, first_batch_copies FROM ingest_dedup_late")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((50L, 1L)))
+  }
 }
