@@ -33,18 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** (doc_id, pos) of every k-gram start whose gram occurs at least
-    * `minCount` times corpus-wide (positions of BOTH/ALL occurrences). */
-  def dupSpanPositions(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, minCount: Int = 2): DataFrame = {
+  /** Every k-gram start: (doc_id, pos, g) with g the 52-bit md5-prefix
+    * key of the space-joined gram. Docs shorter than k emit nothing. */
+  def gramKeys(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("t"))
       .withColumn("n", size(col("t")))
-    val grams = toks.where(col("n") >= k)
+    toks.where(col("n") >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("n") - k),
           p => substring(md5(concat_ws(" ", slice(col("t"), p + 1, lit(k)))), 1, 13))))
       .toDF("doc_id", "pos", "g")
+  }
+
+  /** (doc_id, pos) of every k-gram start whose gram occurs at least
+    * `minCount` times corpus-wide (positions of BOTH/ALL occurrences). */
+  def dupSpanPositions(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minCount: Int = 2): DataFrame = {
+    val grams = gramKeys(docs, textCol, idCol, k)
     grams.groupBy(col("g"))
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("posts"))
       .where(size(col("posts")) >= minCount)
@@ -70,5 +77,32 @@ object SpanDedup {
       .na.fill(0L, Seq("dup_tokens"))
       .selectExpr("doc_id", "n_tokens", "dup_tokens",
         "CAST(dup_tokens * 10000 DIV n_tokens AS BIGINT) AS dup_bp")
+  }
+
+  /** Per-document n-gram NOVELTY: the share of the doc's DISTINCT
+    * k-grams whose corpus-wide FIRST occurrence (min doc_id) is this
+    * doc — the "new content contributed" rank dedup-aware curation
+    * orders by. One aggregate per gram key carrying (min doc, posting
+    * list) — no count-then-join-back second exchange — then one
+    * per-doc rollup of the re-exploded postings. Docs shorter than k
+    * report zero grams and zero novelty. Share in basis points
+    * (floor div; 0 when the doc has no grams). */
+  def noveltyStats(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val grams = gramKeys(docs, textCol, idCol, k)
+      .select(col("doc_id"), col("g")).distinct()
+    val per = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        collect_list(col("doc_id")).as("ds"))
+      .select(col("first_doc"), explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_novel"))
+      .selectExpr("doc_id", "n_grams", "n_novel",
+        "CAST(CASE WHEN n_grams = 0 THEN 0 ELSE n_novel * 10000 DIV n_grams END AS BIGINT) AS novel_bp")
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -74,6 +74,27 @@ object Shuffle {
     * so the written bytes are reproducible run-to-run. A training job
     * then reads `shard_id=k` via partition pruning — no filter scan
     * over the other shards. */
+  /** Rendezvous (highest-random-weight) shard assignment: shard =
+    * argmax over j∈[0,shards) of md5("<j>|<id>"). Unlike the
+    * position-round-robin [[writeShards]] layout (balanced but
+    * wholesale-reassigned when the corpus changes), HRW assignment is
+    * STABLE under shard-count growth: raising `shards` to shards+1
+    * moves EXACTLY the docs whose new-shard hash wins — every other
+    * doc's argmax over the old range is untouched — so an incremental
+    * dataset rebuild rewrites one new shard, never the world
+    * (Thaler–Ravishankar 1996; the property q_rendezvous_shard makes
+    * visible and RendezvousSpec proves by brute force).
+    *
+    * Pure scan-stage column work: the k candidate hashes live in one
+    * transform over a literal range and max by (hash, j) struct order
+    * — no shuffle, no state, deterministic across engines (md5 string
+    * order). k is the shard count (small); cost O(k) per row. */
+  def rendezvousShard(id: Column, shards: Int): Column =
+    array_max(transform(sequence(lit(0), lit(shards - 1)),
+      j => struct(
+        md5(concat(j.cast("string"), lit("|"), id.cast("string"))).as("h"),
+        j.as("j")))).getField("j").cast("long")
+
   def writeShards(df: DataFrame, idCol: String, seed: Long, shards: Int,
       outDir: String, partitions: Int = 32): Unit = {
     import org.apache.spark.sql.functions.pmod

@@ -466,6 +466,33 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Per-doc n-gram novelty: the share of a doc's DISTINCT 8-grams
+    // first seen (corpus-wide min doc_id) in THAT doc — dedup-aware
+    // curation's "new content contributed" rank. One gram aggregate
+    // carrying (min doc, postings) — no join-back — then one per-doc
+    // rollup; share in floor-div basis points.
+    "q_novelty_score" -> ((s, dir) => {
+      SpanDedup.noveltyStats(spread(documents(s, dir)), "text", "doc_id", 8)
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Rendezvous (HRW) stable sharding: per-shard doc counts at k=9
+    // alongside the k=8→9 churn. HRW's defining property — growing the
+    // shard count moves ONLY the docs the new shard wins (the argmax
+    // over the old range is untouched by adding a candidate) — shows
+    // up as moved_in = 0 for every shard but the new one. Pure
+    // scan-stage column work, one aggregate.
+    "q_rendezvous_shard" -> ((s, dir) => {
+      import graft.ops.Shuffle
+      documents(s, dir).select(col("doc_id"),
+          Shuffle.rendezvousShard(col("doc_id"), 8).as("s8"),
+          Shuffle.rendezvousShard(col("doc_id"), 9).as("s9"))
+        .groupBy(col("s9").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("moved_in"))
+        .orderBy(asc("shard_id"))
+    }),
+
     // Provenance-priority dedup: identical content across sources
     // keeps the most-trusted copy (lowest numeric source suffix, ties
     // by min id). Plants a low-trust 'src99' copy of every 10th doc;
@@ -2464,6 +2491,36 @@ object Pipeline {
         |  (coalesce(c.dup_tokens, 0) * 10000 // b.n_tokens)::BIGINT AS dup_bp
         |FROM base b LEFT JOIN cov c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_novelty_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    substring(md5(array_to_string(t[p+1:p+8], ' ')), 1, 13) AS g
+        |  FROM toks, UNNEST(range(0, len(t) - 7)) AS u(p)
+        |  WHERE len(t) >= 8),
+        |fd AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+        |per AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |    sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT AS n_novel
+        |  FROM grams JOIN fd USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+        |  (CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0
+        |        ELSE coalesce(p.n_novel, 0) * 10000 // p.n_grams END)::BIGINT AS novel_bp
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_rendezvous_shard" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    arg_max(CASE WHEN j < 8 THEN j END,
+        |      CASE WHEN j < 8 THEN md5(j::VARCHAR || '|' || doc_id::VARCHAR) END) AS s8,
+        |    arg_max(j, md5(j::VARCHAR || '|' || doc_id::VARCHAR)) AS s9
+        |  FROM documents, UNNEST(range(0, 9)) AS t(j)
+        |  GROUP BY doc_id)
+        |SELECT s9::BIGINT AS shard_id, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END)::BIGINT AS moved_in
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_priority" ->
       """WITH planted AS (
         |  SELECT doc_id, text, source FROM documents

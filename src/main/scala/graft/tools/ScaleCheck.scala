@@ -281,6 +281,21 @@ object ScaleCheck {
       spark.range(1).withColumn("inv", lit(d)).toDF()
     })
 
+    // 12. Duplicated-span masking (dedup/SpanDedup): token-tagged
+    // copies share zero grams across copies, so dup-gram groups and
+    // hit positions replicate per copy — shuffle bytes (the gram
+    // posting shuffle dominates) must track the corpus. A broken
+    // postings aggregate (e.g. a count-then-join-back second
+    // exchange, or pair-wise gram matching) would grow super-linearly.
+    // The filter references the coverage column: count() over the bare
+    // left-outer join would let Catalyst ELIMINATE the join (unique
+    // right key) and skip the whole gram pipeline.
+    check("span_dedup", Seq(1, 2, 4, 8), useBytes = true, { f =>
+      val docs = replicate(docsBase, f, "doc_id", 1000000L, tagTokens = true)
+      graft.dedup.SpanDedup.spanStats(docs, "text", "doc_id", 8)
+        .where(col("dup_bp") >= 0)
+    })
+
     spark.stop()
     if (failed.nonEmpty) {
       failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))

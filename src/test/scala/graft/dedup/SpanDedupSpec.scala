@@ -79,6 +79,38 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("noveltyStats matches the brute-force first-occurrence share") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("p", "q", "r", "s", "t")
+    val docs: Seq[(Long, String)] = (0L until 30L).map { id =>
+      id -> (1 to 6 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val k = 4
+    // brute force: distinct k-grams per doc; novel = min doc_id owner
+    val perDoc = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).toSeq.sliding(k).filter(_.length == k)
+        .map(_.mkString(" ")).toSet
+    }
+    val firstDoc = perDoc.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expected = perDoc.map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      id -> (gs.size.toLong, novel)
+    }.toMap
+    val got = SpanDedup.noveltyStats(docs.toDF("doc_id", "text"),
+        "text", "doc_id", k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    for ((id, (n, novel)) <- expected) {
+      val bp = if (n == 0) 0L else novel * 10000 / n
+      assert(got(id) == ((n, novel, bp)), s"doc $id")
+    }
+    // doc 0 is all-novel by construction (nothing precedes it)
+    assert(got(0L)._2 == got(0L)._1 && got(0L)._3 == 10000L)
+  }
+
   test("dupSpanPositions emits all occurrences of a duplicated gram") {
     import spark.implicits._
     val docs = Seq[(Long, String)](
