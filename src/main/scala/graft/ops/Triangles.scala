@@ -85,12 +85,16 @@ object Triangles {
         col("src")).otherwise(col("dst")).as("a"),
       when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
         col("dst")).otherwise(col("src")).as("b"))
-      .localCheckpoint(true) // 3 consumers: adj build + two join legs
     val adj = oriented.groupBy(col("a").as("node"))
       .agg(collect_list(col("b")).as("nbrs"))
-      .localCheckpoint(true) // consumed by both join legs
-    val tri = oriented
-      .join(adj.select(col("node").as("a"), col("nbrs").as("na")), "a")
+      .localCheckpoint(true) // consumed by the explode AND the join leg
+    // The oriented edge stream is exactly explode(adj), so N+(a) rides
+    // along map-side of the explode — the edges⋈adj-on-a join (a full
+    // exchange of the edge stream plus one of adj) disappears; the
+    // only remaining shuffle pairs each (a, na, b) with N+(b).
+    val tri = adj
+      .select(col("node").as("a"), col("nbrs").as("na"))
+      .select(col("a"), col("na"), explode(col("na")).as("b"))
       .join(adj.select(col("node").as("b"), col("nbrs").as("nb"))
         .hint("shuffle_hash"), "b")
       .agg(sum(size(array_intersect(col("na"), col("nb"))))

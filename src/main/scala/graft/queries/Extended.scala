@@ -253,10 +253,11 @@ object Extended {
     // order). Edge build is an equi self-join on orderkey (pairs per
     // order bounded by order size); counting is ops/Triangles'
     // degree-oriented adjacency-intersection form — out-degree
-    // O(sqrt(m)) bounds every neighbor array, and per-edge
-    // array_intersect replaces the 72M-row wedge closing shuffle
-    // (6.7 -> 4.7 s solo at sf0.1; equivalence to the wedge form and
-    // brute force pinned in TrianglesSpec).
+    // O(sqrt(m)) bounds every neighbor array, per-edge array_intersect
+    // replaces the 72M-row wedge closing shuffle, and the edge stream
+    // regenerates map-side as explode(adj) so N+(a) never joins on
+    // (equivalence to the wedge form and brute force pinned in
+    // TrianglesSpec).
     "q_triangles" -> ((s, dir) => {
       val li = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
