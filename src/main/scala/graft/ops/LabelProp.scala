@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   def run(edges: DataFrame, rounds: Int): DataFrame = {
+    // Pre-partitioned on the JOIN key: the checkpointed LogicalRDD
+    // keeps its hash distribution, so every round's labels join reuses
+    // it instead of re-exchanging the full 2|E| frame per round.
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .repartition(col("b"))
       .localCheckpoint(true)
     val bound = und.agg(max(greatest(col("a"), col("b"))).as("mx"))
       .collect()(0).getLong(0)
