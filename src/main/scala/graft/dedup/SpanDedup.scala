@@ -34,9 +34,21 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** Every k-gram start: (doc_id, pos, g) with g the 52-bit md5-prefix
-    * key of the space-joined gram. Docs shorter than k emit nothing. */
+    * key of the space-joined gram. Docs shorter than k emit nothing.
+    * Keys come from the native word_gram_md5 kernel (one codegen'd
+    * pass per doc); [[gramKeysDeclarative]] is the Column-form
+    * reference the SpanDedupSpec equivalence test pins it to. */
   def gramKeys(docs: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.ShingleExprs.wordGramMd5(
+          docs.sparkSession, col(textCol), k)))
+      .toDF("doc_id", "pos", "g")
+
+  /** The declarative reference for [[gramKeys]] — interpreted lambda
+    * per position, kept for the kernel-equivalence spec. */
+  private[graft] def gramKeysDeclarative(docs: DataFrame, textCol: String,
+      idCol: String, k: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("t"))
       .withColumn("n", size(col("t")))

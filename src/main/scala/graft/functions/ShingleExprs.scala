@@ -119,6 +119,48 @@ object ShingleKernels {
     new GenericArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 13-hex-char md5 prefixes of every k-token window under
+    * split-on-SINGLE-SPACE semantics — the 52-bit gram KEY of
+    * [[graft.dedup.SpanDedup]], bit-identical to the declarative
+    * `transform(sequence(0, n−k), p → substring(md5(concat_ws(" ",
+    * slice(t, p+1, k))), 1, 13))` (equivalence asserted in
+    * SpanDedupSpec). Docs shorter than k tokens yield an EMPTY array
+    * (the declarative form's `size >= k` guard). The md5 prefix is
+    * what lets the DuckDB oracle replay the keys; the kernel exists
+    * because the lambda form pays interpreted slice+concat+md5
+    * Column-tree evaluation per position. */
+  def gramMd5Prefix(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val out = new Array[Any](toks.length - k + 1)
+    var i = 0
+    while (i + k <= toks.length) {
+      val sb = new StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      md.reset()
+      val dig = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](13)
+      var b = 0
+      while (b < 7) {
+        val v = dig(b) & 0xff
+        hex(2 * b) = Character.forDigit(v >>> 4, 16)
+        if (2 * b + 1 < 13) hex(2 * b + 1) = Character.forDigit(v & 0xf, 16)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature straight from the text: k minima over the
     * distinct shingles. Matches xxhash64(shingle, seed) semantics:
     * fold bytes with seed 42, then the INT seed index. */
@@ -187,6 +229,21 @@ case class WordWindowHashesExpr(child: Expression, n: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+case class WordGramMd5Expr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_gram_md5"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleKernels.gramMd5Prefix(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels.gramMd5Prefix($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramMd5Expr =
+    copy(child = newChild)
+}
+
 case class MinHashSigExpr(child: Expression, k: Int, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -220,6 +277,10 @@ object ShingleExprs {
       "word_window_hashes",
       exprs => WordWindowHashesExpr(exprs.head, litInt(exprs(1))),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_gram_md5",
+      exprs => WordGramMd5Expr(exprs.head, litInt(exprs(1))),
+      "scala_udf")
   }
 
   def wordShingles(spark: SparkSession, text: Column, n: Int): Column = {
@@ -242,5 +303,11 @@ object ShingleExprs {
     register(spark)
     call_function("word_window_hashes", text,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  def wordGramMd5(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("word_gram_md5", text,
+      org.apache.spark.sql.functions.lit(k))
   }
 }

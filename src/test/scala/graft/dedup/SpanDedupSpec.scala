@@ -111,6 +111,32 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(0L)._2 == got(0L)._1 && got(0L)._3 == 10000L)
   }
 
+  test("word_gram_md5 kernel equals the declarative gram keys, row for row") {
+    import spark.implicits._
+    // real corpus + adversarial shapes: consecutive/leading/trailing
+    // spaces (split(" ", -1) keeps empty tokens), exactly-k, k-1, empty
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val edge = Seq[(Long, String)](
+      9001L -> "a  b c d e f g h i", // double space → empty token
+      9002L -> " a b c d e f g h",   // leading space
+      9003L -> "a b c d e f g h ",   // trailing space
+      9004L -> "a b c d e f g h",    // exactly k tokens
+      9005L -> "a b c d e f g",      // k-1 → no grams
+      9006L -> "",                   // empty text
+      9007L -> "ü ß 漢 字 a b c d e" // non-ASCII bytes through md5
+    ).toDF("doc_id", "text")
+    for (df <- Seq(corpus, edge); k <- Seq(3, 8)) {
+      val kern = SpanDedup.gramKeys(df, "text", "doc_id", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val decl = SpanDedup.gramKeysDeclarative(df, "text", "doc_id", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(kern == decl,
+        s"k=$k kern-only=${(kern -- decl).take(3)} decl-only=${(decl -- kern).take(3)}")
+      assert(kern.forall(_._3.length == 13))
+    }
+  }
+
   test("dupSpanPositions emits all occurrences of a duplicated gram") {
     import spark.implicits._
     val docs = Seq[(Long, String)](
