@@ -466,6 +466,23 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Corpus boilerplate spans: the most-duplicated 8-grams with
+    // occurrence and doc counts — the "which spans to strip" view over
+    // the same gram keys q_span_dedup masks. Per-(gram, doc) counts
+    // first, then the gram rollup (ONE aggregate each — a mixed
+    // distinct + non-distinct agg would plan an Expand); ranking is a
+    // fully tie-broken TakeOrdered top-20, never a global sort.
+    "q_boilerplate_grams" -> ((s, dir) => {
+      SpanDedup.gramKeys(spread(documents(s, dir)), "text", "doc_id", 8)
+        .groupBy(col("g"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("g"))
+        .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"))
+        .where(col("n_occ") >= 2)
+        .orderBy(desc("n_occ"), desc("n_docs"), asc("g"))
+        .limit(20)
+    }),
+
     // Per-doc n-gram novelty: the share of a doc's DISTINCT 8-grams
     // first seen (corpus-wide min doc_id) in THAT doc — dedup-aware
     // curation's "new content contributed" rank. One gram aggregate
@@ -2491,6 +2508,20 @@ object Pipeline {
         |  (coalesce(c.dup_tokens, 0) * 10000 // b.n_tokens)::BIGINT AS dup_bp
         |FROM base b LEFT JOIN cov c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_boilerplate_grams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    substring(md5(array_to_string(t[p+1:p+8], ' ')), 1, 13) AS g
+        |  FROM toks, UNNEST(range(0, len(t) - 7)) AS u(p)
+        |  WHERE len(t) >= 8),
+        |pd AS (SELECT g, doc_id, count(*) AS c FROM grams GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT g, sum(c)::BIGINT AS n_occ, count(*)::BIGINT AS n_docs
+        |  FROM pd GROUP BY g)
+        |SELECT g, n_occ, n_docs FROM agg WHERE n_occ >= 2
+        |ORDER BY n_occ DESC, n_docs DESC, g LIMIT 20""".stripMargin,
     "q_novelty_score" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
