@@ -39,7 +39,14 @@ object Dimsum {
       .distinct()
       .localCheckpoint(eager = true) // column-norm agg + both join legs
     val n = rcD.groupBy(col("c")).agg(count(lit(1)).as("n"))
+    // Partitioned by the wedge key and checkpointed: a self-join of
+    // one frame gets NO exchange reuse under AQE (build note), so
+    // without this both legs would re-derive sides AND re-shuffle it
+    // on r independently — the checkpointed LogicalRDD's hash
+    // distribution serves both legs as-is.
     val sides = rcD.join(broadcast(n), Seq("c"))
+      .repartition(col("r"))
+      .localCheckpoint(eager = true)
     // p in one fixed op order both at sampling and at estimation
     def pOf(na: Column, nb: Column): Column =
       least(lit(1.0), lit(gamma) /
