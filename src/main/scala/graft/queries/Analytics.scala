@@ -105,9 +105,14 @@ object Analytics {
     * keeps the graph sparse (shared by q_kcore and q_bfs_hops). */
   private def copurchaseEdges(s: SparkSession, dir: String,
       minSupport: Long): DataFrame = {
+    // Partitioned on the self-join key and checkpointed: self-joins
+    // get no exchange reuse under AQE, so both legs would otherwise
+    // re-run the scan+distinct AND re-exchange on ok independently.
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .repartition(col("ok"))
+      .localCheckpoint(true)
     li.as("x")
       .join(li.as("y"), col("x.ok") === col("y.ok") &&
         col("x.pk") < col("y.pk"))
