@@ -501,7 +501,8 @@ object Analytics {
       val li = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .localCheckpoint(true) // degree agg + pair self-join
+        .repartition(col("ok")) // degree agg + pair self-join; the
+        .localCheckpoint(true)  // legs reuse the ok distribution
       val n = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
       val pairs = li.as("x")
         .join(li.as("y"), col("x.ok") === col("y.ok") &&
@@ -536,6 +537,8 @@ object Analytics {
       val li = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .repartition(col("ok")) // 2 consumers (targets agg + orders
+        .localCheckpoint(true)  // join); partitioned on the join key
       val targets = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("pk")).limit(2)
         .select(col("pk"))
