@@ -91,6 +91,32 @@ object SpanDedup {
         "CAST(dup_tokens * 10000 DIV n_tokens AS BIGINT) AS dup_bp")
   }
 
+  /** Incremental twin of [[spanStats]]: per NEW-BATCH document, the
+    * tokens covered by some k-gram already present in the CORPUS —
+    * the "how much of this drop do we already have" admission stat an
+    * incremental ingest gates on (vs [[spanStats]]'s within-corpus
+    * self-duplication). One semi join of batch gram keys against the
+    * distinct corpus keys (52-bit keys shuffle, never text), then the
+    * same interval union per batch doc. */
+  def spanStatsAgainst(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    val hits = gramKeys(batch, textCol, idCol, k)
+      .join(gramKeys(corpus, textCol, idCol, k).select(col("g")).distinct(),
+        Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = hits
+      .withColumn("gap", col("pos") - coalesce(lag("pos", 1).over(w), col("pos") - k))
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(k), col("gap")).cast("long")).as("dup_tokens"))
+    batch.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .selectExpr("doc_id", "n_tokens", "dup_tokens",
+        "CAST(dup_tokens * 10000 DIV n_tokens AS BIGINT) AS dup_bp")
+  }
+
   /** Per-document n-gram NOVELTY: the share of the doc's DISTINCT
     * k-grams whose corpus-wide FIRST occurrence (min doc_id) is this
     * doc — the "new content contributed" rank dedup-aware curation

@@ -466,6 +466,25 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Incremental span dedup: a new drop's token coverage AGAINST the
+    // existing corpus (the "how much of this do we already have"
+    // admission stat). Plants the batch: exact re-crawls of every 7th
+    // doc (expect full coverage) and half-prefix docs with a fresh
+    // 8-token tail (expect partial); the oracle replays the plant.
+    // One semi join of batch gram keys against distinct corpus keys.
+    "q_span_dedup_incr" -> ((s, dir) => {
+      val corpus = documents(s, dir).select(col("doc_id"), col("text"))
+      val t = split(col("text"), " ")
+      val batch = corpus.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .unionByName(corpus.where(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 600000L).as("doc_id"),
+            concat(concat_ws(" ", slice(t, lit(1), (size(t) / 2).cast("int"))),
+              lit(" zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")).as("text")))
+      SpanDedup.spanStatsAgainst(spread(batch), corpus, "text", "doc_id", 8)
+        .orderBy(asc("doc_id"))
+    }),
+
     // Corpus boilerplate spans: the most-duplicated 8-grams with
     // occurrence and doc counts — the "which spans to strip" view over
     // the same gram keys q_span_dedup masks. Per-(gram, doc) counts
@@ -2507,6 +2526,38 @@ object Pipeline {
         |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
         |  (coalesce(c.dup_tokens, 0) * 10000 // b.n_tokens)::BIGINT AS dup_bp
         |FROM base b LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_span_dedup_incr" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 500000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id,
+        |    array_to_string(t[1:(len(t)//2)], ' ')
+        |      || ' zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8' AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM corpus WHERE doc_id % 7 = 1)),
+        |btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch),
+        |bgrams AS (
+        |  SELECT doc_id, p::BIGINT AS pos,
+        |    substring(md5(array_to_string(t[p+1:p+8], ' ')), 1, 13) AS g
+        |  FROM btoks, UNNEST(range(0, len(t) - 7)) AS u(p)
+        |  WHERE len(t) >= 8),
+        |cgrams AS (
+        |  SELECT DISTINCT substring(md5(array_to_string(t[p+1:p+8], ' ')), 1, 13) AS g
+        |  FROM (SELECT string_split(text, ' ') AS t FROM corpus) src,
+        |    UNNEST(range(0, len(t) - 7)) AS u(p)
+        |  WHERE len(t) >= 8),
+        |hits AS (SELECT doc_id, pos FROM bgrams WHERE g IN (SELECT g FROM cgrams)),
+        |gaps AS (
+        |  SELECT doc_id,
+        |    least(8, pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - 8)) AS cov_add
+        |  FROM hits),
+        |cov AS (SELECT doc_id, sum(cov_add)::BIGINT AS dup_tokens FROM gaps GROUP BY doc_id)
+        |SELECT b.doc_id, len(string_split(b.text, ' '))::BIGINT AS n_tokens,
+        |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+        |  (coalesce(c.dup_tokens, 0) * 10000 // len(string_split(b.text, ' ')))::BIGINT AS dup_bp
+        |FROM batch b LEFT JOIN cov c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q_boilerplate_grams" ->
       """WITH toks AS (

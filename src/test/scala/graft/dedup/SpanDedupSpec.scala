@@ -111,6 +111,39 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(0L)._2 == got(0L)._1 && got(0L)._3 == 10000L)
   }
 
+  test("spanStatsAgainst matches brute force and full/partial/zero plants") {
+    import spark.implicits._
+    val k = 4
+    val corpus = Seq[(Long, String)](
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "x1 x2 x3 x4 x5 x6").toDF("doc_id", "text")
+    val batch = Seq[(Long, String)](
+      // exact re-crawl → every position covered → bp 10000
+      10L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      // prefix overlap (w1..w4 present as a corpus gram) + fresh tail
+      11L -> "w1 w2 w3 w4 f1 f2 f3 f4 f5",
+      // nothing shared
+      12L -> "z1 z2 z3 z4 z5 z6 z7 z8").toDF("doc_id", "text")
+    val got = SpanDedup.spanStatsAgainst(batch, corpus, "text", "doc_id", k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute force: corpus gram set, batch positions, interval union
+    val cg = Seq("w1 w2 w3 w4 w5 w6 w7 w8", "x1 x2 x3 x4 x5 x6")
+      .flatMap(_.split(" ").toSeq.sliding(k).map(_.mkString(" "))).toSet
+    for ((id, text) <- Seq(10L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+        11L -> "w1 w2 w3 w4 f1 f2 f3 f4 f5",
+        12L -> "z1 z2 z3 z4 z5 z6 z7 z8")) {
+      val ts = text.split(" ").toSeq
+      val covered = (0 to ts.length - k)
+        .filter(p => cg.contains(ts.slice(p, p + k).mkString(" ")))
+        .flatMap(p => p until p + k).toSet.size.toLong
+      assert(got(id) == ((ts.length.toLong, covered,
+        covered * 10000 / ts.length)), s"doc $id")
+    }
+    assert(got(10L)._3 == 10000L && got(12L)._3 == 0L)
+    assert(got(11L)._2 == 4L) // exactly the shared prefix gram's span
+  }
+
   test("word_gram_md5 kernel equals the declarative gram keys, row for row") {
     import spark.implicits._
     // real corpus + adversarial shapes: consecutive/leading/trailing
