@@ -481,7 +481,8 @@ object Pipeline {
           .select((col("doc_id") + 600000L).as("doc_id"),
             concat(concat_ws(" ", slice(t, lit(1), (size(t) / 2).cast("int"))),
               lit(" zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")).as("text")))
-      SpanDedup.spanStatsAgainst(spread(batch), corpus, "text", "doc_id", 8)
+      SpanDedup.spanStatsAgainst(spread(batch), spread(corpus),
+          "text", "doc_id", 8)
         .orderBy(asc("doc_id"))
     }),
 
