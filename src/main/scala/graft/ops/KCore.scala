@@ -43,9 +43,18 @@ object KCore {
       else if (n == survivors) done = true
       else {
         survivors = n
-        cur = cur
-          .join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
-          .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        // Alternate the semi-join order: each round's output is
+        // partitioned by its LAST join key, so starting the next
+        // round on that same key reuses the checkpointed distribution
+        // instead of re-exchanging the surviving edges.
+        val keepSrc = keep.withColumnRenamed("node", "src")
+        val keepDst = keep.withColumnRenamed("node", "dst")
+        cur = (if (round % 2 == 0)
+            cur.join(keepSrc, "src", "left_semi")
+              .join(keepDst, "dst", "left_semi")
+          else
+            cur.join(keepDst, "dst", "left_semi")
+              .join(keepSrc, "src", "left_semi"))
           .select(col("src"), col("dst"))
           .localCheckpoint(true)
         round += 1
