@@ -331,6 +331,8 @@ object Analytics {
         .select(year(col("o_orderdate")).cast("long").as("y"),
           col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .repartition(col("ok")) // self-join legs reuse (ok ⊆ join keys)
+        .localCheckpoint(true)
       val edges = li.as("x")
         .join(li.as("y2"), col("x.ok") === col("y2.ok") &&
           col("x.y") === col("y2.y") && col("x.pk") < col("y2.pk"))
