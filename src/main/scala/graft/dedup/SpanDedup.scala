@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * (/root/reference/internal/prefixinfo/ hardlink identity); this is
   * the content-level generalization a training-data pipeline needs.
   *
+  * Division of labor with the window-level pair in [[Dedup]]:
+  * [[Dedup.dupSpanStats]] counts duplicated WINDOWS and
+  * [[Dedup.trimDupSpans]] performs the actual span-removal TRANSFORM
+  * (both verified against planted full copies); this module measures
+  * TOKEN-level coverage via interval union — the Lee et al. "fraction
+  * of the corpus that is duplicated text" statistic — with an md5
+  * gram key the DuckDB oracle replays against the corpus's ORGANIC
+  * duplication (no plant), and derives the novelty / boilerplate /
+  * incremental-admission views from the same keys.
+  *
   * Shape, designed for the 100 TB profile:
   *
   *   1. every token position emits its k-gram KEY (52-bit md5 prefix —

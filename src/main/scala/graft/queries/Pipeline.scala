@@ -513,12 +513,15 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
-    // Rendezvous (HRW) stable sharding: per-shard doc counts at k=9
-    // alongside the k=8→9 churn. HRW's defining property — growing the
-    // shard count moves ONLY the docs the new shard wins (the argmax
-    // over the old range is untouched by adding a candidate) — shows
-    // up as moved_in = 0 for every shard but the new one. Pure
-    // scan-stage column work, one aggregate.
+    // Rendezvous (HRW) stable sharding, GROW direction: per-shard doc
+    // counts at k=9 alongside the k=8→9 churn. HRW's defining
+    // property — growing the shard count moves ONLY the docs the new
+    // shard wins (the argmax over the old range is untouched by
+    // adding a candidate) — shows up as moved_in = 0 for every shard
+    // but the new one. The SHRINK direction (removing a shard moves
+    // only its residents) is q_rendezvous_routing's corpus-level
+    // proof; this one goes through the reusable ops/Shuffle
+    // .rendezvousShard column. Pure scan-stage work, one aggregate.
     "q_rendezvous_shard" -> ((s, dir) => {
       import graft.ops.Shuffle
       documents(s, dir).select(col("doc_id"),
