@@ -170,6 +170,26 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("spanStats and noveltyStats are partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("m", "n", "o", "p")
+    val docs = (0L until 60L).map { id =>
+      id -> (1 to 8 + rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    for (parts <- Seq(1, 3, 7)) {
+      val d = docs.repartition(parts)
+      assert(SpanDedup.spanStats(d, "text", "doc_id", 5).collect().map(key).toSet ==
+        SpanDedup.spanStats(docs, "text", "doc_id", 5).collect().map(key).toSet,
+        s"spanStats parts=$parts")
+      assert(SpanDedup.noveltyStats(d, "text", "doc_id", 5).collect().map(key).toSet ==
+        SpanDedup.noveltyStats(docs, "text", "doc_id", 5).collect().map(key).toSet,
+        s"noveltyStats parts=$parts")
+    }
+  }
+
   test("dupSpanPositions emits all occurrences of a duplicated gram") {
     import spark.implicits._
     val docs = Seq[(Long, String)](
