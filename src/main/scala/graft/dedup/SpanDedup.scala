@@ -28,10 +28,10 @@ import org.apache.spark.sql.functions._
   *      constant width; at production scale you'd use xxhash64, the
   *      md5 prefix is what lets the DuckDB oracle replay bit-for-bit);
   *      text itself never shuffles, only (key, doc_id, pos) triples;
-  *   2. ONE aggregate groups postings per key (collect_list in the
-  *      same aggregate — no count-then-join-back second exchange, the
-  *      Dedup.jaccardPairs lesson) and keeps keys with ≥ minCount
-  *      occurrences; survivors re-explode map-side;
+  *   2. the gram stream checkpoints once partitioned by key; the
+  *      ≥ minCount count aggregate and the surviving-position semi
+  *      join both read it co-partitioned — no second exchange AND no
+  *      per-key posting arrays (a boilerplate gram's df is unbounded);
   *   3. per-doc covered-token count via interval union on the SORTED
   *      hit positions: sum(min(k, pos − prev_pos)) — a window over
   *      doc_id, a HIGH-cardinality key, so no skew (unlike the
@@ -70,15 +70,27 @@ object SpanDedup {
   }
 
   /** (doc_id, pos) of every k-gram start whose gram occurs at least
-    * `minCount` times corpus-wide (positions of BOTH/ALL occurrences). */
+    * `minCount` times corpus-wide (positions of BOTH/ALL occurrences).
+    *
+    * Skew-safe shape: a posting-list aggregate (collect per gram)
+    * would build one unbounded array per MEGA-BOILERPLATE gram — the
+    * grams this operator exists to find are exactly the ones with
+    * millions of occurrences at corpus scale. Instead the gram stream
+    * checkpoints once, partitioned by key; the count aggregate and
+    * the semi join both read that distribution co-partitioned, so
+    * the extra exchange the count-then-join-back shape usually pays
+    * never happens, and no aggregation buffer ever exceeds one row. */
   def dupSpanPositions(docs: DataFrame, textCol: String, idCol: String,
       k: Int, minCount: Int = 2): DataFrame = {
     val grams = gramKeys(docs, textCol, idCol, k)
-    grams.groupBy(col("g"))
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("posts"))
-      .where(size(col("posts")) >= minCount)
-      .select(explode(col("posts")).as("h"))
-      .select(col("h.doc_id").as("doc_id"), col("h.pos").as("pos"))
+      .repartition(col("g"))
+      .localCheckpoint(eager = true) // count agg + semi join, same distribution
+    val dupKeys = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+      .select(col("g"))
+    grams.join(dupKeys, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
   }
 
   /** Per-document duplicated-span report: total tokens, tokens covered
@@ -130,25 +142,29 @@ object SpanDedup {
   /** Per-document n-gram NOVELTY: the share of the doc's DISTINCT
     * k-grams whose corpus-wide FIRST occurrence (min doc_id) is this
     * doc — the "new content contributed" rank dedup-aware curation
-    * orders by. One aggregate per gram key carrying (min doc, posting
-    * list) — no count-then-join-back second exchange — then one
-    * per-doc rollup of the re-exploded postings. Docs shorter than k
-    * report zero grams and zero novelty. Share in basis points
-    * (floor div; 0 when the doc has no grams). */
+    * orders by.
+    *
+    * Skew-safe shape (no posting lists — a boilerplate gram's would
+    * be unbounded at corpus scale): the distinct (doc, gram) frame
+    * checkpoints once, then two independent scalar aggregates —
+    * per-doc distinct-gram counts, and per-gram min-doc rolled up
+    * into per-doc novel counts — meet in one join of two doc-sized
+    * frames. Docs shorter than k report zero grams and zero novelty.
+    * Share in basis points (floor div; 0 when the doc has no grams). */
   def noveltyStats(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val grams = gramKeys(docs, textCol, idCol, k)
       .select(col("doc_id"), col("g")).distinct()
-    val per = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("first_doc"),
-        collect_list(col("doc_id")).as("ds"))
-      .select(col("first_doc"), explode(col("ds")).as("doc_id"))
+      .localCheckpoint(eager = true) // two aggregate consumers
+    val nGrams = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val nNovel = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-          .as("n_novel"))
+      .agg(count(lit(1)).as("n_novel"))
     docs.select(col(idCol).as("doc_id"))
-      .join(per, Seq("doc_id"), "left")
+      .join(nGrams, Seq("doc_id"), "left")
+      .join(nNovel, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_grams", "n_novel"))
       .selectExpr("doc_id", "n_grams", "n_novel",
         "CAST(CASE WHEN n_grams = 0 THEN 0 ELSE n_novel * 10000 DIV n_grams END AS BIGINT) AS novel_bp")

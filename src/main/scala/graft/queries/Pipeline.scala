@@ -458,9 +458,11 @@ object Pipeline {
     // tokens duplicated; per-doc coverage = interval union of the hit
     // spans (sum over sorted positions of min(k, pos - prev)). Only
     // (52-bit gram key, doc_id, pos) triples shuffle — never text —
-    // and the union window partitions by doc_id (high cardinality, no
-    // skew). Coverage emitted in basis points (floor div). See
-    // dedup/SpanDedup.
+    // the gram count and semi join share one key-partitioned
+    // checkpoint (no posting lists: boilerplate grams have unbounded
+    // df), and the union window partitions by doc_id (high
+    // cardinality, no skew). Coverage in basis points (floor div).
+    // See dedup/SpanDedup.
     "q_span_dedup" -> ((s, dir) => {
       SpanDedup.spanStats(spread(documents(s, dir)), "text", "doc_id", 8)
         .orderBy(asc("doc_id"))
