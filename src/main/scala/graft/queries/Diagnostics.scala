@@ -471,6 +471,22 @@ object Diagnostics {
         .where(col("n_sampled") >= 2)
         .orderBy(asc("a"), asc("b"))),
 
+    // Entry-sampled ("two-sided") DIMSUM — the tier above q_dimsum:
+    // entries are coined BEFORE the pair join (p_c = min(1, √γ/‖c‖)),
+    // so the wedge stream is built from the thinned matrix and never
+    // materializes at full size — the shape that survives when hot
+    // rows make pair ENUMERATION itself the bottleneck (DISCO,
+    // Zadeh & Goel 2012). γ=16 keeps √γ exactly representable, so the
+    // DuckDB oracle replays the thinned matrix bit-for-bit (same
+    // md5-dyadic + fixed-IEEE-shape recipe as q_dimsum).
+    "q_dimsum_entry" -> ((s, dir) =>
+      graft.similarity.Dimsum.pairsTwoSided(
+        lineitem(s, dir).select(col("l_orderkey").as("r"),
+          col("l_partkey").as("c")),
+        "r", "c", gamma = 16.0, minCosE4 = 500L)
+        .where(col("n_sampled") >= 2)
+        .orderBy(asc("a"), asc("b"))),
+
     // Greedy maximum-coverage exemplar selection (Nemhauser 1978
     // (1−1/e) guarantee) — "which 5 docs show the most vocabulary":
     // the sequential argmax runs driver-side over a bounded md5-order
@@ -1103,6 +1119,35 @@ object Diagnostics {
         |FROM agg
         |WHERE CAST(floor(CAST(n_sampled AS DOUBLE) * 10000.0 /
         |    (least(1.0, 20.0 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+        |     * sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+        |   AS BIGINT) >= 500
+        |  AND n_sampled >= 2
+        |ORDER BY a, b""".stripMargin,
+    "q_dimsum_entry" ->
+      """WITH rc AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS r, l_partkey AS c FROM lineitem),
+        |nn AS (SELECT c, count(*)::BIGINT AS n FROM rc GROUP BY 1),
+        |sides AS MATERIALIZED (
+        |  SELECT rc.r, rc.c, nn.n FROM rc JOIN nn USING (c)
+        |  WHERE ('0x' || substring(md5('d2|' || rc.r::VARCHAR || '|'
+        |        || rc.c::VARCHAR), 1, 13))::BIGINT::DOUBLE
+        |    < least(1.0, 4.0 / sqrt(CAST(nn.n AS DOUBLE)))
+        |        * 4503599627370496.0),
+        |agg AS (
+        |  SELECT x.c AS a, y.c AS b, x.n AS na, y.n AS nb,
+        |    count(*)::BIGINT AS n_sampled
+        |  FROM sides x JOIN sides y ON x.r = y.r AND x.c < y.c
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a, b, n_sampled,
+        |  CAST(floor(CAST(n_sampled AS DOUBLE) * 10000.0 /
+        |    ((least(1.0, 4.0 / sqrt(CAST(na AS DOUBLE)))
+        |      * least(1.0, 4.0 / sqrt(CAST(nb AS DOUBLE))))
+        |     * sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+        |   AS BIGINT) AS est_cos_e4
+        |FROM agg
+        |WHERE CAST(floor(CAST(n_sampled AS DOUBLE) * 10000.0 /
+        |    ((least(1.0, 4.0 / sqrt(CAST(na AS DOUBLE)))
+        |      * least(1.0, 4.0 / sqrt(CAST(nb AS DOUBLE))))
         |     * sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
         |   AS BIGINT) >= 500
         |  AND n_sampled >= 2

@@ -67,4 +67,51 @@ object Dimsum {
       .where(col("est_cos_e4") >= minCosE4)
       .select(col("a"), col("b"), col("n_sampled"), col("est_cos_e4"))
   }
+
+  /** Entry-sampled ("two-sided") tier above [[pairs]]: [[pairs]]
+    * still ENUMERATES every in-row pair before coining it away; when
+    * hot rows make that enumeration itself the bottleneck, sample the
+    * ENTRIES first — (r, c) survives with p_c = min(1, √γ/‖c‖) on its
+    * own md5 coin — so the pair join is built from the THINNED
+    * matrix and the wedge stream never materializes at full size. A
+    * pair (a, b) then appears with q_ab = p_a·p_b ≥ γ/(‖a‖·‖b‖)
+    * (independent entry coins) and X_ab/(q_ab·‖a‖·‖b‖) is unbiased
+    * for cos(a, b) — at the cost of coin REUSE across one entry's
+    * pairs (higher variance per γ than the pair-coined form: the
+    * DISCO trade, Zadeh & Goel, Foundations of Data analysis /
+    * DISCO 2012). Same determinism recipe as [[pairs]]: a 52-bit md5
+    * dyadic per entry ('d2|' salt) against one fixed-IEEE-shape
+    * threshold, so a SQL oracle replays the thinned matrix
+    * bit-for-bit. Use √γ with an exact binary representation (γ=16)
+    * when oracle-pairing. */
+  def pairsTwoSided(rc: DataFrame, rowCol: String, colCol: String,
+      gamma: Double, minCosE4: Long = 0L): DataFrame = {
+    val rcD = rc.select(col(rowCol).as("r"), col(colCol).as("c"))
+      .distinct()
+    val n = rcD.groupBy(col("c")).agg(count(lit(1)).as("n"))
+    val sqg = math.sqrt(gamma)
+    val entryCoin = conv(substring(md5(concat(lit("d2|"),
+        col("r").cast("string"), lit("|"), col("c").cast("string"))),
+        1, 13), 16, 10).cast("double")
+    val sides = rcD.join(broadcast(n), Seq("c"))
+      .where(entryCoin <
+        least(lit(1.0), lit(sqg) / sqrt(col("n").cast("double")))
+          * lit(4503599627370496.0))
+      .repartition(col("r"))
+      .localCheckpoint(eager = true) // both pair-join legs, one distribution
+    val qExpr =
+      s"""(least(1.0, $sqg / sqrt(CAST(na AS DOUBLE)))
+         | * least(1.0, $sqg / sqrt(CAST(nb AS DOUBLE))))""".stripMargin
+    sides.as("x").join(sides.as("y"),
+        col("x.r") === col("y.r") && col("x.c") < col("y.c"))
+      .groupBy(col("x.c").as("a"), col("y.c").as("b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .withColumn("est_cos_e4", expr(
+        s"""CAST(floor(CAST(n_sampled AS DOUBLE) * 10000.0 /
+           |  ($qExpr * sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+           | AS BIGINT)""".stripMargin))
+      .where(col("est_cos_e4") >= minCosE4)
+      .select(col("a"), col("b"), col("n_sampled"), col("est_cos_e4"))
+  }
 }
