@@ -296,6 +296,26 @@ object ScaleCheck {
         .where(col("dup_bp") >= 0)
     })
 
+    // 13. Entry-sampled DIMSUM: disjoint basket copies replicate the
+    // column structure, so surviving entries — and the pair rows the
+    // thinned matrix generates — must grow linearly; a broken entry
+    // coin (sampling after the join, or a p that ignores the norm)
+    // would blow up quadratically on the replicated hot columns.
+    check("dimsum_entry", Seq(1, 2, 4, 8), useBytes = false, { f =>
+      // baskets of ~8 consecutive (sparse) order keys, columns from a
+      // 500-symbol alphabet; both ids banded per copy so the copies
+      // are disjoint and the pair structure replicates exactly
+      val rc = replicate(ordersBase, f, "o_orderkey", 100000000L,
+          tagTokens = false)
+        .select(expr("CAST(o_orderkey / 100000000 AS BIGINT)").as("copy"),
+          pmod(col("o_orderkey"), lit(100000000L)).as("ok"))
+        .select(
+          (expr("CAST(ok / 64 AS BIGINT)") + col("copy") * 10000000L).as("r"),
+          concat(lit("c"),
+            pmod(col("ok"), lit(500L)) + col("copy") * 1000L).as("c"))
+      graft.similarity.Dimsum.pairsTwoSided(rc, "r", "c", gamma = 16.0)
+    })
+
     spark.stop()
     if (failed.nonEmpty) {
       failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))
