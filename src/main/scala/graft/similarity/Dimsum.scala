@@ -88,6 +88,7 @@ object Dimsum {
       gamma: Double, minCosE4: Long = 0L): DataFrame = {
     val rcD = rc.select(col(rowCol).as("r"), col(colCol).as("c"))
       .distinct()
+      .localCheckpoint(eager = true) // column-norm agg + the sides build
     val n = rcD.groupBy(col("c")).agg(count(lit(1)).as("n"))
     val sqg = math.sqrt(gamma)
     val entryCoin = conv(substring(md5(concat(lit("d2|"),
