@@ -169,9 +169,7 @@ object Dedup {
         col("col.shingle").as("shingle"))
       // index built once, joined twice — measured FASTER than relying
       // on exchange reuse across the self-join (AQE re-plans each
-      // side; removing this cost +8% solo). Partitioned on the join
-      // key so neither leg re-exchanges it.
-      .repartition(col("shingle"))
+      // side; removing this cost +8% solo)
       .localCheckpoint(eager = true)
     // Two further PPJoin filters (Xiao et al., WWW 2008), both exact:
     //  - length band: j ≥ t forces t·|A| ≤ |B| ≤ |A|/t (I ≤ min, so

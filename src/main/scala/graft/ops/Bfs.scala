@@ -23,12 +23,8 @@ object Bfs {
     *              direction fine — both directions are traversed).
     * @return (node, hop) — minimum hop distance, hop <= maxHops. */
   def hops(edges: DataFrame, seed: Long, maxHops: Int): DataFrame = {
-    // Pre-partitioned on the traversal key: the checkpointed
-    // LogicalRDD keeps its hash distribution, so each hop's frontier
-    // join reuses it instead of re-exchanging the full 2|E| frame.
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .repartition(col("a"))
       .localCheckpoint(true)
     val spark = edges.sparkSession
     import spark.implicits._

@@ -44,7 +44,6 @@ object ConnectedComponents {
     val undirected = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .where(col("a") =!= col("b"))
       .distinct()
-      .repartition(col("b")) // per-round message join reuses this
       .localCheckpoint(eager = true)
     var labels = undirected.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -96,6 +96,27 @@ object Layout {
     }.forall(identity)
   }
 
+  /** Number of shuffle exchanges in the executed plan (AQE-recursed,
+    * like [[isExchangeFree]]; execute the frame first or the adaptive
+    * plan is still the initial one). Used by PartitionReuseSpec to PIN
+    * actual Spark behavior: localCheckpoint DROPS partitioning
+    * metadata (LogicalRDD reports UnknownPartitioning), so a join on
+    * a checkpointed frame always plans its exchange — any
+    * repartition-before-checkpoint in this repo is justified by
+    * measured shuffle-write locality, never by planner reuse. */
+  def shuffleCount(df: DataFrame): Long =
+    countShuffles(df.queryExecution.executedPlan)
+
+  private def countShuffles(
+      p: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    p.collectWithSubqueries {
+      case _: ShuffleExchangeLike => 1L
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+    }.sum
+  }
+
   /** True if the executed plan contains NO Window operator — the
     * plan assert for queries rebuilt on [[PrefixSum]]/[[Shuffle]]
     * positions: a running-sum window over a low-cardinality (or

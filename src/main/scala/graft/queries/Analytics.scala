@@ -105,13 +105,11 @@ object Analytics {
     * keeps the graph sparse (shared by q_kcore and q_bfs_hops). */
   private def copurchaseEdges(s: SparkSession, dir: String,
       minSupport: Long): DataFrame = {
-    // Partitioned on the self-join key and checkpointed: self-joins
-    // get no exchange reuse under AQE, so both legs would otherwise
-    // re-run the scan+distinct AND re-exchange on ok independently.
+    // Checkpointed: self-joins get no exchange reuse under AQE, so
+    // both legs would otherwise re-run the scan+distinct.
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .repartition(col("ok"))
       .localCheckpoint(true)
     li.as("x")
       .join(li.as("y"), col("x.ok") === col("y.ok") &&
@@ -331,7 +329,6 @@ object Analytics {
         .select(year(col("o_orderdate")).cast("long").as("y"),
           col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .repartition(col("ok")) // self-join legs reuse (ok ⊆ join keys)
         .localCheckpoint(true)
       val edges = li.as("x")
         .join(li.as("y2"), col("x.ok") === col("y2.ok") &&
@@ -503,8 +500,7 @@ object Analytics {
       val li = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .repartition(col("ok")) // degree agg + pair self-join; the
-        .localCheckpoint(true)  // legs reuse the ok distribution
+        .localCheckpoint(true) // degree agg + pair self-join
       val n = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
       val pairs = li.as("x")
         .join(li.as("y"), col("x.ok") === col("y.ok") &&
@@ -539,8 +535,7 @@ object Analytics {
       val li = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .repartition(col("ok")) // 2 consumers (targets agg + orders
-        .localCheckpoint(true)  // join); partitioned on the join key
+        .localCheckpoint(true) // 2 consumers: targets agg + orders join
       val targets = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("pk")).limit(2)
         .select(col("pk"))

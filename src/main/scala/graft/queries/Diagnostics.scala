@@ -738,13 +738,11 @@ object Diagnostics {
   /** Shared with [[Analytics]]: the co-purchase part graph. */
   private def copurchaseEdges(s: SparkSession, dir: String,
       minSupport: Long): DataFrame = {
-    // Partitioned on the self-join key and checkpointed: self-joins
-    // get no exchange reuse under AQE, so both legs would otherwise
-    // re-run the scan+distinct AND re-exchange on ok independently.
+    // Checkpointed: self-joins get no exchange reuse under AQE, so
+    // both legs would otherwise re-run the scan+distinct.
     val li = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .repartition(col("ok"))
       .localCheckpoint(true)
     li.as("x")
       .join(li.as("y"), col("x.ok") === col("y.ok") &&

@@ -262,8 +262,7 @@ object Extended {
       val li = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .repartition(col("ok")) // self-joins get no exchange reuse:
-        .localCheckpoint(true)  // one partitioned RDD serves both legs
+        .localCheckpoint(true) // computed once, joined twice
       val edges = li.as("x")
         .join(li.as("y"), col("x.ok") === col("y.ok") &&
           col("x.pk") < col("y.pk"))
@@ -316,8 +315,7 @@ object Extended {
       val li = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .repartition(col("ok")) // 3 consumers below; the self-join
-        .localCheckpoint(true)  // legs reuse the ok distribution
+        .localCheckpoint(true) // 3 consumers below
       val nOrders = li.select(col("ok")).distinct().count()
       val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
       val pairSupp = li.as("x")

@@ -39,11 +39,14 @@ object Dimsum {
       .distinct()
       .localCheckpoint(eager = true) // column-norm agg + both join legs
     val n = rcD.groupBy(col("c")).agg(count(lit(1)).as("n"))
-    // Partitioned by the wedge key and checkpointed: a self-join of
-    // one frame gets NO exchange reuse under AQE (build note), so
-    // without this both legs would re-derive sides AND re-shuffle it
-    // on r independently — the checkpointed LogicalRDD's hash
-    // distribution serves both legs as-is.
+    // Checkpointed: a self-join of one frame gets NO exchange reuse
+    // under AQE (build note), so without this both legs would
+    // re-derive sides independently. The repartition does NOT let the
+    // planner skip the join exchanges (localCheckpoint drops
+    // partitioning metadata — PartitionReuseSpec pins that), but
+    // laying the materialized frame out by the wedge key measured
+    // ~15% faster end-to-end (each exchange map task then writes
+    // almost entirely to one reducer; same-session A/B).
     val sides = rcD.join(broadcast(n), Seq("c"))
       .repartition(col("r"))
       .localCheckpoint(eager = true)
@@ -98,8 +101,7 @@ object Dimsum {
       .where(entryCoin <
         least(lit(1.0), lit(sqg) / sqrt(col("n").cast("double")))
           * lit(4503599627370496.0))
-      .repartition(col("r"))
-      .localCheckpoint(eager = true) // both pair-join legs, one distribution
+      .localCheckpoint(eager = true) // both pair-join legs
     val qExpr =
       s"""(least(1.0, $sqg / sqrt(CAST(na AS DOUBLE)))
          | * least(1.0, $sqg / sqrt(CAST(nb AS DOUBLE))))""".stripMargin
