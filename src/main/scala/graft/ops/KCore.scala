@@ -43,10 +43,13 @@ object KCore {
       else if (n == survivors) done = true
       else {
         survivors = n
-        // Alternate the semi-join order: each round's output is
-        // partitioned by its LAST join key, so starting the next
-        // round on that same key reuses the checkpointed distribution
-        // instead of re-exchanging the surviving edges.
+        // Alternate the semi-join order. NOT planner reuse (the
+        // checkpointed round output reports UnknownPartitioning —
+        // PartitionReuseSpec): the measured win (1.9 vs 2.4 s solo at
+        // sf0.1, same-session A/B vs a fixed order) comes from the
+        // materialized round output being LAID OUT by its last join
+        // key, so the next round's first exchange — on that same key —
+        // writes with near-perfect locality.
         val keepSrc = keep.withColumnRenamed("node", "src")
         val keepDst = keep.withColumnRenamed("node", "dst")
         cur = (if (round % 2 == 0)
