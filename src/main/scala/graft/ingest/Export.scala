@@ -24,14 +24,18 @@ object Export {
 
   final case class ShardStat(shard: Long, rows: Long, checksum: Long)
 
+  /** `format`: "parquet" (default) or "json" — the latter writes
+    * JSONL (one object per line), the LLM-corpus interchange format,
+    * with the same shard layout, manifest, and verify machinery. */
   def shards(df: DataFrame, idCol: String, outDir: String,
-      nShards: Int): Seq[ShardStat] = {
+      nShards: Int, format: String = "parquet"): Seq[ShardStat] = {
     require(nShards >= 1, "need at least one shard")
+    require(Set("parquet", "json")(format), s"unsupported format $format")
     val sharded = df
       .withColumn("__shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
     sharded.write.mode(SaveMode.ErrorIfExists)
-      .partitionBy("__shard").parquet(outDir)
-    attest(df.sparkSession, outDir, idCol, nShards)
+      .partitionBy("__shard").format(format).save(outDir)
+    attest(df.sparkSession, outDir, idCol, nShards, format)
   }
 
   /** Cut (or re-cut) the manifest from a READ-BACK of `outDir`: the
@@ -41,10 +45,10 @@ object Export {
     * to the producer's expected counts catches the loss before any
     * GPU-hours are spent, instead of only at a later verify(). */
   def attest(spark: SparkSession, outDir: String, idCol: String,
-      nShards: Int): Seq[ShardStat] = {
+      nShards: Int, format: String = "parquet"): Seq[ShardStat] = {
     // never trust a cached listing of the files being attested
     spark.catalog.refreshByPath(outDir)
-    val stats = manifestStats(spark.read.parquet(outDir), idCol)
+    val stats = manifestStats(spark.read.format(format).load(outDir), idCol)
     writeManifest(outDir, nShards, stats)
     stats
   }
@@ -68,12 +72,13 @@ object Export {
   /** Re-read the export and verify it against its manifest; returns
     * the mismatched shard ids (empty = intact). A shard present in
     * the manifest but absent on disk, or vice versa, mismatches. */
-  def verify(spark: SparkSession, outDir: String, idCol: String): Seq[Long] = {
+  def verify(spark: SparkSession, outDir: String, idCol: String,
+      format: String = "parquet"): Seq[Long] = {
     // a verifier must never trust a cached listing of the very files
     // it is checking
     spark.catalog.refreshByPath(outDir)
     val manifest = readManifest(outDir)
-    val actual = spark.read.parquet(outDir)
+    val actual = spark.read.format(format).load(outDir)
       .groupBy(col("__shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("rows"),
         expr(s"bit_xor(xxhash64($idCol))").as("checksum"))

@@ -73,6 +73,30 @@ class ExportSpec extends SparkSpec {
       "re-cut manifest is consistent with the (damaged) artifact")
   }
 
+  test("JSONL export round-trips, verifies, and flags tampering") {
+    val out = Files.createTempDirectory("graft-exportj").toString + "/c"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val stats = Export.shards(docs, "doc_id", out, nShards = 4,
+      format = "json")
+    assert(stats.map(_.rows).sum === docs.count())
+    // the artifact really is JSONL: one JSON object per line
+    val shard0 = new java.io.File(s"$out/__shard=0")
+    val part = shard0.listFiles().filter(_.getName.endsWith(".json")).head
+    val firstLine = Files.readAllLines(part.toPath).get(0)
+    assert(firstLine.startsWith("{") && firstLine.endsWith("}"))
+    // reload parity, row for row (ids + text survive JSON round-trip)
+    val back = spark.read.format("json").load(out)
+    assert(back.select("doc_id", "text", "lang", "source")
+      .collect().map(_.toSeq).toSet
+      === docs.collect().map(_.toSeq).toSet)
+    assert(Export.verify(spark, out, "doc_id", format = "json").isEmpty)
+    // tamper: lose shard 0's data file → that shard flags
+    assert(part.delete())
+    val bad = Export.verify(spark, out, "doc_id", format = "json")
+    assert(bad == Seq(0L), bad.toString)
+  }
+
   test("manifest parses back exactly what was written") {
     val out = Files.createTempDirectory("graft-export3").toString + "/c"
     val docs = Tables.documents(spark, dir).select("doc_id")
