@@ -107,7 +107,8 @@ object Main {
       to: Option[String] = None, keep: Option[Int] = None,
       hardlinksAsFiles: Boolean = false, extension: Option[String] = None,
       excludes: List[String] = Nil, positional: List[String] = Nil,
-      batchSize: Int = 256, maxBatches: Option[Int] = None)
+      batchSize: Int = 256, maxBatches: Option[Int] = None,
+      format: String = "parquet")
 
   // positional accumulates in COMMAND-LINE order: the recursion
   // parses the tail first and prepends the head (foldRight shape).
@@ -123,6 +124,7 @@ object Main {
     case "--from" :: v :: rest => parseOpts(rest).copy(from = Some(v))
     case "--to" :: v :: rest => parseOpts(rest).copy(to = Some(v))
     case "--keep" :: v :: rest => parseOpts(rest).copy(keep = Some(v.toInt))
+    case "--format" :: v :: rest => parseOpts(rest).copy(format = v)
     case "--hardlinks-as-files" :: rest =>
       parseOpts(rest).copy(hardlinksAsFiles = true)
     case "--extension" :: v :: rest => parseOpts(rest).copy(extension = Some(v))
@@ -255,9 +257,9 @@ object Main {
   private def exportCmd(args: List[String]): Unit = {
     val o = parseOpts(args)
     require_(o.db.nonEmpty && o.positional.nonEmpty,
-      "export --db DIR [--n SHARDS] OUT_DIR")
+      "export --db DIR [--n SHARDS] [--format parquet|json] OUT_DIR")
     val spark = session()
-    val (stats, _) = exportRun(spark, o.db, o.positional.head, o.n)
+    val (stats, _) = exportRun(spark, o.db, o.positional.head, o.n, o.format)
     stats.foreach(s =>
       println(s"shard ${s.shard}: ${s.rows} rows checksum=${s.checksum}"))
     spark.stop()
@@ -266,11 +268,12 @@ object Main {
   /** Building block of `exportCmd` (session-free, testable): observe +
     * shard + manifest; prints the `quality[export]:` line. */
   private[cli] def exportRun(spark: SparkSession, db: String, out: String,
-      nShards: Int): (Seq[graft.ingest.Export.ShardStat], Map[String, Any]) = {
+      nShards: Int, format: String = "parquet")
+      : (Seq[graft.ingest.Export.ShardStat], Map[String, Any]) = {
     val files = Snapshot.readFiles(spark, db)
     val (inst, obs) = graft.ops.Observe.quality(files, "export_quality",
       Seq("path"), col("size") < 0 || col("nlink") < 0)
-    val stats = graft.ingest.Export.shards(inst, "path", out, nShards)
+    val stats = graft.ingest.Export.shards(inst, "path", out, nShards, format)
     val m = obs.get
     println(qualityLine("export", m))
     (stats, m)

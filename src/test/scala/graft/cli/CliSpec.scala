@@ -260,5 +260,17 @@ class CliSpec extends SparkSpec {
       s"quality[export]: rows=$nEntries null_keys=0 violations=0"),
       outE.toString)
     assert(graft.ingest.Export.verify(spark, outDir, "path").isEmpty)
+
+    // JSONL format reaches Export through the CLI path and verifies
+    val outJ = Files.createTempDirectory("graft-quality-expj").toString + "/e"
+    val (statsJ, _) = Console.withOut(new java.io.ByteArrayOutputStream()) {
+      Main.exportRun(spark, db, outJ, nShards = 2, format = "json")
+    }
+    assert(statsJ.map(_.rows).sum === nEntries)
+    assert(graft.ingest.Export.verify(spark, outJ, "path",
+      format = "json").isEmpty)
+    // --format parses
+    assert(Main.parseOpts(List("--db", db, "--format", "json", outJ))
+      .format === "json")
   }
 }
