@@ -97,6 +97,17 @@ class ExportSpec extends SparkSpec {
     assert(bad == Seq(0L), bad.toString)
   }
 
+  test("documentsJsonl reads a JSONL export back with the pinned schema") {
+    val out = Files.createTempDirectory("graft-exportj2").toString + "/c"
+    val docs = Tables.documents(spark, dir)
+    Export.shards(docs, "doc_id", out, nShards = 2, format = "json")
+    val back = Tables.documentsJsonl(spark, out)
+    assert(back.schema.map(f => f.name -> f.dataType.simpleString) ==
+      docs.schema.map(f => f.name -> f.dataType.simpleString))
+    assert(back.collect().map(_.toSeq).toSet ==
+      docs.collect().map(_.toSeq).toSet)
+  }
+
   test("manifest parses back exactly what was written") {
     val out = Files.createTempDirectory("graft-export3").toString + "/c"
     val docs = Tables.documents(spark, dir).select("doc_id")
