@@ -250,4 +250,24 @@ object DocumentStream {
         .as("__hitters"))
       .select(explode(col("__hitters")).as("h"))
       .select(col("h.item"), col("h.est_count"), col("h.max_err"))
+
+  /** Streaming boilerplate-gram detection — the streaming twin of
+    * q_boilerplate_grams: the corpus-wide most-duplicated k-token
+    * windows maintained continuously as documents arrive, via the
+    * same Space-Saving state machinery as [[tokenHeavyHitters]]
+    * (constant-size sketch in the state store, mergeable across
+    * microbatches; capacity ≥ distinct windows → exact counts and
+    * streaming ≡ batch, asserted in DocumentStreamSpec). Items are
+    * the window STRINGS (an operator watching the stream wants the
+    * span text, not a key); the batch query's md5 keys exist only for
+    * its DuckDB oracle. */
+  def boilerplateGrams(docs: DataFrame, textCol: String, k: Int,
+      capacity: Int): DataFrame =
+    docs.select(explode(graft.functions.ShingleExprs.wordWindows(
+        docs.sparkSession, col(textCol), k)).as("gram"))
+      .groupBy()
+      .agg(graft.ops.HeavyHitters.sketch(col("gram"), capacity)
+        .as("__hitters"))
+      .select(explode(col("__hitters")).as("h"))
+      .select(col("h.item"), col("h.est_count"), col("h.max_err"))
 }

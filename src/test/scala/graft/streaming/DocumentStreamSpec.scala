@@ -319,6 +319,58 @@ class DocumentStreamSpec extends SparkSpec {
     assert(streamed.forall(_._3 == 0L), "expected exact counts (max_err 0)")
   }
 
+  test("streaming boilerplate grams equal batch across microbatches") {
+    val s = spark
+    import s.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-bp")
+    val planted = "alpha beta gamma delta"
+    // the planted 4-token span rides every 3rd doc of BOTH batches, so
+    // its count must merge across the two Space-Saving states
+    def mk(ids: Range) = ids.map { i =>
+      val body = s"doc $i filler f$i g$i h$i words w$i"
+      (i.toLong, if (i % 3 == 0) s"$body $planted" else body)
+    }.toDF("doc_id", "text")
+    val t0 = System.currentTimeMillis()
+    Seq((mk(0 until 30), "f0", t0 - 60000), (mk(30 until 60), "f1", t0))
+      .foreach { case (df, name, mtime) =>
+        val out = java.nio.file.Files.createTempDirectory("graft-bp-w")
+          .resolve(name)
+        df.coalesce(1).write.parquet(out.toString)
+        val part = java.nio.file.Files.list(out).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val target = streamDir.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val cap = 4096 // >= distinct windows → exact regime
+    val q = DocumentStream.boilerplateGrams(stream, "text", k = 4, cap)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName("bp_grams")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    val streamed = spark
+      .sql("SELECT item, est_count, max_err FROM bp_grams")
+      .collect().map(key).toSet
+    val batch = DocumentStream.boilerplateGrams(
+        mk(0 until 30).unionByName(mk(30 until 60)), "text", 4, cap)
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    // exact regime, and the planted span's count merged across batches
+    assert(streamed.forall(_._3 == 0L))
+    assert(streamed.exists(x => x._1 == planted && x._2 == 20L),
+      streamed.filter(_._1 == planted).toString)
+  }
+
   test("streaming dedup-on-ingest equals batch exact dedup across microbatches") {
     val s = spark
     import s.implicits._
