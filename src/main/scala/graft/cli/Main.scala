@@ -359,11 +359,16 @@ object Main {
     // Display join: entries render as parent <sep> name (reference
     // printEntry, find.go:72 + config separator); prefixes print their
     // key as-is. For '/' this IS the stored path — no expression cost.
+    // Enumeration order is the STORED key order (the reference's
+    // key-range seek streams in stored-key order regardless of the
+    // display separator); rendering happens only in the projection —
+    // sorting on the rendered string would mix two orders (dirs by
+    // raw key, files by rendered parent<sep>name).
     val rendered =
       if (sep == "/") col("path")
       else when(col("is_dir"), col("path"))
         .otherwise(concat(col("parent"), lit(sep), col("name")))
-    scoped.where(m).select(rendered.as("path")).orderBy("path")
+    scoped.where(m).orderBy("path").select(rendered.as("path"))
   }
 
   private def stats(args: List[String]): Unit = {

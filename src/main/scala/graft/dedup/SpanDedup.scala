@@ -28,14 +28,17 @@ import org.apache.spark.sql.functions._
   *      constant width; at production scale you'd use xxhash64, the
   *      md5 prefix is what lets the DuckDB oracle replay bit-for-bit);
   *      text itself never shuffles, only (key, doc_id, pos) triples;
-  *   2. the gram stream checkpoints once partitioned by key; the
-  *      ≥ minCount count aggregate and the surviving-position semi
-  *      join both read it co-partitioned — no second exchange AND no
-  *      per-key posting arrays (a boilerplate gram's df is unbounded);
+  *   2. the gram stream is computed ONCE (eager checkpoint) and both
+  *      the ≥ minCount count aggregate and the surviving-position
+  *      semi join read that materialization; crucially there are no
+  *      per-key posting arrays anywhere (a boilerplate gram's df is
+  *      unbounded, so a collect-per-gram buffer would be a task
+  *      killer);
   *   3. per-doc covered-token count via interval union on the SORTED
   *      hit positions: sum(min(k, pos − prev_pos)) — a window over
-  *      doc_id, a HIGH-cardinality key, so no skew (unlike the
-  *      low-cardinality-window shape CLAUDE.md bans).
+  *      doc_id, a HIGH-cardinality key, so no skew (an unbounded
+  *      window over a low-cardinality key funnels every row through
+  *      a handful of tasks; this one has one tiny frame per doc).
   *
   * Duplicated coverage is emitted as integer BASIS POINTS via floor
   * div (the count-ratio rule — round(x,4) sits on cross-engine
@@ -76,10 +79,13 @@ object SpanDedup {
     * would build one unbounded array per MEGA-BOILERPLATE gram — the
     * grams this operator exists to find are exactly the ones with
     * millions of occurrences at corpus scale. Instead the gram stream
-    * checkpoints once, partitioned by key; the count aggregate and
-    * the semi join both read that distribution co-partitioned, so
-    * the extra exchange the count-then-join-back shape usually pays
-    * never happens, and no aggregation buffer ever exceeds one row. */
+    * checkpoints once and the count aggregate plus the semi join both
+    * consume that single materialization (compute-once sharing — a
+    * checkpoint drops partitioning metadata, so both consumers still
+    * plan their own exchange; see PartitionReuseSpec). The
+    * repartition(g) before the checkpoint is shuffle-write locality
+    * for those two key-clustered consumers, and no aggregation
+    * buffer ever exceeds one row. */
   def dupSpanPositions(docs: DataFrame, textCol: String, idCol: String,
       k: Int, minCount: Int = 2): DataFrame = {
     val grams = gramKeys(docs, textCol, idCol, k)

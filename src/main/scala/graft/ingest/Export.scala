@@ -46,11 +46,30 @@ object Export {
     * GPU-hours are spent, instead of only at a later verify(). */
   def attest(spark: SparkSession, outDir: String, idCol: String,
       nShards: Int, format: String = "parquet"): Seq[ShardStat] = {
-    // never trust a cached listing of the files being attested
-    spark.catalog.refreshByPath(outDir)
-    val stats = manifestStats(spark.read.format(format).load(outDir), idCol)
+    val stats = manifestStats(readBack(spark, outDir, idCol, format), idCol)
     writeManifest(outDir, nShards, stats)
     stats
+  }
+
+  /** Load the export for attest/verify aggregates. Parquet carries its
+    * schema; JSON must NOT go through full schema inference — that is
+    * a complete extra pass over the artifact, and an all-null column
+    * silently vanishes from the inferred schema (the JSON writer omits
+    * null fields). Only the one attested column is declared (as its
+    * raw JSON text — stable whatever type inference would pick);
+    * Spark appends the `__shard` partition column from the directory
+    * layout. JSON checksums therefore hash the id's TEXT form — attest
+    * and verify share this path, so they always agree. */
+  private def readBack(spark: SparkSession, outDir: String, idCol: String,
+      format: String): DataFrame = {
+    // never trust a cached listing of the files being attested/verified
+    spark.catalog.refreshByPath(outDir)
+    if (format == "json") {
+      val pinned = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.StringType)))
+      spark.read.schema(pinned).format("json").load(outDir)
+    } else spark.read.format(format).load(outDir)
   }
 
   private def manifestStats(sharded: DataFrame, idCol: String): Seq[ShardStat] =
@@ -74,11 +93,8 @@ object Export {
     * the manifest but absent on disk, or vice versa, mismatches. */
   def verify(spark: SparkSession, outDir: String, idCol: String,
       format: String = "parquet"): Seq[Long] = {
-    // a verifier must never trust a cached listing of the very files
-    // it is checking
-    spark.catalog.refreshByPath(outDir)
     val manifest = readManifest(outDir)
-    val actual = spark.read.format(format).load(outDir)
+    val actual = readBack(spark, outDir, idCol, format)
       .groupBy(col("__shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("rows"),
         expr(s"bit_xor(xxhash64($idCol))").as("checksum"))

@@ -29,9 +29,11 @@ import org.apache.spark.sql.types.LongType
   */
 object PrefixSum {
 
-  /** Append `outCol` = inclusive running total of `valueCol` (LONG)
-    * within each `groupCols` group under `orderCols` order.
-    * `groupCols ++ orderCols` must form a strict total order. */
+  /** Append `outCol` = inclusive running total of `valueCol` (LONG,
+    * NON-NULL — a null fails fast with a clear message rather than an
+    * anonymous NPE mid-job) within each `groupCols` group under
+    * `orderCols` order. `groupCols ++ orderCols` must form a strict
+    * total order. */
   def runningTotal(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], valueCol: String, outCol: String,
       partitions: Int = 32): DataFrame = {
@@ -51,6 +53,9 @@ object PrefixSum {
       rdd.mapPartitionsWithIndex { (pid, it) =>
         val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
         it.foreach { r =>
+          require(!r.isNullAt(vIdx),
+            s"PrefixSum.runningTotal: null in value column '$valueCol' " +
+              s"(group ${gIdx.map(r.get).mkString(",")}) — fill or filter nulls first")
           val g = gIdx.map(r.get)
           acc(g) = acc.getOrElse(g, 0L) + r.getLong(vIdx)
         }

@@ -640,9 +640,10 @@ object Diagnostics {
           expr("n_pos * 1000000L div n").as("prevalence_micro"))
     }),
 
-    // Blocking-key quality audit for the fuzzy-join family — the
-    // check CLAUDE.md's record-linkage rule demands BEFORE running a
-    // blocked join at a new scale: block count, exact p50/p90/max
+    // Blocking-key quality audit for the fuzzy-join family — blocked
+    // joins MUST have their block-size distribution checked before
+    // running at a new scale (one fat block turns the verify stage
+    // into b² pairs): block count, exact p50/p90/max
     // block sizes (rank-selected DATA VALUES via the range-sort
     // positions — engine-exact, never interpolated), total candidate
     // pairs Σ b(b−1)/2, and the comparison-reduction ratio vs the

@@ -311,8 +311,14 @@ object Pipeline {
     // ln(n_docs/df): IEEE-754 division and multiplication are
     // bit-exact across engines, so the oracle matches to the digit,
     // where libm vs JVM `ln` could differ in the last ulp right at a
-    // rounding boundary. Shape: token explode → two partial+final
-    // aggs (tf, df) → broadcast-sized df join → per-doc top-3 window.
+    // rounding boundary. Shape: token explode → tf aggregate
+    // (checkpointed once — df derives from it AND it is the join
+    // probe side) → shuffle join on term → per-doc top-3 window.
+    // The df table is VOCABULARY-sized (one row per distinct term —
+    // unbounded with corpus growth), so it must never be broadcast:
+    // the term-keyed shuffle join scales with partitions, a vocab
+    // broadcast OOMs the driver at 100×. Same rule LangModel states
+    // for its bigram table.
     "q_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, dir)
@@ -330,10 +336,11 @@ object Pipeline {
       // window is pure skew: every row buffers through ≤31 tasks).
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true) // df agg + join probe share one compute
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(desc("score"), asc("term"))
-      tf.join(broadcast(dfreq), Seq("term"))
+      tf.join(dfreq, Seq("term"))
         .withColumn("score",
           round(col("tf") * (lit(nDocs) / col("df")), 4))
         .withColumn("rk", row_number().over(w))
@@ -1384,10 +1391,12 @@ object Pipeline {
         .orderBy(asc("media_id"), asc("frame_idx"))
     }),
 
-    // DSIR importance resampling (rows-only; exact-score parity and
-    // domain-selectivity are asserted in DsirSpec, and the planted
-    // target twins below are gated in Verify): target = the 25
-    // lowest-id docs, raw = the corpus + three planted twins of
+    // DSIR importance resampling (oracle-exact: the md5-prefix bucket
+    // hash, the floor-rounded micro-nat weight table, and the Gumbel
+    // top-k coin chain all replay in DuckDB; exact-score parity and
+    // domain-selectivity are ALSO asserted in DsirSpec, and the
+    // planted target twins below are gated in Verify): target = the
+    // 25 lowest-id docs, raw = the corpus + three planted twins of
     // target docs (ids +300000). The twins ARE target text, so they
     // carry maximal importance weight and must appear in the selected
     // set — a selection-quality canary that runs at verify scale.
@@ -1952,7 +1961,11 @@ object Pipeline {
       val srcTot = srcTok.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
       val corpTok = srcTok.groupBy(col("token")).agg(sum(col("cs")).as("c"))
       val nCorp = tok.count()
-      val grid = srcTot.crossJoin(broadcast(corpTok))
+      // Broadcast the |sources|-row totals, never the vocabulary:
+      // corpTok is the distinct-token table and grows without bound
+      // with corpus size (ids, numbers, typos) — shipping it to every
+      // executor is the wrong side at 100×. srcTot is kilobytes.
+      val grid = corpTok.crossJoin(broadcast(srcTot))
         .join(srcTok, Seq("source", "token"), "left")
         .na.fill(0L, Seq("cs"))
       val term =
@@ -2703,6 +2716,51 @@ object Pipeline {
         |SELECT doc_id, count(*)::BIGINT AS n_shared
         |FROM corpus JOIN bench USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Full DSIR replay: the oracle RETRAINS the model (bucket counts,
+    // smoothed micro-nat weights) from the same corpus with the same
+    // expression shape, then replays scoring and the Gumbel top-50.
+    // ln is the only shared float risk (same class as q_vocab_drift);
+    // everything else is exact integers or identically-rounded IEEE.
+    "q_dsir" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text, (doc_id < 25) AS is_t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text, FALSE FROM documents
+        |  WHERE doc_id IN (3, 7, 11)),
+        |tok AS (
+        |  SELECT doc_id, is_t,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM raw),
+        |feat AS (
+        |  SELECT doc_id, is_t,
+        |    ('0x' || substring(md5(t), 1, 13))::BIGINT % 4096 AS f
+        |  FROM (
+        |    SELECT doc_id, is_t,
+        |      unnest(w || [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t
+        |    FROM tok) u),
+        |rc AS (SELECT f, count(*)::BIGINT AS c FROM feat GROUP BY 1),
+        |tc AS (SELECT f, count(*)::BIGINT AS c FROM feat WHERE is_t GROUP BY 1),
+        |nt AS (SELECT count(*)::DOUBLE + 1.0 AS v FROM feat WHERE is_t),
+        |nr AS (SELECT count(*)::DOUBLE + 1.0 AS v FROM feat),
+        |wt AS (
+        |  SELECT rc.f,
+        |    CAST(floor((ln((COALESCE(tc.c, 0)::DOUBLE + 0.000244140625::DOUBLE) / nt.v)
+        |              - ln((rc.c::DOUBLE + 0.000244140625::DOUBLE) / nr.v))
+        |         * 1e6 + 0.5) AS BIGINT) AS wt
+        |  FROM rc LEFT JOIN tc USING (f), nt, nr),
+        |sc AS (
+        |  SELECT feat.doc_id, count(*)::BIGINT AS n_feats,
+        |    sum(wt.wt)::BIGINT AS score_micronats
+        |  FROM feat JOIN wt USING (f)
+        |  GROUP BY 1),
+        |sel AS (
+        |  SELECT doc_id, n_feats, score_micronats
+        |  FROM sc
+        |  ORDER BY score_micronats::DOUBLE / 1e6 + (- ln(- ln(
+        |    (('0x' || substring(md5('graft-r4:' || doc_id::VARCHAR), 1, 13))::BIGINT::DOUBLE
+        |     + 0.5) / 4503599627370496.0::DOUBLE))) DESC
+        |  LIMIT 50)
+        |SELECT doc_id, n_feats, score_micronats FROM sel ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->
       """SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars_kept
         |FROM documents

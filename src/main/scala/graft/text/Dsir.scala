@@ -41,14 +41,22 @@ object Dsir {
 
   /** Hashed feature-bucket array (unigrams then bigrams) of `text`.
     * The token array materializes once; the lambdas route elements
-    * (same shape as [[LangModel.bigramOccurrences]]). */
+    * (same shape as [[LangModel.bigramOccurrences]]). The bucket hash
+    * is the 52-bit md5 prefix mod B — at production scale you'd use
+    * xxhash64 (cheaper per token), the md5 prefix is the substitution
+    * that lets the DuckDB oracle replay every bucket bit-for-bit
+    * (('0x'||substring(md5(t),1,13))::BIGINT % B), the same trade
+    * SpanDedup's gram keys make. */
   def features(text: Column, buckets: Int): Column = {
     val w = TextAnalysis.tokens(text)
-    val uni = transform(w, t => pmod(xxhash64(t), lit(buckets.toLong)))
+    def h(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    val uni = transform(w, h(_))
     val bi = zip_with(
       slice(w, lit(1), size(w) - 1),
       slice(w, lit(2), size(w) - 1),
-      (a, b) => pmod(xxhash64(concat_ws(" ", a, b)), lit(buckets.toLong)))
+      (a, b) => h(concat_ws(" ", a, b)))
     when(size(w) >= 2, concat(uni, bi)).otherwise(uni)
   }
 
@@ -73,7 +81,13 @@ object Dsir {
     * corpus before the fix. With 1/B, shared vocabulary cancels
     * (λ ≈ 0), target-only features score strongly positive, and
     * target-absent features strongly negative. Computed once; the
-    * only floating-point step in the whole operator. */
+    * only floating-point step in the whole operator. Rounding is
+    * floor(x·10⁶ + 0.5) — the one shape a SQL oracle can recompute
+    * verbatim (rint's banker's rounding has no SQL twin); every
+    * intermediate (count + 1/B with B a power of two, the +1.0
+    * denominators, the divisions) is IEEE-exact or correctly rounded
+    * identically in both engines, so only ln's final ulp is shared
+    * risk — the same exposure the hash-exact q_vocab_drift carries. */
   def weightsMicroNats(target: Array[Long], raw: Array[Long]): Array[Long] = {
     require(target.length == raw.length,
       s"bucket count mismatch: ${target.length} vs ${raw.length}")
@@ -84,7 +98,7 @@ object Dsir {
     Array.tabulate(b) { f =>
       val lt = math.log((target(f) + alpha) / nt)
       val lr = math.log((raw(f) + alpha) / nr)
-      math.rint((lt - lr) * 1e6).toLong
+      math.floor((lt - lr) * 1e6 + 0.5).toLong
     }
   }
 

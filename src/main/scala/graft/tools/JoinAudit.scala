@@ -13,8 +13,62 @@ import org.apache.spark.sql.SparkSession
   * one over a corpus-sized frame is the q_abc_classes class the
   * round-6 verdict flagged — rebuild it on Shuffle.positionsBy /
   * PrefixSum.
+  *
+  * VocabBroadcast flags a FORCED broadcast hint over a frame
+  * aggregated on a vocabulary-cardinality key (the q_tfidf /
+  * q_vocab_drift class the round-7 verdict flagged; both rebuilt).
+  * Adjudicated acceptable hits: q_decontaminate /
+  * q_contamination_frac broadcast the BENCHMARK's shingles — bounded
+  * by the eval suite, not the corpus, and q_decontaminate_bloom is
+  * the declared 10⁸-n-gram scale path (bits, not strings). Anything
+  * else is a scale bug: either swap the join sides or use the
+  * co-partitioned count+join-back idiom.
   */
 object JoinAudit {
+
+  /** Broadcast-side provenance check (round-7 verdict): a FORCED
+    * broadcast hint whose hinted side aggregates grouped on a
+    * vocabulary-cardinality key (token/term/gram…) ships a frame that
+    * grows without bound with corpus size — the q_tfidf/q_vocab_drift
+    * class. Only explicit `broadcast(...)` hints are flagged: a
+    * stats-chosen broadcast at the audit's tiny SF is Catalyst doing
+    * its job (at real scale the size estimate crosses the threshold
+    * and the planner switches to a shuffle join on its own); a hint
+    * overrides that safety valve at every scale. A Limit between the
+    * hint and the aggregate re-bounds the frame (top-k vocab slices
+    * are fine to broadcast), so those are not flagged. */
+  private val vocabNames =
+    Set("token", "term", "g", "gram", "shingle", "word", "bigram")
+
+  private def vocabAgg(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit}
+    p match {
+      case _: GlobalLimit | _: LocalLimit => Nil // re-bounded above here
+      // a grouping-free aggregate collapses to ONE row — anything
+      // below it (q_greedy_cover's corpus-vocab distinct) is bounded
+      case a: Aggregate if a.groupingExpressions.isEmpty => Nil
+      case a: Aggregate if a.groupingExpressions.exists(
+          _.references.exists(r => vocabNames(r.name))) =>
+        Seq("VocabBroadcast(groupBy=" + a.groupingExpressions
+          .flatMap(_.references.map(_.name)).distinct.mkString(",") + ")")
+      case other => other.children.flatMap(vocabAgg)
+    }
+  }
+
+  private def forcedVocabBroadcasts(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+    def hinted(h: Option[HintInfo]): Boolean =
+      h.exists(_.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")))
+    plan.collect {
+      case j: Join =>
+        (if (hinted(j.hint.leftHint)) vocabAgg(j.left) else Nil) ++
+          (if (hinted(j.hint.rightHint)) vocabAgg(j.right) else Nil)
+    }.flatten
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -28,8 +82,10 @@ object JoinAudit {
         // sparkPlan, not executedPlan: AdaptiveSparkPlanExec exposes
         // no children to collect until executed, which would make the
         // audit vacuously "clean".
-        val plan = q(spark, sfDir).queryExecution.sparkPlan
-        val risky = plan.collectWithSubqueries {
+        val qe = q(spark, sfDir).queryExecution
+        val plan = qe.sparkPlan
+        val risky = forcedVocabBroadcasts(qe.optimizedPlan) ++
+          plan.collectWithSubqueries {
           case p if p.nodeName.contains("Cartesian") ||
             p.nodeName.contains("NestedLoop") => p.nodeName
           // A window with NO partition columns funnels every row

@@ -9,13 +9,14 @@ class DsirSpec extends SparkSpec {
 
   /** Local twin of the distributed feature hashing: Spark-exact
     * tokens (ShingleKernels.sparkTokens replicates trim/split
-    * semantics), xxhash64 = XXH64(utf8 bytes, seed 42), floorMod
-    * bucket — the same derivation Dsir.features performs in Columns. */
+    * semantics), 52-bit md5-prefix bucket hash — the same derivation
+    * Dsir.features performs in Columns. */
   private def localFeatures(text: String, buckets: Int): Seq[Int] = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     def h(s: String): Long = {
-      val u = UTF8String.fromString(s)
-      XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 13), 16)
     }
     val toks = graft.functions.ShingleKernels
       .sparkTokens(UTF8String.fromString(text)).toSeq
