@@ -29,13 +29,22 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): two range-sort rank passes (the skew-free
   * positionsBy machinery — no single-reducer window anywhere), two
-  * grouped local counts whose group sizes are n/P and n/B (pick P, B
-  * so a group fits a task — both are perfectly balanced by
-  * construction, a skewed key CANNOT produce a big group), and one
-  * P×B count aggregate collected to the driver (bounded: 32×1024
-  * longs by default; at extreme n choose P ≈ B ≈ √(n/c) for task
-  * budget c — total work O(n·log(n/P) + n·log(n/B) + P·B)). Counts
-  * stay in int64 for n ≤ ~4.2·10⁹ (n²/2 < 2⁶³).
+  * grouped local counts whose group sizes are n/P and n/B (both
+  * perfectly balanced by construction, a skewed key CANNOT produce a
+  * big group), and the cross-class histogram sweep. P and B
+  * AUTO-SCALE from the counted n: the `blocks`/`buckets` arguments
+  * are floors, raised to ⌈n/targetGroupRows⌉ so no mergesort group
+  * ever exceeds the task budget however big n grows. The sweep runs
+  * driver-side while P·B fits `maxDriverCells`; past that it switches
+  * to a fully distributed form — densify the grid, one grouped
+  * running total over blocks within each bucket (cumulative mass
+  * below the current block), one reversed running total over buckets
+  * within each block (mass in strictly higher buckets), both on the
+  * skew-free [[PrefixSum]] machinery, then ONE sum. The dense grid
+  * has (n/targetGroupRows)² rows ≤ n itself for every n below
+  * targetGroupRows² (1.7·10¹³ at the default) — never the biggest
+  * frame in the job. Counts stay in int64 for n ≤ ~4.2·10⁹
+  * (n²/2 < 2⁶³).
   */
 object Inversions {
 
@@ -82,11 +91,17 @@ object Inversions {
     * the returned count is exactly the number of value-space
     * DISCORDANT pairs (x_i<x_j ∧ y_i>y_j) — Knight's construction.
     *
-    * The result is invariant to `blocks`/`buckets` (asserted in
-    * InversionsSpec); they only trade group size against the P×B
-    * driver matrix. */
+    * The result is invariant to `blocks`/`buckets`/`targetGroupRows`/
+    * `maxDriverCells` (asserted in InversionsSpec); they only trade
+    * group size against cross-sweep cost. `blocks`/`buckets` are
+    * FLOORS — at large n both rise to ⌈n/targetGroupRows⌉ so a
+    * mergesort group can never outgrow a task, and once P·B exceeds
+    * `maxDriverCells` the cross sweep runs distributed instead of
+    * collecting the matrix. */
   def count(df: DataFrame, primary: Seq[String], secondary: Seq[String],
-      blocks: Int = 32, buckets: Int = 1024): Long = {
+      blocks: Int = 32, buckets: Int = 1024,
+      targetGroupRows: Long = 1L << 22,
+      maxDriverCells: Long = 1L << 20): Long = {
     val spark = df.sparkSession
     import spark.implicits._
     val p1 = Shuffle.positionsBy(df, primary, "__px", blocks)
@@ -94,8 +109,11 @@ object Inversions {
     val base = p2.select(col("__px"), col("__ry")).localCheckpoint(true)
     val n = base.count()
     if (n < 2) return 0L
-    val p = math.min(blocks.toLong, n)
-    val b = math.min(buckets.toLong, n)
+    require(targetGroupRows >= 1, "targetGroupRows must be positive")
+    // Auto-scale: raise the floors so group size n/P, n/B ≤ target.
+    val needed = (n + targetGroupRows - 1) / targetGroupRows
+    val p = math.min(math.max(blocks.toLong, needed), n)
+    val b = math.min(math.max(buckets.toLong, needed), n)
     // Balanced tags: px, ry are strict 0..n−1 permutations, so block
     // and bucket sizes differ by at most one — no skew possible.
     val tagged = base.select(
@@ -115,12 +133,22 @@ object Inversions {
       val rows = it.toArray.sortBy(_._2)
       localInversions(rows.map(_._3))
     }.reduce(_ + _)
-    // (3) different block AND bucket: histogram algebra on the P×B
-    // matrix — for each later block q and bucket b_j, earlier-block
-    // mass in strictly higher buckets times H[q][b_j].
-    val hist = tagged.groupBy(col("blk"), col("bkt"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c")).collect()
-    val pP = p.toInt; val bB = b.toInt
+    // (3) different block AND bucket: histogram algebra — for each
+    // later block q and bucket b_j, earlier-block mass in strictly
+    // higher buckets times H[q][b_j].
+    val histDf = tagged.toDF("blk", "px", "bkt", "ry")
+      .groupBy(col("blk"), col("bkt"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+    val cross =
+      if (p <= maxDriverCells / b) crossDriver(histDf, p.toInt, b.toInt)
+      else crossDistributed(histDf, p, b)
+    sameBucket + withinBlock + cross
+  }
+
+  /** Cross-class sweep, driver form: collect the P×B matrix and do
+    * one prefix/suffix pass. Exact; bounded by maxDriverCells. */
+  private def crossDriver(histDf: DataFrame, pP: Int, bB: Int): Long = {
+    val hist = histDf.collect()
     val h = Array.ofDim[Long](pP, bB)
     hist.foreach(r => h(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
     val cum = new Array[Long](bB) // per-bucket mass over blocks < q
@@ -138,6 +166,30 @@ object Inversions {
       while (x < bB) { cum(x) += h(q)(x); x += 1 }
       q += 1
     }
-    sameBucket + withinBlock + cross
+    cross
+  }
+
+  /** Cross-class sweep, distributed form (P·B past the driver cap):
+    * the same algebra as two grouped running totals over the DENSE
+    * grid. With C(q,b) = Σ_{p≤q} H(p,b) (running over blocks within a
+    * bucket) and L = C − H (mass strictly BELOW block q), the weight
+    * of cell (q,b_j) is Σ_{b_i>b_j} L(q,b_i) — a reversed running
+    * total over buckets within the block, exclusive of the cell —
+    * and cross = Σ H·W. Both totals run on the skew-free PrefixSum
+    * machinery; the grid never collects. */
+  private def crossDistributed(histDf: DataFrame, p: Long, b: Long): Long = {
+    val spark = histDf.sparkSession
+    val grid = spark.range(p).select(col("id").as("blk"))
+      .crossJoin(spark.range(b).select(col("id").as("bkt")))
+      .join(histDf, Seq("blk", "bkt"), "left")
+      .na.fill(0L, Seq("c"))
+    val cum = PrefixSum.runningTotal(grid, Seq("bkt"), Seq("blk"), "c", "cumc")
+      .withColumn("l", col("cumc") - col("c"))
+      // reversed bucket order via a flipped sort key (PrefixSum sorts
+      // ascending); (blk, revb) is a strict total order on the grid
+      .withColumn("revb", lit(b) - lit(1L) - col("bkt"))
+    val w = PrefixSum.runningTotal(cum, Seq("blk"), Seq("revb"), "l", "wincl")
+      .withColumn("w", col("wincl") - col("l"))
+    w.agg(sum(col("c") * col("w"))).collect()(0).getLong(0)
   }
 }

@@ -109,10 +109,39 @@ object IntervalJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Max-over-tasks accumulator: reports the largest value any task
+  * added (merge = max, not sum). Used for the sweep's open-interval
+  * working set — the operator's true memory bound, which ScaleCheck
+  * asserts stays ~constant while the corpus grows. */
+class MaxLongAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var m = 0L
+  override def isZero: Boolean = m == 0L
+  override def copy(): MaxLongAccumulator = {
+    val c = new MaxLongAccumulator; c.m = m; c
+  }
+  override def reset(): Unit = m = 0L
+  override def add(v: Long): Unit = if (v > m) m = v
+  override def merge(
+      other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    if (other.value > m) m = other.value
+  override def value: Long = m
+}
+
 case class IntervalSweepJoinExec(keys: Seq[String], lStart: String,
     lEnd: String, rStart: String, rEnd: String, rightVals: Seq[String],
     ivOut: Seq[Attribute], left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
+
+  /** Largest (openL + openR) working set any sweep held — the
+    * operator's memory bound (equals the true max concurrent overlap
+    * of one key, NOT corpus size). Registered lazily on first
+    * execute; read it from the EXECUTED plan's exec instance
+    * (plan preparation copies the node). */
+  @transient lazy val maxOpenIntervals: MaxLongAccumulator = {
+    val acc = new MaxLongAccumulator
+    sparkContext.register(acc, "graft.intervalSweep.maxOpenIntervals")
+    acc
+  }
 
   private def lKeys = keys.map(AsOfJoinNode.byName(left.output, _))
   private def rKeys = keys.map(AsOfJoinNode.byName(right.output, _))
@@ -157,6 +186,7 @@ case class IntervalSweepJoinExec(keys: Seq[String], lStart: String,
     val lKeyAttrs = lKeys
     val rKeyAttrs = rKeys
     val keyTypes = lKeyAttrs.map(_.dataType)
+    val openAcc = maxOpenIntervals
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyAttrs, lOut)
@@ -209,6 +239,7 @@ case class IntervalSweepJoinExec(keys: Seq[String], lStart: String,
                 i += 1
               }
               openL += ((ls, le, lCopy))
+              openAcc.add(openL.length.toLong + openR.length)
             } else {
               val r = rBuf.next()
               onNewKey(rKeyProj(r))
@@ -222,6 +253,7 @@ case class IntervalSweepJoinExec(keys: Seq[String], lStart: String,
                 i += 1
               }
               openR += ((rs, re, rp))
+              openAcc.add(openL.length.toLong + openR.length)
             }
           }
         }

@@ -1309,9 +1309,12 @@ object Pipeline {
         k = 10, nprobe = 4)
     }),
 
-    // Multimodal plumbing (rows-only): binary payloads + typed
+    // Multimodal plumbing (oracle-exact): binary payloads + typed
     // metadata, batched stub feature extraction (see graft.multimodal;
-    // schema/pruning/determinism asserted in MultimodalSpec).
+    // schema/pruning/determinism asserted in MultimodalSpec). The stub
+    // checksum is a 31-base rolling hash mod 2³¹ == Σ byte·31^(n−1−j)
+    // mod 2³¹, which the oracle replays from the hex-encoded payload
+    // with a plan-time powers-of-31 literal table (multimodalSql).
     "q_multimodal_features" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.mediaFromDocuments(documents(s, dir))
       val feats = graft.multimodal.Multimodal.extractFeatures(media).toDF()
@@ -1607,11 +1610,11 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
-    // MMR diverse top-k (rows-only — greedy selection is iterative;
-    // equivalence to the brute-force reference and the
-    // diversity-vs-relevance tradeoff are pinned in MmrSpec). One
-    // corpus scan builds the bounded candidate pool; the greedy loop
-    // is driver-side.
+    // MMR diverse top-k (oracle-exact: the greedy selection replays
+    // as k unrolled argmax CTE layers — see mmrSql; equivalence to
+    // the brute-force reference and the diversity-vs-relevance
+    // tradeoff are ALSO pinned in MmrSpec). One corpus scan builds
+    // the bounded candidate pool; the greedy loop is driver-side.
     "q_mmr_rerank" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val query = emb.where(col("vec_id") === 0)
@@ -2025,6 +2028,77 @@ object Pipeline {
     * nonneg integer (`//` ≡ Spark div ≡ the Scala loop's Long `/`);
     * the remainder ranking mirrors allocate()'s
     * (preR·wᵢ mod W desc, name) order. */
+  /** q_multimodal_features oracle: the stub decode's rolling hash
+    * (c ← (31·c + byte) mod 2³¹) telescopes to Σ byte_j·31^(n−1−j)
+    * mod 2³¹, so DuckDB replays it positionally: hex-encode the
+    * payload (== UTF-8 text bytes), unnest byte positions, and weight
+    * each byte with a powers-of-31-mod-2³¹ literal list computed at
+    * plan-build time (the ndcgWeights recipe). Term bound:
+    * 255·2³¹·maxBytes < 2⁵⁰ — the BIGINT sum cannot overflow; one
+    * final mod recovers the masked hash. `maxBytes` = 4096 covers the
+    * fixture's longest payload (577 bytes) with 7× headroom against
+    * testdata regeneration. */
+  private def multimodalSql(maxBytes: Int): String = {
+    val pows = Iterator.iterate(1L)(p => (p * 31) & 0x7fffffffL)
+      .take(maxBytes).mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text))::BIGINT AS n
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS j FROM b),
+       |cs AS (
+       |  SELECT doc_id,
+       |    (sum(('0x' || substring(hx, 2*j - 1, 2))::BIGINT *
+       |         ($pows)[n - j + 1]) % 2147483648)::BIGINT AS checksum
+       |  FROM pos GROUP BY doc_id, n)
+       |SELECT 16 AS feature_dim, count(*)::BIGINT AS n_media,
+       |  sum(checksum)::BIGINT AS checksum_sum
+       |FROM cs""".stripMargin
+  }
+
+  /** q_mmr_rerank oracle: the greedy selection UNROLLED as k CTE
+    * layers (the q_isotonic/q_kcore precedent; AS MATERIALIZED so
+    * DuckDB evaluates each layer once). Exactness rests on three
+    * measured facts: (1) DuckDB's list_cosine_similarity over
+    * DOUBLE[] is bit-identical to CosineSimExpr's sequential kernel
+    * (dot and both norms accumulate in index order, one final
+    * dot/(sqrt·sqrt)); (2) every objective is the same-shaped IEEE
+    * chain — λ·rel − (1−λ)·maxSim with (1−λ) spelled as the exact
+    * double Scala's `1 - 0.7` produces (0.30000000000000004, NOT the
+    * decimal 0.3 DuckDB's literal arithmetic would give); (3) the
+    * argmax tie rule is (score DESC, id ASC) on both sides. Layer 1
+    * has no diversity term (the driver multiplies by 0.0 while the
+    * selected set is empty). */
+  private def mmrSql(k: Int, poolSize: Int): String = {
+    val lam = "0.7"
+    val mu = "0.30000000000000004" // 1 - 0.7 in IEEE double
+    val layers = (2 to k).map { t =>
+      val p = t - 1
+      s"""p$t AS MATERIALIZED (
+         |  SELECT id, v, rel, $t AS rk FROM (
+         |    SELECT c.id, c.v, c.rel, $lam * c.rel - $mu *
+         |      (SELECT max(list_cosine_similarity(c.v, s.v)) FROM s$p s) AS sc
+         |    FROM pool c WHERE c.id NOT IN (SELECT id FROM s$p)) z
+         |  ORDER BY sc DESC, id LIMIT 1),
+         |s$t AS MATERIALIZED (SELECT * FROM s$p UNION ALL SELECT * FROM p$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       |  WHERE vec_id = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $poolSize),
+       |s1 AS MATERIALIZED (
+       |  SELECT id, v, rel, 1 AS rk FROM pool
+       |  ORDER BY $lam * rel DESC, id LIMIT 1),
+       |$layers
+       |SELECT id AS vec_id, rk::BIGINT AS mmr_rank, round(rel, 4) AS rel
+       |FROM s$k ORDER BY mmr_rank""".stripMargin
+  }
+
   private def mixtureCapsSql(budget: Long, nLayers: Int): String = {
     val src =
       """src AS (
@@ -2716,6 +2790,8 @@ object Pipeline {
         |SELECT doc_id, count(*)::BIGINT AS n_shared
         |FROM corpus JOIN bench USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_mmr_rerank" -> mmrSql(k = 10, poolSize = 128),
+    "q_multimodal_features" -> multimodalSql(maxBytes = 4096),
     // Full DSIR replay: the oracle RETRAINS the model (bucket counts,
     // smoothed micro-nat weights) from the same corpus with the same
     // expression shape, then replays scoring and the Gumbel top-50.

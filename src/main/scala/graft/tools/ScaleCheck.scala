@@ -37,6 +37,21 @@ object ScaleCheck {
 
   private val NoiseFloorBytes = 1L << 20 // ratios on <1 MiB are noise
 
+  /** Read IntervalSweepJoinExec's max-open-intervals accumulator from
+    * an EXECUTED plan — recursing through AdaptiveSparkPlanExec, whose
+    * inner plan is a field, not a child (plan.collect sees nothing
+    * under it). */
+  private def maxOpenOf(
+      p: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => maxOpenOf(a.executedPlan)
+      // query stages (Shuffle/Result) also hide their plan in a FIELD
+      case q: QueryStageExec => maxOpenOf(q.plan)
+      case e: graft.plans.IntervalSweepJoinExec => e.maxOpenIntervals.value
+    }.maxOption.getOrElse(0L)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -278,6 +293,21 @@ object ScaleCheck {
           xxhash64(col("text"), col("doc_id")).as("y"))
       val d = graft.ops.Inversions.count(docs,
         Seq("x", "y", "doc_id"), Seq("y", "x", "doc_id"))
+      // Auto-scaling invariants at every factor: a BINDING
+      // targetGroupRows must (a) keep every mergesort group at or
+      // under the target — P and B rise with n, so the bound holds at
+      // 8× exactly as at 1× — and (b) leave the count unchanged.
+      val target = 5000L
+      val n = docs.count()
+      val needed = (n + target - 1) / target
+      val blocksAuto = math.min(math.max(32L, needed), n)
+      if ((n + blocksAuto - 1) / blocksAuto > target)
+        failed ::= s"inversions x$f: auto group size ${(n + blocksAuto - 1) / blocksAuto} > target $target"
+      val dTight = graft.ops.Inversions.count(docs,
+        Seq("x", "y", "doc_id"), Seq("y", "x", "doc_id"),
+        targetGroupRows = target)
+      if (dTight != d)
+        failed ::= s"inversions x$f: auto-scaled count $dTight != default $d"
       spark.range(1).withColumn("inv", lit(d)).toDF()
     })
 
@@ -314,6 +344,34 @@ object ScaleCheck {
           concat(lit("c"),
             pmod(col("ok"), lit(500L)) + col("copy") * 1000L).as("c"))
       graft.similarity.Dimsum.pairsTwoSided(rc, "r", "c", gamma = 16.0)
+    })
+
+    // 14. Physical interval-overlap join (plans/IntervalSweepJoin):
+    // keys scale WITH the corpus (constant per-key density), so pair
+    // output and shuffle bytes must grow linearly while the
+    // OPEN-INTERVAL working set — the operator's memory bound, read
+    // from its max-accumulator — stays ~constant: it is the true
+    // per-key concurrency, not a function of n. A buffer that tracked
+    // corpus size (e.g. missing eviction or key reset) fails here
+    // long before it OOMs a real cluster.
+    var sweepBase = -1L
+    check("interval_sweep", Seq(1, 2, 4, 8), useBytes = true, { f =>
+      val nKeys = 64L * f
+      def side(salt: Int) = spark.range(20000L * f).select(
+        pmod(col("id"), lit(nKeys)).as("k"),
+        pmod(xxhash64(col("id"), lit(salt)), lit(10000L)).as("s"))
+        .withColumn("e", col("s") + lit(60L))
+      val df = graft.plans.IntervalSweepJoin.overlap(side(1), side(2),
+        Seq("k"), "s", "e", "s", "e", Seq("s"))
+      // force THIS QueryExecution (df.count() would plan a fresh one
+      // whose exec instance owns a different, never-filled accumulator)
+      val pairs = df.queryExecution.toRdd.count()
+      val maxOpen = maxOpenOf(df.queryExecution.executedPlan)
+      println(f"SCALE interval_sweep   x$f%-2d maxOpen=$maxOpen%5d pairs=$pairs%9d")
+      if (sweepBase < 0) sweepBase = maxOpen
+      else if (maxOpen > sweepBase * 2 + 16)
+        failed ::= s"interval_sweep x$f: open-interval buffer $maxOpen vs base $sweepBase — working set tracks corpus size"
+      spark.range(1).select(lit(pairs).as("pairs"))
     })
 
     spark.stop()

@@ -58,6 +58,24 @@ class InversionsSpec extends SparkSpec {
       assert(discordant(rows, p, b) === expected, s"blocks=$p buckets=$b")
   }
 
+  test("auto-scaled P/B and the distributed cross sweep stay exact") {
+    val rnd = new Random(23)
+    val rows = (0L until 400L).map(i =>
+      (i, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val expected = bruteDiscordant(rows)
+    // tiny targetGroupRows forces needed = ceil(n/target) past the
+    // declared floors — several auto-chosen (P,B) points
+    for (target <- Seq(1L, 7L, 50L, 400L))
+      assert(Inversions.count(frame(rows), Seq("x", "y", "id"),
+        Seq("y", "x", "id"), blocks = 2, buckets = 2,
+        targetGroupRows = target) === expected, s"target=$target")
+    // maxDriverCells = 1 forces crossDistributed at every (P,B)
+    for ((p, b) <- Seq((1, 1), (4, 8), (16, 64)))
+      assert(Inversions.count(frame(rows), Seq("x", "y", "id"),
+        Seq("y", "x", "id"), blocks = p, buckets = b,
+        maxDriverCells = 1L) === expected, s"distributed p=$p b=$b")
+  }
+
   test("edge cases: empty, singleton, all-tied, perfect, reversed") {
     assert(discordant(Nil) === 0L)
     assert(discordant(Seq((0L, 1L, 1L))) === 0L)
