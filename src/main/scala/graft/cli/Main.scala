@@ -89,13 +89,14 @@ object Main {
     case "database" :: "prune" :: rest => prune(rest)
     case "database" :: "list" :: rest => listArtifacts(rest)
     case "export" :: rest => exportCmd(rest)
+    case "pipeline" :: rest => pipelineCmd(rest)
     case "diff" :: rest => diffSnapshots(rest)
     case "expression-syntax" :: Nil => println(expressionSyntax)
     case "config-syntax" :: Nil => println(Main.configSyntax)
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       System.err.println(
-        "usage: analyze|find|stats|reports [generate|locate]|errors|logs|config|diff|export|database locate|database prune|expression-syntax")
+        "usage: analyze|find|stats|reports [generate|locate]|errors|logs|config|diff|export|pipeline|database locate|database prune|expression-syntax")
       sys.exit(2)
   }
 
@@ -108,7 +109,8 @@ object Main {
       hardlinksAsFiles: Boolean = false, extension: Option[String] = None,
       excludes: List[String] = Nil, positional: List[String] = Nil,
       batchSize: Int = 256, maxBatches: Option[Int] = None,
-      format: String = "parquet")
+      format: String = "parquet", minQualityBp: Int = 5000,
+      spanK: Int = 8, maxDupBp: Int = 5000, budget: Long = 300L)
 
   // positional accumulates in COMMAND-LINE order: the recursion
   // parses the tail first and prepends the head (foldRight shape).
@@ -133,6 +135,11 @@ object Main {
     // resumable-first-scan knobs: checkpoint granularity, and a cap on
     // batches run this invocation (operational "stop after N, resume
     // later"; also the kill-emulation test hook)
+    case "--min-quality-bp" :: v :: rest =>
+      parseOpts(rest).copy(minQualityBp = v.toInt)
+    case "--span-k" :: v :: rest => parseOpts(rest).copy(spanK = v.toInt)
+    case "--max-dup-bp" :: v :: rest => parseOpts(rest).copy(maxDupBp = v.toInt)
+    case "--budget" :: v :: rest => parseOpts(rest).copy(budget = v.toLong)
     case "--batch-size" :: v :: rest => parseOpts(rest).copy(batchSize = v.toInt)
     case "--max-batches" :: v :: rest =>
       parseOpts(rest).copy(maxBatches = Some(v.toInt))
@@ -277,6 +284,108 @@ object Main {
     val m = obs.get
     println(qualityLine("export", m))
     (stats, m)
+  }
+
+  private[cli] final case class PipelineResult(nInput: Long, nQuality: Long,
+      nDedup: Long, nSelected: Long,
+      shards: Seq[graft.ingest.Export.ShardStat], badShards: Seq[Long])
+
+  /** `pipeline DOCS_DIR OUT_DIR [--n SHARDS] [--format parquet|json]
+    * [--min-quality-bp BP] [--span-k K] [--max-dup-bp BP] [--budget N]`
+    * — the training-data surface end-to-end, the reference's
+    * analyze→stats→reports chain applied to a document corpus:
+    * quality screen → exact duplicated-span screen → weighted mixture
+    * selection → sharded export with a read-back manifest + verify.
+    * Each stage prints ONE quality[...] line whose metrics ride the
+    * stage's own materializing job (ops/Observe — zero extra scans).
+    */
+  private def pipelineCmd(args: List[String]): Unit = {
+    val o = parseOpts(args)
+    require_(o.positional.length == 2,
+      "pipeline DOCS_DIR OUT_DIR [--n SHARDS] [--format parquet|json] " +
+        "[--min-quality-bp BP] [--span-k K] [--max-dup-bp BP] [--budget N]")
+    val spark = session()
+    val r = pipelineRun(spark, o.positional(0), o.positional(1), o.n,
+      o.format, o.minQualityBp, o.spanK, o.maxDupBp, o.budget)
+    r.shards.foreach(s =>
+      println(s"shard ${s.shard}: ${s.rows} rows checksum=${s.checksum}"))
+    println(s"pipeline: ${r.nInput} in -> ${r.nQuality} quality -> " +
+      s"${r.nDedup} deduped -> ${r.nSelected} selected -> " +
+      s"${r.shards.map(_.rows).sum} exported; verify " +
+      (if (r.badShards.isEmpty) "OK"
+       else s"FAILED shards ${r.badShards.mkString(",")}"))
+    spark.stop()
+    if (r.badShards.nonEmpty) sys.exit(1)
+  }
+
+  /** Building block of [[pipelineCmd]] (session-free, testable). Every
+    * stage reuses an individually-oracled component: the quality rule
+    * is q_quality_filter's score, the span screen is q_span_dedup's
+    * stats, the mixture is q_temperature_mix's √n weights water-filled
+    * by q_mixture_caps' allocator with quotas drawn by q_group_sample's
+    * deterministic md5 rank, and the export is the manifest-attested
+    * Export.shards. Stages checkpoint eagerly so each quality line
+    * corresponds to exactly one materializing job. */
+  private[cli] def pipelineRun(spark: SparkSession, docsDir: String,
+      out: String, nShards: Int, format: String = "parquet",
+      minQualityBp: Int = 5000, spanK: Int = 8, maxDupBp: Int = 5000,
+      budget: Long = 300L): PipelineResult = {
+    require(budget > 0 && budget <= Int.MaxValue, s"bad budget $budget")
+    val docs = graft.Tables.documents(spark, docsDir)
+    // Stage 1 — quality screen.
+    val minQ = minQualityBp / 10000.0
+    val q = graft.text.TextAnalysis.qualityScoreFast(spark, col("text"))
+    val (inst1, obs1) = graft.ops.Observe.quality(docs.withColumn("__q", q),
+      "pipeline_quality", Seq("doc_id"), col("__q") < minQ)
+    val kept1 = inst1.where(col("__q") >= minQ).drop("__q")
+      .localCheckpoint(eager = true)
+    println(qualityLine("quality", obs1.get))
+    // Stage 2 — exact duplicated-span screen: drop documents whose
+    // duplicated-token coverage exceeds the threshold.
+    val spanStats = graft.dedup.SpanDedup.spanStats(kept1, "text",
+      "doc_id", spanK)
+    val (inst2, obs2) = graft.ops.Observe.quality(spanStats,
+      "pipeline_span", Seq("doc_id"), col("dup_bp") >= maxDupBp)
+    val kept2 = kept1.join(
+        inst2.where(col("dup_bp") < maxDupBp).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = true)
+    println(qualityLine("span_dedup", obs2.get))
+    // Stage 3 — mixture selection: temperature weights over the
+    // surviving per-source counts, water-filled to the budget; each
+    // source's quota filled by its md5-rank-smallest docs (bounded
+    // heap — no window sort, deterministic across runs and cluster
+    // sizes). The per-source table is bounded, so the alloc broadcast
+    // is kilobytes.
+    val weights = kept2.groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) ->
+        math.floor(math.sqrt(r.getLong(1).toDouble) * 100).toLong)
+      .toMap
+    val alloc = graft.ops.WaterFill.allocateByCount(kept2, "source",
+      weights, budget)
+    val ranked = graft.ops.Sampling.groupedExactK(kept2, "source",
+      "doc_id", budget.toInt)
+    val selIds = ranked
+      .join(broadcast(alloc.select(col("source"), col("alloc"))),
+        Seq("source"))
+      .where(col("rk") <= col("alloc")).select(col("doc_id"))
+    val (inst3, obs3) = graft.ops.Observe.quality(
+      kept2.join(selIds, Seq("doc_id"), "left_semi"),
+      "pipeline_mixture", Seq("doc_id"), lit(false))
+    val kept3 = inst3.localCheckpoint(eager = true)
+    println(qualityLine("mixture", obs3.get))
+    // Stage 4 — sharded export: manifest attested from the READ-BACK
+    // artifact, then an explicit verify pass.
+    val (inst4, obs4) = graft.ops.Observe.quality(kept3,
+      "pipeline_export", Seq("doc_id"), lit(false))
+    val shards = graft.ingest.Export.shards(inst4, "doc_id", out,
+      nShards, format)
+    println(qualityLine("export", obs4.get))
+    val bad = graft.ingest.Export.verify(spark, out, "doc_id", format)
+    PipelineResult(docs.count(), kept1.count(), kept2.count(),
+      kept3.count(), shards, bad)
   }
 
   /** First-scan path of `analyze`: resumable walk (per-seed-batch

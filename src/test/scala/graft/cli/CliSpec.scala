@@ -273,4 +273,47 @@ class CliSpec extends SparkSpec {
     assert(Main.parseOpts(List("--db", db, "--format", "json", outJ))
       .format === "json")
   }
+
+  test("pipeline E2E: stage counts match the individually-oracled components") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-pipeline").toString + "/p"
+    val buf = new java.io.ByteArrayOutputStream()
+    // 0.764 sits inside the fixture's score distribution
+    // (0.758–0.769), so the quality screen actually bites
+    val r = Console.withOut(buf) {
+      Main.pipelineRun(spark, dir, out, nShards = 3,
+        minQualityBp = 7640, budget = 120L)
+    }
+    val docs = graft.Tables.documents(spark, dir)
+    // stage 1 == q_quality_filter's pass rule at the same threshold
+    val q = graft.text.TextAnalysis.qualityScoreFast(spark, col("text"))
+    val kept1 = docs.where(q >= 0.764).localCheckpoint(eager = true)
+    assert(r.nInput === docs.count())
+    assert(r.nQuality === kept1.count())
+    assert(r.nQuality < r.nInput, "quality screen must drop something")
+    // stage 2 == q_span_dedup's coverage stat over the stage-1 output
+    val surviving = graft.dedup.SpanDedup
+      .spanStats(kept1, "text", "doc_id", 8)
+      .where(col("dup_bp") < 5000).count()
+    assert(r.nDedup === surviving)
+    // stage 3 == the WaterFill invariant: Σ alloc = min(budget, supply)
+    assert(r.nSelected === math.min(120L, r.nDedup))
+    // stage 4: manifest attests exactly the selected rows; verify clean
+    assert(r.shards.map(_.rows).sum === r.nSelected)
+    assert(r.badShards.isEmpty)
+    assert(spark.read.parquet(out).select("doc_id").distinct().count()
+      === r.nSelected)
+    // one in-flight quality line per stage, export line included
+    val o = buf.toString
+    Seq("quality[quality]:", "quality[span_dedup]:", "quality[mixture]:",
+      "quality[export]:").foreach(tag => assert(o.contains(tag), o))
+    // the run is deterministic: a second pass selects the same ids
+    val out2 = Files.createTempDirectory("graft-pipeline2").toString + "/p"
+    val r2 = Console.withOut(new java.io.ByteArrayOutputStream()) {
+      Main.pipelineRun(spark, dir, out2, nShards = 3,
+        minQualityBp = 7640, budget = 120L)
+    }
+    assert(spark.read.parquet(out2).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
