@@ -2338,6 +2338,101 @@ object Analytics {
         .orderBy(asc("nation_key"))
     }),
 
+    // Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    // Models Trained on Code"): per problem with n samples and c
+    // correct, pass@k = 1 − C(n−c,k)/C(n,k) — the standard LLM-eval
+    // estimator, EXACT here because the combinatorial ratio is a
+    // product of ≤ k small integer factors: bp = 10000 −
+    // Π(n−c−i)·10000 div Π(n−i) (n ≤ 13 keeps every product far
+    // inside int64; nonneg quotients so truncating div ≡ //). Orders
+    // play problems (suite = o_orderpriority), lineitems play samples,
+    // "correct" = quantity > 25. Scale shape: one per-problem
+    // aggregate, one orderkey join, one 5-group rollup — means emit
+    // as floor-div of integer bp sums, never a float.
+    "q_pass_at_k" -> ((s, dir) => {
+      def passBp(k: Int): String = {
+        val num = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
+        val den = (0 until k).map(i => s"(n - $i)").mkString(" * ")
+        s"CASE WHEN n - c < $k THEN 10000L ELSE 10000L - ($num) * 10000L div ($den) END"
+      }
+      val probs = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("c"))
+        .where(col("n") >= 4) // pass@k defined for n ≥ k; largest k = 4
+      probs
+        .join(orders(s, dir).select(col("o_orderkey"),
+          col("o_orderpriority").as("suite")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("suite"), expr(passBp(1)).as("p1"),
+          expr(passBp(2)).as("p2"), expr(passBp(4)).as("p4"))
+        .groupBy(col("suite"))
+        .agg(count(lit(1)).as("n_problems"),
+          expr("sum(p1) div count(1)").as("pass1_bp"),
+          expr("sum(p2) div count(1)").as("pass2_bp"),
+          expr("sum(p4) div count(1)").as("pass4_bp"))
+        .orderBy(asc("suite"))
+    }),
+
+    // Self-consistency maj@3 (Wang et al. 2022, "Self-Consistency
+    // Improves Chain of Thought Reasoning"): the probability a
+    // MAJORITY of 3 drawn samples is correct, hypergeometric over the
+    // (n, c) pool — exact because C(c,2)C(n−c,1)/C(n,3) and
+    // C(c,3)/C(n,3) reduce to small-integer products:
+    // maj3_bp = (3·c(c−1)(n−c) + c(c−1)(c−2))·10000 div n(n−1)(n−2).
+    // Contrasted against pass@3 (any-of-3) on the same problems —
+    // the vote-vs-any gap is the self-consistency lift. Same scale
+    // shape as q_pass_at_k (cross-ref).
+    "q_maj_at_k" -> ((s, dir) => {
+      val probs = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("c"))
+        .where(col("n") >= 3)
+      val pass3 = "CASE WHEN n - c < 3 THEN 10000L ELSE 10000L - " +
+        "(n - c) * (n - c - 1) * (n - c - 2) * 10000L div (n * (n - 1) * (n - 2)) END"
+      val maj3 = "(3 * c * (c - 1) * (n - c) + c * (c - 1) * (c - 2)) " +
+        "* 10000L div (n * (n - 1) * (n - 2))"
+      probs
+        .join(orders(s, dir).select(col("o_orderkey"),
+          col("o_orderpriority").as("suite")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("suite"), expr(pass3).as("p3"), expr(maj3).as("m3"))
+        .groupBy(col("suite"))
+        .agg(count(lit(1)).as("n_problems"),
+          expr("sum(p3) div count(1)").as("pass3_bp"),
+          expr("sum(m3) div count(1)").as("maj3_bp"))
+        .orderBy(asc("suite"))
+    }),
+
+    // Wilson-score LOWER-bound ranking — "rank by confidence-adjusted
+    // rate": a 2-sample 100%-defect supplier must NOT outrank a
+    // 200-sample 40% one, which raw-rate ranking gets wrong. The
+    // parametric twin of q_halfsample_ci's resampling CI (cross-ref).
+    // Inputs are exact integers (defects k, trials n); the bound is
+    // ONE identically-shaped double chain (sqrt only — no libm ln)
+    // floored ONCE to integer micros, and the ranking compares those
+    // integers (ties by supplier) — the q_dimsum replayable class.
+    "q_wilson_rank" -> ((s, dir) => {
+      val z2 = "3.8416" // z² for 95% two-sided (z = 1.96)
+      val agg = lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+      val lo =
+        s"""CAST(floor((
+           |  (k / CAST(n AS DOUBLE) + $z2 / (2 * CAST(n AS DOUBLE))
+           |   - 1.96 * sqrt((k / CAST(n AS DOUBLE)) * (1 - k / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+           |                 + $z2 / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           |  / (1 + $z2 / CAST(n AS DOUBLE))
+           |) * 1000000) AS BIGINT)""".stripMargin
+      val scored = agg.select(col("l_suppkey"), col("n"), col("k"),
+        expr("k * 10000L div n").as("rate_bp"),
+        expr(lo).as("wilson_lo_micro"))
+      // TakeOrdered (bounded heap per partition) — no global window
+      scored.orderBy(desc("wilson_lo_micro"), asc("l_suppkey")).limit(20)
+    }),
+
     // Cohen's kappa — chance-corrected agreement between the langid
     // kernel and the declared label (the inter-annotator/labeling-QA
     // statistic that complements q_lang_confusion's raw matrix).
@@ -3662,6 +3757,64 @@ object Analytics {
         |  (dcg_micro * 10000 // idcg_micro)::BIGINT AS ndcg_bp
         |FROM agg WHERE idcg_micro > 0
         |ORDER BY nation_key""".stripMargin,
+    "q_pass_at_k" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT * FROM p WHERE n >= 4),
+        |j AS (
+        |  SELECT o.o_orderpriority AS suite,
+        |    CASE WHEN n - c < 1 THEN 10000
+        |         ELSE 10000 - (n - c) * 10000 // n END AS p1,
+        |    CASE WHEN n - c < 2 THEN 10000
+        |         ELSE 10000 - (n - c) * (n - c - 1) * 10000
+        |              // (n * (n - 1)) END AS p2,
+        |    CASE WHEN n - c < 4 THEN 10000
+        |         ELSE 10000 - (n - c) * (n - c - 1) * (n - c - 2) * (n - c - 3) * 10000
+        |              // (n * (n - 1) * (n - 2) * (n - 3)) END AS p4
+        |  FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey)
+        |SELECT suite, count(*)::BIGINT AS n_problems,
+        |  (sum(p1) // count(*))::BIGINT AS pass1_bp,
+        |  (sum(p2) // count(*))::BIGINT AS pass2_bp,
+        |  (sum(p4) // count(*))::BIGINT AS pass4_bp
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_maj_at_k" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT * FROM p WHERE n >= 3),
+        |j AS (
+        |  SELECT o.o_orderpriority AS suite,
+        |    CASE WHEN n - c < 3 THEN 10000
+        |         ELSE 10000 - (n - c) * (n - c - 1) * (n - c - 2) * 10000
+        |              // (n * (n - 1) * (n - 2)) END AS p3,
+        |    (3 * c * (c - 1) * (n - c) + c * (c - 1) * (c - 2)) * 10000
+        |      // (n * (n - 1) * (n - 2)) AS m3
+        |  FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey)
+        |SELECT suite, count(*)::BIGINT AS n_problems,
+        |  (sum(p3) // count(*))::BIGINT AS pass3_bp,
+        |  (sum(m3) // count(*))::BIGINT AS maj3_bp
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Wilson lower bound: the SAME double chain shape as the Spark
+    // expression (sqrt-only — no libm ln), floored once to micros.
+    "q_wilson_rank" ->
+      """WITH a AS (
+        |  SELECT l_suppkey, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS k
+        |  FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT l_suppkey, n, k, k * 10000 // n AS rate_bp,
+        |    CAST(floor((
+        |      (k / n::DOUBLE + 3.8416 / (2 * n::DOUBLE)
+        |       - 1.96 * sqrt((k / n::DOUBLE) * (1 - k / n::DOUBLE) / n::DOUBLE
+        |                     + 3.8416 / (4 * n::DOUBLE * n::DOUBLE)))
+        |      / (1 + 3.8416 / n::DOUBLE)
+        |    ) * 1000000) AS BIGINT) AS wilson_lo_micro
+        |  FROM a)
+        |SELECT l_suppkey, n, k, rate_bp::BIGINT AS rate_bp, wilson_lo_micro
+        |FROM s ORDER BY wilson_lo_micro DESC, l_suppkey LIMIT 20""".stripMargin,
     // Replays the langid kernel (identical stopword/CJK rules as
     // q_lang_confusion's oracle), then kappa as one integer fraction
     // with the signed shift-div emit.

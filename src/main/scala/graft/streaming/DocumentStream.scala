@@ -251,6 +251,45 @@ object DocumentStream {
       .select(explode(col("__hitters")).as("h"))
       .select(col("h.item"), col("h.est_count"), col("h.max_err"))
 
+  /** Streaming sharded export with a CUMULATIVE read-back manifest —
+    * the streaming twin of [[graft.ingest.Export.shards]] (and of the
+    * CLI pipeline's final stage): documents append continuously into
+    * the same stable shard layout a batch export would produce, and
+    * after every microbatch the manifest is re-attested from what is
+    * actually ON DISK.
+    *
+    *   - Shard = pmod(xxhash64(id), n) — a pure id function, so a doc
+    *     lands in the same shard whether it arrived in batch 0 or
+    *     batch 9000, and the streaming artifact's manifest equals the
+    *     batch export's manifest over the same rows (asserted in
+    *     DocumentStreamSpec).
+    *   - Idempotent replay: each microbatch OVERWRITES its own
+    *     `batch=<id>` directory, so foreachBatch's at-least-once
+    *     redelivery cannot double rows — the effective guarantee is
+    *     exactly-once per batch directory.
+    *   - The manifest is cut from a read-back of the whole artifact
+    *     (Export.attest), so a consumer polling mid-stream always
+    *     sees counts/checksums that attest real files, never plan-side
+    *     expectations.
+    *
+    * Dedup-before-export composes upstream ([[dedupOnIngest]] /
+    * [[scoredStream]]); this operator is purely the durable tail. */
+  def exportOnIngest(docs: DataFrame, idCol: String, outDir: String,
+      nShards: Int, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sharded = batch.withColumn("__shard",
+          pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+        sharded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("__shard").parquet(s"$outDir/batch=$batchId")
+        graft.ingest.Export.attest(batch.sparkSession, outDir, idCol,
+          nShards)
+        ()
+      }
+      .start()
+
   /** Streaming boilerplate-gram detection — the streaming twin of
     * q_boilerplate_grams: the corpus-wide most-duplicated k-token
     * windows maintained continuously as documents arrive, via the

@@ -463,4 +463,46 @@ class DocumentStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.toSeq == Seq((50L, 1L)))
   }
+
+  test("streaming sharded export: cumulative manifest equals the batch export") {
+    val s = spark
+    import s.implicits._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sexp")
+    val b0 = (0L until 30L).map(i => i -> s"streamed doc $i").toDF("doc_id", "text")
+    val b1 = (30L until 50L).map(i => i -> s"streamed doc $i").toDF("doc_id", "text")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-sexp-w")
+    val t0 = System.currentTimeMillis()
+    Seq((b0, "f0", t0 - 60000), (b1, "f1", t0)).foreach { case (df, name, mtime) =>
+      val out = scratch.resolve(name)
+      df.coalesce(1).write.parquet(out.toString)
+      val part = java.nio.file.Files.list(out).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = streamDir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-sexp-o").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sexp-ck").toString
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = DocumentStream.exportOnIngest(stream, "doc_id", out,
+      nShards = 3, checkpointDir = ckpt)
+    q.processAllAvailable()
+    q.stop()
+    // shard = pure id hash, so the streaming artifact's manifest must
+    // equal a batch export's stats over the SAME rows
+    val batchOut = java.nio.file.Files.createTempDirectory("graft-sexp-b")
+      .toString + "/c"
+    val batchStats = graft.ingest.Export.shards(
+      b0.unionByName(b1), "doc_id", batchOut, nShards = 3)
+    assert(graft.ingest.Export.readManifest(out) === batchStats)
+    assert(graft.ingest.Export.verify(spark, out, "doc_id").isEmpty)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 50L)
+    // every doc sits in its id-hash shard regardless of arrival batch
+    assert(back.where(col("__shard") =!=
+      pmod(xxhash64(col("doc_id")), lit(3L))).count() === 0L)
+  }
 }
