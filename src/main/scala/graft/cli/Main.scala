@@ -110,7 +110,8 @@ object Main {
       excludes: List[String] = Nil, positional: List[String] = Nil,
       batchSize: Int = 256, maxBatches: Option[Int] = None,
       format: String = "parquet", minQualityBp: Int = 5000,
-      spanK: Int = 8, maxDupBp: Int = 5000, budget: Long = 300L)
+      spanK: Int = 8, maxDupBp: Int = 5000, budget: Long = 300L,
+      work: Option[String] = None)
 
   // positional accumulates in COMMAND-LINE order: the recursion
   // parses the tail first and prepends the head (foldRight shape).
@@ -140,6 +141,7 @@ object Main {
     case "--span-k" :: v :: rest => parseOpts(rest).copy(spanK = v.toInt)
     case "--max-dup-bp" :: v :: rest => parseOpts(rest).copy(maxDupBp = v.toInt)
     case "--budget" :: v :: rest => parseOpts(rest).copy(budget = v.toLong)
+    case "--work" :: v :: rest => parseOpts(rest).copy(work = Some(v))
     case "--batch-size" :: v :: rest => parseOpts(rest).copy(batchSize = v.toInt)
     case "--max-batches" :: v :: rest =>
       parseOpts(rest).copy(maxBatches = Some(v.toInt))
@@ -291,22 +293,29 @@ object Main {
       shards: Seq[graft.ingest.Export.ShardStat], badShards: Seq[Long])
 
   /** `pipeline DOCS_DIR OUT_DIR [--n SHARDS] [--format parquet|json]
-    * [--min-quality-bp BP] [--span-k K] [--max-dup-bp BP] [--budget N]`
-    * — the training-data surface end-to-end, the reference's
-    * analyze→stats→reports chain applied to a document corpus:
-    * quality screen → exact duplicated-span screen → weighted mixture
-    * selection → sharded export with a read-back manifest + verify.
-    * Each stage prints ONE quality[...] line whose metrics ride the
-    * stage's own materializing job (ops/Observe — zero extra scans).
+    * [--min-quality-bp BP] [--span-k K] [--max-dup-bp BP] [--budget N]
+    * [--work DIR]` — the training-data surface end-to-end, the
+    * reference's analyze→stats→reports chain applied to a document
+    * corpus: quality screen → exact duplicated-span screen → weighted
+    * mixture selection → sharded export with a read-back manifest +
+    * verify. Each stage prints ONE quality[...] line whose metrics
+    * ride the stage's own materializing job (ops/Observe — zero extra
+    * scans). With `--work DIR`, stage outputs materialize to paths
+    * keyed by (input size+mtime, the parameters feeding that stage) —
+    * a killed or re-invoked run RESUMES at the first missing stage
+    * (the reference's interrupt-and-resume analyze, applied here),
+    * and changing a late parameter (the mixture budget) reuses the
+    * earlier stages untouched.
     */
   private def pipelineCmd(args: List[String]): Unit = {
     val o = parseOpts(args)
     require_(o.positional.length == 2,
       "pipeline DOCS_DIR OUT_DIR [--n SHARDS] [--format parquet|json] " +
-        "[--min-quality-bp BP] [--span-k K] [--max-dup-bp BP] [--budget N]")
+        "[--min-quality-bp BP] [--span-k K] [--max-dup-bp BP] " +
+        "[--budget N] [--work DIR]")
     val spark = session()
     val r = pipelineRun(spark, o.positional(0), o.positional(1), o.n,
-      o.format, o.minQualityBp, o.spanK, o.maxDupBp, o.budget)
+      o.format, o.minQualityBp, o.spanK, o.maxDupBp, o.budget, o.work)
     r.shards.foreach(s =>
       println(s"shard ${s.shard}: ${s.rows} rows checksum=${s.checksum}"))
     println(s"pipeline: ${r.nInput} in -> ${r.nQuality} quality -> " +
@@ -329,53 +338,85 @@ object Main {
   private[cli] def pipelineRun(spark: SparkSession, docsDir: String,
       out: String, nShards: Int, format: String = "parquet",
       minQualityBp: Int = 5000, spanK: Int = 8, maxDupBp: Int = 5000,
-      budget: Long = 300L): PipelineResult = {
+      budget: Long = 300L, work: Option[String] = None): PipelineResult = {
     require(budget > 0 && budget <= Int.MaxValue, s"bad budget $budget")
     val docs = graft.Tables.documents(spark, docsDir)
+    // Resume keying (the q_agg_rewrite materialize-once pattern): a
+    // stage's path encodes the INPUT's size+mtime fingerprint plus
+    // every parameter feeding that stage or an earlier one — so a
+    // regenerated corpus or a changed upstream knob recomputes, while
+    // a changed LATE knob (budget) reuses the earlier stages. A stage
+    // dir without _SUCCESS (killed mid-write) recomputes.
+    val fpBase: String = {
+      val f = new java.io.File(s"$docsDir/documents.parquet")
+      java.lang.Long.toHexString(java.util.Objects.hash(
+        docsDir, f.length(), f.lastModified()).toLong & 0xffffffffL)
+    }
+    def staged(stage: String, fp: String)(
+        compute: => (DataFrame, org.apache.spark.sql.Observation)): DataFrame =
+      work match {
+        case Some(w) =>
+          val p = s"$w/${stage}_$fp"
+          if (new java.io.File(s"$p/_SUCCESS").exists()) {
+            println(s"quality[$stage]: resumed from $p")
+            spark.read.parquet(p)
+          } else {
+            val (df, obs) = compute
+            df.write.mode("overwrite").parquet(p)
+            println(qualityLine(stage, obs.get))
+            spark.read.parquet(p)
+          }
+        case None =>
+          val (df, obs) = compute
+          val kept = df.localCheckpoint(eager = true)
+          println(qualityLine(stage, obs.get))
+          kept
+      }
     // Stage 1 — quality screen.
     val minQ = minQualityBp / 10000.0
-    val q = graft.text.TextAnalysis.qualityScoreFast(spark, col("text"))
-    val (inst1, obs1) = graft.ops.Observe.quality(docs.withColumn("__q", q),
-      "pipeline_quality", Seq("doc_id"), col("__q") < minQ)
-    val kept1 = inst1.where(col("__q") >= minQ).drop("__q")
-      .localCheckpoint(eager = true)
-    println(qualityLine("quality", obs1.get))
+    val kept1 = staged("quality", s"$fpBase-q$minQualityBp") {
+      val q = graft.text.TextAnalysis.qualityScoreFast(spark, col("text"))
+      val (inst, obs) = graft.ops.Observe.quality(docs.withColumn("__q", q),
+        "pipeline_quality", Seq("doc_id"), col("__q") < minQ)
+      (inst.where(col("__q") >= minQ).drop("__q"), obs)
+    }
     // Stage 2 — exact duplicated-span screen: drop documents whose
     // duplicated-token coverage exceeds the threshold.
-    val spanStats = graft.dedup.SpanDedup.spanStats(kept1, "text",
-      "doc_id", spanK)
-    val (inst2, obs2) = graft.ops.Observe.quality(spanStats,
-      "pipeline_span", Seq("doc_id"), col("dup_bp") >= maxDupBp)
-    val kept2 = kept1.join(
-        inst2.where(col("dup_bp") < maxDupBp).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .localCheckpoint(eager = true)
-    println(qualityLine("span_dedup", obs2.get))
+    val kept2 = staged("span_dedup", s"$fpBase-q$minQualityBp-k$spanK-d$maxDupBp") {
+      val spanStats = graft.dedup.SpanDedup.spanStats(kept1, "text",
+        "doc_id", spanK)
+      val (inst, obs) = graft.ops.Observe.quality(spanStats,
+        "pipeline_span", Seq("doc_id"), col("dup_bp") >= maxDupBp)
+      (kept1.join(
+        inst.where(col("dup_bp") < maxDupBp).select(col("doc_id")),
+        Seq("doc_id"), "left_semi"), obs)
+    }
     // Stage 3 — mixture selection: temperature weights over the
     // surviving per-source counts, water-filled to the budget; each
     // source's quota filled by its md5-rank-smallest docs (bounded
     // heap — no window sort, deterministic across runs and cluster
     // sizes). The per-source table is bounded, so the alloc broadcast
     // is kilobytes.
-    val weights = kept2.groupBy(col("source"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getString(0) ->
-        math.floor(math.sqrt(r.getLong(1).toDouble) * 100).toLong)
-      .toMap
-    val alloc = graft.ops.WaterFill.allocateByCount(kept2, "source",
-      weights, budget)
-    val ranked = graft.ops.Sampling.groupedExactK(kept2, "source",
-      "doc_id", budget.toInt)
-    val selIds = ranked
-      .join(broadcast(alloc.select(col("source"), col("alloc"))),
-        Seq("source"))
-      .where(col("rk") <= col("alloc")).select(col("doc_id"))
-    val (inst3, obs3) = graft.ops.Observe.quality(
-      kept2.join(selIds, Seq("doc_id"), "left_semi"),
-      "pipeline_mixture", Seq("doc_id"), lit(false))
-    val kept3 = inst3.localCheckpoint(eager = true)
-    println(qualityLine("mixture", obs3.get))
+    val kept3 = staged("mixture",
+        s"$fpBase-q$minQualityBp-k$spanK-d$maxDupBp-b$budget") {
+      val weights = kept2.groupBy(col("source"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) ->
+          math.floor(math.sqrt(r.getLong(1).toDouble) * 100).toLong)
+        .toMap
+      val alloc = graft.ops.WaterFill.allocateByCount(kept2, "source",
+        weights, budget)
+      val ranked = graft.ops.Sampling.groupedExactK(kept2, "source",
+        "doc_id", budget.toInt)
+      val selIds = ranked
+        .join(broadcast(alloc.select(col("source"), col("alloc"))),
+          Seq("source"))
+        .where(col("rk") <= col("alloc")).select(col("doc_id"))
+      graft.ops.Observe.quality(
+        kept2.join(selIds, Seq("doc_id"), "left_semi"),
+        "pipeline_mixture", Seq("doc_id"), lit(false))
+    }
     // Stage 4 — sharded export: manifest attested from the READ-BACK
     // artifact, then an explicit verify pass.
     val (inst4, obs4) = graft.ops.Observe.quality(kept3,

@@ -316,4 +316,37 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(out2).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       === spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("pipeline --work resumes completed stages and reuses them across budgets") {
+    val dir = "/root/testdata/sf0.001"
+    val work = Files.createTempDirectory("graft-pipework").toString
+    def ids(out: String): Seq[Long] =
+      spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    def run(tag: String, budget: Long) = {
+      val out = Files.createTempDirectory(s"graft-pipeo$tag").toString + "/p"
+      val buf = new java.io.ByteArrayOutputStream()
+      val r = Console.withOut(buf) {
+        Main.pipelineRun(spark, dir, out, nShards = 2,
+          minQualityBp = 7640, budget = budget, work = Some(work))
+      }
+      (r, buf.toString, out)
+    }
+    val (r1, o1, out1) = run("a", 100L)
+    assert(!o1.contains("resumed"), o1)
+    // identical params: every stage resumes; the selection is identical
+    val (r2, o2, out2) = run("b", 100L)
+    Seq("quality[quality]: resumed", "quality[span_dedup]: resumed",
+      "quality[mixture]: resumed").foreach(t => assert(o2.contains(t), o2))
+    assert(r2.nSelected === r1.nSelected)
+    assert(ids(out2) === ids(out1))
+    // a changed LATE parameter (budget) reuses the early stages and
+    // recomputes only the mixture
+    val (r3, o3, _) = run("c", 60L)
+    assert(o3.contains("quality[quality]: resumed"), o3)
+    assert(o3.contains("quality[span_dedup]: resumed"), o3)
+    assert(o3.contains("quality[mixture]: rows="), o3)
+    assert(r3.nSelected === math.min(60L, r3.nDedup))
+    assert(r3.nDedup === r1.nDedup)
+  }
 }
