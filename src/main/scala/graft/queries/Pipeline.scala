@@ -1630,8 +1630,10 @@ object Pipeline {
     // Cross-source vocabulary overlap via HLL inclusion-exclusion
     // (rows-only — the oracle engine has no DataSketches HLL; the
     // error bound vs exact intersections is pinned in
-    // SketchRollupSpec). One corpus pass builds 20 sketches; the pair
-    // join touches only the 20-row sketch table.
+    // SketchRollupSpec, and q_source_overlap_exact is the EXACT twin
+    // for source counts that fit a bitmask word). One corpus pass
+    // builds 20 sketches; the pair join touches only the 20-row
+    // sketch table.
     "q_source_overlap" -> ((s, dir) => {
       val tokens = documents(s, dir)
         .select(col("source"),
@@ -1641,6 +1643,49 @@ object Pipeline {
         tokens, Seq("source"), "token")
       graft.ops.SketchRollup.overlap(sketches, "source")
         .orderBy(asc("g_a"), asc("g_b"))
+    }),
+
+    // EXACT cross-source vocabulary overlap — the exact twin of
+    // q_source_overlap's HLL estimate (cross-ref), via the
+    // MASK-HISTOGRAM shape: one aggregate folds each token to the
+    // BITMASK of sources containing it (bit_or of 1<<idx), a second
+    // collapses the vocabulary to (mask, count) — a frame bounded by
+    // 2^|sources| PATTERNS (1M for 20 sources), not by corpus or
+    // vocabulary size. Pair counts then read off the tiny histogram:
+    // n_ab = Σ c over masks with both bits, exploded as the ≤190
+    // set-bit pairs per mask (interpreted lambdas on the bounded
+    // frame — never the corpus). Exact integers end to end; the HLL
+    // path remains the >64-source tier where the mask no longer fits
+    // a word.
+    "q_source_overlap_exact" -> ((s, dir) => {
+      val tok = documents(s, dir)
+        .select(expr("CAST(substring(source, 4) AS INT)").as("si"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val masks = tok.groupBy(col("token"))
+        .agg(expr("bit_or(shiftleft(1L, si))").as("mask"))
+      val hist = masks.groupBy(col("mask"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = true) // pair explode + totals share it
+      val bits = expr(
+        "filter(sequence(0, 19), i -> (mask >> i) & 1 = 1)")
+      val pairs = hist.select(col("c"), bits.as("bs"))
+        .select(col("c"), explode(expr(
+          """flatten(transform(bs,
+            |  x -> transform(filter(bs, y -> y > x),
+            |       y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("n_shared"))
+      val totals = hist.select(col("c"), explode(bits).as("s"))
+        .groupBy(col("s")).agg(sum(col("c")).as("n"))
+      pairs
+        .join(broadcast(totals.select(col("s").as("a"), col("n").as("n_a"))), Seq("a"))
+        .join(broadcast(totals.select(col("s").as("b"), col("n").as("n_b"))), Seq("b"))
+        .select(concat(lit("src"), col("a")).as("source_a"),
+          concat(lit("src"), col("b")).as("source_b"),
+          col("n_a"), col("n_b"), col("n_shared"),
+          expr("n_shared * 10000L div (n_a + n_b - n_shared)").as("jaccard_bp"))
+        .orderBy(asc("source_a"), asc("source_b"))
     }),
 
     // Count-min point-frequency estimates: per-(lang, source) token
@@ -2792,6 +2837,25 @@ object Pipeline {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_mmr_rerank" -> mmrSql(k = 10, poolSize = 128),
     "q_multimodal_features" -> multimodalSql(maxBytes = 4096),
+    // Exact overlap semantics replayed directly from per-source
+    // distinct token sets (the oracle need not mirror the mask trick,
+    // only the semantics); pairs identify by smaller source INDEX.
+    "q_source_overlap_exact" ->
+      """WITH raw AS (
+        |  SELECT CAST(substring(source, 4) AS INT) AS si,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tt AS (SELECT DISTINCT si, token FROM raw WHERE token <> ''),
+        |p AS (
+        |  SELECT a.si AS ai, b.si AS bi, count(*)::BIGINT AS n_shared
+        |  FROM tt a JOIN tt b ON a.token = b.token AND a.si < b.si
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT si, count(*)::BIGINT AS n FROM tt GROUP BY 1)
+        |SELECT 'src' || ai AS source_a, 'src' || bi AS source_b,
+        |  ta.n AS n_a, tb.n AS n_b, n_shared,
+        |  (n_shared * 10000 // (ta.n + tb.n - n_shared))::BIGINT AS jaccard_bp
+        |FROM p JOIN tot ta ON p.ai = ta.si JOIN tot tb ON p.bi = tb.si
+        |ORDER BY 1, 2""".stripMargin,
     // Full DSIR replay: the oracle RETRAINS the model (bucket counts,
     // smoothed micro-nat weights) from the same corpus with the same
     // expression shape, then replays scoring and the Gumbel top-50.

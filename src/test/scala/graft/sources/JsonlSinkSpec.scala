@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JsonlSinkSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sink writes a manifest-attested JSONL corpus Export.verify validates") {
+    val docs = graft.Tables.documents(spark, dir)
+    val out = Files.createTempDirectory("graft-jsink").toString + "/c"
+    docs.write.format("graft-jsonl")
+      .option("id", "doc_id").option("shards", "4")
+      .mode("append").save(out)
+    // the standard verifier validates the sink's artifact as-is:
+    // checksums hash the id's rendered text, exactly the bytes the
+    // pinned-string JSONL read-back hashes
+    assert(graft.ingest.Export.verify(spark, out, "doc_id",
+      format = "json").isEmpty)
+    // the pinned-schema reader round-trips content exactly
+    val back = graft.Tables.documentsJsonl(spark, out)
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet ===
+      docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .collect().map(_.toSeq).toSet)
+    // no staging residue; manifest present
+    assert(!new java.io.File(s"$out/_staging").exists())
+    assert(new java.io.File(s"$out/_MANIFEST.json").exists())
+    // manifest row totals equal the input
+    assert(graft.ingest.Export.readManifest(out).map(_.rows).sum
+      === docs.count())
+  }
+
+  test("shard assignment is a pure function of the rendered id") {
+    val docs = graft.Tables.documents(spark, dir).limit(50)
+    val out = Files.createTempDirectory("graft-jsink2").toString + "/c"
+    docs.write.format("graft-jsonl")
+      .option("id", "doc_id").option("shards", "3")
+      .mode("append").save(out)
+    val back = spark.read
+      .schema("doc_id LONG, __shard INT")
+      .json(out)
+    val offside = back.where(col("__shard").cast("long") =!=
+      pmod(xxhash64(col("doc_id").cast("string")), lit(3L)))
+    assert(offside.count() === 0L)
+  }
+
+  test("an aborted task leaves no staged file; nested types are rejected") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-jsink3").toString + "/c"
+    new java.io.File(out, "_staging").mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val w = new JsonlWriterFactory(out, schema, "doc_id", 2)
+      .createWriter(partitionId = 0, taskId = 7L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(3L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+    w.write(row)
+    assert(new java.io.File(s"$out/_staging").listFiles().nonEmpty)
+    w.abort()
+    assert(new java.io.File(s"$out/_staging").listFiles().isEmpty)
+    // nested types fail at write-build time, not mid-job
+    val nested = Seq((1L, Seq("a", "b"))).toDF("doc_id", "arr")
+    val err = intercept[Exception] {
+      nested.write.format("graft-jsonl").option("id", "doc_id")
+        .mode("append").save(out + "_n")
+    }
+    assert(err.getMessage.contains("atomic columns only")
+      || Option(err.getCause).exists(_.getMessage.contains("atomic columns only")),
+      err.toString)
+  }
+
+  test("null fields are omitted and read back as nulls under the pinned schema") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-jsink4").toString + "/c"
+    val df = Seq((1L, Some("x"), "en"), (2L, None, "fr"))
+      .toDF("doc_id", "text", "lang")
+    df.write.format("graft-jsonl").option("id", "doc_id")
+      .option("shards", "2").mode("append").save(out)
+    val back = spark.read.schema("doc_id LONG, text STRING, lang STRING")
+      .json(out).orderBy("doc_id").collect()
+    assert(back.length === 2)
+    assert(back(1).isNullAt(1) && back(1).getString(2) === "fr")
+  }
+}
