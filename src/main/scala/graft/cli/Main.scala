@@ -292,9 +292,9 @@ object Main {
       nDedup: Long, nSelected: Long,
       shards: Seq[graft.ingest.Export.ShardStat], badShards: Seq[Long])
 
-  /** `pipeline DOCS_DIR OUT_DIR [--n SHARDS] [--format parquet|json]
-    * [--min-quality-bp BP] [--span-k K] [--max-dup-bp BP] [--budget N]
-    * [--work DIR]` — the training-data surface end-to-end, the
+  /** `pipeline DOCS_DIR OUT_DIR [--n SHARDS]
+    * [--format parquet|json|jsonl-sink] [--min-quality-bp BP]
+    * [--span-k K] [--max-dup-bp BP] [--budget N] [--work DIR]` — the training-data surface end-to-end, the
     * reference's analyze→stats→reports chain applied to a document
     * corpus: quality screen → exact duplicated-span screen → weighted
     * mixture selection → sharded export with a read-back manifest +
@@ -310,9 +310,9 @@ object Main {
   private def pipelineCmd(args: List[String]): Unit = {
     val o = parseOpts(args)
     require_(o.positional.length == 2,
-      "pipeline DOCS_DIR OUT_DIR [--n SHARDS] [--format parquet|json] " +
-        "[--min-quality-bp BP] [--span-k K] [--max-dup-bp BP] " +
-        "[--budget N] [--work DIR]")
+      "pipeline DOCS_DIR OUT_DIR [--n SHARDS] " +
+        "[--format parquet|json|jsonl-sink] [--min-quality-bp BP] " +
+        "[--span-k K] [--max-dup-bp BP] [--budget N] [--work DIR]")
     val spark = session()
     val r = pipelineRun(spark, o.positional(0), o.positional(1), o.n,
       o.format, o.minQualityBp, o.spanK, o.maxDupBp, o.budget, o.work)
@@ -417,14 +417,30 @@ object Main {
         kept2.join(selIds, Seq("doc_id"), "left_semi"),
         "pipeline_mixture", Seq("doc_id"), lit(false))
     }
-    // Stage 4 — sharded export: manifest attested from the READ-BACK
-    // artifact, then an explicit verify pass.
+    // Stage 4 — sharded export. Two attestation tiers:
+    //   - procedural (parquet/json): Export.shards — manifest cut
+    //     from a READ-BACK of the artifact (a write-side fault shows
+    //     at cut time);
+    //   - transactional ("jsonl-sink"): the graft-jsonl DSv2
+    //     connector — task-staged files, one committed attempt per
+    //     task, job-atomic visibility, manifest from writer stats.
+    // Both end with the same explicit verify pass.
     val (inst4, obs4) = graft.ops.Observe.quality(kept3,
       "pipeline_export", Seq("doc_id"), lit(false))
-    val shards = graft.ingest.Export.shards(inst4, "doc_id", out,
-      nShards, format)
+    val (shards, bad) =
+      if (format == "jsonl-sink") {
+        inst4.write.format("graft-jsonl")
+          .option("id", "doc_id")
+          .option("shards", nShards.toString)
+          .mode("append").save(out)
+        (graft.ingest.Export.readManifest(out),
+          graft.ingest.Export.verify(spark, out, "doc_id", "json"))
+      } else {
+        val st = graft.ingest.Export.shards(inst4, "doc_id", out,
+          nShards, format)
+        (st, graft.ingest.Export.verify(spark, out, "doc_id", format))
+      }
     println(qualityLine("export", obs4.get))
-    val bad = graft.ingest.Export.verify(spark, out, "doc_id", format)
     PipelineResult(docs.count(), kept1.count(), kept2.count(),
       kept3.count(), shards, bad)
   }

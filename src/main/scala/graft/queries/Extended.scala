@@ -305,23 +305,36 @@ object Extended {
     }),
 
     // Association rules over co-purchased part pairs (the market-
-    // basket classic): support from one equi self-join on orderkey
-    // (pairs bounded by order size), rules in both directions from
-    // ONE pair aggregate, confidence and lift in floor-div basis
-    // points (all-integer, nonnegative numerators). The support
-    // cutoff (>= 3 co-orders) prunes the noise pairs BEFORE the
-    // per-item support joins.
+    // basket classic). Pair support WITHOUT a self-join: one basket
+    // aggregate (collect_set per order — bounded by order size, ≤13
+    // here) and the a<b pairs explode MAP-SIDE from the sorted basket
+    // array (the Triangles explode-carry shape: the pair stream is a
+    // pure function of the aggregate, so regenerating it costs no
+    // exchange, where the x.ok=y.ok self-join shuffles the lineitem
+    // stream twice and probes it per wedge). A/B solo at sf0.1
+    // measured perf-NEUTRAL (~1.7 s both) — the form is kept for the
+    // 100× shape: one exchange fewer, and the wedge probe work is
+    // bounded per basket instead of per shuffled row. Item support
+    // and order count read the SAME checkpointed baskets. Rules in both directions from ONE pair
+    // aggregate; confidence and lift in floor-div basis points
+    // (all-integer, nonnegative numerators). The support cutoff
+    // (>= 3 co-orders) prunes the noise pairs BEFORE the per-item
+    // support joins.
     "q_assoc_rules" -> ((s, dir) => {
-      val li = lineitem(s, dir)
+      val baskets = lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .localCheckpoint(true) // 3 consumers below
-      val nOrders = li.select(col("ok")).distinct().count()
-      val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
-      val pairSupp = li.as("x")
-        .join(li.as("y"), col("x.ok") === col("y.ok") &&
-          col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .groupBy(col("ok"))
+        .agg(array_sort(collect_set(col("pk"))).as("ps"))
+        .localCheckpoint(true) // pair explode + item support + count
+      val nOrders = baskets.count()
+      val supp = baskets.select(explode(col("ps")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+      val pairSupp = baskets
+        .select(explode(expr(
+          """flatten(transform(ps,
+            |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+            |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("supp_ab"))
         .where(col("supp_ab") >= 3)
       val directed = pairSupp

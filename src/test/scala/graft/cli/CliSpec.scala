@@ -317,6 +317,22 @@ class CliSpec extends SparkSpec {
       === spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("pipeline --format jsonl-sink exports through the transactional connector") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-pipesink").toString + "/p"
+    val r = Console.withOut(new java.io.ByteArrayOutputStream()) {
+      Main.pipelineRun(spark, dir, out, nShards = 3,
+        format = "jsonl-sink", minQualityBp = 7640, budget = 80L)
+    }
+    assert(r.badShards.isEmpty, r.badShards.toString)
+    assert(r.nSelected === math.min(80L, r.nDedup))
+    assert(r.shards.map(_.rows).sum === r.nSelected)
+    // the pinned JSONL reader consumes the sink's artifact directly
+    val back = graft.Tables.documentsJsonl(spark, out)
+    assert(back.count() === r.nSelected)
+    assert(!new java.io.File(s"$out/_staging").exists())
+  }
+
   test("pipeline --work resumes completed stages and reuses them across budgets") {
     val dir = "/root/testdata/sf0.001"
     val work = Files.createTempDirectory("graft-pipework").toString
