@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * multiply-adds inside whole-stage codegen.
   *
   * Bit-identical to the declarative form: noise(i, p) =
-  * (pmod(xxhash64(i, p), 2000) - 1000) / 1000 with xxhash64 folding
-  * int32 inputs at seed 42 exactly like Spark's `xxhash64(i, p)`;
-  * bit p of the signature = [Σ_i v_i · noise(i, p) > 0].
+  * (md5_52("i|p") mod 2000 − 1000) / 1000 — the 52-bit md5 prefix
+  * (the same substitution SpanDedup/Dsir made: at production scale
+  * you'd use xxhash64, but the noise table is computed ONCE per JVM,
+  * so the md5 choice costs nothing per row and lets the DuckDB
+  * oracle rebuild the identical hyperplanes and replay signatures
+  * bit-for-bit); bit p of the signature = [Σ_i v_i · noise(i, p) > 0].
   */
 case class RpLshSigExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -39,13 +42,19 @@ object RpLshSigExpr {
 
   private val Planes = 64
 
-  /** noise(i, p) exactly as the declarative form derives it from
-    * Spark's xxhash64(int i, int p): fold at seed 42. */
-  private def noiseAt(i: Int, p: Int): Double = {
-    val h = XXH64.hashInt(p, XXH64.hashInt(i, 42L))
-    val m = ((h % 2000) + 2000) % 2000
-    (m - 1000.0) / 1000.0
+  /** Integer noise in milli units: md5_52("i|p") mod 2000 − 1000 —
+    * nonneg 52-bit prefix, so % == pmod. Exposed for the oracle SQL
+    * generator's documentation; the oracle recomputes it itself. */
+  private[graft] def noiseMilli(i: Int, p: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i|$p".getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 13), 16) % 2000L - 1000L
   }
+
+  /** noise(i, p) exactly as the declarative form derives it. */
+  private def noiseAt(i: Int, p: Int): Double =
+    noiseMilli(i, p) / 1000.0
 
   /** Grow-only static table [element index][plane] — hyperplanes are
     * pure functions of indices, so one table serves every query and

@@ -164,7 +164,12 @@ object Extended {
     // pigeonhole bucket join → exact cosine verify on candidates only.
     // Candidate count is bounded by bucket collisions, not corpus² —
     // this is the plan you'd run at 100 TB (recall envelope asserted
-    // in SimilaritySpec). The synthetic embeddings contain no
+    // in SimilaritySpec). ORACLE-EXACT since round 8: the hyperplane
+    // noise derives from the 52-bit md5 prefix (computed once per JVM
+    // — zero per-row cost vs xxhash64), so DuckDB rebuilds the
+    // identical planes and replays signatures, banding, the
+    // first-agreeing-chunk rule, and the verify, bit for bit.
+    // The synthetic embeddings contain no
     // near-identical pairs (max pair cosine ≈ 0.51–0.60 by SF), so the
     // query plants ground truth: every vector gets a twin with a
     // deterministic ±0.1% per-dimension perturbation (cosine ≈
@@ -514,6 +519,54 @@ object Extended {
         |  round(list_cosine_similarity(a.em, b.em), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.em, b.em), 4) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Full RP-LSH replay (round 8): the oracle REBUILDS the md5
+    // hyperplane noise table, replays the float twin plant (DuckDB
+    // REAL ops measured bit-identical to JVM binary32), recomputes
+    // every 64-bit signature (list_inner_product measured sequential
+    // == the kernel's accumulation order), re-bands with arithmetic
+    // shift + mask (== unsigned shift under the mask), applies the
+    // first-agreeing-chunk rule, and verifies candidates on rounded
+    // cosine. The only DuckDB-vs-Spark trap: 1::BIGINT << 63
+    // overflows — bit 63 enters as the min-long literal.
+    "q_cosine_near_dup_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |twins AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    [embedding[i] * (1::REAL + ((vec_id + (i - 1)) % 3 - 1)::REAL * 0.001::REAL)
+        |     for i in generate_series(1, len(embedding))] AS embedding
+        |  FROM base),
+        |c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+        |  UNION ALL
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM twins),
+        |np AS (
+        |  SELECT p.p AS p,
+        |    list(((('0x' || substring(md5(i.i || '|' || p.p), 1, 13))::BIGINT
+        |           % 2000 - 1000)::DOUBLE / 1000.0::DOUBLE) ORDER BY i.i) AS nd
+        |  FROM range(64) i(i), range(64) p(p) GROUP BY 1),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    bit_or(CASE WHEN list_inner_product(v, nd) > 0 THEN
+        |      CASE WHEN p = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |           ELSE 1::BIGINT << CAST(p AS INT) END
+        |      ELSE 0::BIGINT END) AS sig
+        |  FROM c, np GROUP BY 1),
+        |band AS (
+        |  SELECT vec_id, sig, t.ch, (sig >> CAST(t.ch * 16 AS INT)) & 65535 AS key
+        |  FROM sigs, range(4) t(ch)),
+        |cand AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM band x JOIN band y
+        |    ON x.ch = y.ch AND x.key = y.key AND x.vec_id < y.vec_id
+        |  WHERE len([cc for cc in generate_series(0, x.ch - 1)
+        |             if ((x.sig >> CAST(cc * 16 AS INT)) & 65535)
+        |              = ((y.sig >> CAST(cc * 16 AS INT)) & 65535)]) = 0)
+        |SELECT id_a, id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM cand JOIN c a ON cand.id_a = a.vec_id
+        |          JOIN c b ON cand.id_b = b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" ->
       """WITH mm AS (

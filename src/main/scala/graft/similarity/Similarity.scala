@@ -413,7 +413,10 @@ object Similarity {
       array_repeat(lit(0.0), planes),
       (acc, e) => zip_with(acc, planeIdx, (a, p) =>
         a + e.getField("v") *
-          ((pmod(xxhash64(e.getField("i"), p), lit(2000)).cast("double") - 1000.0) / 1000.0)))
+          ((pmod(conv(substring(md5(concat_ws("|",
+              e.getField("i").cast("string"), p.cast("string"))), 1, 13),
+              16, 10).cast("long"), lit(2000L)).cast("double") - 1000.0)
+            / 1000.0)))
     aggregate(
       zip_with(dots, planeIdx, (d, p) =>
         when(d > 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)),
