@@ -36,6 +36,23 @@ class JsonlSinkSpec extends SparkSpec {
       === docs.count())
   }
 
+  test("a tampered sink artifact flags in Export.verify like any export") {
+    val docs = graft.Tables.documents(spark, dir).limit(60)
+    val out = Files.createTempDirectory("graft-jsink5").toString + "/c"
+    docs.write.format("graft-jsonl")
+      .option("id", "doc_id").option("shards", "3")
+      .mode("append").save(out)
+    assert(graft.ingest.Export.verify(spark, out, "doc_id",
+      format = "json").isEmpty)
+    // lose shard 1's data file → exactly that shard flags
+    val shard1 = new java.io.File(s"$out/__shard=1")
+    shard1.listFiles().filter(_.getName.endsWith(".json")).foreach(f =>
+      assert(f.delete()))
+    val bad = graft.ingest.Export.verify(spark, out, "doc_id",
+      format = "json")
+    assert(bad === Seq(1L), bad.toString)
+  }
+
   test("shard assignment is a pure function of the rendered id") {
     val docs = graft.Tables.documents(spark, dir).limit(50)
     val out = Files.createTempDirectory("graft-jsink2").toString + "/c"
