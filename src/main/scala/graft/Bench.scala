@@ -92,15 +92,68 @@ object Bench {
         None
       }
     }
+    // Canon section: a PINNED ~20-query subset re-timed solo (full GC
+    // + settle pause, best of `runs`, fixed order) — the cross-round
+    // comparison surface. Full-suite totals drift up to ±50% with
+    // machine load; these settled solo times in a fixed list are what
+    // round N+1 compares against round N. Skipped when
+    // SPARK_GRAFT_QUERIES filters the run (local iteration).
+    val canonNames = Seq(
+      "q_near_dup_prefix", "q_triangles", "q_profile", "q_link_predict",
+      "q_graph_churn", "q_tfidf", "q_dedup_simhash", "q_dedup_minhash",
+      "q_ann_topk", "q_ann_ivf", "q_span_dedup", "q_quality_filter",
+      "q_agg_totals", "q_top_orders", "q_histogram_equidepth", "q_dsir",
+      "q_source_overlap_exact", "q_pagerank", "q_bm25", "q_dimsum")
+    val canon = if (only.isDefined) Nil else canonNames
+      .filter(SparkEntry.queries.contains).filterNot(failed).flatMap { n =>
+        System.gc()
+        Thread.sleep(500)
+        try {
+          val solo = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, sfDir).foreach(_ => ())
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          Some(n -> solo)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] canon $n FAILED: ${e.getMessage}")
+          None
+        }
+      }
+    // Flagship E2E: the pipeline CLI's per-stage wall times (quality /
+    // span_dedup / mixture / export) at this SF — jsonl-sink format so
+    // the transactional connector is on the measured path. Budget is
+    // sized to the corpus (half the docs) so mixture+export do real
+    // per-row work instead of a fixed 300-row cap.
+    val pipeline = if (only.isDefined) Nil else {
+      try {
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-pipe").toString + "/corpus"
+        val nDocs = graft.Tables.documents(spark, sfDir).count()
+        val r = graft.cli.Main.pipelineRun(spark, sfDir, outDir,
+          nShards = 8, format = "jsonl-sink",
+          budget = math.max(1L, nDocs / 2))
+        if (r.badShards.nonEmpty)
+          System.err.println(s"[bench] pipeline verify FAILED: ${r.badShards}")
+        r.stageSecs
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline FAILED: ${e.getMessage}")
+        Nil
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val t5 = top5.map { case (k, (su, so)) =>
       "\"" + k + f"""\":{"suite_s":$su%.3f,"solo_s":$so%.3f}"""
     }.mkString("{", ",", "}")
+    val cn = canon.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val pl = pipeline.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top5":$t5,"failed":$fs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"top5":$t5,"canon":$cn,"pipeline":$pl,"failed":$fs,"sf":"$sfDir"}"""
     // Belt and braces: the JSON goes to stdout (sole machine-readable
     // line; build.sbt routes forked output straight through, no [info]
     // prefix) AND to bench.json in the repo root.

@@ -288,9 +288,10 @@ object Main {
     (stats, m)
   }
 
-  private[cli] final case class PipelineResult(nInput: Long, nQuality: Long,
+  private[graft] final case class PipelineResult(nInput: Long, nQuality: Long,
       nDedup: Long, nSelected: Long,
-      shards: Seq[graft.ingest.Export.ShardStat], badShards: Seq[Long])
+      shards: Seq[graft.ingest.Export.ShardStat], badShards: Seq[Long],
+      stageSecs: Seq[(String, Double)] = Nil)
 
   /** `pipeline DOCS_DIR OUT_DIR [--n SHARDS]
     * [--format parquet|json|jsonl-sink] [--min-quality-bp BP]
@@ -335,12 +336,23 @@ object Main {
     * deterministic md5 rank, and the export is the manifest-attested
     * Export.shards. Stages checkpoint eagerly so each quality line
     * corresponds to exactly one materializing job. */
-  private[cli] def pipelineRun(spark: SparkSession, docsDir: String,
+  private[graft] def pipelineRun(spark: SparkSession, docsDir: String,
       out: String, nShards: Int, format: String = "parquet",
       minQualityBp: Int = 5000, spanK: Int = 8, maxDupBp: Int = 5000,
       budget: Long = 300L, work: Option[String] = None): PipelineResult = {
     require(budget > 0 && budget <= Int.MaxValue, s"bad budget $budget")
     val docs = graft.Tables.documents(spark, docsDir)
+    // Per-stage wall times (each stage materializes exactly once —
+    // localCheckpoint or parquet write — so the wrapper measures the
+    // stage's real cost, not lazy-plan assembly). Surfaced by Bench
+    // as the flagship E2E's stage breakdown.
+    val stageSecs = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    def timed[T](stage: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageSecs += stage -> (System.nanoTime() - t0) / 1e9
+      r
+    }
     // Resume keying (the q_agg_rewrite materialize-once pattern): a
     // stage's path encodes the INPUT's size+mtime fingerprint plus
     // every parameter feeding that stage or an earlier one — so a
@@ -374,15 +386,15 @@ object Main {
       }
     // Stage 1 — quality screen.
     val minQ = minQualityBp / 10000.0
-    val kept1 = staged("quality", s"$fpBase-q$minQualityBp") {
+    val kept1 = timed("quality") { staged("quality", s"$fpBase-q$minQualityBp") {
       val q = graft.text.TextAnalysis.qualityScoreFast(spark, col("text"))
       val (inst, obs) = graft.ops.Observe.quality(docs.withColumn("__q", q),
         "pipeline_quality", Seq("doc_id"), col("__q") < minQ)
       (inst.where(col("__q") >= minQ).drop("__q"), obs)
-    }
+    } }
     // Stage 2 — exact duplicated-span screen: drop documents whose
     // duplicated-token coverage exceeds the threshold.
-    val kept2 = staged("span_dedup", s"$fpBase-q$minQualityBp-k$spanK-d$maxDupBp") {
+    val kept2 = timed("span_dedup") { staged("span_dedup", s"$fpBase-q$minQualityBp-k$spanK-d$maxDupBp") {
       val spanStats = graft.dedup.SpanDedup.spanStats(kept1, "text",
         "doc_id", spanK)
       val (inst, obs) = graft.ops.Observe.quality(spanStats,
@@ -390,14 +402,14 @@ object Main {
       (kept1.join(
         inst.where(col("dup_bp") < maxDupBp).select(col("doc_id")),
         Seq("doc_id"), "left_semi"), obs)
-    }
+    } }
     // Stage 3 — mixture selection: temperature weights over the
     // surviving per-source counts, water-filled to the budget; each
     // source's quota filled by its md5-rank-smallest docs (bounded
     // heap — no window sort, deterministic across runs and cluster
     // sizes). The per-source table is bounded, so the alloc broadcast
     // is kilobytes.
-    val kept3 = staged("mixture",
+    val kept3 = timed("mixture") { staged("mixture",
         s"$fpBase-q$minQualityBp-k$spanK-d$maxDupBp-b$budget") {
       val weights = kept2.groupBy(col("source"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
@@ -416,7 +428,7 @@ object Main {
       graft.ops.Observe.quality(
         kept2.join(selIds, Seq("doc_id"), "left_semi"),
         "pipeline_mixture", Seq("doc_id"), lit(false))
-    }
+    } }
     // Stage 4 — sharded export. Two attestation tiers:
     //   - procedural (parquet/json): Export.shards — manifest cut
     //     from a READ-BACK of the artifact (a write-side fault shows
@@ -427,7 +439,7 @@ object Main {
     // Both end with the same explicit verify pass.
     val (inst4, obs4) = graft.ops.Observe.quality(kept3,
       "pipeline_export", Seq("doc_id"), lit(false))
-    val (shards, bad) =
+    val (shards, bad) = timed("export") {
       if (format == "jsonl-sink") {
         inst4.write.format("graft-jsonl")
           .option("id", "doc_id")
@@ -440,9 +452,10 @@ object Main {
           nShards, format)
         (st, graft.ingest.Export.verify(spark, out, "doc_id", format))
       }
+    }
     println(qualityLine("export", obs4.get))
     PipelineResult(docs.count(), kept1.count(), kept2.count(),
-      kept3.count(), shards, bad)
+      kept3.count(), shards, bad, stageSecs.toList)
   }
 
   /** First-scan path of `analyze`: resumable walk (per-seed-batch

@@ -273,26 +273,72 @@ object Dedup {
         col(textCol), n)).as("shingle"))
       .distinct()
 
+  /** Above this many distinct benchmark shingles the decontamination
+    * family auto-routes from the broadcast-strings path to the
+    * Bloom-bits path (bit-identical output by construction — the
+    * bloom prefilter's false positives die in the exact confirm
+    * join). 2²¹ ≈ 2M shingle strings is a low-hundreds-MB broadcast —
+    * the ceiling where shipping strings stops being the cheap
+    * option. */
+  val BenchBroadcastMaxShingles: Long = 1L << 21
+
   /** Decontamination screen (train/eval overlap): corpus docs sharing
     * at least `minShared` distinct word n-grams with any benchmark
     * doc. The benchmark side is an eval set — small by definition — so
     * its distinct shingles broadcast, and the corpus side is one
     * explode + broadcast join + partial aggregate: the corpus text
     * never shuffles, and cost scales with corpus shingle count, not
-    * with corpus × benchmark. */
+    * with corpus × benchmark.
+    *
+    * The broadcast is SIZE-GUARDED: the bench shingles are counted
+    * first (one bounded job on the materialized eval side), and past
+    * [[BenchBroadcastMaxShingles]] the membership test auto-routes to
+    * [[contaminatedBloom]]'s bits+confirm plan. Below the guard, the
+    * measured bound is stamped into the plan as a no-op
+    * `limit(nBench)` — the structural marker JoinAudit recognizes as
+    * a re-bounded broadcast side. */
   def contaminated(corpus: DataFrame, bench: DataFrame, textCol: String,
-      idCol: String, n: Int = 5, minShared: Long = 1): DataFrame = {
+      idCol: String, n: Int = 5, minShared: Long = 1,
+      benchBroadcastMax: Long = BenchBroadcastMaxShingles): DataFrame = {
     val spark = corpus.sparkSession
     val shingleCol =
       graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
     val corpusSh = corpus.select(col(idCol).as("doc_id"),
       explode(shingleCol).as("shingle"))
-    val benchSh = benchShingles(bench, textCol, n)
-    corpusSh.join(broadcast(benchSh), Seq("shingle"))
-      // wordShingles is distinct per doc, so count(*) = distinct shared
-      .groupBy(col("doc_id"))
+    val (benchSh, nBench) = measuredBenchShingles(bench, textCol, n)
+    val joined =
+      if (nBench > benchBroadcastMax)
+        bloomConfirmJoin(spark, corpusSh, benchSh, nBench, fpp = 0.01)
+      else
+        corpusSh.join(broadcast(benchSh.limit(nBench.toInt)), Seq("shingle"))
+    // wordShingles is distinct per doc, so count(*) = distinct shared
+    joined.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** Materialize the bench shingles once and measure them: the count
+    * IS the routing decision, and every downstream consumer (limit
+    * stamp, bloom build, confirm join) reuses the checkpoint instead
+    * of re-exploding the eval suite. */
+  private def measuredBenchShingles(bench: DataFrame, textCol: String,
+      n: Int): (DataFrame, Long) = {
+    val sh = benchShingles(bench, textCol, n).localCheckpoint(eager = true)
+    (sh, math.max(1L, sh.count()))
+  }
+
+  /** The Bloom-bits membership plan shared by [[contaminated]]'s
+    * large-bench route and [[contaminatedBloom]]: probe corpus
+    * shingles against the bits (codegen'd Column, zero shuffle), then
+    * confirm the survivors with an exact shuffle join — deliberately
+    * not a broadcast, because at the scale this path exists for the
+    * bench string set is too big to ship. */
+  private def bloomConfirmJoin(spark: org.apache.spark.sql.SparkSession,
+      corpusSh: DataFrame, benchSh: DataFrame, nBench: Long,
+      fpp: Double): DataFrame = {
+    val bloom = BloomFilters.build(benchSh, "shingle", nBench, fpp)
+    corpusSh.where(bloom.mightContain(spark, col("shingle")))
+      .join(benchSh, Seq("shingle"))
   }
 
   /** [[contaminated]]'s scale path: same semantics, same output, but
@@ -316,17 +362,10 @@ object Dedup {
     // consumers follow (count, bloom build, confirm join), and at the
     // eval-suite scale this function exists for, re-exploding the
     // suite three times would be two redundant heavyweight jobs.
-    val benchSh = benchShingles(bench, textCol, n)
-      .localCheckpoint(eager = true)
-    val nBench = math.max(1L, benchSh.count())
-    val bloom = BloomFilters.build(benchSh, "shingle", nBench, fpp)
+    val (benchSh, nBench) = measuredBenchShingles(bench, textCol, n)
     val corpusSh = corpus.select(col(idCol).as("doc_id"),
       explode(shingleCol).as("shingle"))
-    corpusSh.where(bloom.mightContain(spark, col("shingle")))
-      // exact confirm: a plain shuffle join sized by the SURVIVORS —
-      // deliberately not a broadcast, because at the scale where the
-      // bloom matters the bench string set is too big to broadcast.
-      .join(benchSh, Seq("shingle"))
+    bloomConfirmJoin(spark, corpusSh, benchSh, nBench, fpp)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
@@ -344,19 +383,40 @@ object Dedup {
     * sits in the round()-midpoint divergence class (e.g. 1/160 =
     * 0.00625) the build notes ban. */
   def contaminationScore(corpus: DataFrame, bench: DataFrame,
-      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+      textCol: String, idCol: String, n: Int = 5,
+      benchBroadcastMax: Long = BenchBroadcastMaxShingles): DataFrame = {
     val spark = corpus.sparkSession
     val shingleCol =
       graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
     val corpusSh = corpus.select(col(idCol).as("doc_id"),
       explode(shingleCol).as("shingle"))
-    val benchSh = benchShingles(bench, textCol, n)
-      .withColumn("hit", lit(1L))
-    corpusSh.join(broadcast(benchSh), Seq("shingle"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
-      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+    // Same size guard as the screen: past the broadcast ceiling the
+    // LEFT-join-with-marker plan splits into (per-doc totals) +
+    // (bloom-prefiltered exact shared counts) joined back on doc_id —
+    // two corpus-shingle passes instead of one, but no vocab-sized
+    // broadcast. Below it, the measured bound is stamped as a no-op
+    // limit on the broadcast side.
+    val (benchShRaw, nBench) = measuredBenchShingles(bench, textCol, n)
+    val counted =
+      if (nBench > benchBroadcastMax) {
+        val perDoc = corpusSh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"))
+        val shared = bloomConfirmJoin(spark, corpusSh, benchShRaw, nBench,
+            fpp = 0.01)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("hits"))
+        perDoc.join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("hits"), lit(0L)).as("n_shared"))
+      } else {
+        val benchSh = benchShRaw.limit(nBench.toInt)
+          .withColumn("hit", lit(1L))
+        corpusSh.join(broadcast(benchSh), Seq("shingle"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
+      }
+    counted.select(col("doc_id"), col("n_shingles"), col("n_shared"),
         expr("n_shared * 10000 div n_shingles").as("overlap_bp"))
   }
 

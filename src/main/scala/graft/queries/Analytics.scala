@@ -1936,26 +1936,19 @@ object Analytics {
     // neighbors, RA(u,v) = sum over common neighbors w of 1/deg(w) —
     // here on an exact integer micro grid (1e6 div deg, engine-exact
     // unlike Adamic-Adar's 1/ln deg where libm ulps could split the
-    // floor). Wedge stream through the shared neighbor is
-    // shuffle_hash-joined (SMJ would sort the Θ(Σ deg²) stream twice
-    // — the q_triangles lesson); existing edges leave via LEFT ANTI;
-    // top-20 by (score, u, v) is one TakeOrdered.
+    // floor). The wedge enumeration is DEGREE-CAPPED (ops/LinkPredict:
+    // wedges through a neighbor with deg > 1024 are dropped, with the
+    // stated ≤1e6/cap-per-hub-pair score bound) so one hub part at
+    // 100× can't make the Σ deg(w)² candidate term quadratic; the cap
+    // never binds on the test corpora (max degree 13 at sf0.1) and
+    // the oracle mirrors the same deg <= cap filter, so the query is
+    // hash-exact at any cap. Wedge stream is shuffle_hash-joined (SMJ
+    // would sort it twice — the q_triangles lesson); existing edges
+    // leave via LEFT ANTI; top-20 by (score, u, v) is one
+    // TakeOrdered. Hub-skew scale curve: ScaleCheck link_predict.
     "q_link_predict" -> ((s, dir) => {
       val e = copurchaseEdges(s, dir, minSupport = 2)
-        .localCheckpoint(true) // consumed 3x (two adj legs + anti)
-      val adj = e.select(col("src").as("u"), col("dst").as("w"))
-        .union(e.select(col("dst").as("u"), col("src").as("w")))
-      val deg = adj.groupBy(col("u").as("node"))
-        .agg(count(lit(1)).as("d"))
-      val wadj = adj.join(deg, col("w") === col("node"))
-        .select(col("u"), col("w"), expr("1000000 div d").as("rw"))
-      val cand = wadj.as("a")
-        .join(wadj.as("b").hint("shuffle_hash"),
-          col("a.w") === col("b.w") && col("a.u") < col("b.u"))
-        .groupBy(col("a.u").as("u"), col("b.u").as("v"))
-        .agg(sum(col("a.rw")).as("ra_micro"))
-      cand.join(e, cand("u") === e("src") && cand("v") === e("dst"),
-          "left_anti")
+      graft.ops.LinkPredict.ra(e, degCap = 1024)
         .orderBy(desc("ra_micro"), asc("u"), asc("v"))
         .limit(20)
     }),
@@ -3495,7 +3488,7 @@ object Analytics {
         |  UNION ALL SELECT dst AS u, src AS w FROM e),
         |deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY 1),
         |wadj AS (SELECT u, w, 1000000 // d AS rw
-        |  FROM adj JOIN deg ON w = node),
+        |  FROM adj JOIN deg ON w = node WHERE d <= 1024),
         |cand AS (SELECT a.u AS u, b.u AS v, sum(a.rw)::BIGINT AS ra_micro
         |  FROM wadj a JOIN wadj b ON a.w = b.w AND a.u < b.u
         |  GROUP BY 1, 2)

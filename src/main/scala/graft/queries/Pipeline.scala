@@ -1658,8 +1658,18 @@ object Pipeline {
     // path remains the >64-source tier where the mask no longer fits
     // a word.
     "q_source_overlap_exact" -> ((s, dir) => {
+      // si must fit the 64-bit mask word: fail LOUDLY on a source
+      // index outside [0, 63] (or an unparseable source name) rather
+      // than setting a wrapped bit and silently dropping the source
+      // from every pair/total count.
       val tok = documents(s, dir)
-        .select(expr("CAST(substring(source, 4) AS INT)").as("si"),
+        .select(expr(
+          """CASE WHEN CAST(substring(source, 4) AS INT)
+            |       BETWEEN 0 AND 63
+            |     THEN CAST(substring(source, 4) AS INT)
+            |     ELSE raise_error('q_source_overlap_exact: source index '
+            |       || 'outside the 64-bit mask range: ' || source)
+            |END""".stripMargin).as("si"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
         .where(col("token") =!= "")
       val masks = tok.groupBy(col("token"))
@@ -1667,8 +1677,11 @@ object Pipeline {
       val hist = masks.groupBy(col("mask"))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(eager = true) // pair explode + totals share it
+      // full 64-bit sweep (the mask is a word): a set bit can sit
+      // anywhere si was allowed to land, incl. bit 63 whose
+      // arithmetic >> still masks to 1
       val bits = expr(
-        "filter(sequence(0, 19), i -> (mask >> i) & 1 = 1)")
+        "filter(sequence(0, 63), i -> (mask >> i) & 1 = 1)")
       val pairs = hist.select(col("c"), bits.as("bs"))
         .select(col("c"), explode(expr(
           """flatten(transform(bs,

@@ -1,6 +1,7 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.{BufferedWriter, File, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.{Map => JMap}
 
@@ -49,7 +50,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * OutputContract surface); nested types are rejected at write-build
   * time, not mid-job. Null fields are omitted from the JSON object
   * (Spark's own JSONL convention, matched by the pinned-schema
-  * reader [[graft.Tables.documentsJsonl]]).
+  * reader [[graft.Tables.documentsJsonl]]); non-finite doubles are
+  * likewise omitted (NaN/Infinity are invalid JSON), except in the id
+  * column where they are rejected.
+  *
+  * Write modes: `append` into a non-empty target MERGES the manifest
+  * (rows sum, checksums XOR per shard; n_shards must match) so every
+  * prior shard file stays attested and `Export.verify` keeps passing;
+  * `overwrite` goes through `SupportsTruncate` — existing shard dirs
+  * and manifest are deleted driver-side before any task writes.
   */
 class JsonlSinkDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -83,10 +92,16 @@ private[sources] class JsonlSinkTable(tableSchema: StructType)
     val bad = s.fields.filterNot(f => JsonlSink.atomic(f.dataType))
     require(bad.isEmpty,
       s"graft-jsonl writes atomic columns only; offending: ${bad.mkString(", ")}")
-    new WriteBuilder {
+    // SupportsTruncate backs the advertised TRUNCATE capability:
+    // mode("overwrite") plans a truncate-then-append instead of
+    // failing at runtime with "does not support overwrite by
+    // expression" (capability without the builder interface).
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new JsonlBatchWrite(path, s, idCol, nShards)
+          new JsonlBatchWrite(path, s, idCol, nShards, doTruncate)
       }
     }
   }
@@ -130,12 +145,28 @@ private[sources] final case class JsonlCommit(files: Seq[ShardFile])
   extends WriterCommitMessage
 
 private[sources] class JsonlBatchWrite(path: String, schema: StructType,
-    idCol: String, nShards: Int) extends BatchWrite {
+    idCol: String, nShards: Int, truncate: Boolean) extends BatchWrite {
+
+  // Staged and final filenames carry a per-job token: without it a
+  // second append's part-<partition>-<task> names could collide with
+  // (and on Linux, silently rename() over) an earlier job's shard
+  // files — task ids restart at 0 every job.
+  private val jobToken =
+    java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
+    if (truncate) { // driver-side, before any task runs
+      new File(path, "_MANIFEST.json").delete()
+      Option(new File(path).listFiles()).foreach(_.foreach { f =>
+        if (f.isDirectory && f.getName.startsWith("__shard=")) {
+          Option(f.listFiles()).foreach(_.foreach(_.delete()))
+          f.delete()
+        }
+      })
+    }
     new File(path, "_staging").mkdirs()
-    new JsonlWriterFactory(path, schema, idCol, nShards)
+    new JsonlWriterFactory(path, schema, idCol, nShards, jobToken)
   }
 
   // default useCommitCoordinator = true: one committed attempt per task
@@ -155,10 +186,37 @@ private[sources] class JsonlBatchWrite(path: String, schema: StructType,
     val staging = new File(path, "_staging")
     Option(staging.listFiles()).foreach(_.foreach(_.delete()))
     staging.delete()
-    val stats = all.groupBy(_.shard).map { case (sh, fs) =>
-      graft.ingest.Export.ShardStat(sh, fs.map(_.rows).sum,
+    val jobStats = all.groupBy(_.shard).map { case (sh, fs) =>
+      sh -> graft.ingest.Export.ShardStat(sh, fs.map(_.rows).sum,
         fs.map(_.xor).reduce(_ ^ _))
-    }.toSeq.sortBy(_.shard)
+    }
+    // Appending into a non-empty target: the new manifest must keep
+    // attesting the PRIOR jobs' shard files, or Export.verify fails
+    // on a corpus the write just reported committed. Merge: rows sum,
+    // checksums XOR (both are associative over row sets); shard
+    // counts must agree or the shard assignment hash is inconsistent
+    // across the corpus — refuse loudly.
+    val prior: Map[Long, graft.ingest.Export.ShardStat] = {
+      val mf = new File(path, "_MANIFEST.json")
+      if (!mf.exists()) Map.empty
+      else {
+        val txt = Files.readString(mf.toPath)
+        val priorN = """"n_shards": (\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+        require(priorN.contains(nShards),
+          s"graft-jsonl append into $path: existing manifest has " +
+            s"n_shards=${priorN.getOrElse("?")}, this write uses $nShards " +
+            "— shard assignment would be inconsistent; truncate first")
+        graft.ingest.Export.readManifest(path).map(s => s.shard -> s).toMap
+      }
+    }
+    val stats = (prior.keySet ++ jobStats.keySet).toSeq.sorted.map { sh =>
+      val p = prior.get(sh)
+      val j = jobStats.get(sh)
+      graft.ingest.Export.ShardStat(sh,
+        p.map(_.rows).getOrElse(0L) + j.map(_.rows).getOrElse(0L),
+        p.map(_.checksum).getOrElse(0L) ^ j.map(_.checksum).getOrElse(0L))
+    }
     val body = stats.map(s =>
       s"""{"shard": ${s.shard}, "rows": ${s.rows}, "checksum": ${s.checksum}}""")
       .mkString(s"""{"n_shards": $nShards, "shards": [\n  """, ",\n  ", "\n]}")
@@ -173,15 +231,16 @@ private[sources] class JsonlBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] class JsonlWriterFactory(path: String, schema: StructType,
-    idCol: String, nShards: Int) extends DataWriterFactory {
+    idCol: String, nShards: Int, jobToken: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new JsonlDataWriter(path, schema, idCol, nShards, partitionId, taskId)
+    new JsonlDataWriter(path, schema, idCol, nShards, jobToken,
+      partitionId, taskId)
 }
 
 private[sources] class JsonlDataWriter(path: String, schema: StructType,
-    idCol: String, nShards: Int, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+    idCol: String, nShards: Int, jobToken: String, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
   private val idOrd = schema.fieldIndex(idCol)
   private val fields = schema.fields.zipWithIndex
   private val open = mutable.Map.empty[Long, (String, BufferedWriter)]
@@ -204,15 +263,27 @@ private[sources] class JsonlDataWriter(path: String, schema: StructType,
       if (schema(idOrd).dataType == StringType)
         row.getUTF8String(idOrd).toString
       else render(schema(idOrd).dataType, row, idOrd)
+    if (schema(idOrd).dataType == DoubleType &&
+        !java.lang.Double.isFinite(row.getDouble(idOrd)))
+      throw new IllegalArgumentException(
+        s"graft-jsonl: id column '$idCol' is non-finite ($idRendered) — " +
+          "NaN/Infinity cannot be rendered as JSON or hashed stably")
     val h = JsonlSink.idHash(idRendered)
     val shard = java.lang.Math.floorMod(h, nShards.toLong)
     val w = open.getOrElseUpdate(shard, {
-      val name = s"part-$partitionId-$taskId-$shard.staged"
-      (name, new BufferedWriter(new FileWriter(
-        new File(new File(path, "_staging"), name))))
+      val name = s"part-$jobToken-$partitionId-$taskId-$shard.staged"
+      // explicit UTF-8: FileWriter would use the JVM default charset,
+      // which on Java 17 can be non-UTF-8 — silently corrupting
+      // non-ASCII text against the UTF-8 manifest and JSON reader
+      (name, new BufferedWriter(new OutputStreamWriter(new FileOutputStream(
+        new File(new File(path, "_staging"), name)), StandardCharsets.UTF_8)))
     })._2
     val obj = fields.flatMap { case (f, i) =>
       if (row.isNullAt(i)) None // omit nulls: Spark's JSONL convention
+      // NaN/Infinity are invalid JSON tokens — treat as null (omit),
+      // matching what a JSON round-trip could represent
+      else if (f.dataType == DoubleType &&
+          !java.lang.Double.isFinite(row.getDouble(i))) None
       else Some("\"" + f.name + "\":" + render(f.dataType, row, i))
     }.mkString("{", ",", "}")
     w.write(obj); w.newLine()

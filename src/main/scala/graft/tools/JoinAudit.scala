@@ -56,13 +56,16 @@ object JoinAudit {
     }
   }
 
-  private def forcedVocabBroadcasts(
+  private[tools] def forcedVocabBroadcasts(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.plans.logical.HintInfo
     def hinted(h: Option[HintInfo]): Boolean =
       h.exists(_.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")))
-    plan.collect {
+    // collectWithSubqueries, like the physical pass: plain collect
+    // does not descend into subquery expressions, so a vocab
+    // broadcast inside a scalar subquery would slip past the audit
+    plan.collectWithSubqueries {
       case j: Join =>
         (if (hinted(j.hint.leftHint)) vocabAgg(j.left) else Nil) ++
           (if (hinted(j.hint.rightHint)) vocabAgg(j.right) else Nil)

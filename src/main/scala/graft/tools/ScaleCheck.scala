@@ -374,6 +374,45 @@ object ScaleCheck {
       spark.range(1).select(lit(pairs).as("pairs"))
     })
 
+    // 15. Degree-capped link prediction (ops/LinkPredict) on a
+    // HUB-SKEWED replication: disjoint co-purchase copies (linear
+    // term) PLUS one hub whose degree grows with the factor
+    // (3000 × f spokes). Uncapped, the hub alone contributes
+    // C(3000f, 2) ∝ f² candidate pairs — the Σ deg(w)² failure mode;
+    // with the default cap (1024 < 3000) hub wedges are dropped
+    // before the wedge join, so candidate rows must grow ~linearly.
+    // Metric is the candidate-pair count: the family's cost IS the
+    // candidate set.
+    check("link_predict", Seq(1, 2, 4), useBytes = false, { f =>
+      val copies = (0 until f).map { k =>
+        lpaEdges.select((col("src") + lit(k * 10000000L)).as("src"),
+          (col("dst") + lit(k * 10000000L)).as("dst"))
+      }.reduce(_ union _)
+      val hub = spark.range(3000L * f).select(
+        col("id").as("src"), lit(999999999L).as("dst"))
+      graft.ops.LinkPredict.candidates(copies.union(hub))
+    })
+
+    // 16. The flagship E2E: the whole pipeline CLI (quality screen →
+    // span dedup → mixture → sharded export) at 1×/2×/4× corpus
+    // replication through the REAL entry point (pipelineRun on a
+    // written parquet dir — exactly what `cli pipeline` executes).
+    // Copy-tagged tokens keep cross-copy span overlap at zero, and
+    // the budget scales with the corpus so every stage does per-row
+    // work; total shuffle bytes must grow ~linearly.
+    check("pipeline_e2e", Seq(1, 2, 4), useBytes = true, { f =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-sc-pipe$f").toString
+      replicate(docsBase, f, "doc_id", 10000000L, tagTokens = true)
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+      val nDocs = spark.read.parquet(s"$base/documents.parquet").count()
+      val r = graft.cli.Main.pipelineRun(spark, base, s"$base/out",
+        nShards = 8, format = "jsonl-sink", budget = nDocs)
+      if (r.badShards.nonEmpty)
+        failed ::= s"pipeline_e2e x$f: export verify FAILED ${r.badShards}"
+      spark.range(1).select(lit(r.nSelected).as("selected"))
+    })
+
     spark.stop()
     if (failed.nonEmpty) {
       failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))

@@ -223,6 +223,33 @@ class DedupSpec extends SparkSpec {
     assert(bloomed == exact)
   }
 
+  test("size guard auto-routes contaminated to the bloom plan, same output") {
+    val bench = corpus.where(col("doc_id") < 5)
+    val keyOf = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val viaBroadcast = Dedup.contaminated(corpus, bench, "text", "doc_id",
+      n = 5).collect().map(keyOf).toSet
+    // benchBroadcastMax = 0 forces every bench past the guard — the
+    // routed plan must be bit-identical (bloom FPs die in the confirm)
+    val routed = Dedup.contaminated(corpus, bench, "text", "doc_id",
+      n = 5, benchBroadcastMax = 0L).collect().map(keyOf).toSet
+    assert(routed == viaBroadcast)
+  }
+
+  test("size guard auto-routes contaminationScore too, same output") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "a b c d e f"), (1L, "a b c d e f"),
+      (2L, "a b c d e zz xx"), (3L, "p q r s t u")).toDF("doc_id", "text")
+    val bench = df.where(col("doc_id") === 0)
+    def rows(bm: Long) = Dedup.contaminationScore(df, bench, "text",
+        "doc_id", n = 5, benchBroadcastMax = bm)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(0L) == rows(Long.MaxValue))
+  }
+
   test("contaminationScore: basis points of shared distinct shingles") {
     val s = spark
     import s.implicits._

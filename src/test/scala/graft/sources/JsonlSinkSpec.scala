@@ -77,7 +77,7 @@ class JsonlSinkSpec extends SparkSpec {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val w = new JsonlWriterFactory(out, schema, "doc_id", 2)
+    val w = new JsonlWriterFactory(out, schema, "doc_id", 2, "testjob1")
       .createWriter(partitionId = 0, taskId = 7L)
     val row = org.apache.spark.sql.catalyst.InternalRow(3L,
       org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
@@ -108,5 +108,82 @@ class JsonlSinkSpec extends SparkSpec {
       .json(out).orderBy("doc_id").collect()
     assert(back.length === 2)
     assert(back(1).isNullAt(1) && back(1).getString(2) === "fr")
+  }
+
+  test("second append merges the manifest — old shards stay attested") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-jsink6").toString + "/c"
+    val a = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val b = Seq((4L, "delta"), (5L, "epsilon")).toDF("doc_id", "text")
+    a.write.format("graft-jsonl").option("id", "doc_id")
+      .option("shards", "2").mode("append").save(out)
+    b.write.format("graft-jsonl").option("id", "doc_id")
+      .option("shards", "2").mode("append").save(out)
+    // the merged manifest attests BOTH jobs' files: verify passes and
+    // totals cover all five rows
+    assert(graft.ingest.Export.verify(spark, out, "doc_id",
+      format = "json").isEmpty)
+    assert(graft.ingest.Export.readManifest(out).map(_.rows).sum === 5L)
+    val back = spark.read.schema("doc_id LONG, text STRING").json(out)
+    assert(back.count() === 5L)
+    // mismatched shard count refuses rather than corrupting assignment
+    val err = intercept[Exception] {
+      b.write.format("graft-jsonl").option("id", "doc_id")
+        .option("shards", "3").mode("append").save(out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("n_shards")),
+      err.toString)
+  }
+
+  test("mode overwrite truncates: old shards and manifest are replaced") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-jsink7").toString + "/c"
+    Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("doc_id", "text")
+      .write.format("graft-jsonl").option("id", "doc_id")
+      .option("shards", "2").mode("append").save(out)
+    Seq((10L, "new1"), (11L, "new2")).toDF("doc_id", "text")
+      .write.format("graft-jsonl").option("id", "doc_id")
+      .option("shards", "2").mode("overwrite").save(out)
+    val back = spark.read.schema("doc_id LONG, text STRING").json(out)
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(10L, 11L))
+    assert(graft.ingest.Export.readManifest(out).map(_.rows).sum === 2L)
+    assert(graft.ingest.Export.verify(spark, out, "doc_id",
+      format = "json").isEmpty)
+  }
+
+  test("non-ASCII text round-trips as UTF-8 regardless of platform charset") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-jsink8").toString + "/c"
+    val text = "naïve café — ünïcødé 日本語 𝄞" // incl. a non-BMP code point
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.format("graft-jsonl").option("id", "doc_id")
+      .option("shards", "1").mode("append").save(out)
+    val back = spark.read.schema("doc_id LONG, text STRING").json(out)
+      .collect()
+    assert(back.head.getString(1) === text)
+  }
+
+  test("non-finite doubles are omitted like nulls, keeping valid JSON") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-jsink9").toString + "/c"
+    Seq((1L, Double.NaN), (2L, Double.PositiveInfinity), (3L, 2.5))
+      .toDF("doc_id", "score")
+      .write.format("graft-jsonl").option("id", "doc_id")
+      .option("shards", "1").mode("append").save(out)
+    val back = spark.read.schema("doc_id LONG, score DOUBLE").json(out)
+      .orderBy("doc_id").collect()
+    // a NaN literal would make the whole line unparseable (null row
+    // under the permissive reader) — instead the field is absent
+    assert(back.length === 3)
+    assert(back(0).isNullAt(1) && back(1).isNullAt(1))
+    assert(back(2).getDouble(1) === 2.5)
   }
 }
