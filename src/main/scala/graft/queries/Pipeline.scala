@@ -128,11 +128,30 @@ object Pipeline {
 
     // Embedding-space document clustering: bounded-sample k-means
     // centroids + ONE distributed assignment pass → cluster histogram
-    // (rows-only; assignment semantics are spec'd in SimilaritySpec).
+    // (rows-only; assignment semantics are spec'd in SimilaritySpec;
+    // q_doc_clusters_grid is the ORACLE-EXACT integer-grid twin).
     "q_doc_clusters" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id", 8)
       Similarity.ivfAssign(spread(emb), "embedding", "vec_id", cents)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(asc("centroid_id"))
+    }),
+
+    // q_doc_clusters' HASH-EXACT twin: k-means on an integer grid
+    // (similarity/GridKmeans — floor-once 10⁶ quantization, md5-rank
+    // bounded sample, truncating integer centroid means, packed
+    // dist·c+cid argmin), so DuckDB replays the WHOLE training loop
+    // as unrolled CTE layers plus the final assignment, bit-for-bit.
+    // Same plan shape as the float path: driver loop on the bounded
+    // sample, one distributed assignment pass, centroids as literals.
+    "q_doc_clusters_grid" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = graft.similarity.GridKmeans.centroids(
+        emb, "embedding", "vec_id", c = 8, iters = 3, maxTrain = 256)
+      graft.similarity.GridKmeans.assign(
+          spread(emb), "embedding", "vec_id", cents)
         .groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy(asc("centroid_id"))
@@ -2157,6 +2176,54 @@ object Pipeline {
        |FROM s$k ORDER BY mmr_rank""".stripMargin
   }
 
+  /** Full integer-grid k-means replay (q_doc_clusters_grid): the
+    * oracle RETRAINS the centroids — quantize, md5-rank sample, seed
+    * on the c id-smallest sample vectors, then `iters` unrolled
+    * (assign → truncating-integer-mean update) CTE layers, then the
+    * whole-corpus assignment. Every step is exact integers after the
+    * floor-once quantization; `AS MATERIALIZED` keeps the deep chain
+    * from re-evaluating per reference (the kcore/isotonic rule).
+    * `arg_min(cid, dist·c + cid)` ≡ Spark's `least(packed…)`:
+    * DuckDB arg_min rejects LIST tiebreaks, so the tiebreak is packed
+    * into the key (the q_negative_sample rule). */
+  private def gridKmeansSql(c: Int, iters: Int, maxTrain: Int): String = {
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+    val layers = (1 to iters).map { t =>
+      val prev = s"c${t - 1}"
+      s"""a$t AS MATERIALIZED (
+         |  SELECT s.vec_id, arg_min(c.cid, ${dist("s.qv", "c.qc")}*$c + c.cid) AS cid
+         |  FROM samp s, $prev c GROUP BY s.vec_id),
+         |u$t AS MATERIALIZED (
+         |  SELECT cid, list(m ORDER BY i) AS qc FROM (
+         |    SELECT a.cid, t.i, (sum(s.qv[t.i])::BIGINT // count(*)::BIGINT) AS m
+         |    FROM a$t a JOIN samp s USING (vec_id), range(1, 65) t(i)
+         |    GROUP BY a.cid, t.i)
+         |  GROUP BY cid),
+         |c$t AS MATERIALIZED (
+         |  SELECT p.cid, coalesce(u.qc, p.qc) AS qc
+         |  FROM $prev p LEFT JOIN u$t u ON p.cid = u.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings),
+       |samp AS MATERIALIZED (
+       |  SELECT vec_id, qv FROM q
+       |  ORDER BY substring(md5(vec_id::VARCHAR), 1, 13), vec_id
+       |  LIMIT $maxTrain),
+       |c0 AS MATERIALIZED (
+       |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS qc
+       |  FROM (SELECT vec_id, qv FROM samp ORDER BY vec_id LIMIT $c)),
+       |$layers,
+       |asgn AS (
+       |  SELECT q.vec_id, arg_min(c.cid, ${dist("q.qv", "c.qc")}*$c + c.cid) AS cid
+       |  FROM q, c$iters c GROUP BY q.vec_id)
+       |SELECT cid AS centroid_id, count(*)::BIGINT AS n_vecs
+       |FROM asgn GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def mixtureCapsSql(budget: Long, nLayers: Int): String = {
     val src =
       """src AS (
@@ -2849,6 +2916,7 @@ object Pipeline {
         |FROM corpus JOIN bench USING (shingle)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_mmr_rerank" -> mmrSql(k = 10, poolSize = 128),
+    "q_doc_clusters_grid" -> gridKmeansSql(c = 8, iters = 3, maxTrain = 256),
     "q_multimodal_features" -> multimodalSql(maxBytes = 4096),
     // Exact overlap semantics replayed directly from per-source
     // distinct token sets (the oracle need not mirror the mask trick,
