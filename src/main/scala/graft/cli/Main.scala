@@ -111,7 +111,8 @@ object Main {
       batchSize: Int = 256, maxBatches: Option[Int] = None,
       format: String = "parquet", minQualityBp: Int = 5000,
       spanK: Int = 8, maxDupBp: Int = 5000, budget: Long = 300L,
-      work: Option[String] = None)
+      work: Option[String] = None, stream: Boolean = false,
+      long: Boolean = false)
 
   // positional accumulates in COMMAND-LINE order: the recursion
   // parses the tail first and prepends the head (foldRight shape).
@@ -142,6 +143,8 @@ object Main {
     case "--max-dup-bp" :: v :: rest => parseOpts(rest).copy(maxDupBp = v.toInt)
     case "--budget" :: v :: rest => parseOpts(rest).copy(budget = v.toLong)
     case "--work" :: v :: rest => parseOpts(rest).copy(work = Some(v))
+    case "--stream" :: rest => parseOpts(rest).copy(stream = true)
+    case "-l" :: rest => parseOpts(rest).copy(long = true)
     case "--batch-size" :: v :: rest => parseOpts(rest).copy(batchSize = v.toInt)
     case "--max-batches" :: v :: rest =>
       parseOpts(rest).copy(maxBatches = Some(v.toInt))
@@ -307,14 +310,46 @@ object Main {
     * (the reference's interrupt-and-resume analyze, applied here),
     * and changing a late parameter (the mixture budget) reuses the
     * earlier stages untouched.
+    *
+    * `--stream` runs the STREAMING TWIN instead
+    * ([[graft.streaming.DocumentStream.pipelineOnIngest]]): quality
+    * gate → first-arrival exact dedup → sharded export with the
+    * cumulative read-back manifest; drains the source directory and
+    * exits, resuming from the sink checkpoint on re-invocation (only
+    * NEW files process). Span-dedup and mixture are corpus-wide
+    * decisions and stay batch — their online stand-ins are the
+    * boilerplate-gram sketch and per-batch gating.
     */
   private def pipelineCmd(args: List[String]): Unit = {
     val o = parseOpts(args)
     require_(o.positional.length == 2,
-      "pipeline DOCS_DIR OUT_DIR [--n SHARDS] " +
+      "pipeline DOCS_DIR OUT_DIR [--stream] [--n SHARDS] " +
         "[--format parquet|json|jsonl-sink] [--min-quality-bp BP] " +
         "[--span-k K] [--max-dup-bp BP] [--budget N] [--work DIR]")
     val spark = session()
+    if (o.stream) {
+      // Streaming twin: drain whatever the source directory holds
+      // (AvailableNow-style), then report from the artifact — the
+      // manifest IS the observable in streaming mode. The checkpoint
+      // lives NEXT TO the artifact (inside it would pollute the
+      // read-back attest scan); rerunning the same command resumes
+      // from it and processes only NEW files.
+      val out = o.positional(1)
+      val q = graft.streaming.DocumentStream.pipelineOnIngest(spark,
+        o.positional(0), out, out + "_ckpt", o.n,
+        o.minQualityBp / 10000.0)
+      q.processAllAvailable()
+      q.stop()
+      val shards = graft.ingest.Export.readManifest(out)
+      val bad = graft.ingest.Export.verify(spark, out, "doc_id")
+      shards.foreach(s =>
+        println(s"shard ${s.shard}: ${s.rows} rows checksum=${s.checksum}"))
+      println(s"pipeline --stream: ${shards.map(_.rows).sum} exported; " +
+        (if (bad.isEmpty) "verify OK" else s"verify FAILED shards ${bad.mkString(",")}"))
+      spark.stop()
+      if (bad.nonEmpty) sys.exit(1)
+      return
+    }
     val r = pipelineRun(spark, o.positional(0), o.positional(1), o.n,
       o.format, o.minQualityBp, o.spanK, o.maxDupBp, o.budget, o.work)
     r.shards.foreach(s =>
@@ -511,13 +546,13 @@ object Main {
           (if (o0.db.nonEmpty) o0 else o0.copy(db = c.database), c.separator)
         case None => (o0, "/")
       }
-    require_(o.db.nonEmpty, "find [--db DIR | --config FILE] [ROOT] EXPR...")
+    require_(o.db.nonEmpty, "find [-l] [--db DIR | --config FILE] [ROOT] EXPR...")
     val expr = exprToks.mkString(" ")
     val spark = session()
     val files = Snapshot.readFiles(spark, o.db)
     val m = operands().compile(expr)
     // Ordered enumeration, streamed to stdout (reference find.go:75-96).
-    findFrame(files, root, m, sep)
+    findFrame(files, root, m, sep, long = o.long)
       .toLocalIterator().forEachRemaining(r => println(r.getString(0)))
     spark.stop()
   }
@@ -529,7 +564,8 @@ object Main {
     * Spark analogue of the reference's key-range seek
     * (find.go:75-96). */
   private[cli] def findFrame(files: DataFrame, root: Option[String],
-      m: org.apache.spark.sql.Column, sep: String = "/"): DataFrame = {
+      m: org.apache.spark.sql.Column, sep: String = "/",
+      long: Boolean = false): DataFrame = {
     val scoped = root match {
       case Some(r) =>
         files.where(col("path") === r || col("path").startsWith(r + "/"))
@@ -544,10 +580,35 @@ object Main {
     // sorting on the rendered string would mix two orders (dirs by
     // raw key, files by rendered parent<sep>name).
     val rendered =
-      if (sep == "/") col("path")
+      if (long) longListing
+      else if (sep == "/") col("path")
       else when(col("is_dir"), col("path"))
         .otherwise(concat(col("parent"), lit(sep), col("name")))
     scoped.where(m).orderBy("path").select(rendered.as("path"))
+  }
+
+  /** `find -l` rendering (reference find.go:36-53): per row, Go's
+    * `fs.FormatFileInfo` — `<mode> <size> <yyyy-mm-dd hh:mm:ss>
+    * <name>` — followed by ` uid: U gid: G` from the xattrs; entries
+    * indent 4 spaces and print their bare name, prefixes print their
+    * full key. Pure Column concat (codegen'd projection) — the long
+    * flag changes rendering, never the plan shape. */
+  private[cli] def longListing: org.apache.spark.sql.Column = {
+    val tc = when(col("is_dir"), lit("d"))
+      .when(col("mode").bitwiseAND(lit(0xF000)) === lit(0xA000), lit("L"))
+      .otherwise(lit("-"))
+    val perms = (8 to 0 by -1).map { b =>
+      val c = Seq("x", "w", "r")(b % 3)
+      when(col("mode").bitwiseAND(lit(1 << b)) =!= 0, lit(c))
+        .otherwise(lit("-"))
+    }
+    val mode = concat(tc +: perms: _*)
+    val info = concat(mode, lit(" "), col("size").cast("string"), lit(" "),
+      date_format(col("mod_time"), "yyyy-MM-dd HH:mm:ss"), lit(" "),
+      when(col("is_dir"), col("path")).otherwise(col("name")),
+      lit(" uid: "), col("uid").cast("string"),
+      lit(" gid: "), col("gid").cast("string"))
+    when(col("is_dir"), info).otherwise(concat(lit("    "), info))
   }
 
   private def stats(args: List[String]): Unit = {

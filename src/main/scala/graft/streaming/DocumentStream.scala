@@ -309,4 +309,76 @@ object DocumentStream {
         .as("__hitters"))
       .select(explode(col("__hitters")).as("h"))
       .select(col("h.item"), col("h.est_count"), col("h.max_err"))
+
+  /** Quality gate that KEEPS the document columns (unlike
+    * [[scoreAndGate]]'s scored projection) — the streaming pipeline's
+    * first stage, bit-identical to the batch pipeline's stage 1
+    * predicate (same qualityScoreFast kernel, same threshold). */
+  def qualityGate(spark: SparkSession, docs: DataFrame,
+      minQuality: Double): DataFrame =
+    docs.withColumn("__q", TextAnalysis.qualityScoreFast(spark, col("text")))
+      .where(col("__q") >= minQuality).drop("__q")
+
+  /** Row carried through the dedup state stage (public: a private
+    * encoder case class breaks codegen at runtime). */
+  final case class IngestDoc(text_hash: String, doc_id: Long, text: String,
+      lang: String, source: String, n_chars: Long)
+
+  /** First-arrival exact dedup that emits the CANONICAL DOCUMENT (the
+    * min-id row of the first batch containing its normalized text),
+    * not just its id — [[dedupOnIngest]]'s full-row twin, so the
+    * export tail has something to write. State per distinct content
+    * is ONE long (the canonical id); the candidate rows a batch holds
+    * are bounded by the batch. Same first-arrival caveat as
+    * dedupOnIngest: a later batch carrying a smaller id does not
+    * reopen the group. */
+  def canonicalOnIngest(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("text_hash"),
+        col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars").cast("long")
+          .as("n_chars"))
+      .as[IngestDoc]
+      .groupByKey(_.text_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[IngestDoc], st: GroupState[Long]) =>
+          if (st.exists) Iterator.empty
+          else {
+            val canon = rows.minBy(d => (d.doc_id))
+            st.update(canon.doc_id)
+            Iterator.single(canon)
+          })
+      .toDF()
+      .drop("text_hash")
+  }
+
+  /** The STREAMING PIPELINE TWIN (`cli pipeline --stream`): quality
+    * gate → first-arrival exact dedup → sharded export with the
+    * cumulative read-back manifest, as one continuous query over a
+    * document directory source.
+    *
+    * Stage-for-stage vs the batch pipeline ([[graft.cli.Main]]
+    * pipelineRun): stage 1 is the SAME predicate (streaming ≡ batch
+    * row-for-row, stateless); stage 2 is the exact-dedup tier (the
+    * batch pipeline's span-dedup screen needs corpus-wide gram
+    * aggregates — its online twin is [[boilerplateGrams]]'s sketch,
+    * and the exact screen remains a batch pass); the mixture stage is
+    * inherently a corpus decision (a global water-fill budget) and
+    * stays batch; stage 4 is [[exportOnIngest]] unchanged. The E2E
+    * count parity against independently computed batch stages is
+    * pinned in DocumentStreamSpec. */
+  def pipelineOnIngest(spark: SparkSession, sourceDir: String,
+      outDir: String, checkpointDir: String, nShards: Int,
+      minQuality: Double, maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val gated = qualityGate(spark, reader.parquet(sourceDir), minQuality)
+    exportOnIngest(canonicalOnIngest(gated), "doc_id", outDir, nShards,
+      checkpointDir)
+  }
 }

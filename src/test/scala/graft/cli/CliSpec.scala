@@ -76,6 +76,31 @@ class CliSpec extends SparkSpec {
     assert(slash.forall(p => !p.contains(":")), slash.toString)
   }
 
+  test("find -l long listing matches the reference format markers") {
+    val files = snapshotOf(Map("a/x.txt" -> "12345"))
+    val m = FileOperands().compile("name=*.txt || type=d")
+    val got = Main.findFrame(files, Some("/a"), m, long = true)
+      .collect().map(_.getString(0)).toSeq
+    // entry: 4-space indent, Go FormatFileInfo shape (mode size
+    // datetime name), then the xattr uid/gid suffix (find.go:47-48)
+    val entry = got.find(_.contains("x.txt")).get
+    assert(entry.matches(
+      """    -r[w-][x-]r?[w-][x-]r?[w-][x-] 5 \d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} x\.txt uid: \d+ gid: \d+"""),
+      entry)
+    // prefix: no indent, 'd' type char, FULL key as the name
+    val dirLine = got.find(_.startsWith("d")).get
+    assert(dirLine.matches(
+      """dr[w-][x-]r?[w-][x-]r?[w-][x-] \d+ \d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} /a uid: \d+ gid: \d+"""),
+      dirLine)
+    // -l parses as a flag, not an expression token
+    val o = Main.parseOpts(List("-l", "--db", "/db", "/a", "name=*.txt"))
+    assert(o.long && o.positional == List("/a", "name=*.txt"))
+    // the short form is unchanged
+    val short = Main.findFrame(files, Some("/a"), m)
+      .collect().map(_.getString(0)).toSeq
+    assert(short.contains("/a/x.txt"))
+  }
+
   test("find root predicate pushes down to the parquet scan") {
     val dir = Files.createTempDirectory("graft-clip").toString
     snapshotOf(Map("a/x.txt" -> "1", "b/y.txt" -> "2"))
