@@ -1312,6 +1312,28 @@ object Pipeline {
         .orderBy(asc("component"))
     }),
 
+    // q_semantic_dedup's HASH-EXACT twin on the grid quantizer: same
+    // planted float twins (DuckDB REAL ops ≡ JVM binary32), clusters
+    // from GridKmeans (the oracle retrains them), within-cell pairs
+    // thresholded on UNROUNDED cosine (sequential kernel ≡
+    // list_cosine_similarity bit-for-bit), groups via the recursive
+    // min-label replay. Same plan shape and n²/c pair bound as the
+    // float path.
+    "q_semantic_dedup_grid" -> ((s, dir) => {
+      val base = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val twins = base.where(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+      val corpus = spread(base.unionByName(twins))
+      val cents = graft.similarity.GridKmeans.centroids(
+        corpus, "embedding", "vec_id", c = 8, iters = 3, maxTrain = 256)
+      val pairs = graft.similarity.SemanticDedup.clusterPairsGrid(corpus,
+        "embedding", "vec_id", cents, 0.999)
+      graft.ops.ConnectedComponents.summary(
+        graft.similarity.SemanticDedup.dupGroups(pairs))
+        .orderBy(asc("component"))
+    }),
+
     // IVF-PQ composed index (approximate; rows-only — all-cells ≡
     // refined-PQ equivalence and small-nprobe recall asserted in
     // IvfPqSpec): cells prune WHICH rows scan, codes shrink WHAT
@@ -2186,13 +2208,18 @@ object Pipeline {
     * `arg_min(cid, dist·c + cid)` ≡ Spark's `least(packed…)`:
     * DuckDB arg_min rejects LIST tiebreaks, so the tiebreak is packed
     * into the key (the q_negative_sample rule). */
-  private def gridKmeansSql(c: Int, iters: Int, maxTrain: Int): String = {
-    def dist(a: String, b: String) =
-      s"list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+  private def gridDist(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+
+  /** The k-means CTE chain shared by q_doc_clusters_grid and
+    * q_semantic_dedup_grid: expects an upstream `q(vec_id, qv)` CTE
+    * (quantized vectors) and defines `samp`, `c0`…`c$iters` (final
+    * centroids) and `asgn` (whole-corpus assignment). */
+  private def gridKmeansChain(c: Int, iters: Int, maxTrain: Int): String = {
     val layers = (1 to iters).map { t =>
       val prev = s"c${t - 1}"
       s"""a$t AS MATERIALIZED (
-         |  SELECT s.vec_id, arg_min(c.cid, ${dist("s.qv", "c.qc")}*$c + c.cid) AS cid
+         |  SELECT s.vec_id, arg_min(c.cid, ${gridDist("s.qv", "c.qc")}*$c + c.cid) AS cid
          |  FROM samp s, $prev c GROUP BY s.vec_id),
          |u$t AS MATERIALIZED (
          |  SELECT cid, list(m ORDER BY i) AS qc FROM (
@@ -2204,12 +2231,7 @@ object Pipeline {
          |  SELECT p.cid, coalesce(u.qc, p.qc) AS qc
          |  FROM $prev p LEFT JOIN u$t u ON p.cid = u.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform(embedding::DOUBLE[],
-       |      x -> floor(x*1000000.0)::BIGINT) AS qv
-       |  FROM embeddings),
-       |samp AS MATERIALIZED (
+    s"""samp AS MATERIALIZED (
        |  SELECT vec_id, qv FROM q
        |  ORDER BY substring(md5(vec_id::VARCHAR), 1, 13), vec_id
        |  LIMIT $maxTrain),
@@ -2217,12 +2239,62 @@ object Pipeline {
        |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, qv AS qc
        |  FROM (SELECT vec_id, qv FROM samp ORDER BY vec_id LIMIT $c)),
        |$layers,
-       |asgn AS (
-       |  SELECT q.vec_id, arg_min(c.cid, ${dist("q.qv", "c.qc")}*$c + c.cid) AS cid
-       |  FROM q, c$iters c GROUP BY q.vec_id)
+       |asgn AS MATERIALIZED (
+       |  SELECT q.vec_id, arg_min(c.cid, ${gridDist("q.qv", "c.qc")}*$c + c.cid) AS cid
+       |  FROM q, c$iters c GROUP BY q.vec_id)""".stripMargin
+  }
+
+  private def gridKmeansSql(c: Int, iters: Int, maxTrain: Int): String =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings),
+       |${gridKmeansChain(c, iters, maxTrain)}
        |SELECT cid AS centroid_id, count(*)::BIGINT AS n_vecs
        |FROM asgn GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** Full SemDeDup replay on the grid quantizer
+    * (q_semantic_dedup_grid): plant the float twins (DuckDB REAL ops ≡
+    * JVM binary32), retrain the grid k-means, pair within cells with
+    * UNROUNDED cosine (list_cosine_similarity over DOUBLE[] is
+    * bit-identical to the sequential kernel — never round(x, 4),
+    * the shortest-decimal divergence class), resolve groups with the
+    * recursive min-label reach (the q_dedup_groups pattern). */
+  private def semanticDedupGridSql(c: Int, iters: Int, maxTrain: Int,
+      threshold: String): String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |twins AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    [x * 1.0001::REAL for x in embedding] AS embedding
+       |  FROM base WHERE vec_id % 10 = 0),
+       |corp AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+       |  UNION ALL
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM twins),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM corp),
+       |${gridKmeansChain(c, iters, maxTrain)},
+       |av AS MATERIALIZED (
+       |  SELECT a.cid, a.vec_id AS id, corp.v
+       |  FROM asgn a JOIN corp ON a.vec_id = corp.vec_id),
+       |e AS MATERIALIZED (
+       |  SELECT x.id AS doc_a, y.id AS doc_b
+       |  FROM av x JOIN av y ON x.cid = y.cid AND x.id < y.id
+       |  WHERE list_cosine_similarity(x.v, y.v) >= $threshold),
+       |nodes AS (SELECT doc_a AS id FROM e UNION SELECT doc_b FROM e),
+       |reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT id, id FROM nodes
+       |    UNION
+       |    SELECT r.a, CASE WHEN e.doc_a = r.b THEN e.doc_b ELSE e.doc_a END
+       |    FROM r JOIN e ON e.doc_a = r.b OR e.doc_b = r.b)
+       |  SELECT * FROM r),
+       |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
+       |SELECT component, count(*)::BIGINT AS n_members
+       |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def mixtureCapsSql(budget: Long, nLayers: Int): String = {
     val src =
@@ -2917,6 +2989,8 @@ object Pipeline {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_mmr_rerank" -> mmrSql(k = 10, poolSize = 128),
     "q_doc_clusters_grid" -> gridKmeansSql(c = 8, iters = 3, maxTrain = 256),
+    "q_semantic_dedup_grid" -> semanticDedupGridSql(c = 8, iters = 3,
+      maxTrain = 256, threshold = "0.999"),
     "q_multimodal_features" -> multimodalSql(maxBytes = 4096),
     // Exact overlap semantics replayed directly from per-source
     // distinct token sets (the oracle need not mirror the mask trick,

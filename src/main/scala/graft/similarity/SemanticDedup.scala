@@ -47,6 +47,30 @@ object SemanticDedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** [[clusterPairs]] on the ORACLE-EXACT grid quantizer
+    * ([[GridKmeans]]) with UNROUNDED cosine: `round(cos, 4)` sits in
+    * the shortest-decimal divergence class, while the raw sequential
+    * cosine kernel is bit-identical to DuckDB's
+    * `list_cosine_similarity` over DOUBLE[] — so the whole SemDeDup
+    * recipe (cluster → within-cell pairs → threshold) replays
+    * hash-exact. Same n²/c scale shape as the float path. */
+  def clusterPairsGrid(corpus: DataFrame, vecCol: String, idCol: String,
+      cents: Array[Array[Long]], threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val assigned = GridKmeans.assign(corpus, vecCol, idCol, cents)
+      .select(col("centroid_id"), col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+    val a = assigned.select(col("centroid_id"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("centroid_id"), col("id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(graft.functions.CosineSimExpr.cosineSim(
+        spark, col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Pairs → duplicate groups (connected components; component = min
     * member id = the representative a pipeline keeps). */
   def dupGroups(pairs: DataFrame): DataFrame =
