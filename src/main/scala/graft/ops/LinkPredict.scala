@@ -32,6 +32,18 @@ import org.apache.spark.sql.functions._
   * mirrors the `deg <= cap` filter, keeping the query hash-exact at
   * any cap.
   *
+  * Plan shape (the Triangles adjacency lesson applied to RA): group
+  * the capped adjacency per shared neighbor w (one Σ deg shuffle of
+  * the adjacency — never the Σ deg² wedge stream) and emit the
+  * C(deg,2) pairs MAP-SIDE from the collected neighbor list, so the
+  * pair stream reaches the final (u,v) exchange already partially
+  * aggregated. Per-row list size is bounded by the cap. The self-join
+  * form ([[raJoin]]) is kept for the equivalence spec and the
+  * same-session A/B (tools/AbLinkPredict, sf0.1: copurchase graph
+  * neutral at 0.63–0.65 s both forms; hub-skewed graph 0.72 s agg vs
+  * 0.84 s join — and the gap widens with hub degree, since the join
+  * form shuffles the raw wedge stream where this form pre-aggregates).
+  *
   * Scale shape (ScaleCheck `link_predict` family): on a hub-skewed
   * replication (disjoint graph copies PLUS a hub whose degree grows
   * with the factor) candidate rows grow ~linearly per doubling;
@@ -46,8 +58,6 @@ object LinkPredict {
     * count of this frame is the family's work metric. `edges` must be
     * canonical (src < dst, deduplicated). */
   def candidates(edges: DataFrame, degCap: Int = DefaultDegCap): DataFrame =
-    // Checkpointed: the adjacency feeds two self-join legs and the
-    // degree aggregate; AQE gives self-joins no exchange reuse.
     candidatesOn(edges.select(col("src"), col("dst")).localCheckpoint(true),
       degCap)
 
@@ -61,22 +71,52 @@ object LinkPredict {
       "left_anti")
   }
 
+  /** Aggregate-form core: per-w neighbor lists → map-side pair
+    * explode → one partially-aggregated (u, v) exchange. The pair
+    * weight through w is rw(w) for both wedge legs, so summing rw per
+    * emitted pair equals the join form's sum(a.rw) exactly. */
   private def candidatesOn(e: DataFrame, degCap: Int): DataFrame = {
     val adj = e.select(col("src").as("u"), col("dst").as("w"))
       .union(e.select(col("dst").as("u"), col("src").as("w")))
     val deg = adj.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("d"))
-    // Hub cap applied BEFORE the wedge join: wedges through a
-    // super-cap w never enter the shuffle.
+    // Hub cap applied BEFORE the per-w aggregate: super-cap neighbor
+    // lists are never collected.
+    val byW = adj.join(deg, col("w") === col("node"))
+      .where(col("d") <= lit(degCap))
+      .groupBy(col("w"), expr("1000000 div d").as("rw"))
+      .agg(sort_array(collect_list(col("u"))).as("us"))
+      .where(size(col("us")) >= 2)
+    byW
+      .select(col("rw"), explode(expr(
+        """flatten(transform(us,
+          |  x -> transform(filter(us, y -> y > x),
+          |       y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(sum(col("rw")).as("ra_micro"))
+  }
+
+  /** The self-join form (shuffle_hash on the shared neighbor) — kept
+    * as the A/B twin and the spec's independent reference plan;
+    * content-identical to [[ra]] (asserted in LinkPredictSpec and
+    * tools/AbLinkPredict). */
+  def raJoin(edges: DataFrame, degCap: Int = DefaultDegCap): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val adj = e.select(col("src").as("u"), col("dst").as("w"))
+      .union(e.select(col("dst").as("u"), col("src").as("w")))
+    val deg = adj.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("d"))
     val wadj = adj.join(deg, col("w") === col("node"))
       .where(col("d") <= lit(degCap))
       .select(col("u"), col("w"), expr("1000000 div d").as("rw"))
     // shuffle_hash: SMJ would sort the Θ(Σ deg²) wedge stream twice
     // (the q_triangles lesson).
-    wadj.as("a")
+    val cand = wadj.as("a")
       .join(wadj.as("b").hint("shuffle_hash"),
         col("a.w") === col("b.w") && col("a.u") < col("b.u"))
       .groupBy(col("a.u").as("u"), col("b.u").as("v"))
       .agg(sum(col("a.rw")).as("ra_micro"))
+    cand.join(e, cand("u") === e("src") && cand("v") === e("dst"),
+      "left_anti")
   }
 }

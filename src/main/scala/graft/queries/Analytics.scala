@@ -1942,10 +1942,13 @@ object Analytics {
     // 100× can't make the Σ deg(w)² candidate term quadratic; the cap
     // never binds on the test corpora (max degree 13 at sf0.1) and
     // the oracle mirrors the same deg <= cap filter, so the query is
-    // hash-exact at any cap. Wedge stream is shuffle_hash-joined (SMJ
-    // would sort it twice — the q_triangles lesson); existing edges
-    // leave via LEFT ANTI; top-20 by (score, u, v) is one
-    // TakeOrdered. Hub-skew scale curve: ScaleCheck link_predict.
+    // hash-exact at any cap. Pairs are emitted MAP-SIDE from per-w
+    // neighbor lists (the Triangles adjacency lesson — one Σ deg
+    // shuffle of the adjacency, the Σ deg² pair stream reaches its
+    // exchange partially aggregated; A/B vs the shuffle_hash self-join
+    // in ops/LinkPredict + tools/AbLinkPredict). Existing edges leave
+    // via LEFT ANTI; top-20 by (score, u, v) is one TakeOrdered.
+    // Hub-skew scale curve: ScaleCheck link_predict.
     "q_link_predict" -> ((s, dir) => {
       val e = copurchaseEdges(s, dir, minSupport = 2)
       graft.ops.LinkPredict.ra(e, degCap = 1024)

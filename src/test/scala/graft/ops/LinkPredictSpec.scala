@@ -53,6 +53,18 @@ class LinkPredictSpec extends SparkSpec {
     assert(want.size < uncapped.size)
   }
 
+  test("aggregate form and self-join form are content-identical") {
+    val hub = (11L to 16L).map(s => (s, 100L))
+    val e = (g ++ hub).toDF("src", "dst")
+    for (cap <- Seq(5, 1024)) {
+      val viaAgg = LinkPredict.ra(e, cap)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val viaJoin = LinkPredict.raJoin(e, cap)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(viaAgg == viaJoin, s"cap=$cap")
+    }
+  }
+
   test("candidate count through a super-cap hub is linear, not quadratic") {
     // hub with 40 spokes: uncapped candidates include C(40,2) = 780
     // spoke pairs; capped at 32 the hub is dropped and candidates
