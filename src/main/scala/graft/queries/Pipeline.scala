@@ -1842,6 +1842,69 @@ object Pipeline {
         documents(s, dir), "source", weights, budget = 300L)
     }),
 
+    // Epoch / repeat planning — the data-constrained-scaling question
+    // (Muennighoff et al. 2023): when the token budget EXCEEDS what a
+    // source holds, how many epochs of each source does the mixture
+    // take? Differs from q_mixture_caps (cross-ref) exactly there:
+    // caps are in REPEAT units (maxEpochs × supply, the
+    // diminishing-returns ceiling), the budget is 2× the corpus (so
+    // repeats are forced), and the output is the epoch DECOMPOSITION
+    // of each allocation (full epochs + remainder docs + repeat basis
+    // points). Same all-integer water-fill fixed point, so the same
+    // unrolled-CTE replay is hash-exact; only the per-source count is
+    // distributed work.
+    "q_epoch_plan" -> ((s, dir) => {
+      val maxEpochs = 4L
+      val counts = documents(s, dir).groupBy(col("source"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val budget = 2L * counts.map(_._2).sum
+      val rows = counts.map { case (src, n) =>
+        (src, maxEpochs * n,
+          if (src.stripPrefix("src").toInt % 2 == 0) 3L else 1L)
+      }
+      val alloc = graft.ops.WaterFill.allocate(rows.toSeq, budget)
+      import s.implicits._
+      counts.sortBy(_._1).map { case (src, n) =>
+        val a = alloc(src)
+        (src, n, a, a / n, a % n, a * 10000L / n)
+      }.toSeq.toDF("source", "n_docs", "alloc", "full_epochs",
+        "remainder_docs", "repeat_bp")
+    }),
+
+    // FORCAST readability (Caylor et al. 1973) — the readability
+    // formula built for NON-PROSE text (forms, listings, exactly this
+    // corpus: no sentence punctuation anywhere), so it needs only the
+    // monosyllabic-word density: grade = 20 − (mono per 150 words)/10,
+    // here on the exact micro grid 20e6 − 15e6·mono div words. A word
+    // is monosyllabic iff it has exactly ONE vowel-group ([aeiouy]+
+    // run). Mean word length rides along in milli-chars as the second
+    // complexity axis. One scan-stage pass per document (the lambda
+    // is bounded by document length); every emitted number is an
+    // exact integer.
+    "q_readability" -> ((s, dir) => {
+      spread(documents(s, dir))
+        .select(col("doc_id"),
+          expr("filter(split(trim(lower(text)), '\\\\s+'), w -> w <> '')")
+            .as("ws"))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .where(col("n_words") > 0)
+        .withColumn("n_mono", expr(
+          """aggregate(ws, 0L, (acc, w) -> acc +
+            |  IF(regexp_count(w, '[aeiouy]+') = 1, 1L, 0L))""".stripMargin))
+        .withColumn("sum_chars", expr(
+          "aggregate(ws, 0L, (acc, w) -> acc + CAST(length(w) AS BIGINT))"))
+        .select(col("doc_id"), col("n_words"), col("n_mono"),
+          expr("20000000L - 15000000L * n_mono div n_words")
+            .as("forcast_micro"),
+          expr("1000L * sum_chars div n_words").as("word_len_milli"))
+        .withColumn("band",
+          when(col("forcast_micro") < 10000000L, "easy")
+            .when(col("forcast_micro") < 16000000L, "medium")
+            .otherwise("hard"))
+        .orderBy(asc("doc_id"))
+    }),
+
     // Corpus snapshot diff — dataset versioning: added / removed /
     // changed / unchanged docs between two corpus versions, compared
     // by normalized-text hash so only 32-byte hashes (never text)
@@ -2296,20 +2359,12 @@ object Pipeline {
        |SELECT component, count(*)::BIGINT AS n_members
        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
 
-  private def mixtureCapsSql(budget: Long, nLayers: Int): String = {
-    val src =
-      """src AS (
-        |  SELECT source, count(*)::BIGINT AS cap,
-        |    (CASE WHEN substring(source, 4)::INT % 2 = 0
-        |          THEN 3 ELSE 1 END)::BIGINT AS wi
-        |  FROM documents GROUP BY 1)""".stripMargin
-    val s0 =
-      s"""s0 AS (
-         |  SELECT source, cap, wi, 0::BIGINT AS alloc,
-         |    (cap > 0 AND wi > 0) AS active,
-         |    least($budget, (SELECT sum(cap) FROM src))::BIGINT AS rem,
-         |    FALSE AS done
-         |  FROM src)""".stripMargin
+  /** The water-fill fixed-point layers shared by q_mixture_caps and
+    * q_epoch_plan: expect upstream CTEs `src(source, cap, wi, ...)`
+    * and `s0(source, cap, wi, alloc, active, rem, done)`; define
+    * s1..s$nLayers (each pass saturates >= 1 source or terminates, so
+    * nLayers >= |sources|+1 replays the driver loop exactly). */
+  private def waterFillLayersSql(nLayers: Int): String = {
     val layers = (1 to nLayers).map { i =>
       val p = i - 1
       s"""a$i AS (SELECT *,
@@ -2346,11 +2401,56 @@ object Pipeline {
          |       ELSE TRUE END AS done
          |  FROM c$i)""".stripMargin
     }.mkString(",\n")
+    layers
+  }
+
+  private def mixtureCapsSql(budget: Long, nLayers: Int): String = {
+    val src =
+      """src AS (
+        |  SELECT source, count(*)::BIGINT AS cap,
+        |    (CASE WHEN substring(source, 4)::INT % 2 = 0
+        |          THEN 3 ELSE 1 END)::BIGINT AS wi
+        |  FROM documents GROUP BY 1)""".stripMargin
+    val s0 =
+      s"""s0 AS (
+         |  SELECT source, cap, wi, 0::BIGINT AS alloc,
+         |    (cap > 0 AND wi > 0) AS active,
+         |    least($budget, (SELECT sum(cap) FROM src))::BIGINT AS rem,
+         |    FALSE AS done
+         |  FROM src)""".stripMargin
     // window sums (handed/sat_used) are HUGEINT — alloc touches them,
     // so pin the emitted type or pandas renders it float
-    s"WITH $src,\n$s0,\n$layers\n" +
+    s"WITH $src,\n$s0,\n${waterFillLayersSql(nLayers)}\n" +
       s"SELECT source, cap AS supply, wi AS weight, alloc::BIGINT AS alloc " +
       s"FROM s$nLayers ORDER BY source"
+  }
+
+  /** q_epoch_plan oracle: the same water-fill replay with caps in
+    * REPEAT units (maxEpochs x supply) and a 2x-corpus budget, then
+    * the epoch decomposition of each allocation. */
+  private def epochPlanSql(maxEpochs: Long, nLayers: Int): String = {
+    val src =
+      s"""src AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    ($maxEpochs * count(*))::BIGINT AS cap,
+         |    (CASE WHEN substring(source, 4)::INT % 2 = 0
+         |          THEN 3 ELSE 1 END)::BIGINT AS wi
+         |  FROM documents GROUP BY 1)""".stripMargin
+    val s0 =
+      """s0 AS (
+        |  SELECT source, cap, wi, 0::BIGINT AS alloc,
+        |    (cap > 0 AND wi > 0) AS active,
+        |    least((SELECT 2 * sum(n_docs) FROM src),
+        |          (SELECT sum(cap) FROM src))::BIGINT AS rem,
+        |    FALSE AS done
+        |  FROM src)""".stripMargin
+    s"WITH $src,\n$s0,\n${waterFillLayersSql(nLayers)}\n" +
+      s"""SELECT s.source, r.n_docs, s.alloc::BIGINT AS alloc,
+         |  (s.alloc // r.n_docs)::BIGINT AS full_epochs,
+         |  (s.alloc % r.n_docs)::BIGINT AS remainder_docs,
+         |  (s.alloc * 10000 // r.n_docs)::BIGINT AS repeat_bp
+         |FROM s$nLayers s JOIN src r USING (source)
+         |ORDER BY s.source""".stripMargin
   }
 
   /** q_rank_rbo oracle: BM25 scoring replayed via the q_bm25 CTEs,
@@ -2434,6 +2534,29 @@ object Pipeline {
 
   def oracle: Map[String, String] = Map(
     "q_mixture_caps" -> mixtureCapsSql(budget = 300L, nLayers = 21),
+    "q_epoch_plan" -> epochPlanSql(maxEpochs = 4L, nLayers = 21),
+    "q_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      w -> w <> '') AS ws
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |    list_sum(list_transform(ws, w -> CASE
+        |      WHEN len(regexp_extract_all(w, '[aeiouy]+')) = 1
+        |      THEN 1 ELSE 0 END))::BIGINT AS n_mono,
+        |    list_sum(list_transform(ws, w -> length(w)))::BIGINT AS sum_chars
+        |  FROM t WHERE len(ws) > 0)
+        |SELECT doc_id, n_words, n_mono,
+        |  (20000000 - 15000000 * n_mono // n_words)::BIGINT AS forcast_micro,
+        |  (1000 * sum_chars // n_words)::BIGINT AS word_len_milli,
+        |  CASE WHEN (20000000 - 15000000 * n_mono // n_words) < 10000000
+        |         THEN 'easy'
+        |       WHEN (20000000 - 15000000 * n_mono // n_words) < 16000000
+        |         THEN 'medium'
+        |       ELSE 'hard' END AS band
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_rank_rbo" -> rboSql(depth = 20),
     "q_interleave_sources" ->
       """WITH r AS (

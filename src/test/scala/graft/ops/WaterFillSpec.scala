@@ -81,4 +81,25 @@ class WaterFillSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 40L)
     assert(out("c")._3 === 20L) // weight 2 of 4
   }
+
+  test("epoch plan: allocations decompose into bounded epochs, budget exact") {
+    val rows = graft.SparkEntry.queries("q_epoch_plan")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val totalDocs = rows.map(_._2).sum
+    // budget is 2x the corpus and caps (4 epochs) leave headroom, so
+    // the whole budget lands
+    assert(rows.map(_._3).sum === 2L * totalDocs)
+    rows.foreach { case (src, n, alloc, full, rem, bp) =>
+      assert(alloc === full * n + rem, src)
+      assert(rem >= 0L && rem < n, src)
+      assert(full <= 4L, src) // the maxEpochs repeat ceiling
+      assert(bp === alloc * 10000L / n, src)
+    }
+    // some source actually repeats: the budget is 2x total supply,
+    // so at least one allocation must exceed its source's doc count
+    assert(rows.exists(_._4 >= 1L), "no source repeated under a 2x budget")
+  }
 }
