@@ -1334,6 +1334,38 @@ object Pipeline {
         .orderBy(asc("component"))
     }),
 
+    // ANN-through-an-index, ORACLE-EXACT end to end: IVF on the grid
+    // quantizer — GridKmeans cells (the oracle retrains them), probe
+    // the 2 nearest cells to the query (integer distance, driver
+    // arithmetic over the bounded centroid array), rank candidates by
+    // INTEGER DOT PRODUCT on the quantized grid (ties by id). Same
+    // partition-pruning shape as the float IVF (q_ann_ivf cross-ref:
+    // cells prune WHICH rows scan); every number DuckDB sees is an
+    // exact integer, so index training, probe selection, candidate
+    // set, and ranking all replay hash-exact.
+    "q_ann_ivf_grid" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val corpus = spread(emb.where(col("vec_id") =!= 0))
+      val cents = graft.similarity.GridKmeans.centroids(
+        corpus, "embedding", "vec_id", c = 8, iters = 3, maxTrain = 256)
+      val assigned = graft.similarity.GridKmeans.assign(
+        corpus, "embedding", "vec_id", cents)
+      val qv = graft.similarity.GridKmeans.quantizeVec(
+        emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray)
+      val cells = graft.similarity.GridKmeans.probeCells(qv, cents,
+        nprobe = 2)
+      assigned.where(col("centroid_id").isin(cells: _*))
+        .withColumn("__qv", graft.similarity.GridKmeans.quantize(
+          col("embedding")))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("__qv"), typedLit(qv.toSeq),
+            (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot_q"))
+        .orderBy(desc("dot_q"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // IVF-PQ composed index (approximate; rows-only — all-cells ≡
     // refined-PQ equivalence and small-nprobe recall asserted in
     // IvfPqSpec): cells prune WHICH rows scan, codes shrink WHAT
@@ -2404,6 +2436,33 @@ object Pipeline {
     layers
   }
 
+  /** q_ann_ivf_grid oracle: retrain the grid k-means on the corpus
+    * (query vector excluded), pick the `nprobe` nearest cells to the
+    * quantized query (integer distance, ties by cid), rank the probed
+    * cells' vectors by integer dot product (ties by id). */
+  private def annIvfGridSql(c: Int, iters: Int, maxTrain: Int,
+      nprobe: Int, k: Int): String =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings WHERE vec_id <> 0),
+       |${gridKmeansChain(c, iters, maxTrain)},
+       |q0 AS (
+       |  SELECT list_transform(embedding::DOUBLE[],
+       |    x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cc.cid FROM c$iters cc, q0
+       |  ORDER BY ${gridDist("q0.qv", "cc.qc")}, cc.cid LIMIT $nprobe)
+       |SELECT a.vec_id,
+       |  list_sum(list_transform(range(1, 65),
+       |    i -> q.qv[i] * q0.qv[i]))::BIGINT AS dot_q
+       |FROM asgn a
+       |JOIN probe p ON a.cid = p.cid
+       |JOIN q ON a.vec_id = q.vec_id, q0
+       |ORDER BY dot_q DESC, a.vec_id LIMIT $k""".stripMargin
+
   private def mixtureCapsSql(budget: Long, nLayers: Int): String = {
     val src =
       """src AS (
@@ -3114,6 +3173,8 @@ object Pipeline {
     "q_doc_clusters_grid" -> gridKmeansSql(c = 8, iters = 3, maxTrain = 256),
     "q_semantic_dedup_grid" -> semanticDedupGridSql(c = 8, iters = 3,
       maxTrain = 256, threshold = "0.999"),
+    "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,
+      nprobe = 2, k = 10),
     "q_multimodal_features" -> multimodalSql(maxBytes = 4096),
     // Exact overlap semantics replayed directly from per-source
     // distinct token sets (the oracle need not mirror the mask trick,

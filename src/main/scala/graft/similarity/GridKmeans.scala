@@ -87,6 +87,22 @@ object GridKmeans {
     cents
   }
 
+  /** Driver-side quantization of one vector (the query side of a
+    * probe — same floor-once grid as [[quantize]]). */
+  def quantizeVec(v: Array[Double]): Array[Long] =
+    v.map(x => math.floor(x * 1000000.0).toLong)
+
+  /** The `nprobe` nearest centroids to a quantized query — integer
+    * squared distance, ties to the lower cell id. Pure driver
+    * arithmetic over the bounded centroid array. */
+  def probeCells(qv: Array[Long], cents: Array[Array[Long]],
+      nprobe: Int): Seq[Long] =
+    cents.zipWithIndex.map { case (cv, ci) =>
+      var d = 0L; var i = 0
+      while (i < qv.length) { val t = qv(i) - cv(i); d += t * t; i += 1 }
+      (d, ci.toLong)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
   /** One distributed pass: nearest grid centroid per corpus row.
     * Centroids ride the plan as literals; the packed `dist·c + cid`
     * argmin makes the tie rule part of the expression. */
