@@ -1366,6 +1366,28 @@ object Pipeline {
         .limit(10)
     }),
 
+    // PQ + ADC, ORACLE-EXACT end to end (similarity/GridPq): the
+    // compressed ANN tier on the integer grid — one bounded sample
+    // collect feeds all 8 per-subspace codebook trainings (driver
+    // loops over sample slices), one distributed encode pass with the
+    // codebooks as literals, and the ADC scan touches CODES plus a
+    // literal LUT only (never raw vectors). DuckDB retrains all 8
+    // codebooks, re-encodes, rebuilds the LUTs, and replays the
+    // ranking bit-for-bit. Float q_ann_pq stays the production path.
+    "q_ann_pq_grid" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val rest = spread(emb.where(col("vec_id") =!= 0))
+      val model = graft.similarity.GridPq.train(rest, "embedding",
+        "vec_id", m = 8, ksub = 16, iters = 2, maxTrain = 256)
+      val enc = graft.similarity.GridPq.encode(rest, "embedding",
+        "vec_id", model)
+      val qv = graft.similarity.GridKmeans.quantizeVec(
+        emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray)
+      graft.similarity.GridPq.adcTopK(enc, "vec_id", qv, model, k = 10)
+    }),
+
     // IVF-PQ composed index (approximate; rows-only — all-cells ≡
     // refined-PQ equivalence and small-nprobe recall asserted in
     // IvfPqSpec): cells prune WHICH rows scan, codes shrink WHAT
@@ -2463,6 +2485,78 @@ object Pipeline {
        |JOIN q ON a.vec_id = q.vec_id, q0
        |ORDER BY dot_q DESC, a.vec_id LIMIT $k""".stripMargin
 
+  /** q_ann_pq_grid oracle: retrain all `m` per-subspace grid
+    * codebooks from the SHARED md5-rank sample (subvectors via
+    * offset indexing — no slices inside lambdas), re-encode the
+    * corpus, rebuild the per-subspace query LUTs, and replay the ADC
+    * ranking. Everything is exact integers after the floor-once
+    * quantization. */
+  private def annPqGridSql(m: Int, ksub: Int, iters: Int, maxTrain: Int,
+      k: Int): String = {
+    val dsub = 64 / m
+    def dOff(a: String, b: String, off: Int) =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), " +
+        s"i -> ($a[$off + i]-$b[i])*($a[$off + i]-$b[i])))"
+    val subs = (0 until m).map { j =>
+      val off = j * dsub
+      val c0 =
+        s"""p${j}c0 AS MATERIALIZED (
+           |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+           |    list_transform(range(1, ${dsub + 1}), i -> qv[$off + i]) AS qc
+           |  FROM (SELECT vec_id, qv FROM samp ORDER BY vec_id LIMIT $ksub))""".stripMargin
+      val layers = (1 to iters).map { t =>
+        s"""p${j}a$t AS MATERIALIZED (
+           |  SELECT s.vec_id,
+           |    arg_min(c.cid, ${dOff("s.qv", "c.qc", off)}*$ksub + c.cid) AS cid
+           |  FROM samp s, p${j}c${t - 1} c GROUP BY s.vec_id),
+           |p${j}u$t AS MATERIALIZED (
+           |  SELECT cid, list(mm ORDER BY i) AS qc FROM (
+           |    SELECT a.cid, t.i,
+           |      (sum(s.qv[$off + t.i])::BIGINT // count(*)::BIGINT) AS mm
+           |    FROM p${j}a$t a JOIN samp s USING (vec_id), range(1, ${dsub + 1}) t(i)
+           |    GROUP BY a.cid, t.i)
+           |  GROUP BY cid),
+           |p${j}c$t AS MATERIALIZED (
+           |  SELECT p.cid, coalesce(u.qc, p.qc) AS qc
+           |  FROM p${j}c${t - 1} p LEFT JOIN p${j}u$t u ON p.cid = u.cid)""".stripMargin
+      }.mkString(",\n")
+      val enc =
+        s"""p${j}e AS MATERIALIZED (
+           |  SELECT q.vec_id,
+           |    arg_min(c.cid, ${dOff("q.qv", "c.qc", off)}*$ksub + c.cid) AS code
+           |  FROM q, p${j}c$iters c GROUP BY q.vec_id)""".stripMargin
+      val lut =
+        s"""p${j}l AS MATERIALIZED (
+           |  SELECT c.cid, ${dOff("q0.qv", "c.qc", off)} AS d
+           |  FROM p${j}c$iters c, q0)""".stripMargin
+      Seq(c0, layers, enc, lut).mkString(",\n")
+    }.mkString(",\n")
+    val encJoins = (1 until m).map(j =>
+      s"JOIN p${j}e e$j ON e$j.vec_id = e0.vec_id").mkString("\n")
+    val lutJoins = (0 until m).map(j =>
+      s"JOIN p${j}l l$j ON l$j.cid = e$j.code").mkString("\n")
+    val adc = (0 until m).map(j => s"l$j.d").mkString(" + ")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings WHERE vec_id <> 0),
+       |samp AS MATERIALIZED (
+       |  SELECT vec_id, qv FROM q
+       |  ORDER BY substring(md5(vec_id::VARCHAR), 1, 13), vec_id
+       |  LIMIT $maxTrain),
+       |q0 AS MATERIALIZED (
+       |  SELECT list_transform(embedding::DOUBLE[],
+       |    x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |$subs
+       |SELECT e0.vec_id, ($adc)::BIGINT AS adc_q
+       |FROM p0e e0
+       |$encJoins
+       |$lutJoins
+       |ORDER BY adc_q, e0.vec_id LIMIT $k""".stripMargin
+  }
+
   private def mixtureCapsSql(budget: Long, nLayers: Int): String = {
     val src =
       """src AS (
@@ -3175,6 +3269,8 @@ object Pipeline {
       maxTrain = 256, threshold = "0.999"),
     "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,
       nprobe = 2, k = 10),
+    "q_ann_pq_grid" -> annPqGridSql(m = 8, ksub = 16, iters = 2,
+      maxTrain = 256, k = 10),
     "q_multimodal_features" -> multimodalSql(maxBytes = 4096),
     // Exact overlap semantics replayed directly from per-source
     // distinct token sets (the oracle need not mirror the mask trick,

@@ -41,19 +41,34 @@ object GridKmeans {
     transform(vecCol.cast("array<double>"),
       x => floor(x * lit(1000000.0)).cast("long"))
 
-  /** Train on the md5-rank-bounded sample; returns `c` centroids on
-    * the integer grid (index = centroid id). */
-  def centroids(corpus: DataFrame, vecCol: String, idCol: String,
-      c: Int, iters: Int, maxTrain: Int): Array[Array[Long]] = {
+  /** The md5-rank-bounded quantized training sample — shared by the
+    * whole-vector k-means and the per-subspace PQ codebooks
+    * ([[GridPq]]), which slice it driver-side instead of re-running
+    * the sampling job per subspace. */
+  def collectSample(corpus: DataFrame, vecCol: String, idCol: String,
+      maxTrain: Int): Array[(Long, Array[Long])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample: Array[(Long, Array[Long])] = corpus
+    val sample = corpus
       .orderBy(substring(md5(col(idCol).cast("string")), 1, 13),
         col(idCol))
       .limit(maxTrain)
       .select(col(idCol).cast("long"), quantize(col(vecCol)))
       .as[(Long, Array[Long])].collect()
     require(sample.nonEmpty, "empty training sample")
+    sample
+  }
+
+  /** Train on the md5-rank-bounded sample; returns `c` centroids on
+    * the integer grid (index = centroid id). */
+  def centroids(corpus: DataFrame, vecCol: String, idCol: String,
+      c: Int, iters: Int, maxTrain: Int): Array[Array[Long]] =
+    kmeansOnGrid(collectSample(corpus, vecCol, idCol, maxTrain), c, iters)
+
+  /** The driver-side integer k-means core over a pre-collected
+    * sample (c·iters·|sample|·dim integer ops). */
+  def kmeansOnGrid(sample: Array[(Long, Array[Long])], c: Int,
+      iters: Int): Array[Array[Long]] = {
     val train = sample.map(_._2)
     val dim = train(0).length
     // seeds: the c id-smallest sample vectors, centroid id = seed rank
