@@ -1388,6 +1388,46 @@ object Pipeline {
       graft.similarity.GridPq.adcTopK(enc, "vec_id", qv, model, k = 10)
     }),
 
+    // The COMPOSED index, oracle-exact: IVF grid cells prune WHICH
+    // rows scan (probe = 2 nearest cells), grid-PQ codes shrink WHAT
+    // scans (ADC over codes + literal LUT, overfetch 4k), and the
+    // refine re-scores survivors by exact integer dot product — the
+    // full faiss IVF-PQ shape with every stage replayable (DuckDB
+    // retrains both quantizers, restricts candidates, re-encodes,
+    // replays ADC and the refine). Float q_ann_ivfpq stays the
+    // production path.
+    "q_ann_ivfpq_grid" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      // four consumers (two trainings, assign, refine): checkpoint
+      val rest = spread(emb.where(col("vec_id") =!= 0))
+        .localCheckpoint(true)
+      val cents = graft.similarity.GridKmeans.centroids(rest,
+        "embedding", "vec_id", c = 8, iters = 3, maxTrain = 256)
+      val model = graft.similarity.GridPq.train(rest, "embedding",
+        "vec_id", m = 8, ksub = 16, iters = 2, maxTrain = 256)
+      val qv = graft.similarity.GridKmeans.quantizeVec(
+        emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray)
+      val cells = graft.similarity.GridKmeans.probeCells(qv, cents,
+        nprobe = 2)
+      val cand = graft.similarity.GridKmeans.assign(rest, "embedding",
+          "vec_id", cents)
+        .where(col("centroid_id").isin(cells: _*))
+      val enc = graft.similarity.GridPq.encode(cand, "embedding",
+        "vec_id", model)
+      val short = graft.similarity.GridPq.adcTopK(enc, "vec_id", qv,
+        model, k = 40)
+      rest.join(short.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .withColumn("__qv", graft.similarity.GridKmeans.quantize(
+          col("embedding")))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("__qv"), typedLit(qv.toSeq),
+            (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot_q"))
+        .orderBy(desc("dot_q"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // IVF-PQ composed index (approximate; rows-only — all-cells ≡
     // refined-PQ equivalence and small-nprobe recall asserted in
     // IvfPqSpec): cells prune WHICH rows scan, codes shrink WHAT
@@ -2491,13 +2531,18 @@ object Pipeline {
     * corpus, rebuild the per-subspace query LUTs, and replay the ADC
     * ranking. Everything is exact integers after the floor-once
     * quantization. */
-  private def annPqGridSql(m: Int, ksub: Int, iters: Int, maxTrain: Int,
-      k: Int): String = {
+  /** The per-subspace PQ CTE chains shared by q_ann_pq_grid and
+    * q_ann_ivfpq_grid: expect upstream `samp(vec_id, qv)`, a full
+    * `$encSrc(vec_id, qv)` source to encode, and `q0(qv)`; define
+    * p{j}c0..c$iters (codebooks), p{j}e (codes of $encSrc) and
+    * p{j}l (query LUT) for each subspace j. */
+  private def pqSubspaceChains(m: Int, ksub: Int, iters: Int,
+      encSrc: String): String = {
     val dsub = 64 / m
     def dOff(a: String, b: String, off: Int) =
       s"list_sum(list_transform(range(1, ${dsub + 1}), " +
         s"i -> ($a[$off + i]-$b[i])*($a[$off + i]-$b[i])))"
-    val subs = (0 until m).map { j =>
+    (0 until m).map { j =>
       val off = j * dsub
       val c0 =
         s"""p${j}c0 AS MATERIALIZED (
@@ -2524,18 +2569,28 @@ object Pipeline {
         s"""p${j}e AS MATERIALIZED (
            |  SELECT q.vec_id,
            |    arg_min(c.cid, ${dOff("q.qv", "c.qc", off)}*$ksub + c.cid) AS code
-           |  FROM q, p${j}c$iters c GROUP BY q.vec_id)""".stripMargin
+           |  FROM $encSrc q, p${j}c$iters c GROUP BY q.vec_id)""".stripMargin
       val lut =
         s"""p${j}l AS MATERIALIZED (
            |  SELECT c.cid, ${dOff("q0.qv", "c.qc", off)} AS d
            |  FROM p${j}c$iters c, q0)""".stripMargin
       Seq(c0, layers, enc, lut).mkString(",\n")
     }.mkString(",\n")
+  }
+
+  private def pqAdcSelect(m: Int): (String, String, String) = {
     val encJoins = (1 until m).map(j =>
       s"JOIN p${j}e e$j ON e$j.vec_id = e0.vec_id").mkString("\n")
     val lutJoins = (0 until m).map(j =>
       s"JOIN p${j}l l$j ON l$j.cid = e$j.code").mkString("\n")
     val adc = (0 until m).map(j => s"l$j.d").mkString(" + ")
+    (encJoins, lutJoins, adc)
+  }
+
+  private def annPqGridSql(m: Int, ksub: Int, iters: Int, maxTrain: Int,
+      k: Int): String = {
+    val subs = pqSubspaceChains(m, ksub, iters, encSrc = "q")
+    val (encJoins, lutJoins, adc) = pqAdcSelect(m)
     s"""WITH q AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding::DOUBLE[],
@@ -2555,6 +2610,46 @@ object Pipeline {
        |$encJoins
        |$lutJoins
        |ORDER BY adc_q, e0.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** q_ann_ivfpq_grid oracle: the composed index replay — IVF chain
+    * (cells + probe), candidate restriction to the probed cells, PQ
+    * chains encoding ONLY the candidates, ADC overfetch, and the
+    * exact integer-dot refine of the survivors. */
+  private def annIvfPqGridSql(c: Int, ivfIters: Int, m: Int, ksub: Int,
+      pqIters: Int, maxTrain: Int, nprobe: Int, k: Int,
+      overfetch: Int): String = {
+    val subs = pqSubspaceChains(m, ksub, pqIters, encSrc = "candq")
+    val (encJoins, lutJoins, adc) = pqAdcSelect(m)
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings WHERE vec_id <> 0),
+       |${gridKmeansChain(c, ivfIters, maxTrain)},
+       |q0 AS MATERIALIZED (
+       |  SELECT list_transform(embedding::DOUBLE[],
+       |    x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cc.cid FROM c$ivfIters cc, q0
+       |  ORDER BY ${gridDist("q0.qv", "cc.qc")}, cc.cid LIMIT $nprobe),
+       |candq AS MATERIALIZED (
+       |  SELECT q.vec_id, q.qv FROM q
+       |  JOIN asgn a ON a.vec_id = q.vec_id
+       |  JOIN probe p ON a.cid = p.cid),
+       |$subs,
+       |shortl AS MATERIALIZED (
+       |  SELECT e0.vec_id, ($adc)::BIGINT AS adc_q
+       |  FROM p0e e0
+       |  $encJoins
+       |  $lutJoins
+       |  ORDER BY adc_q, e0.vec_id LIMIT ${k * overfetch})
+       |SELECT q.vec_id,
+       |  list_sum(list_transform(range(1, 65),
+       |    i -> q.qv[i] * q0.qv[i]))::BIGINT AS dot_q
+       |FROM shortl JOIN q ON q.vec_id = shortl.vec_id, q0
+       |ORDER BY dot_q DESC, q.vec_id LIMIT $k""".stripMargin
   }
 
   private def mixtureCapsSql(budget: Long, nLayers: Int): String = {
@@ -3271,6 +3366,9 @@ object Pipeline {
       nprobe = 2, k = 10),
     "q_ann_pq_grid" -> annPqGridSql(m = 8, ksub = 16, iters = 2,
       maxTrain = 256, k = 10),
+    "q_ann_ivfpq_grid" -> annIvfPqGridSql(c = 8, ivfIters = 3, m = 8,
+      ksub = 16, pqIters = 2, maxTrain = 256, nprobe = 2, k = 10,
+      overfetch = 4),
     "q_multimodal_features" -> multimodalSql(maxBytes = 4096),
     // Exact overlap semantics replayed directly from per-source
     // distinct token sets (the oracle need not mirror the mask trick,
