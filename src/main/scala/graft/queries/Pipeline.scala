@@ -157,6 +157,26 @@ object Pipeline {
         .orderBy(asc("centroid_id"))
     }),
 
+    // Cluster-BALANCED exact-k subsample: the diversity-preserving
+    // downsample (equal representation per semantic cluster — the
+    // SemDeDup-adjacent curation recipe) as a pure composition of two
+    // oracle-exact pieces: GridKmeans assignment (DuckDB retrains the
+    // index) + per-cluster deterministic exact-k (52-bit md5 order
+    // through the bounded-heap TopK — ≤ k rows per (cluster,
+    // partition) through the shuffle, never a window over the
+    // cluster). A plain uniform sample would mirror the cluster-size
+    // skew; this caps every cluster at k.
+    "q_cluster_sample" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = graft.similarity.GridKmeans.centroids(
+        emb, "embedding", "vec_id", c = 8, iters = 3, maxTrain = 256)
+      val assigned = graft.similarity.GridKmeans.assign(
+        spread(emb), "embedding", "vec_id", cents)
+      graft.ops.Sampling.groupedExactK(assigned, "centroid_id",
+          "vec_id", k = 10)
+        .orderBy(asc("centroid_id"), asc("rk"))
+    }),
+
     // Domain/language mixture reweighting: per-language sampling
     // weight = target fraction / actual fraction — the knob a pipeline
     // turns to hit a target training mixture. One aggregation; the
@@ -430,6 +450,19 @@ object Pipeline {
     // cross-engine exactness.
     "q_lm_bigram" -> ((s, dir) => {
       graft.text.LangModel.bigramDocScore(documents(s, dir), "text", "doc_id")
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Interpolated Kneser–Ney trigram perplexity (text/LangModel):
+    // the real KenLM-style gate — model trained on the md5-fold TRAIN
+    // slice only, every doc scored, so held-fold docs hit genuinely
+    // UNSEEN trigrams and the discount/continuation backoff does real
+    // work (q_lm_bigram's self-trained MLE never sees a zero). All
+    // integer counts into one mirrored double chain; per-token terms
+    // floored once to micro-nats, integer-summed (divergence rule).
+    "q_perplexity_kn" -> ((s, dir) => {
+      graft.text.LangModel.knTrigramDocScores(
+          documents(s, dir), "text", "doc_id", folds = 5, heldFold = 0)
         .orderBy(asc("doc_id"))
     }),
 
@@ -3129,6 +3162,72 @@ object Pipeline {
         |  round(avg(c_bigram::DOUBLE / c_start), 4) AS avg_bigram_prob
         |FROM bb JOIN cb USING (bigram) JOIN cs USING (prev)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Full KN replay: DuckDB retrains the trigram model on the same
+    // md5-fold train slice and mirrors the probability chain SHAPE
+    // for shape (every count ::DOUBLE before arithmetic — BIGINT -
+    // DECIMAL would compute in decimal, not IEEE; ln+floor-once to
+    // micro-nats per term, integer sums; `//` on the nonneg total).
+    "q_perplexity_kn" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 5 AS fold,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |tri AS MATERIALIZED (
+        |  SELECT doc_id, fold,
+        |    unnest(w[1:len(w)-2]) AS u,
+        |    unnest(w[2:len(w)-1]) AS v,
+        |    unnest(w[3:len(w)]) AS w3
+        |  FROM tok WHERE len(w) >= 3),
+        |g3 AS MATERIALIZED (
+        |  SELECT u, v, w3, count(*)::BIGINT AS c3 FROM tri
+        |  WHERE fold <> 0 GROUP BY 1, 2, 3),
+        |ctx2 AS MATERIALIZED (
+        |  SELECT u, v, sum(c3)::BIGINT AS c2tot, count(*)::BIGINT AS n1p_uv
+        |  FROM g3 GROUP BY 1, 2),
+        |mid AS MATERIALIZED (
+        |  SELECT v, w3, count(*)::BIGINT AS n1p_vw FROM g3 GROUP BY 1, 2),
+        |ctxv AS MATERIALIZED (
+        |  SELECT v, sum(n1p_vw)::BIGINT AS n1p_dvd,
+        |    count(*)::BIGINT AS n1p_vc
+        |  FROM mid GROUP BY 1),
+        |uni AS MATERIALIZED (
+        |  SELECT w3, count(*)::BIGINT AS n1p_dw FROM mid GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n1p_dw)::BIGINT AS t_types, count(*)::BIGINT AS v_size
+        |  FROM uni),
+        |j AS (
+        |  SELECT t.doc_id, t.fold, g3.c3, ctx2.c2tot, ctx2.n1p_uv,
+        |    mid.n1p_vw, ctxv.n1p_dvd, ctxv.n1p_vc, uni.n1p_dw,
+        |    tot.t_types, tot.v_size
+        |  FROM tri t
+        |  LEFT JOIN g3 ON t.u = g3.u AND t.v = g3.v AND t.w3 = g3.w3
+        |  LEFT JOIN ctx2 ON t.u = ctx2.u AND t.v = ctx2.v
+        |  LEFT JOIN mid ON t.v = mid.v AND t.w3 = mid.w3
+        |  LEFT JOIN ctxv ON t.v = ctxv.v
+        |  LEFT JOIN uni ON t.w3 = uni.w3
+        |  CROSS JOIN tot),
+        |s1 AS (SELECT *,
+        |  (coalesce(n1p_dw, 0)::DOUBLE + 1.0) /
+        |    (t_types::DOUBLE + v_size::DOUBLE + 1.0) AS p1 FROM j),
+        |s2 AS (SELECT *,
+        |  CASE WHEN n1p_dvd IS NOT NULL THEN
+        |    greatest(coalesce(n1p_vw, 0)::DOUBLE - 0.75, 0.0)
+        |      / n1p_dvd::DOUBLE
+        |    + 0.75 * n1p_vc::DOUBLE / n1p_dvd::DOUBLE * p1
+        |  ELSE p1 END AS p2 FROM s1),
+        |s3 AS (SELECT *,
+        |  CASE WHEN c2tot IS NOT NULL THEN
+        |    greatest(coalesce(c3, 0)::DOUBLE - 0.75, 0.0)
+        |      / c2tot::DOUBLE
+        |    + 0.75 * n1p_uv::DOUBLE / c2tot::DOUBLE * p2
+        |  ELSE p2 END AS p3 FROM s2),
+        |t2 AS (SELECT doc_id, fold,
+        |  floor(ln(p3) * 1000000.0)::BIGINT AS nat_u FROM s3)
+        |SELECT doc_id, fold, count(*)::BIGINT AS n_trigrams,
+        |  (-sum(nat_u))::BIGINT AS nll_micro,
+        |  ((-sum(nat_u)) // count(*))::BIGINT AS ppl_micro
+        |FROM t2 GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT token AS item, count(*) AS est_count, 0::BIGINT AS max_err
         |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -3360,6 +3459,28 @@ object Pipeline {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_mmr_rerank" -> mmrSql(k = 10, poolSize = 128),
     "q_doc_clusters_grid" -> gridKmeansSql(c = 8, iters = 3, maxTrain = 256),
+    // Retrain the grid index, then replay the per-cluster md5 exact-k
+    // (13-hex numeric order == string order, but the Spark side ranks
+    // the NUMERIC draw through TopK — mirror it as ::BIGINT::DOUBLE).
+    "q_cluster_sample" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> floor(x*1000000.0)::BIGINT) AS qv
+         |  FROM embeddings),
+         |${gridKmeansChain(c = 8, iters = 3, maxTrain = 256)},
+         |u AS (
+         |  SELECT cid, vec_id,
+         |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 13))::BIGINT::DOUBLE
+         |      AS draw
+         |  FROM asgn),
+         |r AS (
+         |  SELECT cid, vec_id,
+         |    row_number() OVER (PARTITION BY cid ORDER BY draw, vec_id)::INT
+         |      AS rk
+         |  FROM u)
+         |SELECT cid AS centroid_id, vec_id, rk FROM r WHERE rk <= 10
+         |ORDER BY centroid_id, rk""".stripMargin,
     "q_semantic_dedup_grid" -> semanticDedupGridSql(c = 8, iters = 3,
       maxTrain = 256, threshold = "0.999"),
     "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,

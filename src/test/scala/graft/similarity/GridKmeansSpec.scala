@@ -57,4 +57,31 @@ class GridKmeansSpec extends SparkSpec {
     assert(cents(0).toSeq == Seq(33333L, 33333L)) // (0+0+100000)/3
     assert(cents(2).toSeq == Seq(9033333L, 9033333L)) // 27099999/3
   }
+
+  test("cluster-balanced sample: exact-k per cluster, ids from that cluster") {
+    // the q_cluster_sample composition: GridKmeans assignment +
+    // per-cluster deterministic md5 exact-k (ops/Sampling)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cents = GridKmeans.centroids(emb, "embedding", "vec_id",
+      c = 4, iters = 2, maxTrain = 128)
+    val assigned = GridKmeans.assign(emb, "embedding", "vec_id", cents)
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val byCluster = assigned.select(col("centroid_id").cast("long"),
+        col("vec_id").cast("long"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val k = 5
+    val got = graft.ops.Sampling.groupedExactK(assigned, "centroid_id",
+        "vec_id", k)
+      .select(col("centroid_id").cast("long"), col("vec_id").cast("long"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == sizes.keySet.filter(sizes(_) > 0))
+    got.foreach { case (cid, ids) =>
+      assert(ids.size == math.min(k.toLong, sizes(cid)), s"cluster $cid")
+      assert(ids.subsetOf(byCluster(cid)), s"cluster $cid sample leaks")
+    }
+  }
 }
