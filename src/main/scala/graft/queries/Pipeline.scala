@@ -177,6 +177,18 @@ object Pipeline {
         .orderBy(asc("centroid_id"), asc("rk"))
     }),
 
+    // eps-DP dataset-card release (ops/Privacy): per-(lang, source)
+    // doc counts + deterministic Laplace(1/eps) noise from the 52-bit
+    // md5 uniform, floored once to micro-units; small groups suppress
+    // on the NOISY value (thresholding on the true count would leak
+    // it). Deterministic noise = one sample per statistic ever
+    // released, and the oracle replays the whole mechanism.
+    "q_dp_release" -> ((s, dir) => {
+      graft.ops.Privacy.noisyCounts(documents(s, dir),
+          Seq("lang", "source"), eps = 1.0, minRelease = 5L)
+        .orderBy(asc("lang"), asc("source"))
+    }),
+
     // Domain/language mixture reweighting: per-language sampling
     // weight = target fraction / actual fraction — the knob a pipeline
     // turns to hit a target training mixture. One aggregation; the
@@ -3481,6 +3493,29 @@ object Pipeline {
          |  FROM u)
          |SELECT cid AS centroid_id, vec_id, rk FROM r WHERE rk <= 10
          |ORDER BY centroid_id, rk""".stripMargin,
+    // Replay the Laplace mechanism: same md5 uniform, same inverse-CDF
+    // double chain (decimal literals are exactly representable so the
+    // DECIMAL*DOUBLE promotions stay exact), floor-once to micro.
+    "q_dp_release" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2),
+        |d AS (
+        |  SELECT lang, source, n,
+        |    greatest(('0x' || substr(md5('dp|' || lang || '|' || source),
+        |        1, 13))::BIGINT::DOUBLE, 1.0)
+        |      / 4503599627370496.0 AS u
+        |  FROM g),
+        |m AS (
+        |  SELECT lang, source,
+        |    n * 1000000 + floor(-1.0 * sign(u - 0.5)
+        |      * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0)::BIGINT
+        |      AS noisy_micro
+        |  FROM d)
+        |SELECT lang, source, noisy_micro,
+        |  (CASE WHEN noisy_micro >= 5000000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS released
+        |FROM m ORDER BY lang, source""".stripMargin,
     "q_semantic_dedup_grid" -> semanticDedupGridSql(c = 8, iters = 3,
       maxTrain = 256, threshold = "0.999"),
     "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,

@@ -413,6 +413,17 @@ object ScaleCheck {
       spark.range(1).select(lit(r.nSelected).as("selected"))
     })
 
+    // 17. KN trigram perplexity (text/LangModel): copy-tagged tokens
+    // make each copy's vocabulary disjoint, so the model frames
+    // (trigram types, contexts, continuation counts) and the probe
+    // stream all replicate per copy — shuffle bytes must track the
+    // corpus. A forced vocab-sized broadcast or a distinct-induced
+    // Expand in the count derivations would grow super-linearly here.
+    check("kn_perplexity", Seq(1, 2, 4, 8), useBytes = true, { f =>
+      val docs = replicate(docsBase, f, "doc_id", 1000000L, tagTokens = true)
+      graft.text.LangModel.knTrigramDocScores(docs, "text", "doc_id")
+    })
+
     spark.stop()
     if (failed.nonEmpty) {
       failed.reverse.foreach(f => System.err.println(s"SCALECHECK FAIL $f"))

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side replay of the deterministic Laplace draw. */
+  private def noiseMicro(key: String, eps: Double): Long = {
+    val raw = java.lang.Long
+      .parseLong(md5hex("dp|" + key).substring(0, 13), 16).toDouble
+    val u = math.max(raw, 1.0) / 4503599627370496.0
+    val c = u - 0.5
+    math.floor(-1.0 / eps * math.signum(c) *
+      math.log(1.0 - 2.0 * math.abs(c)) * 1000000.0).toLong
+  }
+
+  private lazy val rows = (0 until 400).map { i =>
+    (s"k${i % 100}", i.toLong) // 100 groups of 4 rows
+  }
+
+  test("distributed noisy counts equal the driver-side replay") {
+    val df = rows.toDF("g", "v")
+    val got = Privacy.noisyCounts(df, Seq("g"), eps = 1.0, minRelease = 3L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.size == 100)
+    got.foreach { case (g, (noisy, released)) =>
+      val want = 4L * 1000000L + noiseMicro(g, 1.0)
+      assert(noisy == want, s"group $g")
+      assert(released == (if (want >= 3000000L) 1L else 0L), s"group $g")
+    }
+  }
+
+  test("noise is Laplace-shaped: bounded, sign-balanced, eps-scaled") {
+    val keys = (0 until 500).map(i => s"key$i")
+    val n1 = keys.map(noiseMicro(_, 1.0))
+    // |noise| <= ln(2^51)/eps in micro-units (the clamp bound)
+    val bound = (math.log(4503599627370496.0 / 2.0) * 1e6).toLong + 1
+    assert(n1.forall(n => math.abs(n) <= bound))
+    // the md5 uniform is symmetric: both signs well represented
+    val neg = n1.count(_ < 0)
+    assert(neg > 150 && neg < 350, s"negative draws: $neg/500")
+    // most mass within 3b of 0 (Laplace tail: P(|x|>3b) = e^-3 ~ 5%)
+    val within = n1.count(n => math.abs(n) <= 3000000L)
+    assert(within > 400, s"within 3b: $within/500")
+    // doubling eps exactly halves the pre-floor noise; the floored
+    // values must match a replay at eps=2, and shrink in magnitude
+    val n2 = keys.map(noiseMicro(_, 2.0))
+    n1.zip(n2).foreach { case (a, b) =>
+      assert(math.abs(b) <= math.abs(a) + 1)
+    }
+  }
+
+  test("suppression thresholds on the noisy value, not the true count") {
+    // a group of exactly minRelease rows with negative noise must
+    // suppress; one with positive noise must release — find one of
+    // each among deterministic keys
+    val negKey = (0 until 1000).map(i => s"n$i")
+      .find(noiseMicro(_, 1.0) < -100000L).get
+    val posKey = (0 until 1000).map(i => s"p$i")
+      .find(noiseMicro(_, 1.0) > 100000L).get
+    val df = (Seq.fill(5)(negKey) ++ Seq.fill(5)(posKey))
+      .zipWithIndex.toDF("g", "v")
+    val got = Privacy.noisyCounts(df, Seq("g"), eps = 1.0, minRelease = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got(negKey) == 0L, "noisy count below threshold must suppress")
+    assert(got(posKey) == 1L, "noisy count above threshold must release")
+  }
+}
