@@ -46,4 +46,44 @@ object Smoothing {
       (k, x, l, b, f, xm - f)
     }
   }
+
+  /** Holt–Winters ADDITIVE seasonal smoothing (level + trend +
+    * period-m seasonal array) — the seasonal upgrade of [[holt]],
+    * same integer contract. With sOld = s[i mod m] (the slot last
+    * updated m steps ago), lb = l + b and xm = x·1e6:
+    *
+    *   f  = lb + sOld                                (1-step forecast)
+    *   l' = lb + ((xm − sOld) − lb) / alphaDen
+    *   b' = b + ((l' − l) − b) / betaDen
+    *   s' = sOld + ((xm − l') − sOld) / gammaDen     (slot i mod m)
+    *
+    * all in truncating long division (signed numerators — trunc ≡
+    * DuckDB BIGINT `//`, the q_ewma_smooth rule; never Math.floorDiv).
+    * Init: l₁ = x₁·1e6, b₁ = 0, s = 0⁷ — seasonality is LEARNED
+    * through the gamma recursion rather than seeded from the first
+    * period, which keeps the init replayable as one recursive-CTE
+    * anchor row. Returns (key, x, levelMicro, trendMicro,
+    * seasonMicro, forecastMicro, errMicro) ascending; seasonMicro is
+    * the UPDATED seasonal for this step's slot. */
+  def holtWinters(series: Seq[(String, Long)], m: Int, alphaDen: Long,
+      betaDen: Long, gammaDen: Long)
+      : Seq[(String, Long, Long, Long, Long, Long, Long)] = {
+    var l = 0L
+    var b = 0L
+    val s = Array.fill(m)(0L)
+    series.sortBy(_._1).zipWithIndex.map { case ((k, x), i) =>
+      val xm = x * 1000000L
+      val pos = i % m
+      val sOld = s(pos)
+      val lb = l + b
+      val f = if (i == 0) xm else lb + sOld
+      val lNew = if (i == 0) xm else lb + ((xm - sOld) - lb) / alphaDen
+      val bNew = if (i == 0) 0L else b + ((lNew - l) - b) / betaDen
+      val sNew = if (i == 0) 0L else sOld + ((xm - lNew) - sOld) / gammaDen
+      l = lNew
+      b = bNew
+      s(pos) = sNew
+      (k, x, l, b, sNew, f, xm - f)
+    }
+  }
 }

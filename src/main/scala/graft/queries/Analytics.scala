@@ -2162,6 +2162,27 @@ object Analytics {
         .orderBy(asc("d"))
     }),
 
+    // Holt–Winters additive seasonal forecast (ops/Smoothing
+    // .holtWinters — the weekly-seasonality upgrade of
+    // q_holt_forecast): level + trend + a period-7 seasonal array on
+    // the integer micro grid, truncating signed division ≡ DuckDB
+    // `//`. Distributed daily pre-aggregate, bounded driver
+    // recursion; the oracle carries the seasonal LIST through a
+    // recursive CTE and replays every step bit-for-bit.
+    "q_hw_forecast" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val rows = daily.collect() // bounded: calendar days
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      import s.implicits._
+      graft.ops.Smoothing.holtWinters(rows, m = 7, alphaDen = 8L,
+          betaDen = 4L, gammaDen = 8L)
+        .toDF("d", "cnt", "level_micro", "trend_micro", "season_micro",
+          "forecast_micro", "err_micro")
+        .orderBy(asc("d"))
+    }),
+
     // Log-rank test between two md5-coin cohorts on time-to-first-
     // purchase (right-censored at the corpus horizon) — the
     // hypothesis test that pairs with q_kaplan_meier's estimator.
@@ -3680,6 +3701,40 @@ object Analytics {
         |  f::BIGINT AS forecast_micro, (cnt * 1000000 - f)::BIGINT
         |    AS err_micro
         |FROM rec ORDER BY d""".stripMargin,
+    // Holt–Winters replay: the seasonal state rides the recursion as
+    // a BIGINT[7] list column (list comprehensions can rebuild the
+    // updated array inside a recursive CTE); every arithmetic step is
+    // the same truncating `//` chain as the driver's long division.
+    "q_hw_forecast" -> {
+      val xm = "(i.cnt * 1000000)"
+      val pos = "(((i.rn - 1) % 7) + 1)"
+      val sOld = s"r.s[$pos]"
+      val lb = "(r.l + r.b)"
+      val lNew = s"($lb + (($xm - $sOld) - $lb) // 8)"
+      val bNew = s"(r.b + (($lNew - r.l) - r.b) // 4)"
+      val sNew = s"($sOld + (($xm - $lNew) - $sOld) // 8)"
+      s"""WITH RECURSIVE idx AS (
+         |  SELECT d, cnt, row_number() OVER (ORDER BY d) AS rn FROM (
+         |    SELECT ts::DATE::VARCHAR AS d, count(*) AS cnt
+         |    FROM events GROUP BY 1)),
+         |rec(rn, d, cnt, l, b, s, sn, f) AS (
+         |  SELECT rn, d, cnt, cnt * 1000000, 0::BIGINT,
+         |    [0::BIGINT for j in range(1, 8)], 0::BIGINT, cnt * 1000000
+         |  FROM idx WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.rn, i.d, i.cnt,
+         |    $lNew,
+         |    $bNew,
+         |    [CASE WHEN j = $pos THEN $sNew ELSE r.s[j] END
+         |       for j in range(1, 8)],
+         |    $sNew,
+         |    ($lb + $sOld)
+         |  FROM idx i JOIN rec r ON i.rn = r.rn + 1)
+         |SELECT d, cnt, l::BIGINT AS level_micro, b::BIGINT AS trend_micro,
+         |  sn::BIGINT AS season_micro, f::BIGINT AS forecast_micro,
+         |  (cnt * 1000000 - f)::BIGINT AS err_micro
+         |FROM rec ORDER BY d""".stripMargin
+    },
     "q_kaplan_meier" ->
       """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS us
         |  FROM events),

@@ -58,6 +58,44 @@ class SmoothingSpec extends AnyFunSuite {
     }
   }
 
+  test("holt-winters: constant fixpoint; pure weekly seasonality learned") {
+    // Constant input: level locks, trend and every seasonal stay 0.
+    val const = Smoothing.holtWinters(
+      (0 until 21).map(i => (f"d$i%02d", 9L)), 7, 8L, 4L, 8L)
+    const.foreach { case (_, _, l, b, s, _, _) =>
+      assert(l == 9000000L && b == 0L && s == 0L)
+    }
+    assert(const.drop(1).forall(_._7 == 0L))
+    // Pure period-7 signal (no trend): the seasonal array absorbs the
+    // pattern, so late 1-step forecast errors shrink well below early
+    // ones — the capability plain Holt structurally lacks.
+    val season = Array(100L, 160L, 220L, 130L, 90L, 60L, 40L)
+    val xs = (0 until 70).map(i => (f"d$i%03d", season(i % 7)))
+    val hw = Smoothing.holtWinters(xs, 7, 8L, 4L, 8L)
+    val earlyErr = hw.slice(7, 21).map(r => math.abs(r._7)).max
+    val lateErr = hw.takeRight(14).map(r => math.abs(r._7)).max
+    assert(lateErr < earlyErr / 2, s"late $lateErr vs early $earlyErr")
+    val holt = Smoothing.holt(xs, 8L, 4L)
+    val holtLateErr = holt.takeRight(14).map(r => math.abs(r._6)).max
+    assert(lateErr < holtLateErr / 2,
+      s"HW $lateErr should beat Holt $holtLateErr on seasonal data")
+    // step-by-step integer replay of the declared recursion
+    var l = 0L; var b = 0L
+    val st = Array.fill(7)(0L)
+    hw.zipWithIndex.foreach { case ((_, x, lG, bG, sG, fG, eG), i) =>
+      val xm = x * 1000000L
+      val pos = i % 7
+      val sOld = st(pos)
+      val lb = l + b
+      val f = if (i == 0) xm else lb + sOld
+      val l2 = if (i == 0) xm else lb + ((xm - sOld) - lb) / 8L
+      val b2 = if (i == 0) 0L else b + ((l2 - l) - b) / 4L
+      val s2 = if (i == 0) 0L else sOld + ((xm - l2) - sOld) / 8L
+      l = l2; b = b2; st(pos) = s2
+      assert(lG == l && bG == b && sG == s2 && fG == f && eG == xm - f)
+    }
+  }
+
   test("truncating division matches DuckDB BIGINT // on negative residuals") {
     // step from s=8e6 to x=7: residual -1e6, /8 = -125000 exactly;
     // then from 7e6+... pick a residual NOT divisible by 8:
