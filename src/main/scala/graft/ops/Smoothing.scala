@@ -86,4 +86,17 @@ object Smoothing {
       (k, x, l, b, sNew, f, xm - f)
     }
   }
+
+  /** Split-conformal radius (Vovk et al.; Lei et al. 2018): the
+    * k-th smallest absolute residual among the calibration steps.
+    * With k = ⌈(1−α)(n+1)⌉ over n calibration residuals, the interval
+    * forecast ± radius covers a fresh exchangeable step with
+    * probability ≥ 1−α — a DATA VALUE, so it compares exactly in any
+    * engine (the ops/Winsorize rank-selection rule; an interpolated
+    * quantile here would hit the round()-midpoint class). */
+  def conformalRadius(absResiduals: Seq[Long], k: Int): Long = {
+    require(k >= 1 && k <= absResiduals.size,
+      s"rank $k outside 1..${absResiduals.size}")
+    absResiduals.sorted.apply(k - 1)
+  }
 }

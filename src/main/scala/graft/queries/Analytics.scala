@@ -2183,6 +2183,38 @@ object Analytics {
         .orderBy(asc("d"))
     }),
 
+    // Split-conformal forecast intervals on the Holt–Winters
+    // 1-step-ahead residuals (ops/Smoothing.conformalRadius): the
+    // first 14 post-init steps calibrate, radius = the 12th-smallest
+    // |residual| (⌈0.8·15⌉ → ≥80% coverage under exchangeability),
+    // every later step gets forecast ± radius and a covered flag.
+    // The radius is a rank-selected DATA VALUE — engine-exact, never
+    // an interpolated quantile.
+    "q_forecast_interval" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val rows = daily.collect() // bounded: calendar days
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      import s.implicits._
+      val hw = graft.ops.Smoothing.holtWinters(rows, m = 7, alphaDen = 8L,
+        betaDen = 4L, gammaDen = 8L)
+      val calN = 14
+      val out: Seq[(String, Long, Long, Long, Long, Long)] =
+        if (hw.size <= 1 + calN) Seq.empty
+        else {
+          val radius = graft.ops.Smoothing.conformalRadius(
+            hw.slice(1, 1 + calN).map(r => math.abs(r._7)), k = 12)
+          hw.drop(1 + calN).map { case (d, x, _, _, _, f, e) =>
+            (d, x, f, f - radius, f + radius,
+              if (math.abs(e) <= radius) 1L else 0L)
+          }
+        }
+      out.toDF("d", "cnt", "forecast_micro", "lo_micro", "hi_micro",
+          "covered")
+        .orderBy(asc("d"))
+    }),
+
     // Log-rank test between two md5-coin cohorts on time-to-first-
     // purchase (right-censored at the corpus horizon) — the
     // hypothesis test that pairs with q_kaplan_meier's estimator.
@@ -3734,6 +3766,44 @@ object Analytics {
          |  sn::BIGINT AS season_micro, f::BIGINT AS forecast_micro,
          |  (cnt * 1000000 - f)::BIGINT AS err_micro
          |FROM rec ORDER BY d""".stripMargin
+    },
+    // Same HW recursion; the radius is the 12th-smallest calibration
+    // |residual| (ORDER BY + OFFSET — a data value, engine-exact).
+    "q_forecast_interval" -> {
+      val xm = "(i.cnt * 1000000)"
+      val pos = "(((i.rn - 1) % 7) + 1)"
+      val sOld = s"r.s[$pos]"
+      val lb = "(r.l + r.b)"
+      val lNew = s"($lb + (($xm - $sOld) - $lb) // 8)"
+      val bNew = s"(r.b + (($lNew - r.l) - r.b) // 4)"
+      val sNew = s"($sOld + (($xm - $lNew) - $sOld) // 8)"
+      s"""WITH RECURSIVE idx AS (
+         |  SELECT d, cnt, row_number() OVER (ORDER BY d) AS rn FROM (
+         |    SELECT ts::DATE::VARCHAR AS d, count(*) AS cnt
+         |    FROM events GROUP BY 1)),
+         |rec(rn, d, cnt, l, b, s, sn, f) AS (
+         |  SELECT rn, d, cnt, cnt * 1000000, 0::BIGINT,
+         |    [0::BIGINT for j in range(1, 8)], 0::BIGINT, cnt * 1000000
+         |  FROM idx WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.rn, i.d, i.cnt,
+         |    $lNew,
+         |    $bNew,
+         |    [CASE WHEN j = $pos THEN $sNew ELSE r.s[j] END
+         |       for j in range(1, 8)],
+         |    $sNew,
+         |    ($lb + $sOld)
+         |  FROM idx i JOIN rec r ON i.rn = r.rn + 1),
+         |cal AS (SELECT abs(cnt * 1000000 - f) AS ae FROM rec
+         |  WHERE rn >= 2 AND rn <= 15),
+         |rad AS (SELECT ae AS radius FROM cal ORDER BY ae
+         |  LIMIT 1 OFFSET 11)
+         |SELECT d, cnt, f::BIGINT AS forecast_micro,
+         |  (f - radius)::BIGINT AS lo_micro,
+         |  (f + radius)::BIGINT AS hi_micro,
+         |  (CASE WHEN abs(cnt * 1000000 - f) <= radius
+         |    THEN 1 ELSE 0 END)::BIGINT AS covered
+         |FROM rec, rad WHERE rn > 15 ORDER BY d""".stripMargin
     },
     "q_kaplan_meier" ->
       """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS us

@@ -449,6 +449,42 @@ object EventStream {
         "forecast_micro", "err_micro")
   }
 
+  /** Streaming twin of q_hw_forecast — [[holtDaily]] with the
+    * period-m seasonal recursion. Same state shape (per-type
+    * calendar-day count map) and same late-data rule: the seasonal
+    * array's slot assignment depends on each day's RANK in the
+    * calendar, so a late-arriving earlier day shifts every later
+    * day's slot — only full re-derivation through
+    * [[graft.ops.Smoothing.holtWinters]] stays exact. */
+  def holtWintersDaily(spark: SparkSession, events: DataFrame, m: Int = 7,
+      alphaDen: Long = 8L, betaDen: Long = 4L,
+      gammaDen: Long = 8L): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long],
+          (String, Long, String, Long, Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val cm = scala.collection.mutable.Map.empty[String, Long]
+          cm ++= state.getOption.getOrElse(Map.empty)
+          rows.foreach { case (_, d) => cm(d) = cm.getOrElse(d, 0L) + 1L }
+          val snapshot = cm.toMap
+          state.update(snapshot)
+          val seen = snapshot.valuesIterator.sum
+          graft.ops.Smoothing.holtWinters(snapshot.toSeq, m, alphaDen,
+              betaDen, gammaDen)
+            .iterator.map { case (d, c, l, b, s, f, e) =>
+              (key, seen, d, c, l, b, s, f, e)
+            }
+      }
+      .toDF("event_type", "seen", "d", "cnt", "level_micro", "trend_micro",
+        "season_micro", "forecast_micro", "err_micro")
+  }
+
   /** Streaming twin of q_burstiness — the live Fano-factor monitor
     * for capacity planning: state per event_type is the SAME
     * calendar-day count map the batch query aggregates onto (the

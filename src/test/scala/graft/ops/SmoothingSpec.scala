@@ -96,6 +96,28 @@ class SmoothingSpec extends AnyFunSuite {
     }
   }
 
+  test("conformal radius is the k-th smallest data value; coverage holds") {
+    // rank selection on a known list, ties included
+    assert(Smoothing.conformalRadius(Seq(5L, 1L, 3L, 3L, 9L), 1) == 1L)
+    assert(Smoothing.conformalRadius(Seq(5L, 1L, 3L, 3L, 9L), 3) == 3L)
+    assert(Smoothing.conformalRadius(Seq(5L, 1L, 3L, 3L, 9L), 5) == 9L)
+    // split-conformal on a seasonal series with deterministic noise:
+    // calibrate on 14 post-init steps (k = 12 = ceil(0.8 * 15)),
+    // score the rest — empirical coverage must be near/above 80%
+    val season = Array(100L, 160L, 220L, 130L, 90L, 60L, 40L)
+    val xs = (0 until 70).map { i =>
+      val noise = (i * 2654435761L % 7L) - 3L // deterministic, ±3
+      (f"d$i%03d", season(i % 7) + noise)
+    }
+    val hw = Smoothing.holtWinters(xs, 7, 8L, 4L, 8L)
+    val radius = Smoothing.conformalRadius(
+      hw.slice(1, 15).map(r => math.abs(r._7)), 12)
+    val scored = hw.drop(15)
+    val covered = scored.count(r => math.abs(r._7) <= radius)
+    assert(covered.toDouble / scored.size >= 0.75,
+      s"coverage $covered/${scored.size} with radius $radius")
+  }
+
   test("truncating division matches DuckDB BIGINT // on negative residuals") {
     // step from s=8e6 to x=7: residual -1e6, /8 = -125000 exactly;
     // then from 7e6+... pick a residual NOT divisible by 8:

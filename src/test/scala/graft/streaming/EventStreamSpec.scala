@@ -297,6 +297,57 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(_._2.exists(_._4 != 0L)))
   }
 
+  test("streaming Holt-Winters twin: late earlier days re-slot the seasonal array") {
+    // the seasonal slot of every day is its RANK in the calendar, so
+    // a late-arriving earlier day shifts all later days' slots — the
+    // case a frozen-state (non-re-deriving) implementation gets wrong
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-hw")
+    val ev = Tables.events(spark, dir)
+    val cut = "2024-01-10"
+    ev.where(to_date(col("ts")).cast("string") >= cut).coalesce(1)
+      .write.parquet(streamDir.resolve("late").toString)
+    ev.where(to_date(col("ts")).cast("string") < cut).coalesce(1)
+      .write.parquet(streamDir.resolve("early").toString)
+    def stamp(sub: String, t: Long): Unit = {
+      val d = new java.io.File(streamDir.resolve(sub).toString)
+      d.listFiles().foreach(_.setLastModified(t))
+      d.setLastModified(t)
+    }
+    // "late" file arrives FIRST, the earlier days after — maximal
+    // re-slotting pressure
+    stamp("late", 1000000L)
+    stamp("early", 2000000L)
+    val q = EventStream.runToMemory(spark, s"$streamDir/*", "hw_daily",
+      EventStream.holtWintersDaily(spark, _),
+      outputMode = org.apache.spark.sql.streaming.OutputMode.Update(),
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val all = spark.sql("SELECT * FROM hw_daily").collect()
+    val streamed = all.groupBy(_.getString(0)).map { case (t, rs) =>
+      val mx = rs.map(_.getLong(1)).max
+      t -> rs.filter(_.getLong(1) == mx)
+        .map(r => (r.getString(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+        .sortBy(_._1).toSeq
+    }
+    val batch = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> graft.ops.Smoothing.holtWinters(
+          rs.map(r => (r.getString(1), r.getLong(2))).toSeq, 7, 8L, 4L, 8L)
+      }
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (t, exp) =>
+      assert(streamed(t) == exp, s"type $t diverged after late arrival")
+    }
+    // re-slotting really happened: final curves include pre-cut days
+    // no first-batch emit could have carried, and seasonality is live
+    assert(batch.exists(_._2.exists(_._1 < cut)))
+    assert(batch.exists(_._2.exists(_._5 != 0L)))
+  }
+
   test("streaming burstiness twin equals batch Fano after late days arrive") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-fano")
