@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video payloads travel as
@@ -135,4 +135,81 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"),
         sum(col("meta.duration_ms")).as("total_duration_ms"),
         max(col("meta.width")).as("max_width"))
+
+  /** 63-bit perceptual difference-hash (dHash) over a media payload's
+    * decoded rendering: resample 64 points at positions
+    * floor(i·(n−1)/63)+1 of the stream (STUB: character codes of the
+    * text rendering — a real decoder resamples an 8×8 luma thumbnail;
+    * everything downstream of the sampling is the real thing), bit i
+    * = point_i > point_{i+1}. Near-identical payloads — a re-encode,
+    * a corner watermark, one changed byte — move few sample points,
+    * so their signatures sit within a small Hamming distance, which
+    * exact-hash dedup ([[mediaFromDocuments]] + md5) can never see.
+    * 63 bits, not 64: the sign bit stays clear so every downstream
+    * shift/mask is nonnegative in any engine (DuckDB errors on
+    * 1<<63). The input must be a materialized ATTRIBUTE (substr in
+    * the lambda re-scans to the offset, but never re-evaluates an
+    * upstream expression per element). */
+  /** The 64 resampled points as an array column. */
+  def perceptualCells(textCol: Column): Column = {
+    val n = length(textCol)
+    // floor via exact double division: i·(n−1) ≤ 63·n stays far below
+    // 2^52, and Column./ on integers is double division anyway.
+    transform(sequence(lit(0), lit(63)), i =>
+      ascii(textCol.substr(
+        (floor((i * (n - lit(1))).cast("double") / lit(63.0)) + lit(1))
+          .cast("int"),
+        lit(1))))
+  }
+
+  /** The difference-bit signature from a MATERIALIZED cells column —
+    * `cellsAttr` must be an attribute, not an expression: element_at
+    * inside the fold re-evaluates an expression operand per element
+    * (the O(n²) trap; staged through a select it is one O(1) lookup
+    * per bit). */
+  def dhashFromCells(cellsAttr: Column): Column =
+    aggregate(sequence(lit(0), lit(62)), lit(0L), (acc, i) =>
+      acc + when(element_at(cellsAttr, i + lit(1)) >
+          element_at(cellsAttr, i + lit(2)),
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+
+  /** Banded Hamming near-dup join over perceptual hashes — the
+    * multimodal twin of SimHash pigeonhole dedup: 4 chunks of 16
+    * bits; a pair within Hamming distance ≤ 3 leaves at least one
+    * chunk untouched (pigeonhole over 4 chunks), so chunk-equality
+    * equi-joins find every such pair with NO cross join. Each pair
+    * emits from its FIRST agreeing chunk via the signature-arithmetic
+    * filter (never a distinct over candidates — the LSH rule), then
+    * verifies bit_count(xor) ≤ threshold. Returns (media_a, media_b,
+    * hamming). */
+  def perceptualNearDups(media: DataFrame, textCol: String,
+      idCol: String, threshold: Int = 3): DataFrame = {
+    require(threshold < 4, s"4x16-bit bands guarantee ham<=3: $threshold")
+    def chunk(sig: Column, c: Int): Column =
+      shiftright(sig, 16 * c).bitwiseAND(lit(65535L))
+    val sigs = media
+      .where(length(col(textCol)) >= 1)
+      .select(col(idCol).as("media_id"),
+        perceptualCells(col(textCol)).as("g"))
+      .select(col("media_id"), dhashFromCells(col("g")).as("sig"))
+    val chunks = sigs
+      .select(col("media_id"), col("sig"), explode(array(
+        (0 until 4).map(c => struct(lit(c).as("c"),
+          chunk(col("sig"), c).as("cv"))): _*)).as("ch"))
+      .select(col("media_id"), col("sig"), col("ch.c"), col("ch.cv"))
+      .localCheckpoint(true) // self-join legs: compute-once sharing
+    val priorsDiffer = (0 until 3).foldLeft(lit(true)) { (acc, cp) =>
+      acc && (col("a.c") <= lit(cp) ||
+        chunk(col("a.sig"), cp) =!= chunk(col("b.sig"), cp))
+    }
+    val ham = call_function("bit_count",
+      col("a.sig").bitwiseXOR(col("b.sig")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+          col("a.media_id") < col("b.media_id"))
+      .where(priorsDiffer && ham <= lit(threshold.toLong))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        ham.cast("long").as("hamming"))
+  }
 }

@@ -1547,6 +1547,30 @@ object Pipeline {
         .orderBy(asc("kind"))
     }),
 
+    // Perceptual near-dup detection across media payloads
+    // (multimodal/Multimodal.perceptualNearDups): the 63-bit dHash
+    // over 64 resampled points + 4x16-bit Hamming banding — the
+    // multimodal twin of SimHash pigeonhole dedup, catching the
+    // re-encodes and one-byte edits q_media_dedup's exact md5 can
+    // never see. The corpus has no organic near-dups, so the query
+    // PLANTS them (doc_id % 10 == 0 and length >= 64: same payload
+    // with the LAST byte changed — exactly one resampled cell moves,
+    // Hamming <= 2) and the oracle replays plant, hash, banding,
+    // first-agreeing-chunk emission, and verify bit-for-bit.
+    "q_media_neardup" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val base = docs.select(col("doc_id").as("media_id"), col("text"))
+      val twins = docs
+        .where(col("doc_id") % 10 === 0 && length(col("text")) >= 64)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("z"))
+            .as("text"))
+      graft.multimodal.Multimodal.perceptualNearDups(
+          spread(base.unionByName(twins)), "text", "media_id",
+          threshold = 3)
+        .orderBy(asc("media_a"), asc("media_b"))
+    }),
+
     // Per-(kind, size-bucket) payload byte accounting — the storage
     // planning view (what does each modality cost, at what object
     // sizes): octet lengths bucket by exact integer bit length, one
@@ -4005,6 +4029,43 @@ object Pipeline {
         |  sum(n_chars * 10)::BIGINT AS total_duration_ms,
         |  max(n_chars % 640) AS max_width
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Full dHash-banding replay: plant, 64 resampled cells, 63
+    // difference bits summed (disjoint bits — HUGEINT sum casts back
+    // exactly), 4x16 chunks, first-agreeing-chunk arithmetic filter,
+    // bit_count verify. Shifts stay in the nonneg 63-bit range (the
+    // reason the hash is 63-bit: DuckDB errors on 1<<63).
+    "q_media_neardup" ->
+      """WITH base AS (SELECT doc_id AS media_id, text FROM documents),
+        |twins AS (
+        |  SELECT doc_id + 1000000 AS media_id,
+        |    substr(text, 1, length(text) - 1) || 'z' AS text
+        |  FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 64),
+        |corp AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |cells AS MATERIALIZED (
+        |  SELECT media_id,
+        |    [ascii(substr(text,
+        |       ((i * (length(text) - 1)) // 63 + 1)::INT, 1))
+        |     for i in range(0, 64)] AS g
+        |  FROM corp WHERE length(text) >= 1),
+        |sg AS MATERIALIZED (
+        |  SELECT media_id,
+        |    list_sum([CASE WHEN g[i + 1] > g[i + 2] THEN 1::BIGINT << i
+        |      ELSE 0::BIGINT END for i in range(0, 63)])::BIGINT AS sig
+        |  FROM cells),
+        |ch AS MATERIALIZED (
+        |  SELECT media_id, sig, c, (sig >> (16 * c::INT)) & 65535 AS cv
+        |  FROM sg, range(0, 4) t(c)),
+        |cand AS (
+        |  SELECT x.media_id AS media_a, y.media_id AS media_b,
+        |    x.sig AS sa, y.sig AS sb
+        |  FROM ch x JOIN ch y ON x.c = y.c AND x.cv = y.cv
+        |    AND x.media_id < y.media_id
+        |  WHERE (x.c <= 0 OR ((x.sig >> 0) & 65535) <> ((y.sig >> 0) & 65535))
+        |    AND (x.c <= 1 OR ((x.sig >> 16) & 65535) <> ((y.sig >> 16) & 65535))
+        |    AND (x.c <= 2 OR ((x.sig >> 32) & 65535) <> ((y.sig >> 32) & 65535)))
+        |SELECT media_a, media_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     "q_media_dedup" ->
       """WITH m AS (
         |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

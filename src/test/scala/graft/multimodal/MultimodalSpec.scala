@@ -74,6 +74,55 @@ class MultimodalSpec extends SparkSpec {
     assert(Reports.formatSize(2L * 1000 * 1000 * 1000) == "2.0 GB")
   }
 
+  test("perceptual hash: distributed signature equals a driver replay") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(50)
+      .as[(Long, String)].collect()
+    val got = docs.toSeq.toDF("media_id", "text")
+      .select(col("media_id"), Multimodal.perceptualCells(col("text")).as("g"))
+      .select(col("media_id"), Multimodal.dhashFromCells(col("g")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def replay(text: String): Long = {
+      val n = text.length
+      val g = (0 to 63).map { i =>
+        val pos = math.floor(i.toDouble * (n - 1) / 63.0).toInt
+        if (n == 0) 0 else text.charAt(pos).toInt
+      }
+      (0 to 62).foldLeft(0L) { (acc, i) =>
+        acc + (if (g(i) > g(i + 1)) 1L << i else 0L)
+      }
+    }
+    docs.foreach { case (id, t) =>
+      assert(got(id) == replay(t), s"media $id")
+    }
+  }
+
+  test("perceptual near-dup: one changed byte stays within Hamming 2") {
+    import spark.implicits._
+    val long = ("alpha beta gamma delta " * 8).trim // > 64 chars
+    val twin = long.dropRight(1) + "z"
+    val far = "totally different content that resamples elsewhere " * 4
+    val df = Seq((1L, long), (2L, twin), (3L, far.trim))
+      .toDF("media_id", "text")
+    val pairs = Multimodal.perceptualNearDups(df, "text", "media_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 <= 2, s"hamming ${pairs.head._3}")
+  }
+
+  test("banding finds every pair within the threshold, each emitted once") {
+    import spark.implicits._
+    // identical payloads: hamming 0, all four chunks agree — the
+    // first-agreeing-chunk rule must emit the pair exactly once
+    val df = Seq((1L, "same payload body here"), (2L, "same payload body here"))
+      .toDF("media_id", "text")
+    val pairs = Multimodal.perceptualNearDups(df, "text", "media_id", 3)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(2) == 0L)
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(tmp)
