@@ -38,13 +38,14 @@ object Privacy {
     * u=0 draw is clamped to 2^-52 (the esKey rule); u is then in
     * [2^-52, 1-2^-52], so `ln` never sees 0 and the noise is finite:
     * |noise| ≤ ln(2^51)/eps ≈ 35.4/eps. */
-  def laplaceNoiseMicro(key: Column, eps: Double): Column = {
+  def laplaceNoiseMicro(key: Column, eps: Double,
+      sensitivity: Double = 1.0): Column = {
     val u = greatest(
       conv(substring(md5(concat(lit("dp|"), key.cast("string"))), 1, 13),
         16, 10).cast("double"),
       lit(1.0)) / lit(Two52)
     val c = u - lit(0.5)
-    floor(lit(-1.0 / eps) * signum(c) *
+    floor(lit(-sensitivity / eps) * signum(c) *
       log(lit(1.0) - lit(2.0) * abs(c)) * lit(1000000.0))
   }
 
@@ -66,5 +67,31 @@ object Privacy {
         when(col("noisy_micro") >= lit(minRelease * 1000000L), lit(1L))
           .otherwise(lit(0L)))
       .drop("__n")
+  }
+
+  /** eps-DP noisy per-group SUM with per-row contribution CLIPPING —
+    * the second half of a private dataset card (total tokens per
+    * language, total bytes per source). An unbounded per-row value
+    * has unbounded sensitivity, so each row's contribution clamps to
+    * [0, clip] FIRST; one row then moves a group sum by at most
+    * `clip`, and Laplace(clip/eps) on the clipped sum is eps-DP.
+    * `clip` must be exactly double-representable (a power of two
+    * keeps clip/eps exact for the usual eps grid). The clipped sum —
+    * like the true count — never leaves this function. */
+  def noisySums(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      clip: Long, eps: Double): DataFrame = {
+    // distinct noise domain from noisyCounts: a release publishing a
+    // count AND a sum for the same group must not share one uniform
+    // (correlated noise halves the effective protection)
+    val keyStr = concat_ws("|",
+      lit(s"sum:$valueCol") +: keyCols.map(col): _*)
+    val clamped = least(greatest(col(valueCol).cast("long"), lit(0L)),
+      lit(clip))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sum(clamped).as("__s"))
+      .withColumn("noisy_sum_micro",
+        col("__s") * lit(1000000L) +
+          laplaceNoiseMicro(keyStr, eps, sensitivity = clip.toDouble))
+      .drop("__s")
   }
 }

@@ -189,6 +189,21 @@ object Pipeline {
         .orderBy(asc("lang"), asc("source"))
     }),
 
+    // eps-DP per-language token totals with contribution clipping
+    // (ops/Privacy.noisySums): each doc's token count clamps to
+    // [0, 64] first — the clip BINDS on this corpus (docs run ~40-60
+    // tokens), demonstrating the bounded-sensitivity tradeoff — then
+    // Laplace(clip/eps) noise releases the clipped sum. The noise
+    // domain is tagged 'sum:tok' so a release carrying both this and
+    // q_dp_release's counts never reuses a uniform.
+    "q_dp_sum" -> ((s, dir) => {
+      val toks = documents(s, dir).select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      graft.ops.Privacy.noisySums(toks, Seq("lang"), "tok",
+          clip = 64L, eps = 1.0)
+        .orderBy(asc("lang"))
+    }),
+
     // Domain/language mixture reweighting: per-language sampling
     // weight = target fraction / actual fraction — the knob a pipeline
     // turns to hit a target training mixture. One aggregation; the
@@ -3540,6 +3555,28 @@ object Pipeline {
         |  (CASE WHEN noisy_micro >= 5000000 THEN 1 ELSE 0 END)::BIGINT
         |    AS released
         |FROM m ORDER BY lang, source""".stripMargin,
+    // Clipped-sum mechanism replay: clamp, sum, Laplace(clip/eps)
+    // from the 'sum:tok'-tagged uniform (never the count's draw).
+    "q_dp_sum" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT
+        |      AS tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, sum(least(greatest(tok, 0), 64))::BIGINT AS s
+        |  FROM d GROUP BY 1),
+        |n AS (
+        |  SELECT lang, s,
+        |    greatest(('0x' || substr(md5('dp|sum:tok|' || lang),
+        |        1, 13))::BIGINT::DOUBLE, 1.0)
+        |      / 4503599627370496.0 AS u
+        |  FROM g)
+        |SELECT lang,
+        |  s * 1000000 + floor(-64.0 * sign(u - 0.5)
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0)::BIGINT
+        |    AS noisy_sum_micro
+        |FROM n ORDER BY lang""".stripMargin,
     "q_semantic_dedup_grid" -> semanticDedupGridSql(c = 8, iters = 3,
       maxTrain = 256, threshold = "0.999"),
     "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,

@@ -58,6 +58,27 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("clipped noisy sums: clamp binds, replay exact, tagged noise domain") {
+    val df = Seq(
+      ("a", 100L), ("a", 3L), ("a", -7L), // 100 clips to 10, -7 to 0
+      ("b", 5L), ("b", 5L)
+    ).toDF("g", "v")
+    val got = Privacy.noisySums(df, Seq("g"), "v", clip = 10L, eps = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def sumNoise(key: String, b: Double): Long = {
+      val raw = java.lang.Long
+        .parseLong(md5hex("dp|sum:v|" + key).substring(0, 13), 16).toDouble
+      val u = math.max(raw, 1.0) / 4503599627370496.0
+      val c = u - 0.5
+      math.floor(-b * math.signum(c) *
+        math.log(1.0 - 2.0 * math.abs(c)) * 1000000.0).toLong
+    }
+    assert(got("a") == 13L * 1000000L + sumNoise("a", 10.0))
+    assert(got("b") == 10L * 1000000L + sumNoise("b", 10.0))
+    // the sum's noise domain differs from the count's for the same key
+    assert(sumNoise("a", 1.0) != noiseMicro("a", 1.0))
+  }
+
   test("suppression thresholds on the noisy value, not the true count") {
     // a group of exactly minRelease rows with negative noise must
     // suppress; one with positive noise must release — find one of
