@@ -181,7 +181,14 @@ object Multimodal {
     * emits from its FIRST agreeing chunk via the signature-arithmetic
     * filter (never a distinct over candidates — the LSH rule), then
     * verifies bit_count(xor) ≤ threshold. Returns (media_a, media_b,
-    * hamming). */
+    * hamming).
+    *
+    * Scale knob: expected ORGANIC chunk collisions grow as
+    * N²/2^chunkBits, so 16-bit chunks are sized for ~10⁶-scale media
+    * sets (same regime as the SimHash pigeonhole text path). At 10⁹
+    * payloads the signature widens (128-bit pHash → 4×32-bit chunks,
+    * same pigeonhole at ham ≤ 3) rather than the bands multiplying —
+    * more, narrower bands would loosen the Hamming guarantee. */
   def perceptualNearDups(media: DataFrame, textCol: String,
       idCol: String, threshold: Int = 3): DataFrame = {
     require(threshold < 4, s"4x16-bit bands guarantee ham<=3: $threshold")

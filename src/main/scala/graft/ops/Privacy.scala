@@ -94,4 +94,40 @@ object Privacy {
           laplaceNoiseMicro(keyStr, eps, sensitivity = clip.toDouble))
       .drop("__s")
   }
+
+  /** eps-DP top-k selection via one-shot Gumbel noise (Durfee &
+    * Rogers, "Practical differentially private top-k selection",
+    * NeurIPS 2019): the k largest values of
+    * `eps·count/2 + Gumbel(0,1)` are distributed exactly as k
+    * sequential exponential-mechanism draws without replacement — one
+    * pass, no iteration. The Gumbel comes from the deterministic
+    * 52-bit md5 uniform in its own tagged domain
+    * (`-ln(-ln u)`, u clamped to ≥ 2⁻⁵² so both logs stay finite),
+    * and the whole score chain floors ONCE to micro-units.
+    *
+    * Privacy unit is one COUNTED OCCURRENCE (Δ=1: adding or removing
+    * one occurrence moves one count by 1). Document-level privacy
+    * needs Δ = max occurrences per document — divide eps accordingly.
+    * Only (rank, key) is released; the noisy scores stay inside.
+    *
+    * Scale shape: one aggregate the caller provides, a scan-stage
+    * score, and orderBy+limit → TakeOrderedAndProject (bounded heap
+    * per partition, k-row driver merge — never a global sort). The
+    * k-row rank window is bounded by k. */
+  def gumbelTopK(counts: DataFrame, keyCol: String, countCol: String,
+      eps: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = greatest(
+      conv(substring(md5(concat(lit("dp|topk|"),
+        col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double"),
+      lit(1.0)) / lit(Two52)
+    val sMicro = floor((col(countCol).cast("double") * lit(eps / 2.0) -
+      log(-log(u))) * lit(1000000.0))
+    counts.select(col(keyCol), sMicro.as("__s"))
+      .orderBy(desc("__s"), asc(keyCol))
+      .limit(k)
+      .select(row_number().over(
+          Window.orderBy(desc("__s"), asc(keyCol)))
+        .cast("long").as("rk"), col(keyCol))
+  }
 }

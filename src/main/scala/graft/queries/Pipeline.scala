@@ -204,6 +204,21 @@ object Pipeline {
         .orderBy(asc("lang"))
     }),
 
+    // eps-DP private vocabulary: top-20 tokens via one-shot Gumbel
+    // noise (ops/Privacy.gumbelTopK = k exponential-mechanism draws
+    // without replacement in one pass). Only (rank, token) is
+    // released. Occurrence-level privacy unit, documented on the op.
+    "q_dp_topk" -> ((s, dir) => {
+      val counts = documents(s, dir)
+        .select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      graft.ops.Privacy.gumbelTopK(counts, "token", "c",
+          eps = 1.0, k = 20)
+        .orderBy(asc("rk"))
+    }),
+
     // Domain/language mixture reweighting: per-language sampling
     // weight = target fraction / actual fraction — the knob a pipeline
     // turns to hit a target training mixture. One aggregation; the
@@ -3577,6 +3592,32 @@ object Pipeline {
         |    * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0)::BIGINT
         |    AS noisy_sum_micro
         |FROM n ORDER BY lang""".stripMargin,
+    // Gumbel top-k replay: same tagged uniform, the -ln(-ln u) chain
+    // floored once to micro; rank over (score desc, token).
+    "q_dp_topk" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token, count(*)::BIGINT AS c FROM t
+        |  WHERE token <> '' GROUP BY 1),
+        |n AS (
+        |  SELECT token, c,
+        |    greatest(('0x' || substr(md5('dp|topk|' || token),
+        |        1, 13))::BIGINT::DOUBLE, 1.0)
+        |      / 4503599627370496.0 AS u
+        |  FROM c),
+        |s AS (
+        |  SELECT token,
+        |    floor((c::DOUBLE * 0.5 - ln(-ln(u))) * 1000000.0)::BIGINT
+        |      AS s_micro
+        |  FROM n),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY s_micro DESC, token)::BIGINT
+        |    AS rk, token
+        |  FROM s)
+        |SELECT rk, token FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q_semantic_dedup_grid" -> semanticDedupGridSql(c = 8, iters = 3,
       maxTrain = 256, threshold = "0.999"),
     "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,

@@ -79,6 +79,30 @@ class PrivacySpec extends SparkSpec {
     assert(sumNoise("a", 1.0) != noiseMicro("a", 1.0))
   }
 
+  test("gumbel top-k equals a driver replay; high eps recovers true order") {
+    val counts = (0 until 60).map(i => (s"tok$i", (60 - i).toLong * 3))
+    val df = counts.toDF("token", "c")
+    def score(key: String, c: Long, eps: Double): Long = {
+      val raw = java.lang.Long
+        .parseLong(md5hex("dp|topk|" + key).substring(0, 13), 16).toDouble
+      val u = math.max(raw, 1.0) / 4503599627370496.0
+      math.floor((c.toDouble * (eps / 2.0) -
+        math.log(-math.log(u))) * 1000000.0).toLong
+    }
+    val got = Privacy.gumbelTopK(df, "token", "c", eps = 1.0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = counts.map { case (t, c) => (t, score(t, c, 1.0)) }
+      .sortBy { case (t, s) => (-s, t) }.take(10).map(_._1)
+    assert(got.map(_._2).toSeq == want)
+    // high eps: the count signal dwarfs the Gumbel noise (counts gap
+    // by 3·eps/2 = 96 micro-scaled vs Gumbel spread ~ a few) — the
+    // release is exactly the true top-10
+    val exact = Privacy.gumbelTopK(df, "token", "c", eps = 64.0, k = 10)
+      .collect().sortBy(_.getLong(0)).map(_.getString(1)).toSeq
+    assert(exact == counts.sortBy { case (t, c) => (-c, t) }
+      .take(10).map(_._1))
+  }
+
   test("suppression thresholds on the noisy value, not the true count") {
     // a group of exactly minRelease rows with negative noise must
     // suppress; one with positive noise must release — find one of
