@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,6 +42,13 @@ import graft.model.FileEntry
   *     Both report as pushed; everything else stays with Spark.
   *   - '''Column pruning''' (`SupportsPushDownRequiredColumns`): the
   *     reader materializes only requested fields into `InternalRow`s.
+  *   - '''Aggregate pushdown''' (`SupportsPushDownAggregates`,
+  *     PARTIAL): COUNT/SUM/MIN/MAX — the reference's ComputeTotals
+  *     shape (totals.go) — fold inside each walk partition, so a
+  *     du-style per-tree total ships one row per (group, partition)
+  *     instead of one row per file; Spark's final aggregate merges
+  *     the partials, preserving exact SQL semantics (empty global
+  *     partials emit the SQL one-row shape: count 0, null sum/min/max).
   *
   * Scan errors are not rows of this table — the library API
   * (`Walker.walk(...).errors`) carries them; a connector read is the
@@ -63,28 +70,85 @@ object WalkDataSource {
   val schema: StructType =
     org.apache.spark.sql.Encoders.product[FileEntry].schema
 
+  /** Raw JVM value of one FileEntry field (strings unwrapped;
+    * mod_time as epoch micros). */
+  private[sources] def fieldOf(e: FileEntry, name: String): Any = name match {
+    case "path" => e.path
+    case "parent" => e.parent
+    case "name" => e.name
+    case "depth" => e.depth
+    case "is_dir" => e.is_dir
+    case "size" => e.size
+    case "blocks" => e.blocks
+    case "mode" => e.mode
+    case "mod_time" => e.mod_time.getTime * 1000L +
+      (e.mod_time.getNanos / 1000L) % 1000L
+    case "uid" => e.uid
+    case "gid" => e.gid
+    case "device" => e.device
+    case "inode" => e.inode
+    case "nlink" => e.nlink
+    case "n_entries" => e.n_entries
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  private[sources] def toCatalyst(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
   /** FileEntry -> InternalRow projected to `required` (pruned). */
-  private[sources] def toRow(e: FileEntry, required: StructType): InternalRow = {
-    val vals = required.fieldNames.map {
-      case "path" => UTF8String.fromString(e.path)
-      case "parent" => UTF8String.fromString(e.parent)
-      case "name" => UTF8String.fromString(e.name)
-      case "depth" => e.depth
-      case "is_dir" => e.is_dir
-      case "size" => e.size
-      case "blocks" => e.blocks
-      case "mode" => e.mode
-      case "mod_time" => e.mod_time.getTime * 1000L +
-        (e.mod_time.getNanos / 1000L) % 1000L
-      case "uid" => e.uid
-      case "gid" => e.gid
-      case "device" => e.device
-      case "inode" => e.inode
-      case "nlink" => e.nlink
-      case "n_entries" => e.n_entries
-      case other => throw new IllegalArgumentException(s"unknown column $other")
+  private[sources] def toRow(e: FileEntry, required: StructType): InternalRow =
+    InternalRow.fromSeq(
+      required.fieldNames.toSeq.map(n => toCatalyst(fieldOf(e, n))))
+
+  /** Numeric long of a field (Int fields upcast) — agg input. */
+  private[sources] def longOf(e: FileEntry, name: String): Long =
+    fieldOf(e, name) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"non-numeric agg column $name: $other")
     }
-    InternalRow.fromSeq(vals.toSeq)
+
+  // ---- pushed-aggregation model (serialized into the reader) ----
+  sealed trait AggFun extends Serializable { def col: String }
+  final case class CountStarF() extends AggFun { def col = "*" }
+  final case class CountF(col: String) extends AggFun
+  final case class SumF(col: String) extends AggFun
+  final case class MinF(col: String) extends AggFun
+  final case class MaxF(col: String) extends AggFun
+  final case class PushedAgg(groupCols: Seq[String], funs: Seq[AggFun])
+      extends Serializable
+
+  private[sources] val numericFields = Set("depth", "size", "blocks",
+    "mode", "uid", "gid", "device", "inode", "nlink", "n_entries")
+
+  /** The scan's output schema under a pushed aggregation: group
+    * columns first (source types), then one column per aggregate —
+    * counts and sums widen to LONG (Spark's Sum/Count result types),
+    * min/max keep the field's type. */
+  private[sources] def aggSchema(p: PushedAgg): StructType = {
+    val base = schema
+    val g = p.groupCols.map(n => base(n))
+    val a = p.funs.zipWithIndex.map {
+      case (CountStarF(), i) =>
+        org.apache.spark.sql.types.StructField(s"count_star_$i",
+          org.apache.spark.sql.types.LongType, nullable = false)
+      case (CountF(c), i) =>
+        org.apache.spark.sql.types.StructField(s"count_${c}_$i",
+          org.apache.spark.sql.types.LongType, nullable = false)
+      case (SumF(c), i) =>
+        org.apache.spark.sql.types.StructField(s"sum_${c}_$i",
+          org.apache.spark.sql.types.LongType, nullable = true)
+      case (MinF(c), i) =>
+        org.apache.spark.sql.types.StructField(s"min_${c}_$i",
+          base(c).dataType, nullable = true)
+      case (MaxF(c), i) =>
+        org.apache.spark.sql.types.StructField(s"max_${c}_$i",
+          base(c).dataType, nullable = true)
+    }
+    StructType(g ++ a)
   }
 }
 
@@ -106,18 +170,60 @@ final class WalkTable(props: Map[String, String]) extends Table with SupportsRea
 final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
     exclusions: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = WalkDataSource.schema
   private var pushedPrefix: Option[String] = None
   private var pushedIsDir: Option[Boolean] = None
   private var impossible: Boolean = false
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[WalkDataSource.PushedAgg] = None
+
+  /** PARTIAL aggregate pushdown (supportCompletePushDown stays
+    * false): each walk partition ships one pre-aggregated row per
+    * group instead of one row per file, and Spark's final aggregate
+    * merges the partials — the "du at the source" path: totals never
+    * materialize per-entry rows on the wire. COUNT/COUNT(col)
+    * (all fields are non-null), SUM/MIN/MAX over the numeric fields,
+    * GROUP BY any field except mod_time. Anything else declines and
+    * Spark falls back to the row scan. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import WalkDataSource._
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val groupable = WalkDataSource.schema.fieldNames.toSet - "mod_time"
+    val g = agg.groupByExpressions.toSeq.map(colOf)
+    if (g.exists(c => c.isEmpty || !groupable(c.get))) return false
+    val funs: Seq[Option[AggFun]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountStarF())
+      case c: Count if !c.isDistinct => colOf(c.column).map(CountF)
+      case m: Min => colOf(m.column).filter(numericFields).map(MinF)
+      case m: Max => colOf(m.column).filter(numericFields).map(MaxF)
+      case s: Sum if !s.isDistinct =>
+        colOf(s.column).filter(numericFields).map(SumF)
+      case _ => None
+    }
+    if (funs.isEmpty || funs.exists(_.isEmpty)) return false
+    pushedAgg = Some(PushedAgg(g.map(_.get), funs.map(_.get)))
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (take, remain) = filters.partition {
       case StringStartsWith("path", _) => true
       case EqualTo("is_dir", _: java.lang.Boolean) => true
+      // Every FileEntry field is non-null by construction, so the
+      // isnotnull conjuncts Catalyst infers under comparisons are
+      // trivially satisfied. Consuming them matters: aggregate
+      // pushdown only engages when NO filter remains above the scan.
+      case org.apache.spark.sql.sources.IsNotNull(_) => true
       case _ => false
     }
     take.foreach {
@@ -149,17 +255,21 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     // An empty projection (count(*)) is honored: rows become empty
     // InternalRows — the scan still walks, but ships zero bytes/row.
-    required = requiredSchema
+    // Under a pushed aggregation the output schema is the aggregate's
+    // (Spark re-prunes with that same schema — nothing to narrow).
+    if (pushedAgg.isEmpty) required = requiredSchema
 
   override def build(): Scan =
-    new WalkScan(root, seedDepth, partitions, exclusions, required,
-      pushedPrefix, pushedIsDir, impossible)
+    new WalkScan(root, seedDepth, partitions, exclusions,
+      pushedAgg.map(WalkDataSource.aggSchema).getOrElse(required),
+      pushedPrefix, pushedIsDir, impossible, pushedAgg)
 }
 
 final class WalkScan(root: String, seedDepth: Int, partitions: Int,
     exclusions: Seq[String], required: StructType,
     prefix: Option[String], isDir: Option[Boolean],
-    impossible: Boolean) extends Scan with Batch {
+    impossible: Boolean,
+    agg: Option[WalkDataSource.PushedAgg] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -167,7 +277,12 @@ final class WalkScan(root: String, seedDepth: Int, partitions: Int,
     s"graft-walk root=$root PushedFilters: [" +
       (prefix.map(p => s"StartsWith(path,$p)").toSeq ++
         isDir.map(b => s"EqualTo(is_dir,$b)").toSeq).mkString(", ") +
-      s"] ReadSchema: ${required.fieldNames.mkString(",")}"
+      "] " +
+      agg.map(a => "PushedAggregates: [" +
+        a.funs.map(f => s"${f.getClass.getSimpleName.stripSuffix("F")}(${f.col})")
+          .mkString(", ") +
+        s"] GroupBy: [${a.groupCols.mkString(", ")}] ").getOrElse("") +
+      s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
   /** Planning = the walker's driver seeding; a pushed path prefix
     * prunes whole seed subtrees here (a seed survives iff its subtree
@@ -192,7 +307,7 @@ final class WalkScan(root: String, seedDepth: Int, partitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WalkReaderFactory(required, prefix, isDir)
+    new WalkReaderFactory(required, prefix, isDir, agg)
 }
 
 final case class WalkPartition(seeds: Seq[String],
@@ -200,22 +315,89 @@ final case class WalkPartition(seeds: Seq[String],
     extends InputPartition
 
 final class WalkReaderFactory(required: StructType, prefix: Option[String],
-    isDir: Option[Boolean]) extends PartitionReaderFactory {
+    isDir: Option[Boolean],
+    agg: Option[WalkDataSource.PushedAgg] = None)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[WalkPartition]
-    new PartitionReader[InternalRow] {
-      private val ex = part.exclusions.map(_.r)
-      private val it: Iterator[FileEntry] =
-        (part.driverEntries.iterator ++ part.seeds.iterator.flatMap { s =>
-          Walker.walkSubtree(java.nio.file.Paths.get(s), ex,
-            Walker.PrevDirs.empty).flatMap(_.entry)
-        }).filter { e =>
-          prefix.forall(e.path.startsWith) && isDir.forall(_ == e.is_dir)
+    val ex = part.exclusions.map(_.r)
+    def entries: Iterator[FileEntry] =
+      (part.driverEntries.iterator ++ part.seeds.iterator.flatMap { s =>
+        Walker.walkSubtree(java.nio.file.Paths.get(s), ex,
+          Walker.PrevDirs.empty).flatMap(_.entry)
+      }).filter { e =>
+        prefix.forall(e.path.startsWith) && isDir.forall(_ == e.is_dir)
+      }
+    /* Drain this partition's entries into per-group PARTIAL aggregate
+     * rows (group values ++ agg values). SQL empty-input semantics
+     * per partial: a global (ungrouped) aggregation always emits its
+     * one row (count 0, sum/min/max null), so Spark's final merge
+     * sees the same shape a one-row SQL aggregate would produce; an
+     * absent GROUP simply emits nothing. */
+    def aggregated(a: WalkDataSource.PushedAgg): Seq[InternalRow] = {
+      import WalkDataSource._
+      final class Acc {
+        val value = Array.fill(a.funs.size)(0L)
+        val seen = Array.fill(a.funs.size)(false)
+      }
+      val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Acc]
+      if (a.groupCols.isEmpty) groups(Nil) = new Acc
+      entries.foreach { e =>
+        val key = a.groupCols.map(c => fieldOf(e, c))
+        val acc = groups.getOrElseUpdate(key, new Acc)
+        var i = 0
+        a.funs.foreach { f =>
+          f match {
+            case CountStarF() | CountF(_) => acc.value(i) += 1L
+            case SumF(c) =>
+              acc.value(i) += longOf(e, c); acc.seen(i) = true
+            case MinF(c) =>
+              val v = longOf(e, c)
+              if (!acc.seen(i) || v < acc.value(i)) acc.value(i) = v
+              acc.seen(i) = true
+            case MaxF(c) =>
+              val v = longOf(e, c)
+              if (!acc.seen(i) || v > acc.value(i)) acc.value(i) = v
+              acc.seen(i) = true
+          }
+          i += 1
         }
-      private var cur: FileEntry = _
-      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-      override def get(): InternalRow = WalkDataSource.toRow(cur, required)
-      override def close(): Unit = ()
+      }
+      val intTyped = a.funs.map {
+        case MinF(c) => WalkDataSource.schema(c).dataType ==
+          org.apache.spark.sql.types.IntegerType
+        case MaxF(c) => WalkDataSource.schema(c).dataType ==
+          org.apache.spark.sql.types.IntegerType
+        case _ => false
+      }
+      groups.iterator.map { case (key, acc) =>
+        val aggVals: Seq[Any] = a.funs.zipWithIndex.map {
+          case (CountStarF() | CountF(_), i) => acc.value(i)
+          case (_, i) if !acc.seen(i) => null
+          case (_, i) if intTyped(i) => acc.value(i).toInt
+          case (_, i) => acc.value(i)
+        }
+        InternalRow.fromSeq(key.map(toCatalyst) ++ aggVals)
+      }.toSeq
+    }
+
+    agg match {
+      case None =>
+        new PartitionReader[InternalRow] {
+          private val it = entries
+          private var cur: FileEntry = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          override def get(): InternalRow = WalkDataSource.toRow(cur, required)
+          override def close(): Unit = ()
+        }
+      case Some(a) =>
+        new PartitionReader[InternalRow] {
+          private val it = aggregated(a).iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
     }
   }
 }

@@ -100,4 +100,68 @@ class WalkSourceSpec extends SparkSpec {
     val df = readSource(root, "partitions" -> "2", "seedDepth" -> "1")
     assert(df.rdd.getNumPartitions === 2)
   }
+
+  test("aggregate pushdown: global totals fold inside the scan, exactly") {
+    val root = buildTree()
+    val df = readSource(root).agg(
+      count(lit(1)).as("n"), sum(col("size")).as("bytes"),
+      min(col("size")).as("lo"), max(col("size")).as("hi"),
+      count(col("path")).as("np"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan.take(1200))
+    val row = df.collect()(0)
+    val lib = Walker.walk(spark, root.toString, seedDepth = 2)
+      .entries.collect()
+    assert(row.getLong(0) == lib.length.toLong)
+    assert(row.getLong(1) == lib.map(_.size).sum)
+    assert(row.getLong(2) == lib.map(_.size).min)
+    assert(row.getLong(3) == lib.map(_.size).max)
+    assert(row.getLong(4) == lib.length.toLong)
+  }
+
+  test("aggregate pushdown: grouped totals and filter+agg compose") {
+    val root = buildTree()
+    val grouped = readSource(root)
+      .groupBy(col("is_dir"), col("depth"))
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"))
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    val got = grouped.collect()
+      .map(r => (r.getBoolean(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val lib = Walker.walk(spark, root.toString, seedDepth = 2)
+      .entries.collect().groupBy(e => (e.is_dir, e.depth))
+      .map { case (k, es) => k -> ((es.length.toLong, es.map(_.size).sum)) }
+    assert(got == lib)
+    // a pushed prefix filter composes with the pushed aggregate
+    val prefix = s"$root/d0-0"
+    val filtered = readSource(root)
+      .where(col("path").startsWith(prefix))
+      .agg(count(lit(1)).as("n"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedAggregates") &&
+      fplan.contains("StartsWith(path"))
+    val expUnderPrefix = Walker.walk(spark, root.toString, seedDepth = 2)
+      .entries.collect().count(_.path.startsWith(prefix)).toLong
+    assert(filtered.collect()(0).getLong(0) == expUnderPrefix)
+  }
+
+  test("aggregate pushdown declines distinct and avg gracefully") {
+    val root = buildTree()
+    // count distinct is not pushable — the plan must NOT claim a
+    // pushed aggregate and the answer must still be exact
+    val d = readSource(root).agg(countDistinct(col("parent")).as("nd"))
+    assert(!d.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    val lib = Walker.walk(spark, root.toString, seedDepth = 2)
+      .entries.collect()
+    assert(d.collect()(0).getLong(0) == lib.map(_.parent).distinct.length.toLong)
+    // empty-result regime: an impossible pushed filter under a global
+    // agg still yields the SQL one-row shape (count 0, null sum)
+    val empty = readSource(root)
+      .where(col("path").startsWith(s"$root/nonexistent"))
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("s"))
+      .collect()(0)
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
 }
