@@ -170,7 +170,8 @@ final class WalkTable(props: Map[String, String]) extends Table with SupportsRea
 final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
     exclusions: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = WalkDataSource.schema
   private var pushedPrefix: Option[String] = None
@@ -178,6 +179,18 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
   private var impossible: Boolean = false
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[WalkDataSource.PushedAgg] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** PARTIAL limit pushdown: each walk partition stops statting after
+    * `limit` surviving entries (the walker is lazy end-to-end, so a
+    * `LIMIT 10` exploration touches ~10 inodes per partition instead
+    * of the whole tree); Spark keeps its own global Limit above
+    * (isPartiallyPushed). */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** PARTIAL aggregate pushdown (supportCompletePushDown stays
     * false): each walk partition ships one pre-aggregated row per
@@ -262,14 +275,15 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
   override def build(): Scan =
     new WalkScan(root, seedDepth, partitions, exclusions,
       pushedAgg.map(WalkDataSource.aggSchema).getOrElse(required),
-      pushedPrefix, pushedIsDir, impossible, pushedAgg)
+      pushedPrefix, pushedIsDir, impossible, pushedAgg, pushedLimit)
 }
 
 final class WalkScan(root: String, seedDepth: Int, partitions: Int,
     exclusions: Seq[String], required: StructType,
     prefix: Option[String], isDir: Option[Boolean],
     impossible: Boolean,
-    agg: Option[WalkDataSource.PushedAgg] = None) extends Scan with Batch {
+    agg: Option[WalkDataSource.PushedAgg] = None,
+    limit: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -282,6 +296,7 @@ final class WalkScan(root: String, seedDepth: Int, partitions: Int,
         a.funs.map(f => s"${f.getClass.getSimpleName.stripSuffix("F")}(${f.col})")
           .mkString(", ") +
         s"] GroupBy: [${a.groupCols.mkString(", ")}] ").getOrElse("") +
+      limit.map(l => s"PushedLimit: $l ").getOrElse("") +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
   /** Planning = the walker's driver seeding; a pushed path prefix
@@ -307,7 +322,7 @@ final class WalkScan(root: String, seedDepth: Int, partitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WalkReaderFactory(required, prefix, isDir, agg)
+    new WalkReaderFactory(required, prefix, isDir, agg, limit)
 }
 
 final case class WalkPartition(seeds: Seq[String],
@@ -316,18 +331,24 @@ final case class WalkPartition(seeds: Seq[String],
 
 final class WalkReaderFactory(required: StructType, prefix: Option[String],
     isDir: Option[Boolean],
-    agg: Option[WalkDataSource.PushedAgg] = None)
+    agg: Option[WalkDataSource.PushedAgg] = None,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[WalkPartition]
     val ex = part.exclusions.map(_.r)
-    def entries: Iterator[FileEntry] =
-      (part.driverEntries.iterator ++ part.seeds.iterator.flatMap { s =>
-        Walker.walkSubtree(java.nio.file.Paths.get(s), ex,
-          Walker.PrevDirs.empty).flatMap(_.entry)
-      }).filter { e =>
-        prefix.forall(e.path.startsWith) && isDir.forall(_ == e.is_dir)
-      }
+    def entries: Iterator[FileEntry] = {
+      val base =
+        (part.driverEntries.iterator ++ part.seeds.iterator.flatMap { s =>
+          Walker.walkSubtree(java.nio.file.Paths.get(s), ex,
+            Walker.PrevDirs.empty).flatMap(_.entry)
+        }).filter { e =>
+          prefix.forall(e.path.startsWith) && isDir.forall(_ == e.is_dir)
+        }
+      // partial limit: the iterator chain is lazy end-to-end, so
+      // take(n) stops the walk after n surviving entries
+      limit.map(base.take).getOrElse(base)
+    }
     /* Drain this partition's entries into per-group PARTIAL aggregate
      * rows (group values ++ agg values). SQL empty-input semantics
      * per partial: a global (ungrouped) aggregation always emits its

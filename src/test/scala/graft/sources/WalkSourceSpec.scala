@@ -146,6 +146,24 @@ class WalkSourceSpec extends SparkSpec {
     assert(filtered.collect()(0).getLong(0) == expUnderPrefix)
   }
 
+  test("limit pushdown: partial per-partition take, exact global result") {
+    val root = buildTree()
+    val df = readSource(root).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 5"), plan.take(900))
+    val got = df.select("path").collect().map(_.getString(0))
+    assert(got.length == 5 && got.distinct.length == 5)
+    val all = Walker.walk(spark, root.toString, seedDepth = 2)
+      .entries.collect().map(_.path).toSet
+    assert(got.forall(all)) // real entries, Spark's global Limit on top
+    // limit composes with a pushed filter
+    val lf = readSource(root)
+      .where(col("is_dir") === true).limit(3)
+    assert(lf.queryExecution.executedPlan.toString.contains("PushedLimit: 3"))
+    val dirs = lf.collect()
+    assert(dirs.length == 3 && dirs.forall(_.getAs[Boolean]("is_dir")))
+  }
+
   test("aggregate pushdown declines distinct and avg gracefully") {
     val root = buildTree()
     // count distinct is not pushable — the plan must NOT claim a
