@@ -41,6 +41,34 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // Quality-gate ABLATION matrix — the gate-tuning readout every
+    // filter pipeline needs before committing thresholds: one pass
+    // computes each doc's gate bitmask (length >= 50 tokens /
+    // alpha-ratio >= 0.82 / mean word length <= 4.5 — thresholds at
+    // the corpus medians so every combination populates; all INTEGER
+    // compares, e.g. alpha*1000 >= chars*820, never a float ratio)
+    // and one aggregate reports docs +
+    // token mass per gate combination. 2^gates rows out; which gate
+    // to relax falls straight out of the mask marginals.
+    "q_quality_ablation" -> ((s, dir) => {
+      val st = graft.functions.TextStatsExpr.textStats(s, col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).as("tok"),
+          element_at(col("st"), 2).as("alpha"),
+          element_at(col("st"), 3).as("space"),
+          element_at(col("st"), 4).as("chars"))
+        .select(col("tok"),
+          (when(col("tok") >= 50, 1L).otherwise(0L) +
+           when(col("alpha") * 1000 >= col("chars") * 820, 2L).otherwise(0L) +
+           when((col("chars") - col("space")) * 100 <= col("tok") * 450, 4L)
+             .otherwise(0L)).as("mask"))
+        .groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+        .orderBy(asc("mask"))
+    }),
+
     // Language-ID by stopword-score argmax, grouped for compactness.
     "q_lang_id" -> ((s, dir) => {
       documents(s, dir)
@@ -2977,6 +3005,25 @@ object Pipeline {
         |  round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE
         |        / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mean_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_ablation" ->
+      """WITH s AS (
+        |  SELECT
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT
+        |      AS tok,
+        |    len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS alpha,
+        |    len(regexp_extract_all(text, '\s'))::BIGINT AS space,
+        |    length(text)::BIGINT AS chars
+        |  FROM documents),
+        |m AS (
+        |  SELECT tok,
+        |    (CASE WHEN tok >= 50 THEN 1 ELSE 0 END
+        |     + CASE WHEN alpha * 1000 >= chars * 820 THEN 2 ELSE 0 END
+        |     + CASE WHEN (chars - space) * 100 <= tok * 450
+        |         THEN 4 ELSE 0 END)::BIGINT
+        |      AS mask
+        |  FROM s)
+        |SELECT mask, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS tokens
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lang_id" ->
       """WITH scores AS (
         |  SELECT doc_id,
