@@ -153,11 +153,14 @@ object Multimodal {
   /** The 64 resampled points as an array column. */
   def perceptualCells(textCol: Column): Column = {
     val n = length(textCol)
-    // floor via exact double division: i·(n−1) ≤ 63·n stays far below
-    // 2^52, and Column./ on integers is double division anyway.
+    // i·(n−1) in LONG (the Int product wraps past ~34M-char payloads
+    // while the oracle computes in BIGINT); floor via exact double
+    // division — 63·n stays far below 2^52, and Column./ on integers
+    // is double division anyway.
     transform(sequence(lit(0), lit(63)), i =>
       ascii(textCol.substr(
-        (floor((i * (n - lit(1))).cast("double") / lit(63.0)) + lit(1))
+        (floor((i.cast("long") * (n.cast("long") - lit(1L)))
+          .cast("double") / lit(63.0)) + lit(1))
           .cast("int"),
         lit(1))))
   }

@@ -3603,7 +3603,8 @@ object Pipeline {
         |  FROM documents GROUP BY 1, 2),
         |d AS (
         |  SELECT lang, source, n,
-        |    greatest(('0x' || substr(md5('dp|' || lang || '|' || source),
+        |    greatest(('0x' || substr(md5('dp|' || coalesce(lang, '<null>')
+        |        || '|' || coalesce(source, '<null>')),
         |        1, 13))::BIGINT::DOUBLE, 1.0)
         |      / 4503599627370496.0 AS u
         |  FROM g),
@@ -3630,8 +3631,8 @@ object Pipeline {
         |  FROM d GROUP BY 1),
         |n AS (
         |  SELECT lang, s,
-        |    greatest(('0x' || substr(md5('dp|sum:tok|' || lang),
-        |        1, 13))::BIGINT::DOUBLE, 1.0)
+        |    greatest(('0x' || substr(md5('dp|sum:tok|'
+        |        || coalesce(lang, '<null>')), 1, 13))::BIGINT::DOUBLE, 1.0)
         |      / 4503599627370496.0 AS u
         |  FROM g)
         |SELECT lang,

@@ -103,6 +103,24 @@ class PrivacySpec extends SparkSpec {
       .take(10).map(_._1))
   }
 
+  test("a secret salt re-keys every draw; empty salt is the replayable mode") {
+    val df = (0 until 40).map(i => (s"k${i % 10}", i.toLong)).toDF("g", "v")
+    val open = Privacy.noisyCounts(df, Seq("g"), eps = 1.0, minRelease = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Privacy.noisyCounts(df, Seq("g"), eps = 1.0,
+        minRelease = 0L, salt = "s3cret")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same groups, same true counts underneath — but the adversary's
+    // unsalted replay no longer matches any salted draw
+    assert(open.keySet == salted.keySet)
+    assert(open.keys.count(k => open(k) != salted(k)) >= 8,
+      "salting must re-key (essentially) every noise draw")
+    // empty salt replays driver-side (the oracle mode)
+    open.foreach { case (g, noisy) =>
+      assert(noisy == 4L * 1000000L + noiseMicro(g, 1.0), s"group $g")
+    }
+  }
+
   test("suppression thresholds on the noisy value, not the true count") {
     // a group of exactly minRelease rows with negative noise must
     // suppress; one with positive noise must release — find one of
