@@ -305,6 +305,13 @@ object Dedup {
       graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
     val corpusSh = corpus.select(col(idCol).as("doc_id"),
       explode(shingleCol).as("shingle"))
+    // The broadcast route stamps its measured bound as limit(nBench.toInt):
+    // a caller-raised ceiling past Int.MaxValue would wrap that stamp
+    // negative — and a >2^31-string broadcast is unreasonable anyway.
+    require(benchBroadcastMax <= Int.MaxValue,
+      s"benchBroadcastMax $benchBroadcastMax exceeds Int.MaxValue; " +
+        "the broadcast-strings route cannot bound a side that large — " +
+        "use the Bloom route (contaminatedBloom) instead")
     val (benchSh, nBench) = measuredBenchShingles(bench, textCol, n)
     val joined =
       if (nBench > benchBroadcastMax)

@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   *
   * Caveats the caller owns: the draw is keyed by the group NAME, so
   * renaming a group re-keys its noise (key by a stable group id if
-  * renames happen); and multi-column keys join on an unescaped
-  * `'|'`, so key components containing `'|'` can collide onto one
-  * draw — avoid the separator in key values or pre-hash components.
+  * renames happen). Multi-column keys join on an unescaped `'|'`;
+  * that contract is SELF-ENFORCED — a key component containing the
+  * separator raises at execution (two distinct keys colliding onto
+  * one draw would correlate their noise). Pre-hash components whose
+  * values can contain `'|'`.
   *
   * Scale shape: one partial+final count aggregate; the noise is
   * scan-stage arithmetic on the tiny post-agg frame. Nothing here
@@ -54,6 +56,19 @@ object Privacy {
   private def domainOf(salt: String): String =
     if (salt.isEmpty) "dp|" else s"dp|$salt|"
 
+  /** One rendered key component: nulls normalize to `<null>`, and the
+    * reserved `'|'` separator is rejected AT EXECUTION (a component
+    * containing it would collide two distinct multi-column keys onto
+    * one noise draw — correlated noise, weaker protection). The guard
+    * runs on the tiny post-agg frame only. */
+  private def keyComponent(c: Column): Column = {
+    val s = coalesce(c.cast("string"), lit("<null>"))
+    when(s.contains("|"),
+      raise_error(concat(
+        lit("DP key component contains the reserved '|' separator: "), s)))
+      .otherwise(s)
+  }
+
   /** Laplace(sensitivity/eps) noise in integer micro-units,
     * deterministic in (`salt`, `key`). `eps` and `sensitivity` must
     * be exactly double-representable (1.0, 0.5, 64.0, …) so the
@@ -69,28 +84,40 @@ object Privacy {
       log(lit(1.0) - lit(2.0) * abs(c)) * lit(1000000.0))
   }
 
-  /** eps-DP noisy per-group counts with small-group suppression:
-    * (group cols, noisy_micro, released). `noisy_micro` is the
-    * released statistic (true count + Laplace noise, micro-units);
-    * `released`=0 suppresses groups whose NOISY count falls below
-    * `minRelease` — thresholding on the noisy value keeps the
-    * decision itself private (a threshold on the true count would
-    * leak it). The true count never leaves this function. */
+  /** Noisy per-group counts with small-group suppression:
+    * (group cols, noisy_micro). `noisy_micro` is the released
+    * statistic (true count + Laplace noise, micro-units); groups whose
+    * NOISY count falls below `minRelease` are DROPPED ENTIRELY — key
+    * and value. Thresholding on the noisy value keeps the decision
+    * itself private (a threshold on the true count would leak it), and
+    * dropping — rather than flagging — the suppressed groups is what
+    * makes the release private over a DATA-DEPENDENT key domain: the
+    * output key set is itself a function of the data, and emitting a
+    * below-threshold group (even marked suppressed) would reveal
+    * count ≥ 1 with certainty. The true count never leaves this
+    * function.
+    *
+    * Privacy accounting (stability-based histogram, Korolova et al.
+    * WWW'09 / Wilson et al. PETS'20): over a data-dependent domain
+    * this is (eps, delta)-DP with
+    * `delta = P[1 + Lap(1/eps) >= minRelease]
+    *        = (1/2)·exp(-eps·(minRelease - 1))` for `minRelease >= 1`
+    * — the chance a group supported by a single row survives the
+    * noisy threshold. Pick `minRelease ~ 1 + ln(1/(2·delta))/eps` for
+    * a target delta. Over a FIXED public key domain (release every
+    * public key, no threshold) the mechanism is pure eps-DP. */
   def noisyCounts(df: DataFrame, keyCols: Seq[String], eps: Double,
       minRelease: Long, salt: String = ""): DataFrame = {
-    // coalesce each component: concat_ws SKIPS nulls while the oracle
+    // normalize each component: concat_ws SKIPS nulls while the oracle
     // '||' would propagate them — a null key column must key the same
     // draw in both engines
-    val keyStr = concat_ws("|",
-      keyCols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+    val keyStr = concat_ws("|", keyCols.map(c => keyComponent(col(c))): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("noisy_micro",
         col("__n") * lit(1000000L) +
           laplaceNoiseMicro(keyStr, eps, salt = salt))
-      .withColumn("released",
-        when(col("noisy_micro") >= lit(minRelease * 1000000L), lit(1L))
-          .otherwise(lit(0L)))
+      .where(col("noisy_micro") >= lit(minRelease * 1000000L))
       .drop("__n")
   }
 
@@ -108,9 +135,9 @@ object Privacy {
     // distinct noise domain from noisyCounts: a release publishing a
     // count AND a sum for the same group must not share one uniform
     // (correlated noise halves the effective protection)
+    require(!valueCol.contains("|"), s"reserved '|' in value col $valueCol")
     val keyStr = concat_ws("|",
-      lit(s"sum:$valueCol") +:
-        keyCols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+      lit(s"sum:$valueCol") +: keyCols.map(c => keyComponent(col(c))): _*)
     val clamped = least(greatest(col(valueCol).cast("long"), lit(0L)),
       lit(clip))
     df.groupBy(keyCols.map(col): _*)
@@ -125,9 +152,21 @@ object Privacy {
   /** eps-DP top-k selection via one-shot Gumbel noise (Durfee &
     * Rogers, "Practical differentially private top-k selection",
     * NeurIPS 2019): the k largest values of
-    * `eps·count/2 + Gumbel(0,1)` are distributed exactly as k
+    * `eps_draw·count/2 + Gumbel(0,1)` are distributed exactly as k
     * sequential exponential-mechanism draws without replacement — one
-    * pass, no iteration. The Gumbel comes from the deterministic
+    * pass, no iteration.
+    *
+    * '''`eps` is the TOTAL budget for the whole k-rank release.''' The
+    * one-shot mechanism EQUALS k sequential exponential-mechanism
+    * draws, so the cost composes over the draws (Durfee & Rogers
+    * analyze the composition explicitly); this function spends
+    * `eps_draw = eps/k` per draw (basic composition: k·(eps/k) = eps),
+    * so releasing 20 ranks at eps=1.0 really is a 1.0-DP release —
+    * the parameter means what a curator budgeting a release needs it
+    * to mean. (The paper's refined bound is tighter than basic
+    * composition; basic is the conservative choice.)
+    *
+    * The Gumbel comes from the deterministic
     * 52-bit md5 uniform in its own tagged domain
     * (`-ln(-ln u)`, u clamped to ≥ 2⁻⁵² so both logs stay finite),
     * and the whole score chain floors ONCE to micro-units.
@@ -148,7 +187,10 @@ object Privacy {
     import org.apache.spark.sql.expressions.Window
     val u = mdUniform(
       if (salt.isEmpty) "dp|topk|" else s"dp|$salt|topk|", col(keyCol))
-    val sMicro = floor((col(countCol).cast("double") * lit(eps / 2.0) -
+    // per-draw budget eps/k (total = eps under basic composition); the
+    // oracle mirrors the same division in DOUBLE: (eps/2)::DOUBLE / k
+    val sMicro = floor((col(countCol).cast("double") *
+      lit(eps / 2.0 / k.toDouble) -
       log(-log(u))) * lit(1000000.0))
     counts.select(col(keyCol), sMicro.as("__s"))
       .orderBy(desc("__s"), asc(keyCol))

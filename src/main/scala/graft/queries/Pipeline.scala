@@ -205,12 +205,14 @@ object Pipeline {
         .orderBy(asc("centroid_id"), asc("rk"))
     }),
 
-    // eps-DP dataset-card release (ops/Privacy): per-(lang, source)
-    // doc counts + deterministic Laplace(1/eps) noise from the 52-bit
-    // md5 uniform, floored once to micro-units; small groups suppress
-    // on the NOISY value (thresholding on the true count would leak
-    // it). Deterministic noise = one sample per statistic ever
-    // released, and the oracle replays the whole mechanism.
+    // (eps,delta)-DP dataset-card release (ops/Privacy): per-(lang,
+    // source) doc counts + deterministic Laplace(1/eps) noise from the
+    // 52-bit md5 uniform, floored once to micro-units; groups whose
+    // NOISY count sits below the threshold are DROPPED ENTIRELY (the
+    // key set is data-dependent, so even a flagged suppressed row
+    // would leak count>=1 — stability-histogram accounting on the op).
+    // Deterministic noise = one sample per statistic ever released,
+    // and the oracle replays the whole mechanism.
     "q_dp_release" -> ((s, dir) => {
       graft.ops.Privacy.noisyCounts(documents(s, dir),
           Seq("lang", "source"), eps = 1.0, minRelease = 5L)
@@ -234,8 +236,10 @@ object Pipeline {
 
     // eps-DP private vocabulary: top-20 tokens via one-shot Gumbel
     // noise (ops/Privacy.gumbelTopK = k exponential-mechanism draws
-    // without replacement in one pass). Only (rank, token) is
-    // released. Occurrence-level privacy unit, documented on the op.
+    // without replacement in one pass); eps=1.0 is the TOTAL release
+    // budget — the op spends eps/k per draw (basic composition). Only
+    // (rank, token) is released. Occurrence-level privacy unit,
+    // documented on the op.
     "q_dp_topk" -> ((s, dir) => {
       val counts = documents(s, dir)
         .select(explode(split(trim(lower(col("text"))), "\\s+"))
@@ -3614,10 +3618,9 @@ object Pipeline {
         |      * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0)::BIGINT
         |      AS noisy_micro
         |  FROM d)
-        |SELECT lang, source, noisy_micro,
-        |  (CASE WHEN noisy_micro >= 5000000 THEN 1 ELSE 0 END)::BIGINT
-        |    AS released
-        |FROM m ORDER BY lang, source""".stripMargin,
+        |SELECT lang, source, noisy_micro
+        |FROM m WHERE noisy_micro >= 5000000
+        |ORDER BY lang, source""".stripMargin,
     // Clipped-sum mechanism replay: clamp, sum, Laplace(clip/eps)
     // from the 'sum:tok'-tagged uniform (never the count's draw).
     "q_dp_sum" ->
@@ -3658,8 +3661,8 @@ object Pipeline {
         |  FROM c),
         |s AS (
         |  SELECT token,
-        |    floor((c::DOUBLE * 0.5 - ln(-ln(u))) * 1000000.0)::BIGINT
-        |      AS s_micro
+        |    floor((c::DOUBLE * (0.5::DOUBLE / 20.0::DOUBLE)
+        |      - ln(-ln(u))) * 1000000.0)::BIGINT AS s_micro
         |  FROM n),
         |r AS (
         |  SELECT row_number() OVER (ORDER BY s_micro DESC, token)::BIGINT

@@ -185,8 +185,18 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
     * `limit` surviving entries (the walker is lazy end-to-end, so a
     * `LIMIT 10` exploration touches ~10 inodes per partition instead
     * of the whole tree); Spark keeps its own global Limit above
-    * (isPartiallyPushed). */
+    * (isPartiallyPushed).
+    *
+    * Limit and aggregate pushdown are MUTUALLY EXCLUSIVE in this
+    * source: the reader applies a pushed limit to the entry stream
+    * BEFORE a pushed aggregation would fold it, so co-pushing both
+    * would silently aggregate a truncated stream. Catalyst's
+    * V2ScanRelationPushDown ordering never pushes a limit through an
+    * Aggregate today, but that is an invariant of Spark's rule order —
+    * this builder enforces it locally: whichever arrives second is
+    * declined, and `build()` asserts the invariant. */
   override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
     pushedLimit = Some(limit)
     true
   }
@@ -224,6 +234,7 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
       case _ => None
     }
     if (funs.isEmpty || funs.exists(_.isEmpty)) return false
+    if (pushedLimit.isDefined) return false // see pushLimit: limit XOR agg
     pushedAgg = Some(PushedAgg(g.map(_.get), funs.map(_.get)))
     true
   }
@@ -272,10 +283,14 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
     // (Spark re-prunes with that same schema — nothing to narrow).
     if (pushedAgg.isEmpty) required = requiredSchema
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    require(pushedLimit.isEmpty || pushedAgg.isEmpty,
+      "walk source invariant: a pushed limit and a pushed aggregation " +
+        "cannot coexist (the limit truncates the stream the aggregate folds)")
     new WalkScan(root, seedDepth, partitions, exclusions,
       pushedAgg.map(WalkDataSource.aggSchema).getOrElse(required),
       pushedPrefix, pushedIsDir, impossible, pushedAgg, pushedLimit)
+  }
 }
 
 final class WalkScan(root: String, seedDepth: Int, partitions: Int,

@@ -84,10 +84,14 @@ class MultimodalSpec extends SparkSpec {
       .select(col("media_id"), Multimodal.dhashFromCells(col("g")).as("sig"))
       .as[(Long, Long)].collect().toMap
     def replay(text: String): Long = {
-      val n = text.length
+      // CODE POINTS, not chars: Spark length/substr/ascii count code
+      // points, so a charAt replay would split surrogate pairs on any
+      // non-BMP character (the BPE code-point rule)
+      val n = text.codePointCount(0, text.length)
       val g = (0 to 63).map { i =>
         val pos = math.floor(i.toDouble * (n - 1) / 63.0).toInt
-        if (n == 0) 0 else text.charAt(pos).toInt
+        if (n == 0) 0
+        else text.codePointAt(text.offsetByCodePoints(0, pos))
       }
       (0 to 62).foldLeft(0L) { (acc, i) =>
         acc + (if (g(i) > g(i + 1)) 1L << i else 0L)

@@ -28,14 +28,15 @@ class PrivacySpec extends SparkSpec {
   test("distributed noisy counts equal the driver-side replay") {
     val df = rows.toDF("g", "v")
     val got = Privacy.noisyCounts(df, Seq("g"), eps = 1.0, minRelease = 3L)
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
-      .toMap
-    assert(got.size == 100)
-    got.foreach { case (g, (noisy, released)) =>
-      val want = 4L * 1000000L + noiseMicro(g, 1.0)
-      assert(noisy == want, s"group $g")
-      assert(released == (if (want >= 3000000L) 1L else 0L), s"group $g")
-    }
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the released key SET is exactly the noisy-threshold survivors —
+    // suppressed groups are gone entirely (key and value)
+    val want = (0 until 100).map(i => s"k$i")
+      .map(g => g -> (4L * 1000000L + noiseMicro(g, 1.0)))
+      .filter(_._2 >= 3000000L).toMap
+    assert(want.nonEmpty && want.size < 100,
+      "fixture must exercise both release and suppression")
+    assert(got == want)
   }
 
   test("noise is Laplace-shaped: bounded, sign-balanced, eps-scaled") {
@@ -82,22 +83,23 @@ class PrivacySpec extends SparkSpec {
   test("gumbel top-k equals a driver replay; high eps recovers true order") {
     val counts = (0 until 60).map(i => (s"tok$i", (60 - i).toLong * 3))
     val df = counts.toDF("token", "c")
-    def score(key: String, c: Long, eps: Double): Long = {
+    // eps is the TOTAL budget: the replay spends eps/k per draw
+    def score(key: String, c: Long, eps: Double, k: Int): Long = {
       val raw = java.lang.Long
         .parseLong(md5hex("dp|topk|" + key).substring(0, 13), 16).toDouble
       val u = math.max(raw, 1.0) / 4503599627370496.0
-      math.floor((c.toDouble * (eps / 2.0) -
+      math.floor((c.toDouble * (eps / 2.0 / k.toDouble) -
         math.log(-math.log(u))) * 1000000.0).toLong
     }
     val got = Privacy.gumbelTopK(df, "token", "c", eps = 1.0, k = 10)
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val want = counts.map { case (t, c) => (t, score(t, c, 1.0)) }
+    val want = counts.map { case (t, c) => (t, score(t, c, 1.0, 10)) }
       .sortBy { case (t, s) => (-s, t) }.take(10).map(_._1)
     assert(got.map(_._2).toSeq == want)
     // high eps: the count signal dwarfs the Gumbel noise (counts gap
-    // by 3·eps/2 = 96 micro-scaled vs Gumbel spread ~ a few) — the
+    // by 3·(eps/k)/2 = 96 micro-scaled vs Gumbel spread ~ a few) — the
     // release is exactly the true top-10
-    val exact = Privacy.gumbelTopK(df, "token", "c", eps = 64.0, k = 10)
+    val exact = Privacy.gumbelTopK(df, "token", "c", eps = 640.0, k = 10)
       .collect().sortBy(_.getLong(0)).map(_.getString(1)).toSeq
     assert(exact == counts.sortBy { case (t, c) => (-c, t) }
       .take(10).map(_._1))
@@ -105,10 +107,13 @@ class PrivacySpec extends SparkSpec {
 
   test("a secret salt re-keys every draw; empty salt is the replayable mode") {
     val df = (0 until 40).map(i => (s"k${i % 10}", i.toLong)).toDF("g", "v")
-    val open = Privacy.noisyCounts(df, Seq("g"), eps = 1.0, minRelease = 0L)
+    // minRelease below the noise floor: every group releases in both
+    // runs, so the key sets compare group-for-group
+    val open = Privacy.noisyCounts(df, Seq("g"), eps = 1.0,
+        minRelease = -100L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val salted = Privacy.noisyCounts(df, Seq("g"), eps = 1.0,
-        minRelease = 0L, salt = "s3cret")
+        minRelease = -100L, salt = "s3cret")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // same groups, same true counts underneath — but the adversary's
     // unsalted replay no longer matches any salted draw
@@ -132,8 +137,21 @@ class PrivacySpec extends SparkSpec {
     val df = (Seq.fill(5)(negKey) ++ Seq.fill(5)(posKey))
       .zipWithIndex.toDF("g", "v")
     val got = Privacy.noisyCounts(df, Seq("g"), eps = 1.0, minRelease = 5L)
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
-    assert(got(negKey) == 0L, "noisy count below threshold must suppress")
-    assert(got(posKey) == 1L, "noisy count above threshold must release")
+      .collect().map(r => r.getString(0)).toSet
+    // the suppressed group vanishes — key and value — because over a
+    // data-dependent key domain its mere presence would leak count>=1
+    assert(!got.contains(negKey), "below-threshold group must be dropped")
+    assert(got.contains(posKey), "above-threshold group must release")
+  }
+
+  test("a key component containing the reserved '|' separator raises") {
+    val df = Seq(("a|b", 1L), ("c", 2L)).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Privacy.noisyCounts(df, Seq("g"), eps = 1.0, minRelease = -100L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("reserved '|' separator") ||
+      Option(ex.getCause).exists(_.getMessage
+        .contains("reserved '|' separator")))
   }
 }
