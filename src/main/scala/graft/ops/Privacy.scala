@@ -199,4 +199,51 @@ object Privacy {
           Window.orderBy(desc("__s"), asc(keyCol)))
         .cast("long").as("rk"), col(keyCol))
   }
+
+  /** Composed private DATASET CARD — one release frame carrying the
+    * three mechanisms of this module under an explicit budget split:
+    *
+    *   - per-group noisy counts at `epsCounts` (threshold-suppressed),
+    *   - clipped per-group noisy sums of `valueCol` at `epsSums`,
+    *   - a Gumbel top-`k` vocabulary over `tokenCounts` at `epsTopk`
+    *     (total budget — the op spends epsTopk/k per draw).
+    *
+    * '''Accounting (basic sequential composition)''': each mechanism
+    * is individually DP on the whole dataset, so the card is
+    * `(epsCounts + epsSums + epsTopk, delta)`-DP, with `delta` coming
+    * solely from the counts threshold over a data-dependent key domain
+    * (see [[noisyCounts]]; the sums release the same key set as no
+    * extra delta when `keyCols` match — conservatively, double it).
+    * Composition is valid precisely BECAUSE the three draws live in
+    * pairwise-distinct tagged domains (`dp|…`, `dp|sum:col|…`,
+    * `dp|topk|…`): no uniform is shared, so no mechanism's noise is a
+    * function of another's — the spec asserts the pairwise
+    * independence. Deterministic noise keeps re-publication free: a
+    * re-run of the card releases the SAME sample, not a fresh one.
+    *
+    * Output: `(section, key, rk, value_micro)` — sections `count`,
+    * `sum_<valueCol>` (rk 0, noisy value in micro-units) and
+    * `top_<tokenCol>` (rank released, value_micro NULL: the noisy
+    * score stays inside the mechanism). One ordered frame, suitable
+    * for export as the public card. */
+  def datasetCard(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      clip: Long, tokenCounts: DataFrame, tokenCol: String,
+      countCol: String, epsCounts: Double, epsSums: Double,
+      epsTopk: Double, minRelease: Long, k: Int,
+      salt: String = ""): DataFrame = {
+    val keyRender = concat_ws("|",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
+    val counts = noisyCounts(df, keyCols, epsCounts, minRelease, salt)
+      .select(lit("count").as("section"), keyRender.as("key"),
+        lit(0L).as("rk"), col("noisy_micro").as("value_micro"))
+    val sums = noisySums(df, keyCols, valueCol, clip, epsSums, salt)
+      .select(lit(s"sum_$valueCol").as("section"), keyRender.as("key"),
+        lit(0L).as("rk"), col("noisy_sum_micro").as("value_micro"))
+    val top = gumbelTopK(tokenCounts, tokenCol, countCol, epsTopk, k, salt)
+      .select(lit(s"top_$tokenCol").as("section"),
+        col(tokenCol).cast("string").as("key"), col("rk"),
+        lit(null).cast("long").as("value_micro"))
+    counts.unionByName(sums).unionByName(top)
+      .orderBy(asc("section"), asc("rk"), asc("key"))
+  }
 }

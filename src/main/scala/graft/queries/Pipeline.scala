@@ -251,6 +251,29 @@ object Pipeline {
         .orderBy(asc("rk"))
     }),
 
+    // Composed private dataset card (ops/Privacy.datasetCard): noisy
+    // per-lang doc counts (eps 0.5) + clipped noisy token sums
+    // (eps 0.5) + Gumbel top-10 vocabulary (eps 0.5 TOTAL) in one
+    // release frame — eps_total = 1.5 under basic composition, valid
+    // because the three draws live in pairwise-distinct tagged noise
+    // domains (asserted in PrivacySpec). Only (rank, token) leaves the
+    // top-k section; the card is the exportable public artifact.
+    "q_dp_card" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val toks = docs.select(col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      val tokenCounts = docs
+        .select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val counts = graft.ops.Privacy.datasetCard(toks, Seq("lang"), "tok",
+        clip = 64L, tokenCounts, "token", "c",
+        epsCounts = 0.5, epsSums = 0.5, epsTopk = 0.5,
+        minRelease = 3L, k = 10)
+      counts
+    }),
+
     // Domain/language mixture reweighting: per-language sampling
     // weight = target fraction / actual fraction — the knob a pipeline
     // turns to hit a target training mixture. One aggregation; the
@@ -3669,6 +3692,77 @@ object Pipeline {
         |    AS rk, token
         |  FROM s)
         |SELECT rk, token FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // Composed card replay: all three mechanisms from their own tagged
+    // domains (dp| / dp|sum:tok| / dp|topk|), counts thresholded and
+    // dropped, sums clipped at 64 (scale -128 = clip/eps), top-k at
+    // eps/2k = 0.25/10 per draw, NULL value for released ranks.
+    "q_dp_card" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT
+        |      AS tok
+        |  FROM documents),
+        |cg AS (SELECT lang, count(*)::BIGINT AS n FROM d GROUP BY 1),
+        |cn AS (
+        |  SELECT lang, n,
+        |    greatest(('0x' || substr(md5('dp|' || coalesce(lang, '<null>')),
+        |        1, 13))::BIGINT::DOUBLE, 1.0)
+        |      / 4503599627370496.0 AS u
+        |  FROM cg),
+        |cm AS (
+        |  SELECT 'count' AS section, coalesce(lang, '<null>') AS key,
+        |    0::BIGINT AS rk,
+        |    n * 1000000 + floor(-2.0 * sign(u - 0.5)
+        |      * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0)::BIGINT
+        |      AS value_micro
+        |  FROM cn),
+        |cr AS (SELECT * FROM cm WHERE value_micro >= 3000000),
+        |sg AS (
+        |  SELECT lang, sum(least(greatest(tok, 0), 64))::BIGINT AS s
+        |  FROM d GROUP BY 1),
+        |sn AS (
+        |  SELECT lang, s,
+        |    greatest(('0x' || substr(md5('dp|sum:tok|'
+        |        || coalesce(lang, '<null>')), 1, 13))::BIGINT::DOUBLE, 1.0)
+        |      / 4503599627370496.0 AS u
+        |  FROM sg),
+        |sm AS (
+        |  SELECT 'sum_tok' AS section, coalesce(lang, '<null>') AS key,
+        |    0::BIGINT AS rk,
+        |    s * 1000000 + floor(-128.0 * sign(u - 0.5)
+        |      * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0)::BIGINT
+        |      AS value_micro
+        |  FROM sn),
+        |t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS token
+        |  FROM documents),
+        |tc AS (SELECT token, count(*)::BIGINT AS c FROM t
+        |  WHERE token <> '' GROUP BY 1),
+        |tn AS (
+        |  SELECT token, c,
+        |    greatest(('0x' || substr(md5('dp|topk|' || token),
+        |        1, 13))::BIGINT::DOUBLE, 1.0)
+        |      / 4503599627370496.0 AS u
+        |  FROM tc),
+        |ts AS (
+        |  SELECT token,
+        |    floor((c::DOUBLE * (0.25::DOUBLE / 10.0::DOUBLE) - ln(-ln(u)))
+        |      * 1000000.0)::BIGINT AS s_micro
+        |  FROM tn),
+        |tr AS (
+        |  SELECT row_number() OVER (ORDER BY s_micro DESC, token)::BIGINT
+        |    AS rk, token
+        |  FROM ts),
+        |tm AS (
+        |  SELECT 'top_token' AS section, token AS key, rk,
+        |    NULL::BIGINT AS value_micro
+        |  FROM tr WHERE rk <= 10),
+        |card AS (
+        |  SELECT * FROM cr UNION ALL SELECT * FROM sm
+        |  UNION ALL SELECT * FROM tm)
+        |SELECT section, key, rk, value_micro FROM card
+        |ORDER BY section, rk, key""".stripMargin,
     "q_semantic_dedup_grid" -> semanticDedupGridSql(c = 8, iters = 3,
       maxTrain = 256, threshold = "0.999"),
     "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,

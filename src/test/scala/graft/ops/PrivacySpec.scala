@@ -144,6 +144,58 @@ class PrivacySpec extends SparkSpec {
     assert(got.contains(posKey), "above-threshold group must release")
   }
 
+  test("dataset card: three sections, pairwise-independent noise domains") {
+    val docs = Seq(
+      ("en", "alpha beta gamma"), ("en", "alpha beta"), ("en", "alpha"),
+      ("en", "beta gamma"), ("de", "delta epsilon zeta"),
+      ("de", "delta epsilon"), ("de", "delta"), ("de", "epsilon zeta"),
+      ("fr", "eta")).toDF("lang", "text")
+    val toks = docs.select(col("lang"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+    val tokenCounts = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val card = Privacy.datasetCard(toks, Seq("lang"), "tok", clip = 64L,
+      tokenCounts, "token", "c", epsCounts = 0.5, epsSums = 0.5,
+      epsTopk = 0.5, minRelease = 2L, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val sections = card.map(_._1).toSet
+    assert(sections == Set("count", "sum_tok", "top_token"))
+    // fr has 1 doc: 1e6 + noise can never reach the 2e6 threshold
+    // (|noise| < ln(2^51)/0.5 micro but the draw for 'fr' is fixed) —
+    // verify suppression dropped it iff the replay says so
+    val frNoisy = 1000000L + {
+      val raw = java.lang.Long
+        .parseLong(md5hex("dp|fr").substring(0, 13), 16).toDouble
+      val u = math.max(raw, 1.0) / 4503599627370496.0
+      val c = u - 0.5
+      math.floor(-2.0 * math.signum(c) *
+        math.log(1.0 - 2.0 * math.abs(c)) * 1000000.0).toLong
+    }
+    assert(card.exists(r => r._1 == "count" && r._2 == "fr") ==
+      (frNoisy >= 2000000L))
+    // top-k rows release rank + key ONLY
+    card.filter(_._1 == "top_token").foreach { r =>
+      assert(r._4.isEmpty, s"top-k must not release a value: $r")
+      assert(r._3 >= 1L && r._3 <= 3L)
+    }
+    // the three mechanisms' uniforms are pairwise-distinct functions
+    // of their tags: same key string, three different draws
+    def u(domain: String, key: String): Double = {
+      val raw = java.lang.Long
+        .parseLong(md5hex(domain + key).substring(0, 13), 16).toDouble
+      math.max(raw, 1.0) / 4503599627370496.0
+    }
+    Seq("en", "de", "fr", "alpha").foreach { key =>
+      val draws = Seq(u("dp|", key), u("dp|sum:tok|", key),
+        u("dp|topk|", key))
+      assert(draws.distinct.size == 3,
+        s"noise domains must not share a uniform for key $key: $draws")
+    }
+  }
+
   test("a key component containing the reserved '|' separator raises") {
     val df = Seq(("a|b", 1L), ("c", 2L)).toDF("g", "v")
     val ex = intercept[Exception] {
