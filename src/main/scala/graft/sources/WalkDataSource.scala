@@ -121,6 +121,32 @@ object WalkDataSource {
   final case class PushedAgg(groupCols: Seq[String], funs: Seq[AggFun])
       extends Serializable
 
+  // ---- pushed top-N model (serialized into the reader) ----
+  final case class TopNKey(col: String, descending: Boolean)
+      extends Serializable
+  final case class PushedTopN(keys: Seq[TopNKey], limit: Int)
+      extends Serializable
+
+  /** Total order over entries for a pushed top-N — every FileEntry
+    * field is non-null by construction, so null ordering never
+    * applies. mod_time compares as epoch micros (fieldOf's rendering). */
+  private[sources] def topNOrdering(keys: Seq[TopNKey]): Ordering[FileEntry] =
+    new Ordering[FileEntry] {
+      override def compare(a: FileEntry, b: FileEntry): Int = {
+        keys.foreach { k =>
+          val c = (fieldOf(a, k.col), fieldOf(b, k.col)) match {
+            case (x: String, y: String) => x.compareTo(y)
+            case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+            case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+            case (x, y) => java.lang.Long.compare(
+              x.asInstanceOf[Long], y.asInstanceOf[Long])
+          }
+          if (c != 0) return if (k.descending) -c else c
+        }
+        0
+      }
+    }
+
   private[sources] val numericFields = Set("depth", "size", "blocks",
     "mode", "uid", "gid", "device", "inode", "nlink", "n_entries")
 
@@ -171,7 +197,8 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
     exclusions: Seq[String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = WalkDataSource.schema
   private var pushedPrefix: Option[String] = None
@@ -180,6 +207,7 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[WalkDataSource.PushedAgg] = None
   private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[WalkDataSource.PushedTopN] = None
 
   /** PARTIAL limit pushdown: each walk partition stops statting after
     * `limit` surviving entries (the walker is lazy end-to-end, so a
@@ -196,11 +224,43 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
     * this builder enforces it locally: whichever arrives second is
     * declined, and `build()` asserts the invariant. */
   override def pushLimit(limit: Int): Boolean = {
-    if (pushedAgg.isDefined) return false
+    if (pushedAgg.isDefined || pushedTopN.isDefined) return false
     pushedLimit = Some(limit)
     true
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** PARTIAL top-N pushdown (`SupportsPushDownTopN`) — the reference's
+    * signature operator AT THE SOURCE (heap top-N, report_stats.go:
+    * 71-82): each walk partition keeps a BOUNDED O(n) heap of the
+    * `limit` smallest entries under the pushed sort order while the
+    * lazy walker streams the subtree, so a `find … ORDER BY size DESC
+    * LIMIT 10` ships 10 rows per partition instead of the whole tree;
+    * Spark's global TakeOrderedAndProject merges the partials
+    * (isPartiallyPushed). Composes with pushed filters — the heap sees
+    * the post-filter stream. Declines anything but plain column sort
+    * keys, and is mutually exclusive with a pushed limit or aggregate
+    * (same invariant as pushLimit). Null ordering is irrelevant: every
+    * field is non-null by construction. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector
+      .expressions.SortOrder], limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (pushedAgg.isDefined || pushedLimit.isDefined || limit <= 0)
+      return false
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(WalkDataSource.TopNKey(nr.fieldNames()(0),
+            o.direction() == SortDirection.DESCENDING))
+        case _ => None
+      }
+    }
+    if (keys.isEmpty || keys.exists(_.isEmpty)) return false
+    if (!keys.flatten.forall(k =>
+        WalkDataSource.schema.fieldNames.contains(k.col))) return false
+    pushedTopN = Some(WalkDataSource.PushedTopN(keys.flatten, limit))
+    true
+  }
 
   /** PARTIAL aggregate pushdown (supportCompletePushDown stays
     * false): each walk partition ships one pre-aggregated row per
@@ -234,19 +294,33 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
       case _ => None
     }
     if (funs.isEmpty || funs.exists(_.isEmpty)) return false
-    if (pushedLimit.isDefined) return false // see pushLimit: limit XOR agg
+    // see pushLimit/pushTopN: limit, topN and aggregate are exclusive
+    if (pushedLimit.isDefined || pushedTopN.isDefined) return false
     pushedAgg = Some(PushedAgg(g.map(_.get), funs.map(_.get)))
     true
+  }
+
+  /** `is_dir = b` in all the shapes Catalyst ships it: `= true`
+    * arrives as EqualTo after boolean simplification, `= false` as
+    * `Not(EqualTo(is_dir, true))` (the optimizer rewrites to `NOT
+    * is_dir` first). A shape left unconsumed would not just skip the
+    * reader filter — a REMAINING filter blocks top-N and aggregate
+    * pushdown entirely. */
+  private def isDirEq(f: Filter): Option[Boolean] = f match {
+    case EqualTo("is_dir", b: java.lang.Boolean) => Some(b.booleanValue())
+    case org.apache.spark.sql.sources.Not(inner) => isDirEq(inner).map(!_)
+    case _ => None
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (take, remain) = filters.partition {
       case StringStartsWith("path", _) => true
-      case EqualTo("is_dir", _: java.lang.Boolean) => true
+      case f if isDirEq(f).isDefined => true
       // Every FileEntry field is non-null by construction, so the
       // isnotnull conjuncts Catalyst infers under comparisons are
-      // trivially satisfied. Consuming them matters: aggregate
-      // pushdown only engages when NO filter remains above the scan.
+      // trivially satisfied. Consuming them matters: aggregate and
+      // top-N pushdown only engage when NO filter remains above the
+      // scan.
       case org.apache.spark.sql.sources.IsNotNull(_) => true
       case _ => false
     }
@@ -262,14 +336,15 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
           case Some(q) => impossible = true; Some(q)
           case None => Some(p)
         }
-      case EqualTo("is_dir", b: java.lang.Boolean) =>
-        // Contradictory conjuncts (is_dir=true AND is_dir=false) are
-        // both consumed; the scan must then return nothing.
-        pushedIsDir match {
-          case Some(prev) if prev != b.booleanValue() => impossible = true
-          case _ => pushedIsDir = Some(b.booleanValue())
+      case f =>
+        isDirEq(f).foreach { b =>
+          // Contradictory conjuncts (is_dir=true AND is_dir=false) are
+          // both consumed; the scan must then return nothing.
+          pushedIsDir match {
+            case Some(prev) if prev != b => impossible = true
+            case _ => pushedIsDir = Some(b)
+          }
         }
-      case _ => ()
     }
     pushed = take
     remain
@@ -284,12 +359,14 @@ final class WalkScanBuilder(root: String, seedDepth: Int, partitions: Int,
     if (pushedAgg.isEmpty) required = requiredSchema
 
   override def build(): Scan = {
-    require(pushedLimit.isEmpty || pushedAgg.isEmpty,
-      "walk source invariant: a pushed limit and a pushed aggregation " +
-        "cannot coexist (the limit truncates the stream the aggregate folds)")
+    require(Seq(pushedLimit, pushedAgg, pushedTopN).count(_.isDefined) <= 1,
+      "walk source invariant: pushed limit / top-N / aggregation are " +
+        "mutually exclusive (a limit or heap truncates the stream an " +
+        "aggregate would fold)")
     new WalkScan(root, seedDepth, partitions, exclusions,
       pushedAgg.map(WalkDataSource.aggSchema).getOrElse(required),
-      pushedPrefix, pushedIsDir, impossible, pushedAgg, pushedLimit)
+      pushedPrefix, pushedIsDir, impossible, pushedAgg, pushedLimit,
+      pushedTopN)
   }
 }
 
@@ -298,7 +375,8 @@ final class WalkScan(root: String, seedDepth: Int, partitions: Int,
     prefix: Option[String], isDir: Option[Boolean],
     impossible: Boolean,
     agg: Option[WalkDataSource.PushedAgg] = None,
-    limit: Option[Int] = None) extends Scan with Batch {
+    limit: Option[Int] = None,
+    topN: Option[WalkDataSource.PushedTopN] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -312,6 +390,9 @@ final class WalkScan(root: String, seedDepth: Int, partitions: Int,
           .mkString(", ") +
         s"] GroupBy: [${a.groupCols.mkString(", ")}] ").getOrElse("") +
       limit.map(l => s"PushedLimit: $l ").getOrElse("") +
+      topN.map(t => "PushedTopN: [" +
+        t.keys.map(k => s"${k.col} ${if (k.descending) "DESC" else "ASC"}")
+          .mkString(", ") + s"] limit ${t.limit} ").getOrElse("") +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
 
   /** Planning = the walker's driver seeding; a pushed path prefix
@@ -337,7 +418,7 @@ final class WalkScan(root: String, seedDepth: Int, partitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WalkReaderFactory(required, prefix, isDir, agg, limit)
+    new WalkReaderFactory(required, prefix, isDir, agg, limit, topN)
 }
 
 final case class WalkPartition(seeds: Seq[String],
@@ -347,7 +428,8 @@ final case class WalkPartition(seeds: Seq[String],
 final class WalkReaderFactory(required: StructType, prefix: Option[String],
     isDir: Option[Boolean],
     agg: Option[WalkDataSource.PushedAgg] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    topN: Option[WalkDataSource.PushedTopN] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[WalkPartition]
@@ -363,6 +445,25 @@ final class WalkReaderFactory(required: StructType, prefix: Option[String],
       // partial limit: the iterator chain is lazy end-to-end, so
       // take(n) stops the walk after n surviving entries
       limit.map(base.take).getOrElse(base)
+    }
+    /* Partial top-N: a bounded max-heap of the `limit` smallest entries
+     * under the pushed order (head = current worst) drains the lazy
+     * post-filter stream — O(limit) memory, O(n·log limit) time per
+     * partition, and only `limit` rows reach the wire; Spark's global
+     * TakeOrderedAndProject merges the partials. Ties past the heap
+     * capacity keep the first-seen rows — any `limit`-subset of a tie
+     * group is a correct partial (the global TopN breaks those ties
+     * arbitrarily too). */
+    def topNEntries(t: WalkDataSource.PushedTopN): Iterator[FileEntry] = {
+      val ord = WalkDataSource.topNOrdering(t.keys)
+      val heap = scala.collection.mutable.PriorityQueue.empty[FileEntry](ord)
+      entries.foreach { e =>
+        if (heap.size < t.limit) heap.enqueue(e)
+        else if (ord.compare(e, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(e)
+        }
+      }
+      heap.dequeueAll.reverseIterator // ascending under ord
     }
     /* Drain this partition's entries into per-group PARTIAL aggregate
      * rows (group values ++ agg values). SQL empty-input semantics
@@ -420,7 +521,7 @@ final class WalkReaderFactory(required: StructType, prefix: Option[String],
     agg match {
       case None =>
         new PartitionReader[InternalRow] {
-          private val it = entries
+          private val it = topN.map(topNEntries).getOrElse(entries)
           private var cur: FileEntry = _
           override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
           override def get(): InternalRow = WalkDataSource.toRow(cur, required)

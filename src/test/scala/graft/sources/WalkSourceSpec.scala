@@ -164,6 +164,60 @@ class WalkSourceSpec extends SparkSpec {
     assert(dirs.length == 3 && dirs.forall(_.getAs[Boolean]("is_dir")))
   }
 
+  test("topN pushdown: plan-visible, equals row-scan truth, composes with filters") {
+    val root = buildTree()
+    // unique total order (size DESC, path ASC): exact comparison
+    val df = readSource(root)
+      .orderBy(col("size").desc, col("path").asc).limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [size DESC, path ASC] limit 7"),
+      plan.take(1200))
+    val got = df.select("path", "size").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val lib = Walker.walk(spark, root.toString, seedDepth = 2)
+      .entries.collect().map(e => (e.path, e.size))
+      .sortBy { case (p, s) => (-s, p) }.take(7).toSeq
+    assert(got == lib)
+    // composes with a pushed filter: the heap sees the post-filter
+    // stream, and both push marks appear in one scan description
+    val prefix = s"$root/d0-0"
+    val filtered = readSource(root)
+      .where(col("path").startsWith(prefix) && col("is_dir") === false)
+      .orderBy(col("size").desc, col("path").asc).limit(4)
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedTopN") && fplan.contains("StartsWith(path"),
+      fplan.take(1200))
+    val fgot = filtered.select("path", "size").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val flib = Walker.walk(spark, root.toString, seedDepth = 2)
+      .entries.collect()
+      .filter(e => e.path.startsWith(prefix) && !e.is_dir)
+      .map(e => (e.path, e.size)).sortBy { case (p, s) => (-s, p) }
+      .take(4).toSeq
+    assert(fgot == flib && fgot.nonEmpty)
+  }
+
+  test("topN pushdown: ties past heap capacity stay correct on the sort key") {
+    val root = buildTree()
+    // size alone is massively tied (sizes are 1..3 bytes): any
+    // limit-subset of the boundary tie group is a correct answer, so
+    // compare the returned KEY multiset, not row identity
+    val df = readSource(root).where(col("is_dir") === false)
+      .orderBy(col("size").desc).limit(10)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedTopN: [size DESC] limit 10"))
+    val got = df.select("size").collect().map(_.getLong(0)).toSeq.sorted
+    val want = Walker.walk(spark, root.toString, seedDepth = 2)
+      .entries.collect().filter(!_.is_dir).map(_.size)
+      .sorted(Ordering[Long].reverse).take(10).sorted.toSeq
+    assert(got == want)
+    // mod_time sorts compare as epoch micros — smoke the non-long field
+    val byTime = readSource(root).orderBy(col("mod_time").asc).limit(3)
+    assert(byTime.queryExecution.executedPlan.toString
+      .contains("PushedTopN: [mod_time ASC] limit 3"))
+    assert(byTime.collect().length == 3)
+  }
+
   test("aggregate pushdown declines distinct and avg gracefully") {
     val root = buildTree()
     // count distinct is not pushable — the plan must NOT claim a
