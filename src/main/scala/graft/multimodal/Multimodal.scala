@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * real decoder (JNI/ffmpeg/JPEG lib) can be slotted in without
   * changing the plan shape.
   *
-  * The decode itself is STUBBED — this container has no image/audio
-  * libraries — with a deterministic fake (byte histogram + parsed
-  * header fields) so the Spark-side plumbing (schema, batching,
-  * partitioning, column pruning of the heavy binary column) is real
-  * and testable. Every stub is marked `STUB:`.
+  * The model-feature decode is STUBBED — this container has no ML
+  * image/audio libraries — with a deterministic fake (byte histogram
+  * + parsed header fields) so the Spark-side plumbing (schema,
+  * batching, partitioning, column pruning of the heavy binary column)
+  * is real and testable. Every stub is marked `STUB:`. The PERCEPTUAL
+  * HASH tier is real: [[decodedSignatures]] decodes PNG/JPEG through
+  * the JDK's `javax.imageio` (zero external dependencies) into the
+  * 8×8 luma dHash; the character-sampling tier remains as the
+  * DuckDB-replayable oracle path.
   *
   * Scale notes: binary payloads dominate bytes at 100 TB — the media
   * table keeps them in their own parquet column so queries that touch
@@ -194,14 +198,22 @@ object Multimodal {
     * more, narrower bands would loosen the Hamming guarantee. */
   def perceptualNearDups(media: DataFrame, textCol: String,
       idCol: String, threshold: Int = 3): DataFrame = {
-    require(threshold < 4, s"4x16-bit bands guarantee ham<=3: $threshold")
-    def chunk(sig: Column, c: Int): Column =
-      shiftright(sig, 16 * c).bitwiseAND(lit(65535L))
     val sigs = media
       .where(length(col(textCol)) >= 1)
       .select(col(idCol).as("media_id"),
         perceptualCells(col(textCol)).as("g"))
       .select(col("media_id"), dhashFromCells(col("g")).as("sig"))
+    hammingNearDups(sigs, threshold)
+  }
+
+  /** The banded Hamming self-join over any (media_id, sig) signature
+    * frame — shared by the stub/oracle tier ([[perceptualNearDups]])
+    * and the JDK-decoder tier ([[perceptualNearDupsDecoded]]); the
+    * banding math is documented on [[perceptualNearDups]]. */
+  def hammingNearDups(sigs: DataFrame, threshold: Int = 3): DataFrame = {
+    require(threshold < 4, s"4x16-bit bands guarantee ham<=3: $threshold")
+    def chunk(sig: Column, c: Int): Column =
+      shiftright(sig, 16 * c).bitwiseAND(lit(65535L))
     val chunks = sigs
       .select(col("media_id"), col("sig"), explode(array(
         (0 until 4).map(c => struct(lit(c).as("c"),
@@ -222,4 +234,95 @@ object Multimodal {
         col("b.media_id").as("media_b"),
         ham.cast("long").as("hamming"))
   }
+
+  /** REAL image decode — the JDK's `javax.imageio` reads PNG/JPEG
+    * headless with zero external dependencies — to the documented 8×8
+    * integer luma thumbnail: cell (cx,cy) covers pixel box
+    * [cx·w/8, (cx+1)·w/8) × [cy·h/8, (cy+1)·h/8) and holds the
+    * truncating integer mean of BT.601 luma
+    * `(299r + 587g + 114b)/1000` — all-integer arithmetic, so the
+    * thumbnail is deterministic across JVMs (no Graphics2D resampler,
+    * whose interpolation is implementation-defined). Returns None for
+    * payloads no installed reader accepts (the mixed-media pass-drop
+    * contract of [[decodedSignatures]]). */
+  private[multimodal] def luma8x8(payload: Array[Byte]): Option[Array[Int]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](64)
+      var cy = 0
+      while (cy < 8) {
+        val y0 = cy * h / 8
+        val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / 8))
+        var cx = 0
+        while (cx < 8) {
+          val x0 = cx * w / 8
+          val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / 8))
+          var sum = 0L
+          var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          out(cy * 8 + cx) = if (n == 0) 0 else (sum / n).toInt
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** 63-bit dHash from the 64 luma cells (row-major) — the same bit
+    * rule as the stub tier (`bit i = cell_i > cell_{i+1}`, sign bit
+    * clear), so both tiers feed the same banding join. */
+  private[multimodal] def dhashOfLuma(cells: Array[Int]): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < 63) {
+      if (cells(i) > cells(i + 1)) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Decoder-tier signatures: one batched `mapPartitions` pass decodes
+    * each binary payload (JDK ImageIO — per-partition reader reuse is
+    * the slot where a native decoder would init its context once) and
+    * emits (media_id, sig). Payloads no reader accepts are DROPPED —
+    * a mixed-media frame flows through without poisoning the join;
+    * count the frame before/after to audit decode coverage. */
+  def decodedSignatures(media: DataFrame, payloadCol: String,
+      idCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, p) =>
+          luma8x8(p).map(cells => (id, dhashOfLuma(cells)))
+        }
+      }.toDF("media_id", "sig")
+  }
+
+  /** Perceptual near-dup over REAL image bytes: JDK decode → 8×8 luma
+    * dHash → the same 4×16-bit banded Hamming join as the stub tier
+    * (pigeonhole guarantee at ham ≤ 3). The stub tier stays the
+    * DuckDB-replayable oracle path (q_media_neardup); this tier is the
+    * production path for actual PNG/JPEG payloads. */
+  def perceptualNearDupsDecoded(media: DataFrame, payloadCol: String,
+      idCol: String, threshold: Int = 3): DataFrame =
+    hammingNearDups(decodedSignatures(media, payloadCol, idCol), threshold)
 }

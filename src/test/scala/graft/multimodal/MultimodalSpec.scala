@@ -127,6 +127,63 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.head.getLong(2) == 0L)
   }
 
+  private def grayImage(w: Int, h: Int)(f: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encoded(img: java.awt.image.BufferedImage, fmt: String) = {
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  test("JDK decoder: 8x8 luma dHash pairs re-encodes and watermarks, not distinct images") {
+    import spark.implicits._
+    // horizontal ramp with mild texture: adjacent 8x8 cells differ by
+    // ~32 luma, so every dHash comparison has a wide margin
+    val base = grayImage(64, 64)((x, y) => x * 4 + (y % 3))
+    // lossy RE-ENCODE: decode the PNG, write as JPEG — pixels change,
+    // the thumbnail barely moves
+    val reenc = encoded(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encoded(base, "png"))), "jpg")
+    // one-BLOCK corner watermark: touches cell (0,0) only, which
+    // participates in exactly one dHash comparison -> hamming <= 1
+    val marked = grayImage(64, 64)((x, y) =>
+      if (x < 8 && y < 8) 255 else x * 4 + (y % 3))
+    // distinct image: vertical ramp — within-row cells tie, so its
+    // dHash is nearly empty while the base's is dense
+    val distinct = grayImage(64, 64)((x, y) => y * 4)
+    val media = Seq(
+      (1L, encoded(base, "png")), (2L, reenc),
+      (3L, encoded(marked, "png")), (4L, encoded(distinct, "png")),
+      (5L, "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    // non-image payloads drop from the signature frame, not poison it
+    val sigs = Multimodal.decodedSignatures(media, "payload", "media_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L, 4L))
+    assert(sigs.values.forall(_ >= 0L), "sign bit must stay clear")
+    val pairs = Multimodal.perceptualNearDupsDecoded(
+        media, "payload", "media_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the near-dup cluster {base, reencode, watermark} pairs fully;
+    // the distinct image and the undecodable payload pair with nothing
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"pairs: $pairs, sigs: $sigs")
+    assert(pairs((1L, 3L)) <= 1L, "single-cell watermark moves <= 1 bit")
+    // decoded signatures replay driver-side through the same kernel
+    val replay = Multimodal.luma8x8(encoded(base, "png"))
+      .map(Multimodal.dhashOfLuma).get
+    assert(sigs(1L) == replay)
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(tmp)
