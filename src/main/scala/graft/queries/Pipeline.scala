@@ -1334,6 +1334,19 @@ object Pipeline {
         k = 16)
     }),
 
+    // ORACLE tier of the coreset (similarity/Coreset.gridReport):
+    // Gonzalez k-center greedy on the integer grid — md5-rank bounded
+    // sample, integer squared distances, argmax ties to the smaller
+    // id — then one distributed assignment pass with packed
+    // dist·k+rank argmin. DuckDB replays the greedy as k−1 unrolled
+    // argmax CTE layers (the q_greedy_cover recipe) and the
+    // assignment via min over the k-center cross product. Float
+    // cosine path (q_coreset) stays the production default.
+    "q_coreset_grid" -> ((s, dir) => {
+      Coreset.gridReport(spread(embeddings(s, dir)), "embedding",
+        "vec_id", k = 5, maxTrain = 64)
+    }),
+
     // Exact embedding outliers: the 20 vectors least cosine-similar to
     // the corpus mean (Similarity.outliers — one mean-building agg
     // pass, one broadcast, one TakeOrdered scan).
@@ -2607,6 +2620,56 @@ object Pipeline {
        |SELECT component, count(*)::BIGINT AS n_members
        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_coreset_grid oracle: Gonzalez k-center greedy replayed as k−1
+    * unrolled argmax CTE layers (the q_greedy_cover recipe) on the
+    * integer grid — seed = smallest sampled id, layer t picks the
+    * non-chosen sample row maximizing its min integer squared distance
+    * to the chosen set (ties by id), then the whole corpus assigns via
+    * `min(dist·k + (rk−1))` (the packed-argmin rule) and rolls up
+    * population + coverage radius per center. list_sum yields HUGEINT;
+    * every emitted column casts ::BIGINT. */
+  private def coresetGridSql(k: Int, maxTrain: Int): String = {
+    val layers = (2 to k).map { t =>
+      val p = t - 1
+      s"""m$t AS MATERIALIZED (
+         |  SELECT s.vec_id, s.qv, min(${gridDist("s.qv", "c.qv")}) AS md
+         |  FROM samp s, s$p c
+         |  WHERE s.vec_id NOT IN (SELECT vec_id FROM s$p)
+         |  GROUP BY s.vec_id, s.qv),
+         |p$t AS MATERIALIZED (
+         |  SELECT vec_id, qv, $t AS rk, md::BIGINT AS sel_dist FROM m$t
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |s$t AS MATERIALIZED (
+         |  SELECT * FROM s$p UNION ALL SELECT * FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings),
+       |samp AS MATERIALIZED (
+       |  SELECT vec_id, qv FROM q
+       |  ORDER BY substring(md5(vec_id::VARCHAR), 1, 13), vec_id
+       |  LIMIT $maxTrain),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id, qv, 1 AS rk, 0::BIGINT AS sel_dist FROM samp
+       |  ORDER BY vec_id LIMIT 1),
+       |$layers,
+       |asgn AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |    min(${gridDist("q.qv", "c.qv")}*$k + (c.rk - 1)) AS p
+       |  FROM q, s$k c GROUP BY q.vec_id),
+       |agg AS (
+       |  SELECT ((p % $k) + 1)::BIGINT AS rk,
+       |    count(*)::BIGINT AS n_assigned,
+       |    max(p // $k)::BIGINT AS max_dist
+       |  FROM asgn GROUP BY 1)
+       |SELECT c.rk::BIGINT AS rk, c.vec_id, c.sel_dist,
+       |  coalesce(a.n_assigned, 0)::BIGINT AS n_assigned, a.max_dist
+       |FROM s$k c LEFT JOIN agg a ON c.rk = a.rk
+       |ORDER BY rk""".stripMargin
+  }
+
   /** The water-fill fixed-point layers shared by q_mixture_caps and
     * q_epoch_plan: expect upstream CTEs `src(source, cap, wi, ...)`
     * and `s0(source, cap, wi, alloc, active, rem, done)`; define
@@ -3765,6 +3828,7 @@ object Pipeline {
         |ORDER BY section, rk, key""".stripMargin,
     "q_semantic_dedup_grid" -> semanticDedupGridSql(c = 8, iters = 3,
       maxTrain = 256, threshold = "0.999"),
+    "q_coreset_grid" -> coresetGridSql(k = 5, maxTrain = 64),
     "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,
       nprobe = 2, k = 10),
     "q_ann_pq_grid" -> annPqGridSql(m = 8, ksub = 16, iters = 2,

@@ -52,4 +52,39 @@ class CoresetSpec extends SparkSpec {
     assert(worst(1) < 2000, "one center should cover poorly")
     assert(worst(4) > 9000, "four centers should cover tightly")
   }
+
+  test("grid tier: selection matches a brute-force integer replay; report is consistent") {
+    // brute-force Gonzalez on the quantized sample, straight from the
+    // spec'd rules (md5-rank sample, smallest-id seed, argmax ties by
+    // id) — an independent implementation, not the production loop
+    def md5rank(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 13)
+    val all = planted.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray))
+    val samp = all.sortBy { case (id, _) => (md5rank(id), id) }.take(32)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Vector(samp.minBy(_._1))
+    var selDists = Vector(0L)
+    while (chosen.length < 4) {
+      val cand = samp.filterNot(s => chosen.exists(_._1 == s._1))
+        .map(s => (s, chosen.map(c => d2(s._2, c._2)).min))
+      val best = cand.minBy { case ((id, _), d) => (-d, id) }
+      chosen :+= best._1
+      selDists :+= best._2
+    }
+    val got = Coreset.selectKCentersGrid(planted, "embedding", "vec_id",
+      k = 4, maxTrain = 32)
+    assert(got.map(_._1).toSeq == chosen.map(_._1))
+    assert(got.map(_._3).toSeq == selDists)
+    // report: ranks 1..4, populations cover the whole corpus, every
+    // center's own vector is at distance 0 in its cell
+    val rep = Coreset.gridReport(planted, "embedding", "vec_id", k = 4,
+      maxTrain = 32).collect()
+    assert(rep.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rep.map(_.getLong(3)).sum == 100L)
+    assert(rep.forall(r => r.getLong(4) >= 0L))
+  }
 }
