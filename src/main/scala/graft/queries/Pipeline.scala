@@ -1392,6 +1392,19 @@ object Pipeline {
         .orderBy(asc("vec_id"), asc("pos"))
     }),
 
+    // ORACLE tier of the PCA eigen step (similarity/Pca
+    // .gridLeadingAxis): leading principal axis by power iteration on
+    // the integer grid — quantize-once, truncating integer mean, one
+    // exact-integer covariance aggregate, 8 BigInt/HUGEINT mat-vec
+    // steps renormalized to the 10^6 fixed-point grid, integer
+    // Rayleigh quotient. DuckDB replays the whole chain (covariance +
+    // unrolled iteration layers). The Jacobi float path (q_pca_project)
+    // stays the production eigensolver.
+    "q_pca_power" -> ((s, dir) => {
+      graft.similarity.Pca.gridLeadingAxis(embeddings(s, dir),
+        "embedding", dBlock = 16, iters = 8)
+    }),
+
     // SimHash hamming-distance candidates (approximate; rows-only).
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashCandidatePairs(spread(documents(s, dir)), "text", "doc_id",
@@ -2670,6 +2683,51 @@ object Pipeline {
        |ORDER BY rk""".stripMargin
   }
 
+  /** q_pca_power oracle: integer-grid power iteration replay — the
+    * centered covariance from truncating integer means, then `iters`
+    * unrolled (HUGEINT mat-vec → max|w| renormalization) layers, then
+    * the integer Rayleigh quotient. HUGEINT `//` truncates toward zero
+    * ≡ driver BigInt `/` (the measured semantics); all magnitudes
+    * bounded: |S| ≤ n·4·10¹², mat-vec ≤ d·|S|·10⁶, vᵀSv ≤ d²·|S|·10¹²
+    * — inside 128 bits everywhere. */
+  private def pcaPowerSql(dBlock: Int, iters: Int): String = {
+    val d1 = dBlock + 1
+    val layers = (1 to iters).map { t =>
+      val p = t - 1
+      s"""w$t AS MATERIALIZED (
+         |  SELECT c.i, sum(c.s::HUGEINT * v.val) AS w
+         |  FROM cov c JOIN v$p v ON c.j = v.i GROUP BY c.i),
+         |v$t AS MATERIALIZED (
+         |  SELECT w$t.i, CASE WHEN nm.m = 0 THEN 0::HUGEINT
+         |    ELSE (w$t.w * 1000000) // nm.m END AS val
+         |  FROM w$t, (SELECT max(abs(w)) AS m FROM w$t) nm)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT list_transform((embedding::DOUBLE[])[1:$dBlock],
+       |    x -> floor(x*1000000.0)::BIGINT) AS qv
+       |  FROM embeddings),
+       |mu AS MATERIALIZED (
+       |  SELECT t.i, (sum(qv[t.i])::BIGINT // count(*)::BIGINT) AS m
+       |  FROM q, range(1, $d1) t(i) GROUP BY t.i),
+       |cov AS MATERIALIZED (
+       |  SELECT ti.i AS i, tj.i AS j,
+       |    sum((q.qv[ti.i] - mi.m) * (q.qv[tj.i] - mj.m))::BIGINT AS s
+       |  FROM q, range(1, $d1) ti(i), range(1, $d1) tj(i), mu mi, mu mj
+       |  WHERE mi.i = ti.i AND mj.i = tj.i
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT t.i, 1000000::HUGEINT AS val FROM range(1, $d1) t(i)),
+       |$layers,
+       |vv AS (SELECT sum(val*val) AS x FROM v$iters),
+       |vsv AS (SELECT sum(v1.val * c.s::HUGEINT * v2.val) AS x
+       |  FROM cov c JOIN v$iters v1 ON c.i = v1.i
+       |  JOIN v$iters v2 ON c.j = v2.i),
+       |lam AS (SELECT CASE WHEN vv.x = 0 THEN 0::HUGEINT
+       |  ELSE vsv.x // vv.x END AS l FROM vv, vsv)
+       |SELECT v.i::BIGINT AS dim, v.val::BIGINT AS v_fixed,
+       |  lam.l::BIGINT AS lambda_fixed
+       |FROM v$iters v, lam ORDER BY dim""".stripMargin
+  }
+
   /** The water-fill fixed-point layers shared by q_mixture_caps and
     * q_epoch_plan: expect upstream CTEs `src(source, cap, wi, ...)`
     * and `s0(source, cap, wi, alloc, active, rem, done)`; define
@@ -3829,6 +3887,7 @@ object Pipeline {
     "q_semantic_dedup_grid" -> semanticDedupGridSql(c = 8, iters = 3,
       maxTrain = 256, threshold = "0.999"),
     "q_coreset_grid" -> coresetGridSql(k = 5, maxTrain = 64),
+    "q_pca_power" -> pcaPowerSql(dBlock = 16, iters = 8),
     "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,
       nprobe = 2, k = 10),
     "q_ann_pq_grid" -> annPqGridSql(m = 8, ksub = 16, iters = 2,

@@ -202,4 +202,74 @@ object Pca {
     }
     math.sqrt(s)
   }
+
+  /** ORACLE tier of the eigen step: the LEADING PRINCIPAL AXIS by
+    * power iteration on the INTEGER GRID. The Jacobi float eigensolver
+    * ([[eigSym]]) is honestly non-oracle-izable (rotation order and
+    * float accumulation have no SQL replay); this twin moves the whole
+    * chain onto exact integers, where a DuckDB unroll replays it
+    * bit-for-bit:
+    *
+    *   - the leading `dBlock` dims quantize once to `floor(x·10⁶)`
+    *     (the GridKmeans floor-once rule);
+    *   - the mean is the truncating integer mean `sum div n` (Scala
+    *     `Long./` ≡ Spark `div` ≡ DuckDB BIGINT `//`, all toward 0);
+    *   - the centered covariance S is ONE distributed
+    *     explode-i × explode-j aggregate of exact integer products
+    *     (|S_ij| ≤ n·(2·10⁶)² — far inside BIGINT at any n this
+    *     oracle tier runs at; the float treeAggregate path is the
+    *     production covariance);
+    *   - `iters` power steps run driver-side in BigInt (the
+    *     d×d mat-vec exceeds 63 bits → HUGEINT/BigInt on both
+    *     engines): `w = S·v`, renormalized to the 10⁶ fixed-point grid
+    *     by `v' = (w·10⁶) div max|w|` (BigInt `/` truncates toward
+    *     zero ≡ HUGEINT `//`, measured); v₀ = all-ones·10⁶ fixes the
+    *     sign deterministically (S is PSD, so no sign oscillation);
+    *   - the eigenvalue estimate is the integer Rayleigh quotient
+    *     `(vᵀSv) div (vᵀv)`.
+    *
+    * Scale shape: two bounded aggregates touch the corpus (mean,
+    * covariance); the iteration is O(iters·d²) driver arithmetic on a
+    * d×d matrix. Output: (dim, v_fixed, lambda_fixed), d rows. */
+  def gridLeadingAxis(df: DataFrame, vecCol: String, dBlock: Int = 16,
+      iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qv = transform(
+      slice(col(vecCol).cast("array<double>"), 1, dBlock),
+      x => floor(x * lit(1000000.0)).cast("long"))
+    val base = df.select(qv.as("qv"))
+    val r0 = base.agg(count(lit(1)).as("n"),
+      (0 until dBlock).map(i =>
+        sum(element_at(col("qv"), i + 1)).as(s"s$i")): _*).collect()(0)
+    val n = r0.getLong(0)
+    require(n >= 1, "empty corpus")
+    val mu = Array.tabulate(dBlock)(i => r0.getLong(i + 1) / n)
+    val cent = base.select(
+      zip_with(col("qv"), typedLit(mu.toSeq), (a, b) => a - b).as("cv"))
+    val s = Array.ofDim[Long](dBlock, dBlock)
+    cent
+      .select(posexplode(col("cv")).as(Seq("i0", "ci")), col("cv"))
+      .select(col("i0"), col("ci"),
+        posexplode(col("cv")).as(Seq("j0", "cj")))
+      .groupBy(col("i0"), col("j0"))
+      .agg(sum(col("ci") * col("cj")).as("s"))
+      .collect()
+      .foreach(r => s(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var v = Array.fill(dBlock)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dBlock)(i =>
+        (0 until dBlock).map(j => BigInt(s(i)(j)) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = if (m == 0) w.map(_ => BigInt(0))
+          else w.map(x => (x * 1000000) / m)
+    }
+    val vv = v.map(x => x * x).sum
+    val vSv = (for (i <- 0 until dBlock; j <- 0 until dBlock)
+      yield v(i) * BigInt(s(i)(j)) * v(j)).sum
+    val lam = if (vv == 0) BigInt(0) else vSv / vv
+    (0 until dBlock).map(i => (i + 1L, v(i).toLong, lam.toLong))
+      .toDF("dim", "v_fixed", "lambda_fixed")
+      .orderBy(asc("dim"))
+  }
 }

@@ -93,4 +93,36 @@ class PcaSpec extends SparkSpec {
       assert(k == de, s"kernel $k vs declarative $de")
     }
   }
+
+  test("grid power iteration recovers the Jacobi leading axis") {
+    // 24 iterations for the MATH check: the fixture's lambda2/lambda1
+    // gap converges as (lambda2/lambda1)^iters (the declared query's 8
+    // iterations are oracle-exact by replay regardless of convergence)
+    val axis = Pca.gridLeadingAxis(vecs, "embedding", dBlock = d,
+      iters = 24).collect()
+    assert(axis.map(_.getLong(0)).toSeq == (1L to d.toLong))
+    val v = axis.map(_.getLong(1).toDouble)
+    // against the float eigensolver: |cos(grid axis, top eigenvector)|
+    // must be ~1 on a strongly low-rank spectrum (sign is fixed by the
+    // grid tier's all-ones start, so compare up to sign)
+    val model = Pca.fit(vecs, "embedding", k = 3)
+    val top = model.components(0)
+    val dot = v.zip(top).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(top.map(x => x * x).sum))
+    assert(cos > 0.999, s"cos(grid, jacobi) = $cos")
+    // the Rayleigh eigenvalue matches the Jacobi one on the grid
+    // scale: lambda_grid ~ n * lambda_float * 1e12 / (n-1 factor
+    // depending on normalization) — compare as a ratio
+    val lamGrid = axis.head.getLong(2).toDouble
+    val lamFloat = model.eigenvalues(0)
+    val ratio = lamGrid / (lamFloat * 1e12)
+    assert(ratio > 0.5 && ratio < 2.0 * n,
+      s"eigenvalue scales disagree: $ratio")
+    // deterministic: a re-run returns identical integers
+    val again = Pca.gridLeadingAxis(vecs, "embedding", dBlock = d,
+      iters = 24).collect()
+    assert(axis.map(_.getLong(1)).sameElements(again.map(_.getLong(1))))
+  }
 }
