@@ -316,6 +316,28 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // k-truss of the co-purchase graph (ops/Truss): the EDGE-level
+    // cohesion sibling of q_kcore — every surviving edge sits in
+    // >= k-2 triangles of the subgraph, peeled to the fixpoint with
+    // per-round support from the degree-oriented adjacency
+    // intersection (the Triangles recipe: O(sqrt m)-bounded neighbor
+    // arrays, one native array_intersect per edge, no wedge shuffle).
+    // HASH-EXACT oracle: the peel unrolls as generated materialized
+    // CTE layers (the kcoreSql pattern); the monotone edge count reads
+    // rounds off its first repeat, and layers past the fixpoint are
+    // no-ops so the final layer IS the truss.
+    "q_ktruss" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir, minSupport = 2)
+      val (truss, rounds) = graft.ops.Truss.truss(edges, k = 3)
+      val nodes = truss
+        .select(explode(array(col("src"), col("dst"))).as("node"))
+        .distinct()
+      nodes.agg(count(lit(1)).as("n_truss_nodes"))
+        .crossJoin(truss.agg(count(lit(1)).as("n_truss_edges")))
+        .select(lit(3).as("k"), col("n_truss_nodes"),
+          col("n_truss_edges"), lit(rounds).as("rounds"))
+    }),
+
     // Temporal graph churn: the co-purchase edge set rebuilt per
     // order YEAR, and consecutive years compared by edge-set Jaccard
     // (basis points) plus added/removed counts — how fast the
@@ -2709,6 +2731,52 @@ object Analytics {
        |FROM st""".stripMargin
   }
 
+  /** q_ktruss oracle: the support peel UNROLLED as `nLayers` generated
+    * materialized CTE layers. Each layer enumerates the surviving
+    * graph's triangles once (canonical x<y<z via the three-edge join),
+    * explodes them onto their edges, and keeps edges with support
+    * >= k-2 (edges in no triangle vanish via the inner join — support
+    * 0 < k-2). The edge count shrinks monotonically, so `rounds` reads
+    * off its first repeat; layers past the fixpoint reproduce it
+    * verbatim, so the FINAL layer is the truss and node/edge counts
+    * come straight from it. */
+  private def ktrussSql(k: Int, nLayers: Int): String = {
+    val km2 = k - 2
+    val layers = (1 to nLayers).map { t =>
+      val p = t - 1
+      s"""tri$t AS MATERIALIZED (
+         |  SELECT a.src AS x, a.dst AS y, b.dst AS z
+         |  FROM e$p a JOIN e$p b ON b.src = a.src AND b.dst > a.dst
+         |  JOIN e$p c ON c.src = a.dst AND c.dst = b.dst),
+         |e$t AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT x AS src, y AS dst FROM tri$t
+         |    UNION ALL SELECT x, z FROM tri$t
+         |    UNION ALL SELECT y, z FROM tri$t)
+         |  GROUP BY 1, 2 HAVING count(*) >= $km2)""".stripMargin
+    }.mkString(",\n")
+    val stats = "st AS (SELECT (SELECT count(*) FROM e0) AS m0, " +
+      (1 to nLayers).map(t =>
+        s"(SELECT count(*) FROM e$t) AS m$t").mkString(", ") + ")"
+    val rounds = "CASE WHEN m0 = 0 THEN 0 " + (1 to nLayers).map(t =>
+      s"WHEN m$t = m${t - 1} THEN ${t - 1} WHEN m$t = 0 THEN $t")
+      .mkString(" ") + s" ELSE $nLayers END"
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.pk AS src, y.pk AS dst
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$layers,
+       |$stats
+       |SELECT $k AS k,
+       |  (SELECT count(DISTINCT node) FROM (
+       |    SELECT src AS node FROM e$nLayers
+       |    UNION ALL SELECT dst FROM e$nLayers))::BIGINT AS n_truss_nodes,
+       |  (SELECT count(*) FROM e$nLayers)::BIGINT AS n_truss_edges,
+       |  ($rounds) AS rounds
+       |FROM st""".stripMargin
+  }
+
   /** q_isotonic oracle: PAV unrolled as `nLayers` generated CTE
     * layers, each merging the LEFTMOST adjacent violating pool pair
     * (exact integer cross-multiply test on (pos, n) pool states) —
@@ -2750,6 +2818,7 @@ object Analytics {
 
   def oracle: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(k = 3, nLayers = 18),
+    "q_ktruss" -> ktrussSql(k = 3, nLayers = 12),
     "q_isotonic" -> isotonicSql(nLayers = 16),
     "q_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders
