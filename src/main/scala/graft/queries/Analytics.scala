@@ -316,6 +316,19 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // V-optimal histogram of order totals (ops/VoptHist): the
+    // DP-OPTIMAL complement of q_histogram_equidepth — equi-depth
+    // fixes bucket POPULATIONS, v-optimal picks the b boundaries
+    // minimizing total within-bucket SSE (the right strata when
+    // buckets feed variance-sensitive sampling or selectivity
+    // estimates). Two bounded aggregate passes (min/max grid, per-cell
+    // count/Σv/Σv²), O(m²b) DP driver-side; SSE floored once from one
+    // mirrored IEEE chain, ties to the smaller split, DP replayed by
+    // DuckDB as unrolled layers + backtrack.
+    "q_vopt_histogram" -> ((s, dir) =>
+      graft.ops.VoptHist.plan(orders(s, dir), col("o_totalprice"),
+        m = 24, b = 6)),
+
     // k-truss of the co-purchase graph (ops/Truss): the EDGE-level
     // cohesion sibling of q_kcore — every surviving edge sits in
     // >= k-2 triangles of the subgraph, peeled to the fixpoint with
@@ -2777,6 +2790,66 @@ object Analytics {
        |FROM st""".stripMargin
   }
 
+  /** q_vopt_histogram oracle: the v-optimal DP replayed exactly —
+    * integer cells via nonneg `//`, a materialized (i,j) SSE matrix
+    * from the same floored-once IEEE chain the driver uses, `b`
+    * unrolled DP layers with the packed `cost·(m+1)+i` argmin (ties to
+    * the smaller split), then a backtrack chain reading the chosen
+    * boundaries. */
+  private def voptSql(m: Int, b: Int): String = {
+    val m1 = m + 1
+    val layers = (2 to b).map { bb =>
+      val p = bb - 1
+      s"""dp$bb AS MATERIALIZED (
+         |  SELECT cm.j, min(d.cost + cm.c)::BIGINT AS cost,
+         |    arg_min(d.j, (d.cost + cm.c) * $m1 + d.j)::BIGINT AS arg
+         |  FROM dp$p d JOIN cmat cm ON cm.i = d.j
+         |  GROUP BY cm.j)""".stripMargin
+    }.mkString(",\n")
+    val backs = (b - 1 to 1 by -1).map { bb =>
+      s"""bk$bb AS (SELECT d.j, d.arg AS i FROM dp$bb d
+         |  JOIN bk${bb + 1} u ON d.j = u.i)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to b).map(bb =>
+      s"SELECT $bb AS bucket, i, j FROM bk$bb").mkString("\n  UNION ALL ")
+    s"""WITH vals AS MATERIALIZED (
+       |  SELECT floor(o_totalprice)::BIGINT AS v FROM orders),
+       |s AS MATERIALIZED (
+       |  SELECT min(v) AS lo, ((max(v) - min(v)) // $m + 1) AS w FROM vals),
+       |cells AS MATERIALIZED (
+       |  SELECT (v - s.lo) // s.w AS cell, count(*)::BIGINT AS n,
+       |    sum(v)::BIGINT AS a, sum(v*v)::BIGINT AS q
+       |  FROM vals, s GROUP BY 1),
+       |pre AS MATERIALIZED (
+       |  SELECT g.i,
+       |    coalesce((SELECT sum(n) FROM cells WHERE cell < g.i), 0)::BIGINT AS n,
+       |    coalesce((SELECT sum(a) FROM cells WHERE cell < g.i), 0)::BIGINT AS a,
+       |    coalesce((SELECT sum(q) FROM cells WHERE cell < g.i), 0)::BIGINT AS q
+       |  FROM range(0, $m1) g(i)),
+       |cmat AS MATERIALIZED (
+       |  SELECT pi.i, pj.i AS j,
+       |    (CASE WHEN pj.n - pi.n = 0 THEN 0
+       |      ELSE floor((pj.q - pi.q)::DOUBLE - (pj.a - pi.a)::DOUBLE
+       |        * (pj.a - pi.a)::DOUBLE / (pj.n - pi.n)::DOUBLE)::BIGINT
+       |      END) AS c
+       |  FROM pre pi JOIN pre pj ON pi.i <= pj.i),
+       |dp1 AS MATERIALIZED (
+       |  SELECT j, c::BIGINT AS cost, 0::BIGINT AS arg
+       |  FROM cmat WHERE i = 0),
+       |$layers,
+       |bk$b AS (SELECT j, arg AS i FROM dp$b WHERE j = $m),
+       |$backs,
+       |out AS (
+       |  $outs)
+       |SELECT o.bucket::BIGINT AS bucket,
+       |  (s.lo + o.i * s.w)::BIGINT AS lo_edge,
+       |  (s.lo + o.j * s.w)::BIGINT AS hi_edge,
+       |  (pj.n - pi.n)::BIGINT AS n_rows, cm.c::BIGINT AS sse_int
+       |FROM out o JOIN pre pi ON pi.i = o.i JOIN pre pj ON pj.i = o.j
+       |JOIN cmat cm ON cm.i = o.i AND cm.j = o.j, s
+       |ORDER BY bucket""".stripMargin
+  }
+
   /** q_isotonic oracle: PAV unrolled as `nLayers` generated CTE
     * layers, each merging the LEFTMOST adjacent violating pool pair
     * (exact integer cross-multiply test on (pos, n) pool states) —
@@ -2819,6 +2892,7 @@ object Analytics {
   def oracle: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(k = 3, nLayers = 18),
     "q_ktruss" -> ktrussSql(k = 3, nLayers = 12),
+    "q_vopt_histogram" -> voptSql(m = 24, b = 6),
     "q_isotonic" -> isotonicSql(nLayers = 16),
     "q_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders
