@@ -64,25 +64,46 @@ object VoptHist {
     for (j <- 1 to m) {
       pn(j) += pn(j - 1); pa(j) += pa(j - 1); pq(j) += pq(j - 1)
     }
-    // SSE of cells (i, j] — the ONE mirrored IEEE chain, floored once
-    def cst(i: Int, j: Int): Long = {
-      val n = pn(j) - pn(i)
-      if (n == 0) 0L
-      else {
-        val a = (pa(j) - pa(i)).toDouble
-        math.floor((pq(j) - pq(i)).toDouble - a * a / n.toDouble).toLong
-      }
+    val bounds = solve(pn, pa, pq, m, b)
+    (1 to b).map { bb =>
+      val i = bounds(bb - 1)
+      val j = bounds(bb)
+      (bb.toLong, lo + i * w, lo + j * w, pn(j) - pn(i),
+        cst(pn, pa, pq)(i, j))
+    }.toDF("bucket", "lo_edge", "hi_edge", "n_rows", "sse_int")
+      .orderBy(asc("bucket"))
+  }
+
+  /** SSE of cells (i, j] from prefix stats — the ONE mirrored IEEE
+    * chain, floored once (shared by the histogram and
+    * [[Changepoint]]'s time segmentation). */
+  private[ops] def cst(pn: Array[Long], pa: Array[Long],
+      pq: Array[Long])(i: Int, j: Int): Long = {
+    val n = pn(j) - pn(i)
+    if (n == 0) 0L
+    else {
+      val a = (pa(j) - pa(i)).toDouble
+      math.floor((pq(j) - pq(i)).toDouble - a * a / n.toDouble).toLong
     }
+  }
+
+  /** The boundary DP + backtrack over prefix stats: returns the b+1
+    * boundary cell indices (bounds(0)=…=0, bounds(b)=m). Ties break
+    * toward the smaller split index — the packed `cost·(m+1)+i` argmin
+    * the SQL replay mirrors. */
+  private[ops] def solve(pn: Array[Long], pa: Array[Long],
+      pq: Array[Long], m: Int, b: Int): Array[Int] = {
+    val c = cst(pn, pa, pq) _
     val cost = Array.ofDim[Long](b + 1, m + 1)
     val arg = Array.ofDim[Int](b + 1, m + 1)
-    for (j <- 0 to m) { cost(1)(j) = cst(0, j); arg(1)(j) = 0 }
+    for (j <- 0 to m) { cost(1)(j) = c(0, j); arg(1)(j) = 0 }
     for (bb <- 2 to b; j <- 0 to m) {
       var bc = Long.MaxValue
       var bi = -1
       var i = 0
       while (i <= j) {
-        val c = cost(bb - 1)(i) + cst(i, j)
-        if (c < bc) { bc = c; bi = i } // strict <: ties keep smaller i
+        val t = cost(bb - 1)(i) + c(i, j)
+        if (t < bc) { bc = t; bi = i } // strict <: ties keep smaller i
         i += 1
       }
       cost(bb)(j) = bc
@@ -91,11 +112,6 @@ object VoptHist {
     val bounds = new Array[Int](b + 1)
     bounds(b) = m
     for (bb <- b - 1 to 0 by -1) bounds(bb) = arg(bb + 1)(bounds(bb + 1))
-    (1 to b).map { bb =>
-      val i = bounds(bb - 1)
-      val j = bounds(bb)
-      (bb.toLong, lo + i * w, lo + j * w, pn(j) - pn(i), cst(i, j))
-    }.toDF("bucket", "lo_edge", "hi_edge", "n_rows", "sse_int")
-      .orderBy(asc("bucket"))
+    bounds
   }
 }

@@ -316,6 +316,17 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Optimal k-segmentation changepoints over the weekly order-count
+    // series (ops/Changepoint — Bellman DP segmentation, exact, not
+    // the binary-segmentation heuristic): the drift monitors compare
+    // adjacent windows, this finds the globally optimal piecewise-
+    // constant fit of the WHOLE history. One aggregate pass builds the
+    // week cells (absent weeks = honest zeros), then the shared
+    // VoptHist DP; DuckDB replays layers + backtrack.
+    "q_changepoints" -> ((s, dir) =>
+      graft.ops.Changepoint.segments(orders(s, dir), "o_orderdate",
+        k = 5)),
+
     // V-optimal histogram of order totals (ops/VoptHist): the
     // DP-OPTIMAL complement of q_histogram_equidepth — equi-depth
     // fixes bucket POPULATIONS, v-optimal picks the b boundaries
@@ -2850,6 +2861,67 @@ object Analytics {
        |ORDER BY bucket""".stripMargin
   }
 
+  /** q_changepoints oracle: the Bellman segmentation DP replayed on
+    * week cells — same layer/backtrack machinery as [[voptSql]], with
+    * prefix n = cell index (every week is one cell) and a fixed 2²⁰
+    * pack multiplier (the week count is data-dependent but far below
+    * it; any multiplier > m preserves the (cost, i) tie order). */
+  private def changepointSql(k: Int): String = {
+    val pack = 1048576 // 2^20 > any week-cell count here
+    val layers = (2 to k).map { bb =>
+      val p = bb - 1
+      s"""dp$bb AS MATERIALIZED (
+         |  SELECT cm.j, min(d.cost + cm.c)::BIGINT AS cost,
+         |    arg_min(d.j, (d.cost + cm.c) * $pack + d.j)::BIGINT AS arg
+         |  FROM dp$p d JOIN cmat cm ON cm.i = d.j
+         |  GROUP BY cm.j)""".stripMargin
+    }.mkString(",\n")
+    val backs = (k - 1 to 1 by -1).map { bb =>
+      s"""bk$bb AS (SELECT d.j, d.arg AS i FROM dp$bb d
+         |  JOIN bk${bb + 1} u ON d.j = u.i)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to k).map(bb =>
+      s"SELECT $bb AS segment, i, j FROM bk$bb").mkString("\n  UNION ALL ")
+    s"""WITH wk AS MATERIALIZED (
+       |  SELECT (o_orderdate::DATE - DATE '1970-01-01') // 7 AS w,
+       |    count(*)::BIGINT AS c
+       |  FROM orders GROUP BY 1),
+       |s AS MATERIALIZED (
+       |  SELECT min(w) AS lo, (max(w) - min(w) + 1)::BIGINT AS m FROM wk),
+       |grid AS MATERIALIZED (
+       |  SELECT unnest(generate_series(0, (SELECT m FROM s)))::BIGINT AS i),
+       |pre AS MATERIALIZED (
+       |  SELECT g.i, g.i::BIGINT AS n,
+       |    coalesce((SELECT sum(c) FROM wk, s WHERE wk.w - s.lo < g.i),
+       |      0)::BIGINT AS a,
+       |    coalesce((SELECT sum(c*c) FROM wk, s WHERE wk.w - s.lo < g.i),
+       |      0)::BIGINT AS q
+       |  FROM grid g),
+       |cmat AS MATERIALIZED (
+       |  SELECT pi.i, pj.i AS j,
+       |    (CASE WHEN pj.n - pi.n = 0 THEN 0
+       |      ELSE floor((pj.q - pi.q)::DOUBLE - (pj.a - pi.a)::DOUBLE
+       |        * (pj.a - pi.a)::DOUBLE / (pj.n - pi.n)::DOUBLE)::BIGINT
+       |      END) AS c
+       |  FROM pre pi JOIN pre pj ON pi.i <= pj.i),
+       |dp1 AS MATERIALIZED (
+       |  SELECT j, c::BIGINT AS cost, 0::BIGINT AS arg
+       |  FROM cmat WHERE i = 0),
+       |$layers,
+       |bk$k AS (SELECT j, arg AS i FROM dp$k
+       |  WHERE j = (SELECT m FROM s)),
+       |$backs,
+       |out AS (
+       |  $outs)
+       |SELECT o.segment::BIGINT AS segment,
+       |  (s.lo + o.i)::BIGINT AS lo_week, (s.lo + o.j)::BIGINT AS hi_week,
+       |  (o.j - o.i)::BIGINT AS n_weeks,
+       |  (pj.a - pi.a)::BIGINT AS total_rows, cm.c::BIGINT AS sse_int
+       |FROM out o JOIN pre pi ON pi.i = o.i JOIN pre pj ON pj.i = o.j
+       |JOIN cmat cm ON cm.i = o.i AND cm.j = o.j, s
+       |ORDER BY segment""".stripMargin
+  }
+
   /** q_isotonic oracle: PAV unrolled as `nLayers` generated CTE
     * layers, each merging the LEFTMOST adjacent violating pool pair
     * (exact integer cross-multiply test on (pos, n) pool states) —
@@ -2893,6 +2965,7 @@ object Analytics {
     "q_kcore" -> kcoreSql(k = 3, nLayers = 18),
     "q_ktruss" -> ktrussSql(k = 3, nLayers = 12),
     "q_vopt_histogram" -> voptSql(m = 24, b = 6),
+    "q_changepoints" -> changepointSql(k = 5),
     "q_isotonic" -> isotonicSql(nLayers = 16),
     "q_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders
