@@ -877,6 +877,32 @@ object Pipeline {
         .orderBy(asc("id"))
     }),
 
+    // HITS hubs & authorities (ops/Hits) on the bipartite
+    // customer→part purchase graph — the mutually-reinforcing
+    // companion to q_pagerank (influential buyers / flagship parts).
+    // Every iteration lives on the 10^6 integer grid (exact BIGINT
+    // sums + truncating max-norm div), so the fixed-iteration scores
+    // replay hash-exactly; two join+agg passes per iteration, max as
+    // a one-row broadcast, no collect.
+    "q_hits" -> ((s, dir) => {
+      val edges = orders(s, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"))
+        .join(lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")),
+          Seq("ok"))
+        .select(col("src"), col("dst")).distinct()
+      val (hubs, auths) = graft.ops.Hits.scores(edges, iters = 4)
+      import org.apache.spark.sql.expressions.Window
+      def top(df: DataFrame, side: String) = df
+        .orderBy(desc("s"), asc("id")).limit(10)
+        .select(lit(side).as("side"),
+          row_number().over(Window.orderBy(desc("s"), asc("id")))
+            .cast("long").as("rk"),
+          col("id"), col("s").as("score_fixed"))
+      top(hubs, "hub").unionByName(top(auths, "auth"))
+        .orderBy(asc("side"), asc("rk"))
+    }),
+
     // Deterministic per-source token-budget cap (ops/BudgetSample):
     // keep each source's seeded-hash-order document prefix up to 1000
     // word-tokens. Bucketed prefix sums — never a corpus-wide window
@@ -2683,6 +2709,46 @@ object Pipeline {
        |ORDER BY rk""".stripMargin
   }
 
+  /** q_hits oracle: the integer-grid HITS iterations unrolled —
+    * per layer one hub-weighted in-sum + max-norm div for authorities,
+    * then the mirror for hubs; sums cast ::BIGINT (DuckDB sum is
+    * HUGEINT), `//` truncates on nonnegatives ≡ Spark DIV. */
+  private def hitsSql(iters: Int): String = {
+    val layers = (1 to iters).map { t =>
+      val p = t - 1
+      s"""ar$t AS MATERIALIZED (
+         |  SELECT e.dst, sum(h.s)::BIGINT AS raw
+         |  FROM e JOIN h$p h ON h.id = e.src GROUP BY e.dst),
+         |a$t AS MATERIALIZED (
+         |  SELECT dst AS id,
+         |    (raw * 1000000 // (SELECT max(raw) FROM ar$t))::BIGINT AS s
+         |  FROM ar$t),
+         |hr$t AS MATERIALIZED (
+         |  SELECT e.src, sum(a.s)::BIGINT AS raw
+         |  FROM e JOIN a$t a ON a.id = e.dst GROUP BY e.src),
+         |h$t AS MATERIALIZED (
+         |  SELECT src AS id,
+         |    (raw * 1000000 // (SELECT max(raw) FROM hr$t))::BIGINT AS s
+         |  FROM hr$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT src AS id, 1000000::BIGINT AS s FROM e),
+       |$layers,
+       |hub AS (SELECT 'hub' AS side,
+       |    row_number() OVER (ORDER BY s DESC, id)::BIGINT AS rk, id,
+       |    s AS score_fixed
+       |  FROM h$iters ORDER BY s DESC, id LIMIT 10),
+       |aut AS (SELECT 'auth' AS side,
+       |    row_number() OVER (ORDER BY s DESC, id)::BIGINT AS rk, id,
+       |    s AS score_fixed
+       |  FROM a$iters ORDER BY s DESC, id LIMIT 10)
+       |SELECT side, rk, id, score_fixed FROM (
+       |  SELECT * FROM hub UNION ALL SELECT * FROM aut)
+       |ORDER BY side, rk""".stripMargin
+  }
+
   /** q_pca_power oracle: integer-grid power iteration replay — the
     * centered covariance from truncating integer means, then `iters`
     * unrolled (HUGEINT mat-vec → max|w| renormalization) layers, then
@@ -3888,6 +3954,7 @@ object Pipeline {
       maxTrain = 256, threshold = "0.999"),
     "q_coreset_grid" -> coresetGridSql(k = 5, maxTrain = 64),
     "q_pca_power" -> pcaPowerSql(dBlock = 16, iters = 8),
+    "q_hits" -> hitsSql(iters = 4),
     "q_ann_ivf_grid" -> annIvfGridSql(c = 8, iters = 3, maxTrain = 256,
       nprobe = 2, k = 10),
     "q_ann_pq_grid" -> annPqGridSql(m = 8, ksub = 16, iters = 2,
