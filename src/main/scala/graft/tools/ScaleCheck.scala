@@ -262,6 +262,39 @@ object ScaleCheck {
       graft.ops.LabelProp.run(g, rounds = 3)
     })
 
+    // 9b. k-truss support peeling (ops/Truss — per-round triangle
+    // support via adjacency intersection): disjoint copies keep every
+    // neighbor array constant-size and the round count unchanged, so
+    // total shuffle bytes across the peel must grow linearly; a
+    // cross-copy edge or a broken per-round checkpoint would blow up.
+    check("ktruss", Seq(1, 2, 4), useBytes = true, { f =>
+      val g = (0 until f).map { k =>
+        lpaEdges.select((col("src") + lit(k * 10000000L)).as("src"),
+          (col("dst") + lit(k * 10000000L)).as("dst"))
+      }.reduce(_ union _)
+      graft.ops.Truss.truss(g, k = 3)._1
+    })
+
+    // 9c. Integer-grid HITS (ops/Hits — two join+agg passes per
+    // iteration on node ids): disjoint bipartite copies each keep
+    // their own max-norm scale-invariantly (scores are ratios), so
+    // per-iteration shuffle bytes must track the edge count.
+    val hitsEdges = {
+      val o = ordersBase.select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("src"))
+      val li = graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+      o.join(li, Seq("ok")).select(col("src"), col("dst")).distinct()
+        .localCheckpoint(eager = true)
+    }
+    check("hits", Seq(1, 2, 4), useBytes = true, { f =>
+      val g = (0 until f).map { k =>
+        hitsEdges.select((col("src") + lit(k * 10000000L)).as("src"),
+          (col("dst") + lit(k * 10000000L)).as("dst"))
+      }.reduce(_ union _)
+      graft.ops.Hits.scores(g, iters = 2)._1
+    })
+
     // 10. Physical as-of merge join (plans/AsOfMergeJoin): replicated
     // DISJOINT user bands double both sides; the exec is one merge
     // per co-partition after SMJ-grade exchanges, so shuffle bytes
