@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -447,6 +447,30 @@ object Diagnostics {
         .select(col("t_obs_micro"), col("n_perms"), col("n_ge"),
           expr("(1 + n_ge) * 10000L div (n_perms + 1)").as("p_value_bp"))
     }),
+
+    // Benjamini-Hochberg FDR screen (JRSS-B 1995) over per-token
+    // permutation tests — the MULTIPLE-testing control between
+    // q_chi2's association scores and q_perm_test's single test:
+    // "which of the top-20 df tokens associate with LONG documents
+    // (n_chars >= 260 — a fixed split constant, never a data-dependent
+    // median), at FDR 0.25". Per token, the statistic is the absolute presence-
+    // rate gap in basis points (floor-div per side, abs of the signed
+    // difference — exact integers); 32 md5-nibble label permutations
+    // (ONE digest carries all 32 coins — the q_halfsample_ci rule;
+    // 32 keeps the minimum p-value 1/33 BELOW the BH line at small
+    // ranks, so the test has actual power at m=20) give the
+    // permutation p-value (1+#{T>=T_obs})·10000 div 33; BH
+    // picks k* = max{k : p_(k)·m <= k·alpha_bp} by pure integer
+    // cross-multiply. Scale shape: one distinct-token explode feeds
+    // BOTH the df ranking and the presence join (checkpointed); the
+    // 17× perm explode runs on docs and on the 40-token presence
+    // slice; everything after the two hash aggregates is a 40-row
+    // frame (its rank window is the bounded GlobalWindow class).
+    "q_fdr_tokens" -> ((s, dir) =>
+      graft.ops.Fdr.tokenScreen(
+        documents(s, dir).select(col("doc_id"),
+          (col("n_chars") >= 260).as("lbl"), col("text")),
+        m = 20, alphaBp = 2500L)),
 
     // DIMSUM-sampled all-pairs item cosine (Zadeh & Carlson, KDD'13 /
     // RowMatrix.columnSimilarities) — the shuffle-bounded scale path
@@ -1283,6 +1307,59 @@ object Diagnostics {
         |  (8000), (9000)) t(threshold_bp)
         |WHERE jbp >= t.threshold_bp
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fdr_tokens" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, (n_chars >= 260) AS lbl,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS ts
+        |  FROM documents),
+        |tk AS MATERIALIZED (
+        |  SELECT doc_id, lbl, unnest(ts) AS token FROM d),
+        |tk2 AS MATERIALIZED (SELECT * FROM tk WHERE token <> ''),
+        |top AS MATERIALIZED (
+        |  SELECT token FROM tk2 GROUP BY token
+        |  ORDER BY count(*) DESC, token LIMIT 20),
+        |perms AS (SELECT unnest(range(0, 33)) AS p),
+        |sided AS MATERIALIZED (
+        |  SELECT d.doc_id, p.p,
+        |    (CASE WHEN p.p = 0
+        |      THEN (CASE WHEN d.lbl THEN 1 ELSE 0 END)
+        |      ELSE (CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR),
+        |          p.p::INT, 1))::BIGINT >= 8 THEN 1 ELSE 0 END)
+        |    END)::BIGINT AS side
+        |  FROM d, perms p),
+        |totals AS MATERIALIZED (
+        |  SELECT p, sum(side)::BIGINT AS n1,
+        |    (count(*) - sum(side))::BIGINT AS n0
+        |  FROM sided GROUP BY p),
+        |pres AS MATERIALIZED (
+        |  SELECT t.token, s.p, sum(s.side)::BIGINT AS c1,
+        |    (count(*) - sum(s.side))::BIGINT AS c0
+        |  FROM tk2 t JOIN top USING (token)
+        |  JOIN sided s ON s.doc_id = t.doc_id
+        |  GROUP BY 1, 2),
+        |tt AS MATERIALIZED (
+        |  SELECT pr.token, pr.p,
+        |    abs((pr.c1 * 10000 // greatest(tl.n1, 1))
+        |      - (pr.c0 * 10000 // greatest(tl.n0, 1)))::BIGINT AS t_bp
+        |  FROM pres pr JOIN totals tl USING (p)),
+        |obs AS (SELECT token, t_bp AS t_obs FROM tt WHERE p = 0),
+        |pv AS MATERIALIZED (
+        |  SELECT t.token, o.t_obs AS t_obs_bp,
+        |    ((1 + sum(CASE WHEN t.t_bp >= o.t_obs THEN 1 ELSE 0 END))
+        |      * 10000 // 33)::BIGINT AS p_bp
+        |  FROM tt t JOIN obs o USING (token) WHERE t.p >= 1
+        |  GROUP BY 1, 2),
+        |rkd AS (SELECT token, t_obs_bp, p_bp,
+        |    row_number() OVER (ORDER BY p_bp, token)::BIGINT AS rk
+        |  FROM pv),
+        |ks AS (SELECT coalesce(
+        |    max(CASE WHEN p_bp * 20 <= rk * 2500 THEN rk END), 0) AS k_star
+        |  FROM rkd)
+        |SELECT token, t_obs_bp, p_bp,
+        |  (CASE WHEN rk <= ks.k_star THEN 1 ELSE 0 END)::BIGINT
+        |    AS significant
+        |FROM rkd, ks ORDER BY token""".stripMargin,
     "q_perm_test" ->
       """WITH u AS (
         |  SELECT user_id,
