@@ -321,8 +321,48 @@ object Multimodal {
     * dHash → the same 4×16-bit banded Hamming join as the stub tier
     * (pigeonhole guarantee at ham ≤ 3). The stub tier stays the
     * DuckDB-replayable oracle path (q_media_neardup); this tier is the
-    * production path for actual PNG/JPEG payloads. */
+    * production path for actual PNG/JPEG payloads — and it is ALSO
+    * oracle-checkable end to end when the payloads are synthesized
+    * 8×8 gray PNGs ([[mediaFromEmbeddings]] + q_media_neardup_decoded):
+    * PNG is lossless and gray-pixel BT.601 luma is the pixel value
+    * itself, so DuckDB replays the whole encode→decode→hash→band
+    * chain from the source vectors without touching a codec — any
+    * lossy step in the JDK roundtrip would hash-mismatch. */
   def perceptualNearDupsDecoded(media: DataFrame, payloadCol: String,
       idCol: String, threshold: Int = 3): DataFrame =
     hammingNearDups(decodedSignatures(media, payloadCol, idCol), threshold)
+
+  /** One 8×8 grayscale PNG from a vector's leading 64 dims, row-major:
+    * pixel (x, y) = clamp(floor(v[8y+x]·128) + 128, 0, 255). Real
+    * ImageIO encoding — the bytes are a genuine PNG any decoder reads —
+    * and exactly invertible: PNG is lossless and the luma of a gray
+    * pixel is the pixel value, so [[luma8x8]] of this payload returns
+    * the clamped integers themselves. */
+  private[multimodal] def renderGray8x8(vec: Array[Double]): Array[Byte] = {
+    require(vec.length >= 64, s"need >= 64 dims, got ${vec.length}")
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val v = math.min(255, math.max(0, math.floor(vec(i) * 128.0).toInt + 128))
+      img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Embeddings → a real PNG media table (media_id, payload), one
+    * batched mapPartitions encode pass — the synthesized-image twin of
+    * [[mediaFromDocuments]] that exercises the actual codec. */
+  def mediaFromEmbeddings(emb: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, v) => (id, renderGray8x8(v)) })
+      .toDF("media_id", "payload")
+  }
 }

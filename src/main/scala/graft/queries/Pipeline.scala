@@ -1708,6 +1708,26 @@ object Pipeline {
         .orderBy(asc("media_a"), asc("media_b"))
     }),
 
+    // The DECODER tier, oracle-checked end to end: embeddings render
+    // as REAL 8×8 gray PNGs (ImageIO encode, every-10th vector planted
+    // as an exact twin), the JDK decoder tier (decodedSignatures:
+    // ImageIO decode → integer luma thumbnail → dHash) hashes them,
+    // and the banded Hamming join pairs the twins at distance 0. PNG
+    // is lossless and gray-pixel BT.601 luma IS the pixel value, so
+    // DuckDB replays encode→decode→hash→band from the source vectors
+    // without a codec — any lossy/reordering step in the JDK
+    // roundtrip would hash-mismatch this query.
+    "q_media_neardup_decoded" -> ((s, dir) => {
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val twins = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val media = graft.multimodal.Multimodal.mediaFromEmbeddings(
+        spread(emb.unionByName(twins)), "embedding", "vec_id")
+      graft.multimodal.Multimodal.perceptualNearDupsDecoded(
+          media, "payload", "media_id", threshold = 3)
+        .orderBy(asc("media_a"), asc("media_b"))
+    }),
+
     // Per-(kind, size-bucket) payload byte accounting — the storage
     // planning view (what does each modality cost, at what object
     // sizes): octet lengths bucket by exact integer bit length, one
@@ -4460,6 +4480,40 @@ object Pipeline {
         |       ((i * (length(text) - 1)) // 63 + 1)::INT, 1))
         |     for i in range(0, 64)] AS g
         |  FROM corp WHERE length(text) >= 1),
+        |sg AS MATERIALIZED (
+        |  SELECT media_id,
+        |    list_sum([CASE WHEN g[i + 1] > g[i + 2] THEN 1::BIGINT << i
+        |      ELSE 0::BIGINT END for i in range(0, 63)])::BIGINT AS sig
+        |  FROM cells),
+        |ch AS MATERIALIZED (
+        |  SELECT media_id, sig, c, (sig >> (16 * c::INT)) & 65535 AS cv
+        |  FROM sg, range(0, 4) t(c)),
+        |cand AS (
+        |  SELECT x.media_id AS media_a, y.media_id AS media_b,
+        |    x.sig AS sa, y.sig AS sb
+        |  FROM ch x JOIN ch y ON x.c = y.c AND x.cv = y.cv
+        |    AND x.media_id < y.media_id
+        |  WHERE (x.c <= 0 OR ((x.sig >> 0) & 65535) <> ((y.sig >> 0) & 65535))
+        |    AND (x.c <= 1 OR ((x.sig >> 16) & 65535) <> ((y.sig >> 16) & 65535))
+        |    AND (x.c <= 2 OR ((x.sig >> 32) & 65535) <> ((y.sig >> 32) & 65535)))
+        |SELECT media_a, media_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
+    // Decoder-tier replay: the 8×8 gray render is clamp(floor(v·128)
+    // + 128) per pixel, PNG is lossless, and gray luma = the pixel —
+    // so cells are the clamped integers themselves and the dHash +
+    // banding replay is identical to q_media_neardup's.
+    "q_media_neardup_decoded" ->
+      """WITH base AS (SELECT vec_id AS media_id, embedding FROM embeddings),
+        |twins AS (
+        |  SELECT vec_id + 1000000 AS media_id, embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |corp AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |cells AS MATERIALIZED (
+        |  SELECT media_id,
+        |    [least(greatest(floor(x * 128.0)::BIGINT + 128, 0), 255)
+        |     for x in (embedding::DOUBLE[])[1:64]] AS g
+        |  FROM corp),
         |sg AS MATERIALIZED (
         |  SELECT media_id,
         |    list_sum([CASE WHEN g[i + 1] > g[i + 2] THEN 1::BIGINT << i

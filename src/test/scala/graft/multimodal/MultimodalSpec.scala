@@ -184,6 +184,23 @@ class MultimodalSpec extends SparkSpec {
     assert(sigs(1L) == replay)
   }
 
+  test("renderGray8x8 roundtrips exactly through the JDK codec") {
+    // the PNG is lossless and gray luma = the pixel value, so decode
+    // returns precisely the clamped integers — the invariant the
+    // q_media_neardup_decoded oracle replays from the raw vectors
+    val vec = Array.tabulate(64)(i => (i - 32) / 16.0) // spans clamps
+    val png = Multimodal.renderGray8x8(vec)
+    assert(png.length > 8 &&
+      (png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt,
+        'G'.toInt)), "must be a real PNG")
+    val cells = Multimodal.luma8x8(png).get
+    val want = vec.map(x =>
+      math.min(255, math.max(0, math.floor(x * 128.0).toInt + 128)))
+    assert(cells.sameElements(want),
+      s"${cells.toSeq} vs ${want.toSeq}")
+    assert(want.min == 0 && want.max == 255, "fixture must exercise clamps")
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(tmp)
