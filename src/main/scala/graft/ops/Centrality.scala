@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampled harmonic centrality (Eppstein & Wang 2004 pivot sampling;
+  * harmonic rather than closeness per Boldi & Vigna 2014 — the form
+  * that handles disconnected graphs gracefully): centrality of v ≈
+  * Σ_{s ∈ sample} 1/d(s, v) over a bounded deterministic source
+  * sample. All-pairs BFS is the textbook non-starter at scale; pivot
+  * sampling is the published answer, and bounding BOTH the sample and
+  * the depth makes the result closed-form — exactly replayable by a
+  * recursive-CTE oracle (the [[Bfs]] contract, multi-source).
+  *
+  * Exactness: each 1/d term floors ONCE to micro-units as the integer
+  * `10⁶ div d` (d is an exact hop count ≥ 1, so this is pure integer
+  * arithmetic — not even the floor-once double chain is needed), and
+  * centralities are integer sums. Sources are the md5-rank-smallest
+  * nodes (replayable, the GridKmeans sample rule).
+  *
+  * Scale shape: ONE multi-source frontier expansion — the per-hop
+  * frontier carries (source, node) pairs so all |S| BFS trees advance
+  * in the same join (work per hop = Σ frontier boundaries, hash on
+  * node ids), LEFT ANTI against the visited set, `localCheckpoint`
+  * lineage truncation per hop. The |S|× state factor is explicit and
+  * bounded; nothing collects. */
+object Centrality {
+
+  /** @param edges undirected (src, dst) canonical edge list.
+    * @return (rk, node, h_micro, n_reached): top-k nodes by sampled
+    *         harmonic centrality in micro-units (ties by node id). */
+  def sampledHarmonic(edges: DataFrame, nSources: Int, maxDepth: Int,
+      k: Int): DataFrame = {
+    require(nSources >= 1 && maxDepth >= 1 && k >= 1)
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .localCheckpoint(true)
+    val srcs = und.select(col("a").as("node")).distinct()
+      .orderBy(substring(md5(col("node").cast("string")), 1, 13),
+        col("node"))
+      .limit(nSources)
+    var visited = srcs.select(col("node").as("s"), col("node"),
+        lit(0).as("d"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("s"), col("node"))
+    var h = 1
+    var exhausted = false
+    while (h <= maxDepth && !exhausted) {
+      val next = frontier
+        .join(und, col("node") === col("a"))
+        .select(col("s"), col("b").as("node")).distinct()
+        .join(visited.select(col("s"), col("node")), Seq("s", "node"),
+          "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited
+          .unionByName(next.select(col("s"), col("node"), lit(h).as("d")))
+          .localCheckpoint(true)
+        frontier = next.select(col("s"), col("node"))
+        h += 1
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    visited.where(col("d") >= 1)
+      .groupBy(col("node"))
+      .agg(sum(expr("1000000L div d")).as("h_micro"),
+        count(lit(1)).as("n_reached"))
+      .orderBy(desc("h_micro"), asc("node")).limit(k)
+      .select(row_number().over(
+          Window.orderBy(desc("h_micro"), asc("node")))
+          .cast("long").as("rk"),
+        col("node"), col("h_micro"), col("n_reached"))
+  }
+}

@@ -316,6 +316,20 @@ object Analytics {
           lit(rounds).as("rounds"))
     }),
 
+    // Sampled harmonic centrality on the co-purchase graph
+    // (ops/Centrality — Eppstein-Wang pivot sampling, harmonic form):
+    // the "which parts sit at the center of the purchase network"
+    // scalar that all-pairs BFS can't answer at scale. 8 md5-rank
+    // sources, depth 4, one MULTI-source frontier expansion (all 8
+    // BFS trees advance in the same join); each 1/d term is the exact
+    // integer 10^6 div d, so the recursive-CTE oracle replays
+    // sampling, walk, and ranking bit-for-bit.
+    "q_harmonic_centrality" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir, minSupport = 2)
+      graft.ops.Centrality.sampledHarmonic(edges, nSources = 8,
+        maxDepth = 4, k = 20)
+    }),
+
     // Optimal k-segmentation changepoints over the weekly order-count
     // series (ops/Changepoint — Bellman DP segmentation, exact, not
     // the binary-segmentation heuristic): the drift monitors compare
@@ -2966,6 +2980,35 @@ object Analytics {
     "q_ktruss" -> ktrussSql(k = 3, nLayers = 12),
     "q_vopt_histogram" -> voptSql(m = 24, b = 6),
     "q_changepoints" -> changepointSql(k = 5),
+    "q_harmonic_centrality" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |srcs AS MATERIALIZED (
+        |  SELECT node FROM nodes
+        |  ORDER BY substring(md5(node::VARCHAR), 1, 13), node LIMIT 8),
+        |walk AS MATERIALIZED (
+        |  WITH RECURSIVE r(s, node, d) AS (
+        |    SELECT node, node, 0 FROM srcs
+        |    UNION
+        |    SELECT r.s,
+        |      CASE WHEN e.src = r.node THEN e.dst ELSE e.src END, r.d + 1
+        |    FROM r JOIN e ON (e.src = r.node OR e.dst = r.node)
+        |    WHERE r.d < 4)
+        |  SELECT s, node, min(d) AS d FROM r GROUP BY 1, 2),
+        |hc AS (
+        |  SELECT node, sum(1000000 // d)::BIGINT AS h_micro,
+        |    count(*)::BIGINT AS n_reached
+        |  FROM walk WHERE d >= 1 GROUP BY 1),
+        |top AS (SELECT node, h_micro, n_reached FROM hc
+        |  ORDER BY h_micro DESC, node LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY h_micro DESC, node)::BIGINT
+        |    AS rk,
+        |  node, h_micro, n_reached
+        |FROM top ORDER BY rk""".stripMargin,
     "q_isotonic" -> isotonicSql(nLayers = 16),
     "q_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_orders

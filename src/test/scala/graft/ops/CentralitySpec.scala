@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class CentralitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // star center 0 with leaves 1-6, plus a chain 6-7-8-9 hanging off
+  // one leaf: the center dominates, the chain tail trails
+  private val edges = (1L to 6L).map(l => (0L, l)) ++
+    Seq((6L, 7L), (7L, 8L), (8L, 9L))
+
+  /** Brute multi-source BFS + harmonic sum, mirroring the declared
+    * rules (md5-rank sources, depth bound, 10^6 div d terms). */
+  private def brute(es: Seq[(Long, Long)], nSources: Int, maxDepth: Int)
+      : Map[Long, (Long, Long)] = {
+    def md5r(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 13)
+    val adj = (es ++ es.map(_.swap)).groupMap(_._1)(_._2)
+    val nodes = adj.keySet.toSeq
+    val srcs = nodes.sortBy(n => (md5r(n), n)).take(nSources)
+    val contrib = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    srcs.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Set(s)
+      for (d <- 1 to maxDepth) {
+        frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = d)
+      }
+      dist.foreach { case (n, d) =>
+        if (d >= 1) {
+          val (h, c) = contrib.getOrElse(n, (0L, 0L))
+          contrib(n) = (h + 1000000L / d, c + 1)
+        }
+      }
+    }
+    contrib.toMap
+  }
+
+  test("distributed multi-source harmonic equals the brute replay; star center tops") {
+    val got = Centrality.sampledHarmonic(edges.toDF("src", "dst"),
+        nSources = 8, maxDepth = 4, k = 10)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = brute(edges, 8, 4)
+    // same nodes, same integer centralities and reach counts
+    assert(got.keySet.subsetOf(want.keySet))
+    got.foreach { case (n, (_, h, c)) =>
+      assert(want(n) == ((h, c)), s"node $n: got ($h,$c) want ${want(n)}")
+    }
+    // ranking: h desc, node asc — and the star center leads
+    val byRank = got.toSeq.sortBy(_._2._1).map(x => (x._1, x._2._2))
+    assert(byRank.map(_._2).reverse == byRank.map(_._2).reverse.sorted.reverse ||
+      byRank.sliding(2).forall { case Seq(a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    assert(byRank.head._1 == 0L, s"star center must rank 1: $byRank")
+    // the chain tail 9 (3+ hops from most sources) trails the center
+    assert(got(0L)._2 > got(9L)._2)
+  }
+
+  test("depth bound truncates honestly: depth 1 only counts neighbors") {
+    val got = Centrality.sampledHarmonic(edges.toDF("src", "dst"),
+        nSources = 8, maxDepth = 1, k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val want = brute(edges, 8, 1)
+    got.foreach { case (n, c) => assert(want(n)._2 == c, s"node $n") }
+  }
+}
