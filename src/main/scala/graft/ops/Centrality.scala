@@ -72,4 +72,36 @@ object Centrality {
           .cast("long").as("rk"),
         col("node"), col("h_micro"), col("n_reached"))
   }
+
+  /** Double-sweep diameter LOWER BOUND (Magnien, Latapy & Habib
+    * 2009 — the standard cheap bound; exact on trees): BFS from the
+    * md5-rank-smallest node, take the farthest reached node (max hop,
+    * ties to the smaller id), BFS again from it — the second
+    * eccentricity lower-bounds the diameter, usually tightly on
+    * real-world graphs. Two bounded [[Bfs]]-shaped expansions (the
+    * same frontier + LEFT ANTI machinery), each depth-capped at
+    * `maxDepth`; the driver touches exactly TWO one-row argmax
+    * results between sweeps. Returns one row:
+    * (seed, far_node, ecc1, diameter_lb, n_reached). */
+  def diameterDoubleSweep(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seed = edges
+      .select(col("src").as("node")).union(edges.select(col("dst")))
+      .distinct()
+      .orderBy(substring(md5(col("node").cast("string")), 1, 13),
+        col("node"))
+      .limit(1).collect()(0).getLong(0)
+    val sweep1 = Bfs.hops(edges, seed, maxDepth).localCheckpoint(true)
+    val f = sweep1.orderBy(desc("hop"), asc("node")).limit(1).collect()(0)
+    val farNode = f.getLong(0)
+    val ecc1 = f.getInt(1)
+    val sweep2 = Bfs.hops(edges, farNode, maxDepth)
+    sweep2.agg(max(col("hop")).as("diameter_lb"),
+        count(lit(1)).as("n_reached"))
+      .select(lit(seed).as("seed"), lit(farNode).as("far_node"),
+        lit(ecc1.toLong).as("ecc1"),
+        col("diameter_lb").cast("long").as("diameter_lb"),
+        col("n_reached"))
+  }
 }

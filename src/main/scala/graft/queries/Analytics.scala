@@ -330,6 +330,18 @@ object Analytics {
         maxDepth = 4, k = 20)
     }),
 
+    // Double-sweep diameter lower bound of the co-purchase graph
+    // (ops/Centrality.diameterDoubleSweep — Magnien/Latapy/Habib 2009,
+    // exact on trees, tight in practice): BFS from the md5-smallest
+    // node, BFS again from the farthest node reached; the second
+    // eccentricity lower-bounds the diameter. Two bounded frontier
+    // expansions, two one-row argmax collects between them; the
+    // recursive-CTE oracle replays both sweeps and the tie rules.
+    "q_diameter_2sweep" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir, minSupport = 2)
+      graft.ops.Centrality.diameterDoubleSweep(edges, maxDepth = 16)
+    }),
+
     // Optimal k-segmentation changepoints over the weekly order-count
     // series (ops/Changepoint — Bellman DP segmentation, exact, not
     // the binary-segmentation heuristic): the drift monitors compare
@@ -2980,6 +2992,41 @@ object Analytics {
     "q_ktruss" -> ktrussSql(k = 3, nLayers = 12),
     "q_vopt_histogram" -> voptSql(m = 24, b = 6),
     "q_changepoints" -> changepointSql(k = 5),
+    "q_diameter_2sweep" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT x.pk AS src, y.pk AS dst
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seed AS MATERIALIZED (
+        |  SELECT node FROM nodes
+        |  ORDER BY substring(md5(node::VARCHAR), 1, 13), node LIMIT 1),
+        |w1 AS MATERIALIZED (
+        |  WITH RECURSIVE r(node, d) AS (
+        |    SELECT node, 0 FROM seed
+        |    UNION
+        |    SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END,
+        |      r.d + 1
+        |    FROM r JOIN e ON (e.src = r.node OR e.dst = r.node)
+        |    WHERE r.d < 16)
+        |  SELECT node, min(d) AS hop FROM r GROUP BY 1),
+        |far AS MATERIALIZED (
+        |  SELECT node, hop FROM w1 ORDER BY hop DESC, node LIMIT 1),
+        |w2 AS MATERIALIZED (
+        |  WITH RECURSIVE r2(node, d) AS (
+        |    SELECT node, 0 FROM far
+        |    UNION
+        |    SELECT CASE WHEN e.src = r2.node THEN e.dst ELSE e.src END,
+        |      r2.d + 1
+        |    FROM r2 JOIN e ON (e.src = r2.node OR e.dst = r2.node)
+        |    WHERE r2.d < 16)
+        |  SELECT node, min(d) AS hop FROM r2 GROUP BY 1)
+        |SELECT (SELECT node FROM seed)::BIGINT AS seed,
+        |  (SELECT node FROM far)::BIGINT AS far_node,
+        |  (SELECT hop FROM far)::BIGINT AS ecc1,
+        |  max(hop)::BIGINT AS diameter_lb, count(*)::BIGINT AS n_reached
+        |FROM w2""".stripMargin,
     "q_harmonic_centrality" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

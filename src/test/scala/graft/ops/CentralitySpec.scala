@@ -60,6 +60,21 @@ class CentralitySpec extends SparkSpec {
     assert(got(0L)._2 > got(9L)._2)
   }
 
+  test("double sweep is exact on trees: path graph diameter recovered") {
+    // path 0-1-...-9: whatever the md5-smallest seed is, the farthest
+    // node is an endpoint, and the second sweep spans the full path
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = Centrality.diameterDoubleSweep(path, maxDepth = 16)
+      .collect()(0)
+    assert(r.getLong(3) == 9L, s"diameter_lb ${r.getLong(3)}")
+    assert(Set(0L, 9L).contains(r.getLong(1)), s"far_node ${r.getLong(1)}")
+    assert(r.getLong(4) == 10L)
+    // star + chain fixture: diameter = chain tail to opposite leaf
+    val r2 = Centrality.diameterDoubleSweep(edges.toDF("src", "dst"),
+      maxDepth = 16).collect()(0)
+    assert(r2.getLong(3) == 5L, s"star+chain diameter ${r2.getLong(3)}")
+  }
+
   test("depth bound truncates honestly: depth 1 only counts neighbors") {
     val got = Centrality.sampledHarmonic(edges.toDF("src", "dst"),
         nSources = 8, maxDepth = 1, k = 10)
