@@ -47,8 +47,14 @@ object Fdr {
         """abs((c1 * 10000L div greatest(n1, 1L))
           | - (c0 * 10000L div greatest(n0, 1L)))""".stripMargin)
         .as("t_bp"))
+    // no-op bound stamps (the Dedup benchSh idiom): these frames are
+    // <= m rows BY CONSTRUCTION (their tokens come through the
+    // broadcast(top) m-row join), but the bound lives below their
+    // aggregates where JoinAudit's provenance check can't see it —
+    // the limit makes the bound structural.
     val obs = t.where(col("p") === 0)
       .select(col("token"), col("t_bp").as("t_obs_bp"))
+      .limit(m)
     val pvals = t.where(col("p") >= 1)
       .join(broadcast(obs), Seq("token"))
       .groupBy(col("token"))
