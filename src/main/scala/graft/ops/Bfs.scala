@@ -33,14 +33,21 @@ object Bfs {
     var h = 1
     var exhausted = false
     while (h <= maxHops && !exhausted) {
+      // coalesce the (tiny) frontier before materializing: a ball
+      // boundary is a sliver of the 32-partition join output, and
+      // every later job pays one task per partition (A/B: the
+      // per-round task count dominated wall time on small graphs)
       val next = frontier.join(und, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .coalesce(8)
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
+        // NO re-checkpoint of visited: it is a shallow union of
+        // already-materialized per-hop frames, so re-checkpointing it
+        // every round was one full extra job per hop for nothing
         visited = visited.union(next.select(col("node"), lit(h).as("hop")))
-          .localCheckpoint(true)
         frontier = next
         h += 1
       }

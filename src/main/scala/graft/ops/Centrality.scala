@@ -46,17 +46,20 @@ object Centrality {
     var h = 1
     var exhausted = false
     while (h <= maxDepth && !exhausted) {
+      // same per-round economics as Bfs.hops: coalesce the sliver
+      // frontier before materializing, and never re-checkpoint the
+      // visited union of already-materialized frames
       val next = frontier
         .join(und, col("node") === col("a"))
         .select(col("s"), col("b").as("node")).distinct()
         .join(visited.select(col("s"), col("node")), Seq("s", "node"),
           "left_anti")
+        .coalesce(8)
         .localCheckpoint(true)
       if (next.isEmpty) exhausted = true
       else {
         visited = visited
           .unionByName(next.select(col("s"), col("node"), lit(h).as("d")))
-          .localCheckpoint(true)
         frontier = next.select(col("s"), col("node"))
         h += 1
       }

@@ -339,7 +339,7 @@ object Analytics {
     // recursive-CTE oracle replays both sweeps and the tie rules.
     "q_diameter_2sweep" -> ((s, dir) => {
       val edges = copurchaseEdges(s, dir, minSupport = 2)
-      graft.ops.Centrality.diameterDoubleSweep(edges, maxDepth = 16)
+      graft.ops.Centrality.diameterDoubleSweep(edges, maxDepth = 8)
     }),
 
     // Optimal k-segmentation changepoints over the weekly order-count
@@ -3009,7 +3009,7 @@ object Analytics {
         |    SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END,
         |      r.d + 1
         |    FROM r JOIN e ON (e.src = r.node OR e.dst = r.node)
-        |    WHERE r.d < 16)
+        |    WHERE r.d < 8)
         |  SELECT node, min(d) AS hop FROM r GROUP BY 1),
         |far AS MATERIALIZED (
         |  SELECT node, hop FROM w1 ORDER BY hop DESC, node LIMIT 1),
@@ -3020,7 +3020,7 @@ object Analytics {
         |    SELECT CASE WHEN e.src = r2.node THEN e.dst ELSE e.src END,
         |      r2.d + 1
         |    FROM r2 JOIN e ON (e.src = r2.node OR e.dst = r2.node)
-        |    WHERE r2.d < 16)
+        |    WHERE r2.d < 8)
         |  SELECT node, min(d) AS hop FROM r2 GROUP BY 1)
         |SELECT (SELECT node FROM seed)::BIGINT AS seed,
         |  (SELECT node FROM far)::BIGINT AS far_node,
