@@ -738,6 +738,144 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** ORACLE-EXACT MinHash near-dup twin of [[minhashNearDups]]: the
+    * identical LSH pipeline — per-band signatures, pigeonhole bucket
+    * join, FIRST-AGREEING-BAND emission, exact-Jaccard verify on the
+    * candidates only — with an md5-derived 52-bit hash family in place
+    * of xxhash64, so a DuckDB oracle replays signatures, band keys,
+    * candidate generation AND the verify bit-for-bit (the
+    * Similarity.rpLshNearDups full-replay recipe; xxhash64 is the one
+    * piece of the production tier no second engine can recompute).
+    *
+    * Hash family: `hv(i, s) = md5("mh|i|s")` 13-hex prefix as a
+    * nonneg BIGINT (exact in both engines); the signature is
+    * `min_s hv(i, s)` per hash index i. Band key = md5 of the
+    * comma-joined in-order minhashes, folded to 52 bits — an 8-byte
+    * join key (string posting keys pay UTF8 hashing per probe).
+    * Verify emits integer BASIS POINTS via floor div (the count-ratio
+    * parity rule), never a rounded quotient.
+    *
+    * Scale shape is the production tier's: the banded frame carries
+    * (doc, bkeys) only, candidates are bounded by bucket collisions —
+    * never all-pairs — and shingle sets re-attach by id for surviving
+    * candidates alone. Defaults k=16/bands=4 keep the oracle's k×
+    * shingle explode affordable at verify SF; the xxhash tier keeps
+    * k=64/bands=16 for production recall.
+    *
+    * @return (doc_a, doc_b, j_bp) — verified near-dup pairs with
+    *         Jaccard in basis points, j_bp >= thresholdBp. */
+  def minhashNearDupsMd5(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 3,
+      thresholdBp: Long = 3000L): DataFrame = {
+    require(k % bands == 0, s"bands $bands must divide k $k")
+    val r = k / bands
+    val spark = df.sparkSession
+    // consumed by the index build AND both verify legs: compute once
+    val sh = df.select(col(idCol).as("doc"),
+        graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
+          .as("ws"))
+      .localCheckpoint(true)
+    val hv = conv(substring(md5(concat_ws("|", lit("mh"),
+        col("i").cast("string"), col("s"))), 1, 13), 16, 10)
+      .cast("long")
+    val mh = sh.select(col("doc"), explode(col("ws")).as("s"))
+      .select(col("doc"), col("s"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .groupBy(col("doc"), col("i")).agg(min(hv).as("mh"))
+    val bk = mh.withColumn("band", expr(s"i div $r"))
+      .groupBy(col("doc"), col("band"))
+      .agg(conv(substring(md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            e => e.getField("mh").cast("string")))), 1, 13), 16, 10)
+        .cast("long").as("bkey"))
+    val docKeys = bk.groupBy(col("doc"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("band"), col("bkey")))),
+        e => e.getField("bkey")).as("bkeys"))
+    // posexplode_OUTER for the same InferFiltersFromGenerate reason as
+    // lshCandidatePairs (bkeys is never empty, so outer ≡ inner)
+    val banded = docKeys
+      .select(col("doc"), col("bkeys"), posexplode_outer(col("bkeys")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val priorBands = filter(sequence(lit(0), lit(bands - 1)),
+      b => b < col("x.band"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc") < col("y.doc"))
+      .where(!exists(priorBands, b =>
+        element_at(col("x.bkeys"), (b + 1).cast("int")) ===
+          element_at(col("y.bkeys"), (b + 1).cast("int"))))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("ws").as("ws_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("ws").as("ws_b")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast("long"))
+      .withColumn("j_bp", expr(
+        "inter * 10000 div (size(ws_a) + size(ws_b) - inter)"))
+      .where(col("j_bp") >= thresholdBp)
+      .select(col("doc_a"), col("doc_b"), col("j_bp"))
+  }
+
+  /** ORACLE-EXACT SimHash near-dup twin of [[simhashCandidatePairs]]:
+    * a 52-BIT md5-derived SimHash (13-hex-prefix token hashes — the
+    * one hash both engines compute identically; 52 bits also keeps
+    * every `1::BIGINT << b` in DuckDB's sign-safe range) with the
+    * identical pigeonhole chunk join and first-agreeing-chunk
+    * emission. Tokens are the NONEMPTY whitespace splits of
+    * lower(trim(text)) — declared twin semantics, mirrored verbatim
+    * in the oracle.
+    *
+    * Spark shape: one codegen'd hash aggregate maintains all 52
+    * bit-sums at once (52 `sum(case)` columns — no per-element
+    * lambdas, no 52× row explode); the signature assembles from the
+    * sums in the projection above the aggregate.
+    *
+    * @return (doc_a, doc_b, hamming) — pairs within `maxDist` bits. */
+  def simhashNearDupsMd5(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nBits = 52
+    val chunks = maxDist + 1
+    require(nBits % chunks == 0, s"maxDist+1 must divide 52, got $chunks")
+    val width = nBits / chunks
+    val toks = df.select(col(idCol).as("doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+      .where(length(col("t")) > 0)
+    val hv = conv(substring(md5(concat(lit("sh|"), col("t"))), 1, 13),
+      16, 10).cast("long")
+    val sums = (0 until nBits).map(b =>
+      sum(when(shiftrightunsigned(col("hv"), b).bitwiseAND(lit(1L)) === 1L,
+        1L).otherwise(-1L)).as(s"s$b"))
+    val agged = toks.select(col("doc"), hv.as("hv"))
+      .groupBy(col("doc")).agg(sums.head, sums.tail: _*)
+    val sig = (0 until nBits).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val sigs = agged.select(col("doc"), sig.as("sh52"))
+    def keyOf(s: Column, c: Column): Column =
+      call_function("shiftrightunsigned", s, c * width)
+        .bitwiseAND((1L << width) - 1)
+    val banded = sigs.select(col("doc"), col("sh52"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => keyOf(col("sh52"), c))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+    val priorChunks = filter(sequence(lit(0), lit(chunks - 1)),
+      c => c < col("x.chunk"))
+    banded.as("x").join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.doc") < col("y.doc"))
+      .where(!exists(priorChunks,
+        c => keyOf(col("x.sh52"), c) === keyOf(col("y.sh52"), c)))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        bit_count(col("x.sh52").bitwiseXOR(col("y.sh52"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
   /** The pipeline's last dedup step: keep one document per duplicate
     * cluster. `pairs` (doc_a, doc_b) resolve to components
     * (graft.ops.ConnectedComponents); every NON-canonical member

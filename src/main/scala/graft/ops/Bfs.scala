@@ -16,42 +16,78 @@ import org.apache.spark.sql.functions._
   * O(edges within the ball); `localCheckpoint` truncates lineage per
   * hop (the ConnectedComponents/PageRank/KCore recipe). The visited
   * frame stays distributed throughout — nothing collects.
+  *
+  * Per-round economics (measured — job latency dominates wall time on
+  * small graphs, task fan-in dominates at scale):
+  *   - ONE Spark job per hop: the checkpoint is LAZY and materializes
+  *     inside the `count()` that doubles as the emptiness probe (the
+  *     former eager-checkpoint + `isEmpty` pair was two jobs).
+  *   - The frontier coalesces to a fan-in SCALED BY the previous
+  *     frontier's row count (floor 8 — a ball boundary at test SF is
+  *     a sliver of the 32-partition join output, and every later job
+  *     pays one task per partition; ceiling = the session's shuffle
+  *     partitions). A fixed fan-in would serialize a 10⁶–10⁷-row
+  *     frontier through 8 tasks at 100× scale.
   */
 object Bfs {
+
+  /** Rows per post-coalesce frontier partition the fan-in targets.
+    * ~64k longs/task keeps a checkpoint partition well under a MB
+    * while never letting a large frontier funnel through few tasks. */
+  private[ops] val TargetRowsPerPartition = 65536L
+
+  /** Count-scaled coalesce fan-in: floor 8 (sliver frontiers pay the
+    * fewest per-job tasks), ceiling `shuffleParts` (coalesce above the
+    * parent partition count is a no-op anyway). */
+  private[ops] def fanIn(prevRows: Long, shuffleParts: Int): Int =
+    math.max(8L, math.min(shuffleParts.toLong,
+      prevRows / TargetRowsPerPartition + 1L)).toInt
 
   /** @param edges undirected `(src, dst)` edge list (canonical
     *              direction fine — both directions are traversed).
     * @return (node, hop) — minimum hop distance, hop <= maxHops. */
-  def hops(edges: DataFrame, seed: Long, maxHops: Int): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .localCheckpoint(true)
+  def hops(edges: DataFrame, seed: Long, maxHops: Int): DataFrame =
+    hopsDetailed(edges, seed, maxHops)._1
+
+  /** [[hops]] plus the loop telemetry the caller otherwise pays extra
+    * jobs to recover: (visited, deepestHop, lastNonEmptyFrontier).
+    * `deepestHop` is the max hop in `visited` (0 when the seed never
+    * expands) and the last frontier is exactly the `deepestHop`-hop
+    * node set — the double-sweep argmax reads off it with a one-row
+    * `min` instead of sorting the whole visited union. */
+  def hopsDetailed(edges: DataFrame, seed: Long,
+      maxHops: Int): (DataFrame, Int, DataFrame) = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val und = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .union(edges.select(col("dst").cast("long").as("a"),
+        col("src").cast("long").as("b")))
+      .localCheckpoint(true)
     var visited = Seq((seed, 0)).toDF("node", "hop").localCheckpoint(true)
     var frontier = visited.select(col("node"))
+    var frontierRows = 1L
     var h = 1
     var exhausted = false
     while (h <= maxHops && !exhausted) {
-      // coalesce the (tiny) frontier before materializing: a ball
-      // boundary is a sliver of the 32-partition join output, and
-      // every later job pays one task per partition (A/B: the
-      // per-round task count dominated wall time on small graphs)
       val next = frontier.join(und, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .coalesce(8)
-        .localCheckpoint(true)
-      if (next.isEmpty) exhausted = true
+        .coalesce(fanIn(frontierRows, shuffleParts))
+        .localCheckpoint(false) // lazy: materializes inside count()
+      val n = next.count() // the one job per hop; count IS the probe
+      if (n == 0L) exhausted = true
       else {
         // NO re-checkpoint of visited: it is a shallow union of
         // already-materialized per-hop frames, so re-checkpointing it
         // every round was one full extra job per hop for nothing
         visited = visited.union(next.select(col("node"), lit(h).as("hop")))
         frontier = next
+        frontierRows = n
         h += 1
       }
     }
-    visited
+    (visited, h - 1, frontier)
   }
 }

@@ -32,8 +32,14 @@ object Centrality {
   def sampledHarmonic(edges: DataFrame, nSources: Int, maxDepth: Int,
       k: Int): DataFrame = {
     require(nSources >= 1 && maxDepth >= 1 && k >= 1)
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    val shuffleParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions
+    // long ids at entry (the Hits/Truss rule): int-typed edge columns
+    // must not surprise the join key types downstream
+    val und = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .union(edges.select(col("dst").cast("long").as("a"),
+        col("src").cast("long").as("b")))
       .localCheckpoint(true)
     val srcs = und.select(col("a").as("node")).distinct()
       .orderBy(substring(md5(col("node").cast("string")), 1, 13),
@@ -43,24 +49,29 @@ object Centrality {
         lit(0).as("d"))
       .localCheckpoint(true)
     var frontier = visited.select(col("s"), col("node"))
+    var frontierRows = nSources.toLong
     var h = 1
     var exhausted = false
     while (h <= maxDepth && !exhausted) {
-      // same per-round economics as Bfs.hops: coalesce the sliver
-      // frontier before materializing, and never re-checkpoint the
-      // visited union of already-materialized frames
+      // same per-round economics as Bfs.hopsDetailed: count-scaled
+      // fan-in on the frontier, lazy checkpoint materialized by the
+      // count that doubles as the emptiness probe (ONE job per hop),
+      // and never re-checkpoint the visited union of
+      // already-materialized frames
       val next = frontier
         .join(und, col("node") === col("a"))
         .select(col("s"), col("b").as("node")).distinct()
         .join(visited.select(col("s"), col("node")), Seq("s", "node"),
           "left_anti")
-        .coalesce(8)
-        .localCheckpoint(true)
-      if (next.isEmpty) exhausted = true
+        .coalesce(Bfs.fanIn(frontierRows, shuffleParts))
+        .localCheckpoint(false)
+      val n = next.count()
+      if (n == 0L) exhausted = true
       else {
         visited = visited
           .unionByName(next.select(col("s"), col("node"), lit(h).as("d")))
         frontier = next.select(col("s"), col("node"))
+        frontierRows = n
         h += 1
       }
     }
@@ -83,28 +94,37 @@ object Centrality {
     * eccentricity lower-bounds the diameter, usually tightly on
     * real-world graphs. Two bounded [[Bfs]]-shaped expansions (the
     * same frontier + LEFT ANTI machinery), each depth-capped at
-    * `maxDepth`; the driver touches exactly TWO one-row argmax
-    * results between sweeps. Returns one row:
+    * `maxDepth`.
+    *
+    * Round economics: the sweeps run ONE job per hop
+    * ([[Bfs.hopsDetailed]]'s fused checkpoint+count), both
+    * eccentricities read off the loop's deepest-hop counter for free,
+    * and the farthest-node argmax is a one-row `min` over the LAST
+    * FRONTIER (max hop ⇒ last frontier; tie to the smaller id ⇒ its
+    * min) instead of a sort of the whole visited union. The driver
+    * touches exactly three one-row results. Returns one row:
     * (seed, far_node, ecc1, diameter_lb, n_reached). */
   def diameterDoubleSweep(edges: DataFrame, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val seed = edges
-      .select(col("src").as("node")).union(edges.select(col("dst")))
+    // long ids at entry: the collected argmaxes read getLong
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val seed = e
+      .select(col("src").as("node")).union(e.select(col("dst")))
       .distinct()
       .orderBy(substring(md5(col("node").cast("string")), 1, 13),
         col("node"))
       .limit(1).collect()(0).getLong(0)
-    val sweep1 = Bfs.hops(edges, seed, maxDepth).localCheckpoint(true)
-    val f = sweep1.orderBy(desc("hop"), asc("node")).limit(1).collect()(0)
-    val farNode = f.getLong(0)
-    val ecc1 = f.getInt(1)
-    val sweep2 = Bfs.hops(edges, farNode, maxDepth)
-    sweep2.agg(max(col("hop")).as("diameter_lb"),
-        count(lit(1)).as("n_reached"))
-      .select(lit(seed).as("seed"), lit(farNode).as("far_node"),
-        lit(ecc1.toLong).as("ecc1"),
-        col("diameter_lb").cast("long").as("diameter_lb"),
-        col("n_reached"))
+    val (_, ecc1, last1) = Bfs.hopsDetailed(e, seed, maxDepth)
+    // the deepest-hop node set IS the last materialized frontier
+    // (8-ish tiny partitions), so the (hop desc, node asc) argmax is
+    // its min — when the seed never expands the frontier is the seed
+    // itself, which is also the correct argmax
+    val farNode = last1.agg(min(col("node"))).collect()(0).getLong(0)
+    val (visited2, ecc2, _) = Bfs.hopsDetailed(e, farNode, maxDepth)
+    val nReached = visited2.count()
+    Seq((seed, farNode, ecc1.toLong, ecc2.toLong, nReached))
+      .toDF("seed", "far_node", "ecc1", "diameter_lb", "n_reached")
   }
 }

@@ -38,6 +38,12 @@ object Changepoint {
     require(weeks.nonEmpty, "empty series")
     val loW = weeks.keys.min
     val m = (weeks.keys.max - loW + 1).toInt
+    // fail fast on BIGINT wrap (the VoptHist envelope): c*c and the
+    // running Σc² must stay in Long, or engines silently diverge
+    val cMax = weeks.values.max
+    require(BigInt(cMax) * BigInt(cMax) * m <= Long.MaxValue,
+      s"sum(c*c) can exceed BIGINT (max weekly count=$cMax, m=$m): " +
+        "aggregate on a coarser grid or move prefix stats to DECIMAL")
     val pn = new Array[Long](m + 1)
     val pa = new Array[Long](m + 1)
     val pq = new Array[Long](m + 1)
@@ -47,6 +53,10 @@ object Changepoint {
       pa(j) = pa(j - 1) + c
       pq(j) = pq(j - 1) + c * c
     }
+    // the SQL replay packs cost*(m+1)+i into one BIGINT argmin key
+    require(BigInt(VoptHist.cst(pn, pa, pq)(0, m)) * (m + 1)
+        <= Long.MaxValue,
+      s"totalSSE*(m+1) exceeds BIGINT: packed argmin key would wrap")
     val bounds = VoptHist.solve(pn, pa, pq, m, k)
     (1 to k).map { s =>
       val i = bounds(s - 1)

@@ -20,13 +20,17 @@ import org.apache.spark.sql.functions._
   * where every sum is an exact BIGINT and the truncating div agrees in
   * every engine on nonnegatives. Spark shape per iteration: two
   * equi-join + hash-aggregate passes keyed on node ids (successive
-  * iterations reuse the partitioning — the PageRank loop), and the
-  * max-norm rides as a one-row broadcast crossJoin — no collect,
+  * iterations reuse the partitioning — the PageRank loop); the
+  * max-norm is a ONE-ROW aggregate collect embedded back as a literal
+  * (the bounded-collect class — same cost as the broadcast exchange it
+  * replaces, and it lets the BIGINT envelope be CHECKED driver-side);
   * nothing quadratic; `localCheckpoint` truncates lineage per round.
   *
-  * Bound the caller owns: `10¹² · max_degree` must stay inside BIGINT
-  * (max degree < ~9·10⁶); past that, move the renorm product to
-  * DECIMAL(38,0). */
+  * Bound: `10⁶ · max(raw)` must stay inside BIGINT, i.e.
+  * `10¹² · max_degree` (max degree < ~9·10⁶) — ENFORCED per renorm on
+  * the collected max, so an over-degree graph fails loudly instead of
+  * wrapping while a HUGEINT oracle diverges; past that, move the
+  * renorm product to DECIMAL(38,0). */
 object Hits {
 
   /** @param edges directed edges (src, dst), no duplicates.
@@ -39,18 +43,32 @@ object Hits {
       .select(col("id"), lit(1000000L).as("s"))
       .localCheckpoint(true)
     var a: DataFrame = null
+    // one-row max collect: bounded by construction, and the require is
+    // the fail-fast on the raw*10^6 BIGINT envelope (Spark would wrap
+    // silently where a HUGEINT replay differs)
+    def mxOf(raw: DataFrame): Long = {
+      val row = raw.agg(max(col("raw"))).collect()(0)
+      require(!row.isNullAt(0), "HITS needs a nonempty edge list")
+      val mx = row.getLong(0)
+      require(mx <= Long.MaxValue / 1000000L,
+        s"max raw score $mx would wrap raw*1000000 in BIGINT: " +
+          "max degree too large for the 10^6 grid — use DECIMAL(38,0)")
+      mx
+    }
     for (_ <- 1 to iters) {
       val araw = e
         .join(h.select(col("id").as("src"), col("s").as("hs")), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("hs")).as("raw"))
-      a = araw.crossJoin(broadcast(araw.agg(max(col("raw")).as("mx"))))
-        .selectExpr("dst AS id", "CAST(raw * 1000000 DIV mx AS BIGINT) AS s")
+      a = araw
+        .selectExpr("dst AS id",
+          s"CAST(raw * 1000000 DIV ${mxOf(araw)}L AS BIGINT) AS s")
         .localCheckpoint(true)
       val hraw = e
         .join(a.select(col("id").as("dst"), col("s").as("as_")), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("as_")).as("raw"))
-      h = hraw.crossJoin(broadcast(hraw.agg(max(col("raw")).as("mx"))))
-        .selectExpr("src AS id", "CAST(raw * 1000000 DIV mx AS BIGINT) AS s")
+      h = hraw
+        .selectExpr("src AS id",
+          s"CAST(raw * 1000000 DIV ${mxOf(hraw)}L AS BIGINT) AS s")
         .localCheckpoint(true)
     }
     (h, a)

@@ -212,8 +212,12 @@ object Privacy {
     * is individually DP on the whole dataset, so the card is
     * `(epsCounts + epsSums + epsTopk, delta)`-DP, with `delta` coming
     * solely from the counts threshold over a data-dependent key domain
-    * (see [[noisyCounts]]; the sums release the same key set as no
-    * extra delta when `keyCols` match — conservatively, double it).
+    * (see [[noisyCounts]]). The sums section is RESTRICTED (left-semi
+    * join) to the keys that survived the counts threshold — publishing
+    * a sum for a count-suppressed key would reveal count ≥ 1 with
+    * certainty, voiding the stability accounting — so the card's key
+    * set is decided once, by the counts mechanism, and the sums add no
+    * extra delta.
     * Composition is valid precisely BECAUSE the three draws live in
     * pairwise-distinct tagged domains (`dp|…`, `dp|sum:col|…`,
     * `dp|topk|…`): no uniform is shared, so no mechanism's noise is a
@@ -236,8 +240,13 @@ object Privacy {
     val counts = noisyCounts(df, keyCols, epsCounts, minRelease, salt)
       .select(lit("count").as("section"), keyRender.as("key"),
         lit(0L).as("rk"), col("noisy_micro").as("value_micro"))
+    // keys are decided ONCE, by the thresholded counts: a sum published
+    // for a count-suppressed key would reveal count >= 1 with certainty
+    // (the semi-join is on the RENDERED key so null keys still match)
     val sums = noisySums(df, keyCols, valueCol, clip, epsSums, salt)
-      .select(lit(s"sum_$valueCol").as("section"), keyRender.as("key"),
+      .select(keyRender.as("key"), col("noisy_sum_micro"))
+      .join(broadcast(counts.select(col("key"))), Seq("key"), "left_semi")
+      .select(lit(s"sum_$valueCol").as("section"), col("key"),
         lit(0L).as("rk"), col("noisy_sum_micro").as("value_micro"))
     val top = gumbelTopK(tokenCounts, tokenCol, countCol, epsTopk, k, salt)
       .select(lit(s"top_$tokenCol").as("section"),

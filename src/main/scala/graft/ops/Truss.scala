@@ -55,6 +55,12 @@ object Truss {
 
   /** @param edges undirected simple graph, canonical src < dst, no
     *              duplicates.
+    * @param maxRounds hard bound on peeling rounds. Exhausting it
+    *                  without reaching the fixpoint THROWS rather than
+    *                  silently returning a non-truss edge set — callers
+    *                  pairing with an unrolled SQL oracle must keep
+    *                  `maxRounds <= nLayers` so a too-deep peel fails
+    *                  loudly instead of diverging the hash gate.
     * @return (trussEdges, rounds): the k-truss edge list and the
     *         number of strict-shrink peeling rounds to the fixpoint. */
   def truss(edges: DataFrame, k: Int,
@@ -78,6 +84,10 @@ object Truss {
         if (m == 0) done = true
       }
     }
+    if (!done) throw new IllegalStateException(
+      s"k-truss peel still shrinking after maxRounds=$maxRounds " +
+        s"(edges=$curCount): result would not be a $k-truss; raise " +
+        "maxRounds (and any paired oracle's nLayers)")
     (if (curCount == 0) cur.limit(0) else cur, round)
   }
 }

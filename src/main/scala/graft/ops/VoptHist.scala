@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * Bounds the caller owns: values must be nonnegative (div parity)
   * and `totalSSE · (m+1)` must fit in a signed 64-bit (the packed
   * argmin key); at larger scales move the packing to HUGEINT/DECIMAL.
+  * Both bounds (plus `max(v)² · n` covering sum-of-squares wrap) are
+  * ENFORCED by driver-side `require` on the collected stats — an
+  * out-of-envelope input fails loudly instead of silently diverging
+  * the engines.
   */
 object VoptHist {
 
@@ -41,11 +45,19 @@ object VoptHist {
     import spark.implicits._
     require(m >= b && b >= 1, s"m=$m b=$b")
     val base = df.select(floor(valueCol).cast("long").as("v"))
-    val r = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val r = base.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
       .collect()(0)
     val lo = r.getLong(0)
     val hi = r.getLong(1)
+    val nTotal = r.getLong(2)
     require(lo >= 0, s"negative values break div parity: min=$lo")
+    // fail FAST on silent BIGINT wrap: Spark wraps sum(v*v) while a
+    // DuckDB replay errors or differs — hi^2 * n bounds every partial
+    // and total sum of squares, so inside Long means no wrap anywhere
+    require(BigInt(hi) * BigInt(hi) * BigInt(nTotal) <= Long.MaxValue,
+      s"sum(v*v) can exceed BIGINT (max=$hi, n=$nTotal): rescale values " +
+        "or move the prefix stats to DECIMAL(38,0)")
     val w = (hi - lo) / m + 1
     val cells = base
       .selectExpr(s"(v - ${lo}L) DIV ${w}L AS cell", "v")
@@ -64,6 +76,11 @@ object VoptHist {
     for (j <- 1 to m) {
       pn(j) += pn(j - 1); pa(j) += pa(j - 1); pq(j) += pq(j - 1)
     }
+    // the SQL replay's argmin key packs cost*(m+1)+i; every DP cost is
+    // <= the global SSE, so this bound keeps the packed key in BIGINT
+    require(BigInt(cst(pn, pa, pq)(0, m)) * (m + 1) <= Long.MaxValue,
+      s"totalSSE*(m+1) exceeds BIGINT: the packed argmin key would " +
+        "wrap — reduce m or rescale values")
     val bounds = solve(pn, pa, pq, m, b)
     (1 to b).map { bb =>
       val i = bounds(bb - 1)

@@ -378,7 +378,11 @@ object Analytics {
     // no-ops so the final layer IS the truss.
     "q_ktruss" -> ((s, dir) => {
       val edges = copurchaseEdges(s, dir, minSupport = 2)
-      val (truss, rounds) = graft.ops.Truss.truss(edges, k = 3)
+      // maxRounds pinned to the oracle's 12 unrolled layers: a peel
+      // needing more rounds THROWS (Truss contract) instead of letting
+      // driver and oracle silently diverge past the unroll depth
+      val (truss, rounds) = graft.ops.Truss.truss(edges, k = 3,
+        maxRounds = 12)
       val nodes = truss
         .select(explode(array(col("src"), col("dst"))).as("node"))
         .distinct()

@@ -463,8 +463,8 @@ object Diagnostics {
     // picks k* = max{k : p_(k)·m <= k·alpha_bp} by pure integer
     // cross-multiply. Scale shape: one distinct-token explode feeds
     // BOTH the df ranking and the presence join (checkpointed); the
-    // 17× perm explode runs on docs and on the 40-token presence
-    // slice; everything after the two hash aggregates is a 40-row
+    // 33× perm explode runs on docs and on the 20-token presence
+    // slice; everything after the two hash aggregates is a 20-row
     // frame (its rank window is the bounded GlobalWindow class).
     "q_fdr_tokens" -> ((s, dir) =>
       graft.ops.Fdr.tokenScreen(

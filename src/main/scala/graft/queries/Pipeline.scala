@@ -256,8 +256,11 @@ object Pipeline {
     // (eps 0.5) + Gumbel top-10 vocabulary (eps 0.5 TOTAL) in one
     // release frame — eps_total = 1.5 under basic composition, valid
     // because the three draws live in pairwise-distinct tagged noise
-    // domains (asserted in PrivacySpec). Only (rank, token) leaves the
-    // top-k section; the card is the exportable public artifact.
+    // domains (asserted in PrivacySpec). The sums section releases
+    // ONLY keys that survived the counts threshold (key-set stability:
+    // a sum row for a suppressed key would reveal count >= 1). Only
+    // (rank, token) leaves the top-k section; the card is the
+    // exportable public artifact.
     "q_dp_card" -> ((s, dir) => {
       val docs = documents(s, dir)
       val toks = docs.select(col("lang"),
@@ -3901,8 +3904,10 @@ object Pipeline {
         |SELECT rk, token FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     // Composed card replay: all three mechanisms from their own tagged
     // domains (dp| / dp|sum:tok| / dp|topk|), counts thresholded and
-    // dropped, sums clipped at 64 (scale -128 = clip/eps), top-k at
-    // eps/2k = 0.25/10 per draw, NULL value for released ranks.
+    // dropped, sums clipped at 64 (scale -128 = clip/eps) and
+    // restricted to the count-survivor key set (a sum on a suppressed
+    // key would reveal count >= 1), top-k at eps/2k = 0.25/10 per
+    // draw, NULL value for released ranks.
     "q_dp_card" ->
       """WITH d AS (
         |  SELECT lang,
@@ -3939,7 +3944,8 @@ object Pipeline {
         |    s * 1000000 + floor(-128.0 * sign(u - 0.5)
         |      * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0)::BIGINT
         |      AS value_micro
-        |  FROM sn),
+        |  FROM sn
+        |  WHERE coalesce(lang, '<null>') IN (SELECT key FROM cr)),
         |t AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
         |    AS token

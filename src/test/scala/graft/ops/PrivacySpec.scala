@@ -176,6 +176,21 @@ class PrivacySpec extends SparkSpec {
     }
     assert(card.exists(r => r._1 == "count" && r._2 == "fr") ==
       (frNoisy >= 2000000L))
+    // key-set stability: the sums section publishes EXACTLY the
+    // count-survivor keys — a count-suppressed group appears in NO
+    // section (a sum row for it would reveal count >= 1 with certainty)
+    val countKeys = card.filter(_._1 == "count").map(_._2).toSet
+    val sumKeys = card.filter(_._1 == "sum_tok").map(_._2).toSet
+    assert(sumKeys == countKeys,
+      s"sums must release the count-survivor key set: $sumKeys vs $countKeys")
+    // with every count suppressed, no count AND no sum rows remain
+    val allSuppressed = Privacy.datasetCard(toks, Seq("lang"), "tok",
+      clip = 64L, tokenCounts, "token", "c", epsCounts = 0.5,
+      epsSums = 0.5, epsTopk = 0.5, minRelease = 1000L, k = 3)
+      .collect()
+    assert(allSuppressed.nonEmpty &&
+      allSuppressed.forall(_.getString(0) == "top_token"),
+      "all-suppressed card must carry only the top-k section")
     // top-k rows release rank + key ONLY
     card.filter(_._1 == "top_token").foreach { r =>
       assert(r._4.isEmpty, s"top-k must not release a value: $r")

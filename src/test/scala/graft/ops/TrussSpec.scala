@@ -62,6 +62,17 @@ class TrussSpec extends SparkSpec {
     assert(!got.exists(e => e._1 == 30L || e._2 == 30L || e._2 == 31L))
   }
 
+  test("exhausting maxRounds mid-peel throws instead of returning a non-truss") {
+    // k=4 on g needs a >= 2-round cascade (asserted above); capping at
+    // 1 round must fail LOUDLY — a silent non-fixpoint edge set would
+    // diverge any unrolled SQL oracle past its nLayers
+    val df = g.toSeq.toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Truss.truss(df, 4, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("maxRounds"))
+  }
+
   test("k=5 and k=6: the clique is a 5-truss but not a 6-truss; empty handled") {
     val (g5, _) = run(g, 5)
     assert(g5 == clique)
