@@ -1119,6 +1119,19 @@ object Pipeline {
         .orderBy(asc("component"))
     }),
 
+    // HASH-EXACT LSH dedup-groups twin: the md5 MinHash twin's verified
+    // pairs resolved to clusters by ConnectedComponents, with the
+    // recursive-CTE closure replaying the whole chain (signatures →
+    // banding → verify → components) in DuckDB. The xxhash tier above
+    // stays rows-only; this is its end-to-end oracle.
+    "q_dedup_groups_lsh_twin" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupsMd5(spread(documents(s, dir)),
+        "text", "doc_id", k = 16, bands = 4, n = 3, thresholdBp = 3000L)
+      graft.ops.ConnectedComponents.summary(
+        graft.ops.ConnectedComponents.components(pairs, "doc_a", "doc_b"))
+        .orderBy(asc("component"))
+    }),
+
     // Ingest-time incremental dedup: a NEW batch screens against the
     // EXISTING corpus by normalized-text hash — only 32-byte hashes of
     // the batch and corpus meet in the anti-join, never text. The
@@ -1184,6 +1197,20 @@ object Pipeline {
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDups(spread(documents(s, dir)), "text", "doc_id",
         k = 64, bands = 16, n = 3, threshold = 0.3)
+        .orderBy(asc("doc_a"), asc("doc_b"))
+    }),
+
+    // HASH-EXACT MinHash+LSH twin (dedup/Dedup.minhashNearDupsMd5):
+    // the same banded-LSH pipeline with an md5-derived 52-bit hash
+    // family, so DuckDB replays signatures, band keys, the
+    // first-agreeing-band emission AND the exact-Jaccard verify
+    // bit-for-bit (the rpLshNearDups full-replay recipe — closes the
+    // last rows-only *dedup* family). Jaccard emits as integer basis
+    // points (floor-div parity rule). The xxhash64 tier above stays
+    // the production path (native kernel, k=64).
+    "q_dedup_minhash_twin" -> ((s, dir) => {
+      Dedup.minhashNearDupsMd5(spread(documents(s, dir)), "text", "doc_id",
+        k = 16, bands = 4, n = 3, thresholdBp = 3000L)
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
@@ -1441,6 +1468,19 @@ object Pipeline {
         .groupBy()
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(min(col("hamming")), lit(-1L)).as("min_hamming"))
+    }),
+
+    // HASH-EXACT SimHash twin (dedup/Dedup.simhashNearDupsMd5): 52-bit
+    // md5-derived SimHash (13-hex token hashes; 52 bits keeps every
+    // 1::BIGINT << b sign-safe in DuckDB) with the identical pigeonhole
+    // chunk join and first-agreeing-chunk rule — the oracle replays
+    // token hashes, bit sums, signatures, banding and the hamming
+    // verify end-to-end. Full PAIR list released (the production tier
+    // above releases summary counts only).
+    "q_dedup_simhash_twin" -> ((s, dir) => {
+      Dedup.simhashNearDupsMd5(spread(documents(s, dir)), "text", "doc_id",
+        maxDist = 3)
+        .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
     // IVF-indexed ANN (approximate; rows-only — equivalence to brute
@@ -2639,6 +2679,53 @@ object Pipeline {
        |${gridKmeansChain(c, iters, maxTrain)}
        |SELECT cid AS centroid_id, count(*)::BIGINT AS n_vecs
        |FROM asgn GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared CTE chain for the md5 MinHash twins: shingles →
+    * 52-bit md5 minhashes (k per shingle) → per-band key (md5 of the
+    * in-order minhash list, folded to 52 bits) → pigeonhole band join
+    * with the first-agreeing-band rule → exact-Jaccard verify in basis
+    * points. Ends at `vp(doc_a, doc_b, j_bp)` — mirrors
+    * dedup/Dedup.minhashNearDupsMd5 expression for expression. */
+  private def minhashMd5ChainSql(k: Int, bands: Int): String = {
+    val r = k / bands
+    s"""sh AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |    ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w) - 1)] END) AS ws
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+       |        FROM documents)),
+       |mh AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    min(('0x' || substring(md5('mh|' || i::VARCHAR || '|' || s),
+       |      1, 13))::BIGINT) AS mh
+       |  FROM (SELECT doc_id, unnest(ws) AS s FROM sh), range($k) t(i)
+       |  GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT doc_id, i // $r AS band,
+       |    ('0x' || substring(md5(array_to_string(
+       |      list(mh::VARCHAR ORDER BY i), ',')), 1, 13))::BIGINT AS bkey
+       |  FROM mh GROUP BY 1, 2),
+       |dk AS MATERIALIZED (
+       |  SELECT doc_id, list(bkey ORDER BY band) AS bkeys
+       |  FROM bk GROUP BY 1),
+       |bnd AS MATERIALIZED (
+       |  SELECT doc_id, bkeys, b AS band, bkeys[b + 1] AS bucket
+       |  FROM dk, range($bands) t(b)),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bnd x JOIN bnd y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |   AND x.doc_id < y.doc_id
+       |  WHERE len([bb for bb in generate_series(0, x.band - 1)
+       |             if x.bkeys[bb + 1] = y.bkeys[bb + 1]]) = 0),
+       |vp AS MATERIALIZED (
+       |  SELECT doc_a, doc_b,
+       |    ((len(list_intersect(a.ws, b.ws))::BIGINT * 10000) //
+       |      (len(a.ws) + len(b.ws)
+       |        - len(list_intersect(a.ws, b.ws))))::BIGINT AS j_bp
+       |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+       |            JOIN sh b ON cand.doc_b = b.doc_id)""".stripMargin
+  }
 
   /** Full SemDeDup replay on the grid quantizer
     * (q_semantic_dedup_grid): plant the float twins (DuckDB REAL ops ≡
@@ -4377,6 +4464,64 @@ object Pipeline {
         |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
         |SELECT component, count(*)::BIGINT AS n_members
         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // md5 MinHash twin: the full LSH chain (signatures, band keys,
+    // first-agreeing-band, Jaccard-bp verify) replayed by the shared
+    // CTE builder.
+    "q_dedup_minhash_twin" ->
+      s"""WITH ${minhashMd5ChainSql(k = 16, bands = 4)}
+         |SELECT doc_a, doc_b, j_bp FROM vp WHERE j_bp >= 3000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // md5 MinHash twin pairs → recursive-CTE component closure (the
+    // q_dedup_groups pattern) — the end-to-end LSH dedup-groups oracle.
+    "q_dedup_groups_lsh_twin" ->
+      s"""WITH ${minhashMd5ChainSql(k = 16, bands = 4)},
+         |e AS (SELECT doc_a, doc_b FROM vp WHERE j_bp >= 3000),
+         |nodes AS (SELECT doc_a AS id FROM e UNION SELECT doc_b FROM e),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT r.a, CASE WHEN e.doc_a = r.b THEN e.doc_b ELSE e.doc_a END
+         |    FROM r JOIN e ON e.doc_a = r.b OR e.doc_b = r.b)
+         |  SELECT * FROM r),
+         |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
+         |SELECT component, count(*)::BIGINT AS n_members
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 52-bit md5 SimHash twin: token hashes, per-bit sums, signature
+    // assembly, pigeonhole chunks, first-agreeing-chunk, hamming —
+    // all replayed (1::BIGINT << b stays sign-safe at 52 bits).
+    "q_dedup_simhash_twin" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |hv AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('sh|' || t), 1, 13))::BIGINT AS hv
+        |  FROM tok WHERE length(t) > 0),
+        |bs AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM hv, range(52) t(b) GROUP BY 1, 2),
+        |sg AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN s > 0 THEN 1::BIGINT << CAST(b AS INT)
+        |           ELSE 0::BIGINT END) AS sig
+        |  FROM bs GROUP BY 1),
+        |bnd AS MATERIALIZED (
+        |  SELECT doc_id, sig, c, (sig >> CAST(c * 13 AS INT)) & 8191 AS key
+        |  FROM sg, range(4) t(c)),
+        |cand AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    bit_count(xor(x.sig, y.sig))::BIGINT AS hamming
+        |  FROM bnd x JOIN bnd y
+        |    ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id
+        |  WHERE len([cc for cc in generate_series(0, x.c - 1)
+        |             if ((x.sig >> CAST(cc * 13 AS INT)) & 8191)
+        |              = ((y.sig >> CAST(cc * 13 AS INT)) & 8191)]) = 0)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_vocab_richness" ->
       """WITH freq AS (
         |  SELECT t, count(*)::BIGINT AS f FROM (

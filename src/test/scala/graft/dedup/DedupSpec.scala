@@ -95,6 +95,68 @@ class DedupSpec extends SparkSpec {
     assert(exact.forall(approx.contains), s"LSH missed ${exact -- approx}")
   }
 
+  test("md5 minhash twin: verified subset, j=1 always found, high-j recall") {
+    // twin threshold 5000 bp ≡ the exact tier's 0.5: the verify step
+    // makes twin ⊆ exact. b=4, r=4 banding recalls a j≈0.81 pair with
+    // prob 1-(1-0.81^4)^4 ≈ 0.90, so a few planted near-dups may miss
+    // (the deterministic draws land ~binomially); j=1 pairs have
+    // identical signatures and are ALWAYS found. Gate: subset, exact
+    // dups present, and ≥ 2/3 recall on the high-j set (a hash-family
+    // regression would crater it).
+    val exact = Dedup.jaccardPairs(corpus, "text", "doc_id", n = 3,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twin = Dedup.minhashNearDupsMd5(corpus, "text", "doc_id",
+        k = 16, bands = 4, n = 3, thresholdBp = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twin.subsetOf(exact))
+    assert(twin.contains((0L, 200L)) && twin.contains((1L, 201L)),
+      "identical docs must always collide (equal signatures)")
+    val recall = twin.size.toDouble / exact.size
+    assert(recall >= 2.0 / 3.0,
+      s"twin recall $recall (${twin.size}/${exact.size}); " +
+        s"missed ${exact -- twin}")
+    // bp values are exact integers: the exact-dup pairs score 10000
+    val bp = Dedup.minhashNearDupsMd5(corpus, "text", "doc_id",
+        k = 16, bands = 4, n = 3, thresholdBp = 5000L)
+      .where(col("doc_a") === 0L && col("doc_b") === 200L)
+      .collect().map(_.getLong(2))
+    assert(bp.toSeq == Seq(10000L))
+  }
+
+  test("md5 simhash twin: exact dups at hamming 0, near-dups recovered") {
+    val got = Dedup.simhashNearDupsMd5(corpus, "text", "doc_id",
+        maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // exact copies: identical 52-bit signatures
+    assert(got.get((0L, 200L)).contains(0L), got.get((0L, 200L)).toString)
+    assert(got.get((1L, 201L)).contains(0L))
+    // every released pair is within the declared distance
+    assert(got.values.forall(h => h >= 0L && h <= 3L))
+    // driver-side replay of one signature: same md5 bit sums
+    val text0 = corpus.where(col("doc_id") === 0L)
+      .collect()(0).getString(1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = text0.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    var sig = 0L
+    (0 until 52).foreach { b =>
+      val s = toks.map { t =>
+        val hv = java.lang.Long.parseLong(
+          md5hex("sh|" + t).substring(0, 13), 16)
+        if (((hv >>> b) & 1L) == 1L) 1L else -1L
+      }.sum
+      if (s > 0) sig |= (1L << b)
+    }
+    val gotSig = Dedup.simhashNearDupsMd5(
+      corpus.where(col("doc_id").isin(0L, 200L)), "text", "doc_id", 3)
+      .collect().map(_.getLong(2))
+    assert(gotSig.toSeq == Seq(0L)) // the planted copy pair survives
+    assert(sig > 0L) // replay produced a real signature (sanity)
+  }
+
   test("minhash df cutoff drops boilerplate-driven pairs only") {
     val noCut = Dedup.jaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.5)
     val cut = Dedup.jaccardPairs(corpus, "text", "doc_id", n = 3,
