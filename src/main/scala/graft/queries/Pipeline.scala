@@ -2446,6 +2446,30 @@ object Pipeline {
       graft.text.LogReg.confusion(spread(docs), "text", label, model)
     }),
 
+    // HASH-EXACT grid twin of q_logreg (text/LogReg.gridTrain — the
+    // gridLeadingAxis recipe applied to GD): md5-rank-smallest sample,
+    // features quantized ONCE to the 10⁶ grid, smoothed log-odds INIT
+    // (the NaiveBayes discriminant, floored once per statistic), then
+    // 8 full-batch polish steps at the 1/t-decayed unit rate — margins
+    // and updates are truncating-integer arithmetic, the per-doc
+    // sigmoid error is ONE clamped floor-once double chain (the
+    // KN-perplexity rule). DuckDB replays init + every unrolled layer
+    // and the corpus confusion hash-matches. The float tier above
+    // stays the production detector (logreg_balacc gate); the grid
+    // tier's balanced accuracy measured 0.86–0.88 across SFs
+    // (iteration-stable), pinned with the grid-vs-float agreement
+    // bound in LogRegSpec.
+    "q_logreg_grid" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val label = array_contains(
+        graft.text.TextAnalysis.tokens(col("text")), "dup")
+      val model = graft.text.LogReg.gridTrain(
+        docs, "text", "doc_id", label, buckets = 64, sampleN = 256,
+        iters = 8)
+      graft.text.LogReg.gridConfusion(spread(docs), "text", "doc_id",
+        label, model)
+    }),
+
     // Per-label embedding centroids on an integer-milli grid: each
     // component floors to milli units (float→double cast is exact,
     // ×1000 and floor are engine-exact), sums are exact integer
@@ -2679,6 +2703,113 @@ object Pipeline {
        |${gridKmeansChain(c, iters, maxTrain)}
        |SELECT cid AS centroid_id, count(*)::BIGINT AS n_vecs
        |FROM asgn GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_logreg_grid oracle: smoothed log-odds init + the integer-grid
+    * GD recursion unrolled as `iters` CTE layers. Init floors each
+    * class's log-likelihood ONCE (ln on ::DOUBLE operands — never
+    * DECIMAL arithmetic); per layer t (prev p): margins m = b_p +
+    * trunc(Σ w_p·xq / 10⁶), the clamped floor-once sigmoid error, and
+    * 1/t-decayed truncating updates — every `//` on BIGINT/HUGEINT
+    * truncates toward zero exactly like the driver's Long arithmetic.
+    * Sample docs always have ≥1 token (split of "" yields ['']), so
+    * the bias gradient sees every sample row in both engines. */
+  private def logregGridSql(buckets: Int, sampleN: Int,
+      iters: Int): String = {
+    val layers = (1 to iters).map { t =>
+      val p = t - 1
+      s"""m$t AS (
+         |  SELECT f.did, f.y,
+         |    (SELECT b FROM b$p) + (sum(w.w * f.xq) // 1000000)::BIGINT AS m
+         |  FROM feat f JOIN w$p w ON w.j = f.j
+         |  GROUP BY f.did, f.y),
+         |e$t AS MATERIALIZED (
+         |  SELECT did, y,
+         |    floor((1.0 / (1.0 + exp(-(least(greatest(m, -30000000),
+         |        30000000)::DOUBLE / 1000000.0))) - y::DOUBLE)
+         |      * 1000000.0)::BIGINT AS err
+         |  FROM m$t),
+         |g$t AS (
+         |  SELECT f.j, sum(e.err * f.xq) AS g
+         |  FROM feat f JOIN e$t e ON e.did = f.did GROUP BY 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.j,
+         |    (w.w - coalesce(g.g, 0)
+         |      // ((SELECT n FROM nn) * 1000000 * $t))::BIGINT AS w
+         |  FROM w$p w LEFT JOIN g$t g ON g.j = w.j),
+         |b$t AS MATERIALIZED (
+         |  SELECT ((SELECT b FROM b$p)
+         |    - (SELECT sum(err) FROM e$t)
+         |      // ((SELECT n FROM nn) * $t))::BIGINT AS b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN list_contains(
+       |      regexp_split_to_array(trim(lower(text)), '\\s+'), 'dup')
+       |      THEN 1 ELSE 0 END::BIGINT AS y,
+       |    text
+       |  FROM documents),
+       |samp AS MATERIALIZED (
+       |  SELECT doc_id AS did, y, text FROM lab
+       |  ORDER BY substring(md5(doc_id::VARCHAR), 1, 13), doc_id
+       |  LIMIT $sampleN),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM samp),
+       |stok AS (
+       |  SELECT did, y,
+       |    ('0x' || substr(md5(w), 1, 13))::BIGINT % $buckets AS j
+       |  FROM (SELECT did, y,
+       |          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |        FROM samp)),
+       |slen AS (SELECT did, count(*)::BIGINT AS len FROM stok GROUP BY 1),
+       |feat AS MATERIALIZED (
+       |  SELECT s.did, s.y, s.j, count(*)::BIGINT AS cnt,
+       |    (count(*)::BIGINT * $buckets * 1000000) // l.len AS xq
+       |  FROM stok s JOIN slen l ON s.did = l.did
+       |  GROUP BY s.did, s.y, s.j, l.len),
+       |bc AS (
+       |  SELECT j, sum(CASE WHEN y = 1 THEN cnt ELSE 0 END)::BIGINT AS c1,
+       |         sum(CASE WHEN y = 0 THEN cnt ELSE 0 END)::BIGINT AS c0
+       |  FROM feat GROUP BY 1),
+       |tt AS (SELECT sum(c1)::BIGINT AS t1, sum(c0)::BIGINT AS t0 FROM bc),
+       |pr AS (
+       |  SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS n0
+       |  FROM samp),
+       |w0 AS MATERIALIZED (
+       |  SELECT r.j::BIGINT AS j,
+       |    floor(ln((coalesce(bc.c1, 0)::DOUBLE + 1.0)
+       |        / (tt.t1 + $buckets)::DOUBLE) * 1000000.0)::BIGINT
+       |    - floor(ln((coalesce(bc.c0, 0)::DOUBLE + 1.0)
+       |        / (tt.t0 + $buckets)::DOUBLE) * 1000000.0)::BIGINT AS w
+       |  FROM range($buckets) r(j) LEFT JOIN bc ON bc.j = r.j, tt),
+       |b0 AS (
+       |  SELECT floor(ln(n1::DOUBLE / n0::DOUBLE) * 1000000.0)::BIGINT AS b
+       |  FROM pr),
+       |$layers,
+       |ctok AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(w), 1, 13))::BIGINT % $buckets AS j
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |        FROM lab)),
+       |clen AS (SELECT doc_id, count(*)::BIGINT AS len FROM ctok GROUP BY 1),
+       |cfeat AS (
+       |  SELECT t.doc_id, t.j,
+       |    (count(*)::BIGINT * $buckets * 1000000) // l.len AS xq
+       |  FROM ctok t JOIN clen l ON t.doc_id = l.doc_id
+       |  GROUP BY t.doc_id, t.j, l.len),
+       |cm AS (
+       |  SELECT f.doc_id,
+       |    (SELECT b FROM b$iters)
+       |      + (sum(w.w * f.xq) // 1000000)::BIGINT AS m
+       |  FROM cfeat f JOIN w$iters w ON w.j = f.j GROUP BY f.doc_id),
+       |cpred AS (
+       |  SELECT l.y AS actual,
+       |    CASE WHEN coalesce(cm.m, (SELECT b FROM b$iters)) > 0
+       |      THEN 1 ELSE 0 END::BIGINT AS pred
+       |  FROM lab l LEFT JOIN cm ON cm.doc_id = l.doc_id)
+       |SELECT actual, pred, count(*)::BIGINT AS n FROM cpred
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** Shared CTE chain for the md5 MinHash twins: shingles →
     * 52-bit md5 minhashes (k per shingle) → per-band key (md5 of the
@@ -4464,6 +4595,10 @@ object Pipeline {
         |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
         |SELECT component, count(*)::BIGINT AS n_members
         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Integer-grid logreg replay: log-odds init + unrolled decayed-GD
+    // layers, clamped floor-once sigmoid errors, corpus confusion.
+    "q_logreg_grid" -> logregGridSql(buckets = 64, sampleN = 256,
+      iters = 8),
     // md5 MinHash twin: the full LSH chain (signatures, band keys,
     // first-agreeing-band, Jaccard-bp verify) replayed by the shared
     // CTE builder.

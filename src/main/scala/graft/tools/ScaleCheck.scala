@@ -295,6 +295,38 @@ object ScaleCheck {
       graft.ops.Hits.scores(g, iters = 2)._1
     })
 
+    // 9d. Sampled harmonic centrality (ops/Centrality — the
+    // multi-source frontier loop): copies CONNECT through one shared
+    // hub (disjoint copies would leave each source's ball — hence the
+    // work — constant, asserting nothing), so every source's
+    // bounded-depth ball spans all copies and total frontier bytes
+    // must track the graph. A frontier loop that re-shuffled the
+    // visited union per hop, or a fan-in that funneled the growing
+    // frontier, would grow super-linearly (or stall) here.
+    def hubbed(f: Int): DataFrame = {
+      val copies = (0 until f).map { k =>
+        lpaEdges.select((col("src") + lit(k * 10000000L)).as("src"),
+          (col("dst") + lit(k * 10000000L)).as("dst"))
+      }.reduce(_ union _)
+      val bridges = (0 until f).map { k =>
+        lpaEdges.select((col("src") + lit(k * 10000000L)).as("src"),
+          lit(999999999L).as("dst")).limit(32)
+      }.reduce(_ union _)
+      copies.union(bridges)
+    }
+    check("harmonic", Seq(1, 2, 4), useBytes = true, { f =>
+      graft.ops.Centrality.sampledHarmonic(hubbed(f), nSources = 4,
+        maxDepth = 3, k = 20)
+    })
+
+    // 9e. Double-sweep diameter bound (ops/Bfs.hopsDetailed twice):
+    // same hub-connected growth — both sweeps' balls cover the whole
+    // graph within the depth cap, so the two expansions' shuffle
+    // bytes must grow linearly while the round count stays flat.
+    check("diameter_2sweep", Seq(1, 2, 4), useBytes = true, { f =>
+      graft.ops.Centrality.diameterDoubleSweep(hubbed(f), maxDepth = 4)
+    })
+
     // 10. Physical as-of merge join (plans/AsOfMergeJoin): replicated
     // DISJOINT user bands double both sides; the exec is one merge
     // per co-partition after SMJ-grade exchanges, so shuffle bytes

@@ -63,6 +63,51 @@ class LogRegSpec extends SparkSpec {
     }
   }
 
+  test("grid twin: deterministic, separable classes recovered, float agreement") {
+    val df = corpus.toDF("doc_id", "text", "is_pos")
+    val g1 = LogReg.gridTrain(df, "text", "doc_id", col("is_pos"),
+      buckets = 64, sampleN = 60, iters = 8)
+    val g2 = LogReg.gridTrain(df, "text", "doc_id", col("is_pos"),
+      buckets = 64, sampleN = 60, iters = 8)
+    assert(g1 == g2, "grid training must be bit-reproducible")
+    val conf = LogReg.gridConfusion(df, "text", "doc_id", col("is_pos"), g1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // this fixture is cleanly separable: the log-odds init alone nails
+    // it, the polish must not break it
+    assert(conf.getOrElse((0L, 1L), 0L) == 0L &&
+      conf.getOrElse((1L, 0L), 0L) == 0L, s"grid confusion off-diag: $conf")
+    // grid-vs-float agreement bound on the real corpus: both tiers
+    // predict the planted 'dup' marker; require >= 95% per-doc
+    // agreement (the grid tier trades the float tier's 500 iterations
+    // for 8 replayable layers — measured ~0.86-0.88 balacc vs 1.0)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val label = array_contains(TextAnalysis.tokens(col("text")), "dup")
+    val fm = LogReg.train(docs, "text", "doc_id", label, buckets = 64)
+    val gm = LogReg.gridTrain(docs, "text", "doc_id", label,
+      buckets = 64, sampleN = 256, iters = 8)
+    val floatPred = docs.select(col("doc_id"),
+        (LogReg.margin(col("text"), fm) > 0).cast("long").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // grid predictions via the same integer margin chain the query uses
+    val gw = org.apache.spark.sql.functions.typedLit(gm.weightsMicro)
+    val base = docs.select(col("doc_id"),
+      NaiveBayes.hashedFeatures(col("text"), 64).as("f"))
+    val cnt = base.select(col("doc_id"), explode(col("f")).as("j"))
+      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("cnt"))
+    val len = cnt.groupBy(col("doc_id")).agg(sum(col("cnt")).as("len"))
+    val gridPred = cnt.join(len, Seq("doc_id"))
+      .withColumn("xq", expr("cnt * 64L * 1000000L div len"))
+      .withColumn("wx", element_at(gw, col("j").cast("int") + 1) * col("xq"))
+      .groupBy(col("doc_id"))
+      .agg(((lit(gm.biasMicro) + expr("sum(wx) div 1000000L")) > 0)
+        .cast("long").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = floatPred.keys.count(k =>
+      floatPred(k) == gridPred.getOrElse(k, 0L))
+    assert(agree.toDouble / floatPred.size >= 0.95,
+      s"grid-float agreement $agree/${floatPred.size}")
+  }
+
   test("empty and whitespace-only documents produce finite margins") {
     // tokens("") is [""] under the split/trim semantics (split keeps
     // the empty segment), so even "empty" docs have one bucket — the
