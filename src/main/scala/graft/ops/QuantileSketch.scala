@@ -243,6 +243,60 @@ object QuantileSketch {
     }(enc)
   }
 
+  /** ORACLE-EXACT grid twin of [[drift]]: exact Kolmogorov–Smirnov
+    * distance between the two cohorts' distributions QUANTIZED to a
+    * declared bounded grid — values floor once to integer cents, then
+    * map onto `nBins` equi-width bins over the global [lo, hi]; the
+    * binned empirical CDFs are exact integer counts, and the KS gap is
+    * the max integer cross-multiplied difference (never a float
+    * quotient), released in basis points via DECIMAL(38,0) floor-div.
+    * The drift DECISION this feeds is therefore engine-replayable even
+    * though the KLL sketch itself is not.
+    *
+    * Scale shape: one global min/max broadcast, one (group, bin) hash
+    * aggregate, then a cumulative window over AT MOST `nBins` rows per
+    * group — bounded by the declared grid, not the data (the
+    * legitimate bounded-frame window class, unlike an unbounded
+    * low-cardinality window). Missing-side groups surface with
+    * ks_bp = 10000 (the [[drift]] full-outer contract). */
+  def driftGrid(cohortA: DataFrame, cohortB: DataFrame, valueCol: String,
+      groupCols: Seq[String], nBins: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // internal columns carry a __ prefix so no caller group column
+    // (e.g. a column literally named "g" or "v") can collide
+    val gCols = groupCols.map(col)
+    def prep(df: DataFrame, aFlag: Int) =
+      df.select(gCols :+
+        floor(col(valueCol).cast("double") * 100).cast("long").as("__v") :+
+        lit(aFlag.toLong).as("__isa"): _*)
+    val all = prep(cohortA, 1).unionByName(prep(cohortB, 0))
+    val mm = all.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val cells = all.crossJoin(broadcast(mm))
+      .withColumn("__bin",
+        expr(s"(__v - __lo) * ${nBins - 1}L div greatest(__hi - __lo, 1L)"))
+      .groupBy(gCols :+ col("__bin"): _*)
+      .agg(sum(col("__isa")).as("__na"),
+        sum(lit(1L) - col("__isa")).as("__nb"))
+    val w = Window.partitionBy(gCols: _*).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+    val tot = cells.groupBy(gCols: _*)
+      .agg(sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"))
+    cum.join(tot, groupCols)
+      .groupBy(gCols: _*)
+      .agg(max(abs(col("__ca") * col("n_b") - col("__cb") * col("n_a")))
+          .as("__gap"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .select(gCols :+ col("n_a") :+ col("n_b") :+
+        when(col("n_a") === 0 || col("n_b") === 0, lit(10000L))
+          .otherwise(expr(
+            """CAST(CAST(__gap AS DECIMAL(38,0)) * 10000
+              |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+              .stripMargin)).as("ks_bp"): _*)
+  }
+
   /** Rebuild a [[KllData]] from its struct-column Row form. */
   def kllOfRow(r: org.apache.spark.sql.Row): KllData = KllData(
     r.getInt(r.fieldIndex("k")), r.getLong(r.fieldIndex("n")),

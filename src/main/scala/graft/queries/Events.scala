@@ -322,6 +322,23 @@ object Events {
         .orderBy(asc("event_type"))
     }),
 
+    // HASH-EXACT drift twin (ops/QuantileSketch.driftGrid): exact KS
+    // between the same two cohorts on a declared 4096-bin integer
+    // grid — values floor once to cents, binned CDFs are exact
+    // integer counts, the KS gap is an integer cross-multiply, and
+    // the per-group cumulative window is bounded by the GRID (≤4096
+    // rows/group at any SF). Makes the drift DECISION oracle-
+    // replayable; the KLL tier above stays the sketch-mergeable scale
+    // path.
+    "q_drift_grid" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("ts"), col("value"))
+      val cut = lit("2024-01-15").cast("timestamp")
+      graft.ops.QuantileSketch.driftGrid(
+          ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
+          "value", Seq("event_type"))
+        .orderBy(asc("event_type"))
+    }),
+
     // Mergeable KLL quantile rollup — the quantile analogue of
     // q_hll_rollup: one sketch row per (event_type, day) grain, then
     // per-type p50/p90/p99 from merging each type's day rows. At
@@ -729,6 +746,40 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    // Exact binned-KS replay: cent-floored values, 4096 equi-width
+    // bins over the global span, integer CDF cross-multiply, HUGEINT
+    // products cast back ::BIGINT.
+    "q_drift_grid" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0
+        |      END::BIGINT AS isa,
+        |    floor(value::DOUBLE * 100)::BIGINT AS v
+        |  FROM events),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+        |cells AS (
+        |  SELECT event_type,
+        |    ((v - lo) * 4095) // greatest(hi - lo, 1) AS bin,
+        |    sum(isa)::BIGINT AS na, sum(1 - isa)::BIGINT AS nb
+        |  FROM base, mm GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, na, nb,
+        |    sum(na) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT AS ca,
+        |    sum(nb) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT AS cb
+        |  FROM cells),
+        |tot AS (
+        |  SELECT event_type, sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b
+        |  FROM cells GROUP BY 1),
+        |ks AS (
+        |  SELECT c.event_type,
+        |    max(abs(c.ca::HUGEINT * t.n_b - c.cb::HUGEINT * t.n_a)) AS g,
+        |    max(t.n_a) AS n_a, max(t.n_b) AS n_b
+        |  FROM cum c JOIN tot t ON c.event_type = t.event_type
+        |  GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN 10000::BIGINT
+        |    ELSE ((g * 10000) // (n_a::HUGEINT * n_b))::BIGINT END AS ks_bp
+        |FROM ks ORDER BY event_type""".stripMargin,
     "q_events_moving" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_win,

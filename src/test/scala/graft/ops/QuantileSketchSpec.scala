@@ -123,6 +123,53 @@ class QuantileSketchSpec extends SparkSpec {
       s"sketch KS $sketchKs vs exact $exactKs diverged beyond ε")
   }
 
+  test("driftGrid: exact binned KS replays driver-side; missing side maximal") {
+    val rnd = new scala.util.Random(11)
+    val va = Seq.fill(5000)(rnd.nextGaussian())
+    val vb = Seq.fill(4000)(rnd.nextGaussian() + 0.35)
+    val a = (va.map(("x", _)) ++ Seq(("gone", 2.0))).toDF("g", "v")
+    val b = (vb.map(("x", _)) ++ Seq(("new", 5.0))).toDF("g", "v")
+    val out = QuantileSketch.driftGrid(a, b, "v", Seq("g"), nBins = 4096)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("gone") == ((1L, 0L, 10000L)))
+    assert(out("new") == ((0L, 1L, 10000L)))
+    // driver replay of the declared binning chain (cents → 4096 bins →
+    // integer CDF cross-multiply), over ALL groups' values for the
+    // global span — must match the distributed result exactly
+    val allV = (va ++ Seq(2.0) ++ vb ++ Seq(5.0))
+      .map(x => math.floor(x * 100).toLong)
+    val lo = allV.min
+    val hi = allV.max
+    def bin(x: Double): Long = {
+      val v = math.floor(x * 100).toLong
+      (v - lo) * 4095L / math.max(hi - lo, 1L)
+    }
+    val ba = va.map(bin).groupBy(identity).view.mapValues(_.size.toLong)
+    val bb = vb.map(bin).groupBy(identity).view.mapValues(_.size.toLong)
+    val na = va.size.toLong
+    val nb = vb.size.toLong
+    val binsSorted = (ba.keys ++ bb.keys).toSeq.distinct.sorted
+    var ca = 0L
+    var cb = 0L
+    var g = 0L
+    binsSorted.foreach { bi =>
+      ca += ba.getOrElse(bi, 0L)
+      cb += bb.getOrElse(bi, 0L)
+      g = math.max(g, math.abs(ca * nb - cb * na))
+    }
+    val expectKs = g * 10000L / (na * nb)
+    assert(out("x") == ((na, nb, expectKs)),
+      s"distributed ${out("x")} vs driver replay ($na,$nb,$expectKs)")
+    // the binned-exact statistic tracks the sketch tier on the same data
+    val sketchKs = QuantileSketch.drift(a.where(col("g") === "x"),
+        b.where(col("g") === "x"), "v", Seq("g"))
+      .collect().head.getLong(1)
+    assert(math.abs(sketchKs - expectKs) <= 500L,
+      s"sketch $sketchKs vs grid-exact $expectKs")
+  }
+
   test("sketch aggregate runs as a streaming aggregate, quantiles within error") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kll-stream")
     val rnd = new scala.util.Random(17)
