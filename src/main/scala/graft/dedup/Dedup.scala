@@ -775,23 +775,12 @@ object Dedup {
         graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
           .as("ws"))
       .localCheckpoint(true)
-    val hv = conv(substring(md5(concat_ws("|", lit("mh"),
-        col("i").cast("string"), col("s"))), 1, 13), 16, 10)
-      .cast("long")
-    val mh = sh.select(col("doc"), explode(col("ws")).as("s"))
-      .select(col("doc"), col("s"),
-        explode(sequence(lit(0), lit(k - 1))).as("i"))
-      .groupBy(col("doc"), col("i")).agg(min(hv).as("mh"))
-    val bk = mh.withColumn("band", expr(s"i div $r"))
-      .groupBy(col("doc"), col("band"))
-      .agg(conv(substring(md5(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            e => e.getField("mh").cast("string")))), 1, 13), 16, 10)
-        .cast("long").as("bkey"))
-    val docKeys = bk.groupBy(col("doc"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("band"), col("bkey")))),
-        e => e.getField("bkey")).as("bkeys"))
+    // band keys from the native one-pass kernel (bit-identical to
+    // minhashMd5BandKeysRef — DedupSpec): replaces a shingles×k
+    // explode plus two hash aggregates with one scan-stage expression
+    val docKeys = df.select(col(idCol).as("doc"),
+      graft.functions.ShingleExprs.md5MinhashBands(spark, col(textCol),
+        k, bands, n).as("bkeys"))
     // posexplode_OUTER for the same InferFiltersFromGenerate reason as
     // lshCandidatePairs (bkeys is never empty, so outer ≡ inner)
     val banded = docKeys
@@ -821,27 +810,47 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("j_bp"))
   }
 
-  /** ORACLE-EXACT SimHash near-dup twin of [[simhashCandidatePairs]]:
-    * a 52-BIT md5-derived SimHash (13-hex-prefix token hashes — the
-    * one hash both engines compute identically; 52 bits also keeps
-    * every `1::BIGINT << b` in DuckDB's sign-safe range) with the
-    * identical pigeonhole chunk join and first-agreeing-chunk
-    * emission. Tokens are the NONEMPTY whitespace splits of
-    * lower(trim(text)) — declared twin semantics, mirrored verbatim
-    * in the oracle.
-    *
-    * Spark shape: one codegen'd hash aggregate maintains all 52
-    * bit-sums at once (52 `sum(case)` columns — no per-element
-    * lambdas, no 52× row explode); the signature assembles from the
-    * sums in the projection above the aggregate.
-    *
-    * @return (doc_a, doc_b, hamming) — pairs within `maxDist` bits. */
-  def simhashNearDupsMd5(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
+  /** The DISTRIBUTED (doc, bkeys) chain for the md5 MinHash twin —
+    * hash explode → per-(doc, i) min → per-band md5 key → in-order
+    * collect. This is the oracle-SHAPED reference implementation the
+    * [[graft.functions.ShingleKernels.md5MinhashBands]] kernel is
+    * asserted bit-identical to (DedupSpec); operators declare the
+    * kernel. */
+  private[dedup] def minhashMd5BandKeysRef(df: DataFrame, textCol: String,
+      idCol: String, k: Int, bands: Int, n: Int): DataFrame = {
+    val r = k / bands
+    val spark = df.sparkSession
+    val sh = df.select(col(idCol).as("doc"),
+      graft.functions.ShingleExprs.wordShingles(spark, col(textCol), n)
+        .as("ws"))
+    val hv = conv(substring(md5(concat_ws("|", lit("mh"),
+        col("i").cast("string"), col("s"))), 1, 13), 16, 10)
+      .cast("long")
+    val mh = sh.select(col("doc"), explode(col("ws")).as("s"))
+      .select(col("doc"), col("s"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .groupBy(col("doc"), col("i")).agg(min(hv).as("mh"))
+    val bk = mh.withColumn("band", expr(s"i div $r"))
+      .groupBy(col("doc"), col("band"))
+      .agg(conv(substring(md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            e => e.getField("mh").cast("string")))), 1, 13), 16, 10)
+        .cast("long").as("bkey"))
+    bk.groupBy(col("doc"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("band"), col("bkey")))),
+        e => e.getField("bkey")).as("bkeys"))
+  }
+
+  /** The DISTRIBUTED (doc, sh52) chain for the md5 SimHash twin —
+    * nonempty-token explode → 52 codegen'd bit sums in one hash
+    * aggregate → signature assembly. The oracle-SHAPED reference the
+    * [[graft.functions.ShingleKernels.md5Simhash52]] kernel is
+    * asserted bit-identical to (DedupSpec); operators declare the
+    * kernel. Docs with no nonempty token produce NO row. */
+  private[dedup] def simhash52Ref(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val nBits = 52
-    val chunks = maxDist + 1
-    require(nBits % chunks == 0, s"maxDist+1 must divide 52, got $chunks")
-    val width = nBits / chunks
     val toks = df.select(col(idCol).as("doc"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
       .where(length(col("t")) > 0)
@@ -855,7 +864,34 @@ object Dedup {
     val sig = (0 until nBits).map(b =>
         when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    val sigs = agged.select(col("doc"), sig.as("sh52"))
+    agged.select(col("doc"), sig.as("sh52"))
+  }
+
+  /** ORACLE-EXACT SimHash near-dup twin of [[simhashCandidatePairs]]:
+    * a 52-BIT md5-derived SimHash (13-hex-prefix token hashes — the
+    * one hash both engines compute identically; 52 bits also keeps
+    * every `1::BIGINT << b` in DuckDB's sign-safe range) with the
+    * identical pigeonhole chunk join and first-agreeing-chunk
+    * emission. Tokens are the NONEMPTY whitespace splits of
+    * lower(trim(text)) — declared twin semantics, mirrored verbatim
+    * in the oracle.
+    *
+    * Spark shape: the signature comes from the native one-pass kernel
+    * [[graft.functions.ShingleKernels.md5Simhash52]] (bit-identical to
+    * [[simhash52Ref]]'s distributed explode + 52-sum aggregate —
+    * DedupSpec) — scan-stage, no shuffle before the chunk join.
+    *
+    * @return (doc_a, doc_b, hamming) — pairs within `maxDist` bits. */
+  def simhashNearDupsMd5(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nBits = 52
+    val chunks = maxDist + 1
+    require(nBits % chunks == 0, s"maxDist+1 must divide 52, got $chunks")
+    val width = nBits / chunks
+    val sigs = df.select(col(idCol).as("doc"),
+      graft.functions.ShingleExprs.md5Simhash52(df.sparkSession,
+        col(textCol)).as("sh52"))
+      .where(col("sh52") >= 0) // −1 = no nonempty token (absent in ref)
     def keyOf(s: Column, c: Column): Column =
       call_function("shiftrightunsigned", s, c * width)
         .bitwiseAND((1L << width) - 1)

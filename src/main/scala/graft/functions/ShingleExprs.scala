@@ -161,6 +161,95 @@ object ShingleKernels {
     new GenericArrayData(out)
   }
 
+  /** 52-bit md5 value of a string — the top 13 hex chars of the
+    * digest as a nonneg long, ≡ `conv(substring(md5(s),1,13),16,10)`
+    * ≡ DuckDB `('0x'||substr(md5(s),1,13))::BIGINT`. */
+  private def md5Prefix52(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+    v >>> 4 // 56 collected bits → the leading 52 (13 hex chars)
+  }
+
+  /** Banded md5-MinHash keys straight from the text — the kernel form
+    * of the oracle-exact twin chain in [[graft.dedup.Dedup]]
+    * (`minhashMd5BandKeysRef`, equivalence asserted in DedupSpec):
+    * hash i of shingle s is the 52-bit md5 prefix of `"mh|i|s"`,
+    * signature i is the min over first-occurrence-distinct shingles,
+    * and band b's key is the 52-bit md5 prefix of the comma-joined
+    * DECIMAL renderings of its k/bands in-order minhashes. One pass
+    * per doc replaces a shingles×k explode plus two hash aggregates. */
+  def md5MinhashBands(text: UTF8String, k: Int, bands: Int,
+      n: Int): ArrayData = {
+    val sh = shingles(text, n)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var s = 0
+    while (s < sh.length) {
+      val str = sh(s).toString
+      var i = 0
+      while (i < k) {
+        val h = md5Prefix52("mh|" + i + "|" + str)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new StringBuilder(java.lang.Long.toString(sig(b * r)))
+      var j = 1
+      while (j < r) {
+        sb.append(',').append(java.lang.Long.toString(sig(b * r + j)))
+        j += 1
+      }
+      out(b) = md5Prefix52(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 52-bit md5 SimHash straight from the text — the kernel form of
+    * the twin chain in [[graft.dedup.Dedup]] (`simhash52Ref`,
+    * equivalence asserted in DedupSpec): tokens are the NONEMPTY
+    * whitespace splits of lower(trim(text)); bit b of the signature is
+    * the sign of Σ_tokens ±1 by bit b of the token's 52-bit md5
+    * prefix. One pass per doc replaces a token explode plus a 52-sum
+    * hash aggregate. A doc with NO nonempty token returns −1 (outside
+    * the nonneg 52-bit signature range) — the caller filters it out,
+    * mirroring the reference aggregate where such a doc produces no
+    * row at all. */
+  def md5Simhash52(text: UTF8String): Long = {
+    val toks = sparkTokens(text)
+    val sums = new Array[Long](52)
+    var nonEmpty = 0
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        nonEmpty += 1
+        val hv = md5Prefix52("sh|" + toks(t))
+        var b = 0
+        while (b < 52) {
+          sums(b) += (if (((hv >>> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+      }
+      t += 1
+    }
+    if (nonEmpty == 0) return -1L
+    var sig = 0L
+    var b = 0
+    while (b < 52) {
+      if (sums(b) > 0L) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** MinHash signature straight from the text: k minima over the
     * distinct shingles. Matches xxhash64(shingle, seed) semantics:
     * fold bytes with seed 42, then the INT seed index. */
@@ -259,6 +348,39 @@ case class MinHashSigExpr(child: Expression, k: Int, n: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+case class Md5MinhashBandsExpr(child: Expression, k: Int, bands: Int,
+    n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_minhash_bands"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleKernels.md5MinhashBands(input.asInstanceOf[UTF8String], k, bands, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels.md5MinhashBands($c, $k, $bands, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5MinhashBandsExpr =
+    copy(child = newChild)
+}
+
+case class Md5Simhash52Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash52"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleKernels.md5Simhash52(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels.md5Simhash52($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5Simhash52Expr =
+    copy(child = newChild)
+}
+
 object ShingleExprs {
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue
@@ -280,6 +402,15 @@ object ShingleExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_gram_md5",
       exprs => WordGramMd5Expr(exprs.head, litInt(exprs(1))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_minhash_bands",
+      exprs => Md5MinhashBandsExpr(exprs.head, litInt(exprs(1)),
+        litInt(exprs(2)), litInt(exprs(3))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_simhash52",
+      exprs => Md5Simhash52Expr(exprs.head),
       "scala_udf")
   }
 
@@ -309,5 +440,19 @@ object ShingleExprs {
     register(spark)
     call_function("word_gram_md5", text,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  def md5MinhashBands(spark: SparkSession, text: Column, k: Int,
+      bands: Int, n: Int): Column = {
+    register(spark)
+    call_function("md5_minhash_bands", text,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(n))
+  }
+
+  def md5Simhash52(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("md5_simhash52", text)
   }
 }

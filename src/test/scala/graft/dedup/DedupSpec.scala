@@ -177,6 +177,39 @@ class DedupSpec extends SparkSpec {
     assert(interDoc.max > 12) // unrelated docs drift far
   }
 
+  test("md5 twin kernels are bit-identical to the distributed reference chains") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // minhash band keys: kernel vs explode/agg chain, every doc
+    val kern = docs.select(col("doc_id").as("doc"),
+      graft.functions.ShingleExprs.md5MinhashBands(spark, col("text"),
+        16, 4, 3).as("kb"))
+    val ref = Dedup.minhashMd5BandKeysRef(docs, "text", "doc_id",
+      k = 16, bands = 4, n = 3).withColumnRenamed("bkeys", "rb")
+    assert(kern.join(ref, Seq("doc"))
+      .where(col("kb") =!= col("rb")).count() == 0)
+    assert(kern.count() == ref.count())
+    // simhash52: kernel vs 52-sum aggregate chain, every doc
+    val ks = docs.select(col("doc_id").as("doc"),
+      graft.functions.ShingleExprs.md5Simhash52(spark, col("text"))
+        .as("kh")).where(col("kh") >= 0)
+    val rs = Dedup.simhash52Ref(docs, "text", "doc_id")
+      .withColumnRenamed("sh52", "rh")
+    assert(ks.join(rs, Seq("doc")).where(col("kh") =!= col("rh"))
+      .count() == 0)
+    assert(ks.count() == rs.count())
+    // the no-nonempty-token sentinel mirrors the reference's absent row
+    val s = spark
+    import s.implicits._
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "real words here"))
+      .toDF("doc_id", "text")
+    val ke = edge.select(col("doc_id"),
+      graft.functions.ShingleExprs.md5Simhash52(spark, col("text"))
+        .as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ke(1L) == -1L && ke(2L) == -1L && ke(3L) >= 0L)
+    assert(Dedup.simhash52Ref(edge, "text", "doc_id").count() == 1L)
+  }
+
   test("native shingle + minhash kernels are bit-identical to declarative forms") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val sh = docs.select(
