@@ -286,6 +286,24 @@ object Events {
       perDay.unionByName(total).orderBy(asc("day"))
     }),
 
+    // HASH-EXACT HLL twin (ops/HllGrid — Flajolet et al. 2007 on the
+    // 52-bit md5 prefix): the same register-per-day mergeable pattern
+    // as q_hll_rollup, but the hash, bucket, rank, register max and
+    // the floor-once estimate chain are expressions BOTH engines
+    // compute identically — the per-day estimates AND the ALL row
+    // (register union by max) replay in DuckDB. The DataSketches tier
+    // above stays the production path (HLL++ bias correction).
+    "q_hll_rollup_twin" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      val regs = graft.ops.HllGrid.registers(ev, Seq("day"), "user_id")
+        .localCheckpoint(true) // consumed by per-day AND the ALL merge
+      val perDay = graft.ops.HllGrid.estimate(regs, Seq("day"))
+      val total = graft.ops.HllGrid.estimate(regs, Nil)
+        .select(lit("ALL").as("day"), col("est_distinct"))
+      perDay.unionByName(total).orderBy(asc("day"))
+    }),
+
     // Bounded RANGE-frame moving aggregate: per-user trailing-hour
     // event count and value sum, evaluated at every event. The frame
     // is TIME-bounded (3600 s preceding), so window state stays
@@ -746,6 +764,46 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    // md5-HLL replay: bucket/rank from the 52-bit prefix, register
+    // max per (day, bucket), union-by-max for the ALL row, exact
+    // integer T = Σ2^(50−M), floor-once estimate branches.
+    "q_hll_rollup_twin" ->
+      """WITH h AS (
+        |  SELECT ts::DATE::VARCHAR AS day,
+        |    ('0x' || substr(md5('hll|' || user_id::VARCHAR),
+        |      1, 13))::BIGINT AS h
+        |  FROM events),
+        |r AS MATERIALIZED (
+        |  SELECT day, h & 255 AS bucket,
+        |    max(CASE WHEN (h >> 8) = 0 THEN 45
+        |        ELSE 45 - length(bin(h >> 8)) END)::BIGINT AS m_rho
+        |  FROM h GROUP BY 1, 2),
+        |ra AS (SELECT bucket, max(m_rho) AS m_rho FROM r GROUP BY 1),
+        |g AS (
+        |  SELECT day,
+        |    sum(1::BIGINT << CAST(50 - m_rho AS INT))::BIGINT AS tp,
+        |    count(*)::BIGINT AS np
+        |  FROM r GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL' AS day,
+        |    sum(1::BIGINT << CAST(50 - m_rho AS INT))::BIGINT AS tp,
+        |    count(*)::BIGINT AS np
+        |  FROM ra),
+        |e AS (
+        |  SELECT day, tp + (256 - np) * (1::BIGINT << 50) AS t,
+        |    256 - np AS v
+        |  FROM g)
+        |SELECT day,
+        |  CASE WHEN v > 0 AND
+        |      (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE
+        |        / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE
+        |        * 1125899906842624::DOUBLE / t::DOUBLE <= 640.0::DOUBLE
+        |    THEN floor(256.0::DOUBLE * ln(256.0::DOUBLE / v::DOUBLE))
+        |    ELSE floor((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE
+        |        / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE
+        |        * 1125899906842624::DOUBLE / t::DOUBLE)
+        |  END::BIGINT AS est_distinct
+        |FROM e ORDER BY day""".stripMargin,
     // Exact binned-KS replay: cent-floored values, 4096 equi-width
     // bins over the global span, integer CDF cross-multiply, HUGEINT
     // products cast back ::BIGINT.

@@ -36,6 +36,29 @@ class SketchRollupSpec extends SparkSpec {
     assert(math.abs(total - 600L) <= 30, s"total: $total")
   }
 
+  test("HllGrid twin: estimates within HLL error of exact, merge = union, deterministic") {
+    val df = rows.toDF("g", "u")
+    val regs = HllGrid.registers(df, Seq("g"), "u")
+    // register frame is bounded by the grid: <= 256 rows per group
+    assert(regs.groupBy(col("g")).count().collect()
+      .forall(_.getLong(1) <= 256L))
+    val est = HllGrid.estimate(regs, Seq("g"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ~1.04/sqrt(256) ≈ 6.5% std error; allow 3σ ≈ 20% at n=400
+    (0 until 3).foreach { g =>
+      assert(math.abs(est(g) - 400L) <= 80, s"group $g: ${est(g)}")
+    }
+    // union-by-max merge: total ≈ 600 (sum of groups would be 1200)
+    val total = HllGrid.estimate(regs, Nil).collect()(0).getLong(0)
+    assert(math.abs(total - 600L) <= 120, s"total: $total")
+    // duplicates must not inflate (max is idempotent): re-duplicated
+    // input yields the IDENTICAL register frame and estimates
+    val est2 = HllGrid.estimate(
+      HllGrid.registers(df.unionAll(df), Seq("g"), "u"), Seq("g"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(est2 == est)
+  }
+
   test("merge is re-rollable: day sketches re-roll to coarser grains consistently") {
     val df = rows.toDF("g", "u")
     val sk = SketchRollup.sketches(df, Seq("g"), "u")
