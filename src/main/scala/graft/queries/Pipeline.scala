@@ -2014,6 +2014,30 @@ object Pipeline {
         .orderBy(asc("doc_id"))
     }),
 
+    // HASH-EXACT compressibility twin (functions/ByteEntropyKernel):
+    // order-0 Shannon byte entropy in micro-nats — the memoryless
+    // coding bound, banding repetitive/noise text like the zlib tier
+    // above but fully engine-replayable (per-byte-class floor-once
+    // terms, exact integer sums, floor-div basis points vs the 8-bit
+    // raw rate 8·ln2·10⁶ = 5545177). Order-0 does NOT see cross-byte
+    // structure (LZ matches beat it on duplicated spans), so the
+    // Deflater tier stays the production signal; banding agreement is
+    // pinned in ByteEntropySpec.
+    "q_compress_quality_twin" -> ((s, dir) => {
+      spread(documents(s, dir))
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          graft.functions.ByteEntropyExpr.byteEntropyMicro(s, col("text"))
+            .as("h_micro"))
+        .where(col("n_bytes") > 0)
+        .withColumn("bound_bp", expr("h_micro * 10000L div 5545177L"))
+        .withColumn("band",
+          when(col("bound_bp") < 2000L, "repetitive")
+            .when(col("bound_bp") > 9000L, "noise")
+            .otherwise("prose"))
+        .orderBy(asc("doc_id"))
+    }),
+
     // MMR diverse top-k (oracle-exact: the greedy selection replays
     // as k unrolled argmax CTE layers — see mmrSql; equivalence to
     // the brute-force reference and the diversity-vs-relevance
@@ -4595,6 +4619,31 @@ object Pipeline {
         |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
         |SELECT component, count(*)::BIGINT AS n_members
         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Order-0 byte-entropy replay: hex → 2-char byte classes →
+    // per-class counts → floor-once terms → integer sums → floor-div
+    // basis points against the 8-bit raw rate.
+    "q_compress_quality_twin" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+        |    unnest(regexp_split_to_array(
+        |      regexp_replace(hex(text::BLOB), '(..)', '\1,', 'g'),
+        |      ',')) AS byte2
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_bytes, byte2, count(*)::BIGINT AS k
+        |  FROM b WHERE byte2 <> '' GROUP BY 1, 2, 3),
+        |h AS (
+        |  SELECT doc_id, n_bytes,
+        |    sum(floor((k::DOUBLE / n_bytes::DOUBLE)
+        |      * ln(n_bytes::DOUBLE / k::DOUBLE)
+        |      * 1000000.0)::BIGINT)::BIGINT AS h_micro
+        |  FROM c GROUP BY 1, 2)
+        |SELECT doc_id, n_bytes, h_micro,
+        |  (h_micro * 10000 // 5545177)::BIGINT AS bound_bp,
+        |  CASE WHEN (h_micro * 10000 // 5545177) < 2000 THEN 'repetitive'
+        |       WHEN (h_micro * 10000 // 5545177) > 9000 THEN 'noise'
+        |       ELSE 'prose' END AS band
+        |FROM h WHERE n_bytes > 0 ORDER BY doc_id""".stripMargin,
     // Integer-grid logreg replay: log-odds init + unrolled decayed-GD
     // layers, clamped floor-once sigmoid errors, corpus confusion.
     "q_logreg_grid" -> logregGridSql(buckets = 64, sampleN = 256,
