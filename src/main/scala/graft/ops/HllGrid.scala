@@ -63,6 +63,37 @@ object HllGrid {
       .agg(max(col("rho")).as("m_rho"))
   }
 
+  /** Pairwise overlap via inclusion–exclusion on register unions —
+    * the replayable twin of `SketchRollup.overlap`: per unordered
+    * group pair, the union sketch is the bucket-wise MAX of the two
+    * register sets (two broadcast equi-join legs, never an OR-join),
+    * and `est_inter = est_a + est_b − est_union` clamped at 0. The
+    * pair frame is |groups|² rows of registers — bounded by groups ×
+    * the grid, not the data. */
+  def overlap(registers: DataFrame, groupCol: String): DataFrame = {
+    val singles = estimate(registers, Seq(groupCol))
+    val gs = registers.select(col(groupCol)).distinct()
+    val pairs = gs.select(col(groupCol).as("g_a"))
+      .join(gs.select(col(groupCol).as("g_b")), col("g_a") < col("g_b"))
+    val legA = registers
+      .join(broadcast(pairs), col(groupCol) === col("g_a"))
+    val legB = registers
+      .join(broadcast(pairs), col(groupCol) === col("g_b"))
+    val pairRegs = legA.unionByName(legB)
+      .groupBy(col("g_a"), col("g_b"), col("bucket"))
+      .agg(max(col("m_rho")).as("m_rho"))
+    val unions = estimate(pairRegs, Seq("g_a", "g_b"))
+      .withColumnRenamed("est_distinct", "est_union")
+    unions
+      .join(singles.select(col(groupCol).as("g_a"),
+        col("est_distinct").as("est_a")), Seq("g_a"))
+      .join(singles.select(col(groupCol).as("g_b"),
+        col("est_distinct").as("est_b")), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("est_a"), col("est_b"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_inter"))
+  }
+
   /** Merge register rows down to `residualCols` grains and release
     * the integer estimate per group: (residualCols..., est_distinct).
     * Grains merge by MAX per bucket — exactly sketch union. */

@@ -2073,6 +2073,24 @@ object Pipeline {
         .orderBy(asc("g_a"), asc("g_b"))
     }),
 
+    // HASH-EXACT HLL overlap twin (ops/HllGrid.overlap): the same
+    // sketch-level inclusion-exclusion as q_source_overlap but on the
+    // md5-register HLL — union = bucket-wise max over two broadcast
+    // equi-join pair legs, estimates from the floor-once chain — so
+    // DuckDB replays sketches AND the pairwise method end to end.
+    // q_source_overlap_exact (below) pins the exact QUANTITY; this
+    // twin pins the sketch METHOD. DataSketches tier stays production.
+    "q_source_overlap_twin" -> ((s, dir) => {
+      val tokens = documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(col("token") =!= "")
+      val regs = graft.ops.HllGrid.registers(tokens, Seq("source"), "token")
+        .localCheckpoint(true) // singles + both pair legs share it
+      graft.ops.HllGrid.overlap(regs, "source")
+        .orderBy(asc("g_a"), asc("g_b"))
+    }),
+
     // EXACT cross-source vocabulary overlap — the exact twin of
     // q_source_overlap's HLL estimate (cross-ref), via the
     // MASK-HISTOGRAM shape: one aggregate folds each token to the
@@ -2833,6 +2851,25 @@ object Pipeline {
        |  FROM lab l LEFT JOIN cm ON cm.doc_id = l.doc_id)
        |SELECT actual, pred, count(*)::BIGINT AS n FROM cpred
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** The md5-HLL floor-once estimate chain over (tp, np) aggregates —
+    * shared by the q_source_overlap_twin oracle's single and pair
+    * estimates (mirrors ops/HllGrid.estimate's textual double chain;
+    * the per-day rollup twin in queries/Events carries its own inline
+    * copy). */
+  private def hllGridEstSql: String = {
+    val t = "(tp + (256 - np) * (1::BIGINT << 50))"
+    val v = "(256 - np)"
+    s"""CASE WHEN $v > 0 AND
+       |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE
+       |      / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE
+       |      * 1125899906842624::DOUBLE / $t::DOUBLE <= 640.0::DOUBLE
+       |  THEN floor(256.0::DOUBLE * ln(256.0::DOUBLE / $v::DOUBLE))
+       |  ELSE floor((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE
+       |      / 256.0::DOUBLE)) * 256.0::DOUBLE * 256.0::DOUBLE
+       |      * 1125899906842624::DOUBLE / $t::DOUBLE)
+       |END::BIGINT""".stripMargin
   }
 
   /** Shared CTE chain for the md5 MinHash twins: shingles →
@@ -4619,6 +4656,52 @@ object Pipeline {
         |comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY 1)
         |SELECT component, count(*)::BIGINT AS n_members
         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // md5-HLL overlap replay: per-source registers, pairwise
+    // union-by-max, floor-once estimates, inclusion-exclusion.
+    "q_source_overlap_twin" ->
+      s"""WITH tok AS (
+         |  SELECT source,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |      AS token
+         |  FROM documents),
+         |hh AS (
+         |  SELECT source,
+         |    ('0x' || substr(md5('hll|' || token), 1, 13))::BIGINT AS h
+         |  FROM tok WHERE token <> ''),
+         |r AS MATERIALIZED (
+         |  SELECT source, h & 255 AS bucket,
+         |    max(CASE WHEN (h >> 8) = 0 THEN 45
+         |        ELSE 45 - length(bin(h >> 8)) END)::BIGINT AS m_rho
+         |  FROM hh GROUP BY 1, 2),
+         |sg AS (
+         |  SELECT source,
+         |    sum(1::BIGINT << CAST(50 - m_rho AS INT))::BIGINT AS tp,
+         |    count(*)::BIGINT AS np
+         |  FROM r GROUP BY 1),
+         |se AS MATERIALIZED (
+         |  SELECT source, $hllGridEstSql AS est FROM sg),
+         |srcs AS (SELECT DISTINCT source FROM r),
+         |prs AS (
+         |  SELECT a.source AS g_a, b.source AS g_b
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |pr AS (
+         |  SELECT p.g_a, p.g_b, r.bucket, max(r.m_rho) AS m_rho
+         |  FROM (SELECT p0.g_a, p0.g_b, p0.g_a AS s FROM prs p0
+         |        UNION ALL
+         |        SELECT p0.g_a, p0.g_b, p0.g_b AS s FROM prs p0) p
+         |  JOIN r ON r.source = p.s
+         |  GROUP BY 1, 2, 3),
+         |pg AS (
+         |  SELECT g_a, g_b,
+         |    sum(1::BIGINT << CAST(50 - m_rho AS INT))::BIGINT AS tp,
+         |    count(*)::BIGINT AS np
+         |  FROM pr GROUP BY 1, 2),
+         |pe AS (SELECT g_a, g_b, $hllGridEstSql AS est_union FROM pg)
+         |SELECT p.g_a, p.g_b, sa.est AS est_a, sb.est AS est_b,
+         |  greatest(sa.est + sb.est - p.est_union, 0)::BIGINT AS est_inter
+         |FROM pe p JOIN se sa ON sa.source = p.g_a
+         |          JOIN se sb ON sb.source = p.g_b
+         |ORDER BY g_a, g_b""".stripMargin,
     // Order-0 byte-entropy replay: hex → 2-char byte classes →
     // per-class counts → floor-once terms → integer sums → floor-div
     // basis points against the 8-bit raw rate.

@@ -57,6 +57,14 @@ class SketchRollupSpec extends SparkSpec {
       HllGrid.registers(df.unionAll(df), Seq("g"), "u"), Seq("g"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(est2 == est)
+    // pairwise inclusion-exclusion: groups 0 and 1 share users
+    // 100..499 ∩ 0..399 = 300 of 400 each
+    val ov = HllGrid.overlap(HllGrid.registers(df, Seq("g"), "u"), "g")
+      .where(col("g_a") === 0 && col("g_b") === 1)
+      .collect()(0)
+    val inter = ov.getLong(ov.fieldIndex("est_inter"))
+    assert(math.abs(inter - 300L) <= 120,
+      s"overlap(g0,g1) est $inter vs exact 300")
   }
 
   test("merge is re-rollable: day sketches re-roll to coarser grains consistently") {
