@@ -297,6 +297,70 @@ object QuantileSketch {
               .stripMargin)).as("ks_bp"): _*)
   }
 
+  /** ORACLE-EXACT mergeable-quantile twin of the KLL [[rollup]]:
+    * fixed-grid histogram grains. Values floor once to integer cents
+    * and map onto `nBins` equi-width bins over the global span (the
+    * [[driftGrid]] binning); a GRAIN is the ≤ `nBins`-row bin-count
+    * frame — grains merge by SUMMING counts (exact integers, any
+    * order), and a quantile reads off the merged CDF as the first bin
+    * whose cumulative count reaches the ⌈p·n⌉ rank (p as an integer
+    * rational, ceil via (num·n + den − 1) div den — no floats
+    * anywhere). Released per prob: the bin index and its lower edge
+    * in cents — deterministic declared semantics with value error
+    * bounded by one bin width, rank error zero at bin granularity.
+    * The KLL tier stays the unknown-range production path; this twin
+    * is the known-span engine-replayable one.
+    *
+    * @return (grainCols..., bin, c) plus one (lo, hi, w-implied) pair
+    *         carried on every row for the downstream quantile read. */
+  def gridHistogram(df: DataFrame, grainCols: Seq[String],
+      valueCol: String, nBins: Int = 4096): DataFrame = {
+    val vals = df.select(grainCols.map(col) :+
+      floor(col(valueCol).cast("double") * 100).cast("long").as("__v"): _*)
+    val mm = vals.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    vals.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        expr(s"(__v - __lo) * ${nBins - 1}L div greatest(__hi - __lo, 1L)"))
+      .groupBy(grainCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("c"),
+        max(col("__lo")).as("lo"), max(col("__hi")).as("hi"))
+  }
+
+  /** Merge histogram grains down to `residualCols` and release the
+    * rank-exact grid quantiles for `probsBp` (basis points, e.g.
+    * 5000 = p50): (residualCols..., p_bp, q_bin, q_value_cent). */
+  def gridQuantileRollup(hist: DataFrame, residualCols: Seq[String],
+      probsBp: Seq[Int], nBins: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rCols = residualCols.map(col)
+    val merged = hist.groupBy(rCols :+ col("bin"): _*)
+      .agg(sum(col("c")).as("c"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+    val w = Window.partitionBy(rCols: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged.withColumn("__cum", sum(col("c")).over(w))
+    val tot =
+      if (residualCols.isEmpty) cum.agg(sum(col("c")).as("__n"))
+      else cum.groupBy(rCols: _*).agg(sum(col("c")).as("__n"))
+    val joined =
+      (if (residualCols.isEmpty) cum.crossJoin(broadcast(tot))
+       else cum.join(tot, residualCols))
+    probsBp.map { p =>
+      // rank = ceil(p/10000 · n) in pure integers
+      val withRank = joined.withColumn("__r",
+        expr(s"($p * __n + 9999) div 10000"))
+      val grouped =
+        if (residualCols.isEmpty) withRank.groupBy()
+        else withRank.groupBy(rCols: _*)
+      grouped
+        .agg(min(when(col("__cum") >= col("__r"), col("bin"))).as("q_bin"),
+          max(col("lo")).as("__lo"), max(col("hi")).as("__hi"))
+        .select(rCols :+ lit(p.toLong).as("p_bp") :+ col("q_bin") :+
+          expr(s"__lo + q_bin * (__hi - __lo) div ${nBins - 1}L")
+            .as("q_value_cent"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Rebuild a [[KllData]] from its struct-column Row form. */
   def kllOfRow(r: org.apache.spark.sql.Row): KllData = KllData(
     r.getInt(r.fieldIndex("k")), r.getLong(r.fieldIndex("n")),

@@ -377,6 +377,25 @@ object Events {
         .orderBy(asc("event_type"))
     }),
 
+    // HASH-EXACT mergeable-quantile twin (ops/QuantileSketch
+    // .gridHistogram/gridQuantileRollup): fixed 4096-bin histogram
+    // rows per (event_type, day) grain — grains merge by SUMMING
+    // exact integer counts — then per-type p50/p90/p99 read off the
+    // merged CDF at the ⌈p·n⌉ integer rank (no floats anywhere).
+    // Value error is bounded by one bin width, rank error zero at
+    // bin granularity; the KLL tier above stays the unknown-range
+    // production path.
+    "q_quantile_rollup_twin" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value"))
+      val hist = graft.ops.QuantileSketch.gridHistogram(ev,
+        Seq("event_type", "day"), "value")
+      graft.ops.QuantileSketch.gridQuantileRollup(hist,
+          Seq("event_type"), Seq(5000, 9000, 9900))
+        .orderBy(asc("event_type"), asc("p_bp"))
+    }),
+
     // Time-series gap-fill (ops/GapFill): per-user daily activity
     // completed to a dense calendar over each user's own observed
     // span, with the last observed level carried across gaps. The
@@ -804,6 +823,37 @@ object Events {
         |        * 1125899906842624::DOUBLE / t::DOUBLE)
         |  END::BIGINT AS est_distinct
         |FROM e ORDER BY day""".stripMargin,
+    // Grid-histogram quantile replay: the per-day grains sum to the
+    // same per-type bin counts, so the oracle bins directly; integer
+    // ceil rank, first bin reaching it, lower-edge value in cents.
+    "q_quantile_rollup_twin" ->
+      """WITH v AS (
+        |  SELECT event_type, floor(value::DOUBLE * 100)::BIGINT AS v
+        |  FROM events),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        |m AS (
+        |  SELECT event_type,
+        |    ((v - lo) * 4095) // greatest(hi - lo, 1) AS bin,
+        |    count(*)::BIGINT AS c
+        |  FROM v, mm GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT
+        |      AS cum
+        |  FROM m),
+        |tot AS (SELECT event_type, sum(c)::BIGINT AS n FROM m GROUP BY 1),
+        |pp AS (SELECT unnest([5000, 9000, 9900])::BIGINT AS p_bp),
+        |sel AS (
+        |  SELECT c2.event_type, pp.p_bp,
+        |    min(CASE WHEN c2.cum >= (pp.p_bp * t.n + 9999) // 10000
+        |        THEN c2.bin END)::BIGINT AS q_bin
+        |  FROM cum c2 JOIN tot t ON c2.event_type = t.event_type, pp
+        |  GROUP BY 1, 2)
+        |SELECT s.event_type, s.p_bp, s.q_bin,
+        |  (mm.lo + s.q_bin * (mm.hi - mm.lo) // 4095)::BIGINT
+        |    AS q_value_cent
+        |FROM sel s, mm
+        |ORDER BY event_type, p_bp""".stripMargin,
     // Exact binned-KS replay: cent-floored values, 4096 equi-width
     // bins over the global span, integer CDF cross-multiply, HUGEINT
     // products cast back ::BIGINT.

@@ -170,6 +170,42 @@ class QuantileSketchSpec extends SparkSpec {
       s"sketch $sketchKs vs grid-exact $expectKs")
   }
 
+  test("gridQuantileRollup: rank-exact on the grid, grain merge = direct") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 20000).map { i =>
+      ("g" + (i % 3), "d" + (i % 7), rnd.nextGaussian() * 10 + 50) }
+    val df = rows.toDF("g", "d", "v")
+    val hist = QuantileSketch.gridHistogram(df, Seq("g", "d"), "v")
+    val got = QuantileSketch.gridQuantileRollup(hist, Seq("g"),
+        Seq(5000, 9000))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // exact quantile replay on the same cent grid: ceil-rank value
+    val binW = {
+      val vs = rows.map(r => math.floor(r._3 * 100).toLong)
+      (vs.max - vs.min).toDouble / 4095.0
+    }
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(r => math.floor(r._3 * 100).toLong).sorted
+      Seq(5000, 9000).foreach { p =>
+        val rank = (p.toLong * sorted.size + 9999) / 10000
+        val exact = sorted((rank - 1).toInt)
+        val gotV = got((g, p.toLong))
+        // released lower edge sits within one bin width of the exact
+        // ceil-rank value (rank error is zero at bin granularity)
+        assert(math.abs(gotV - exact) <= binW + 1,
+          s"$g p$p: got $gotV exact $exact binW $binW")
+      }
+    }
+    // merging (g, d) grains must equal binning directly by g
+    val direct = QuantileSketch.gridHistogram(df, Seq("g"), "v")
+    val got2 = QuantileSketch.gridQuantileRollup(direct, Seq("g"),
+        Seq(5000, 9000))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got2 == got, "grain-merged quantiles must equal direct binning")
+  }
+
   test("sketch aggregate runs as a streaming aggregate, quantiles within error") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kll-stream")
     val rnd = new scala.util.Random(17)
