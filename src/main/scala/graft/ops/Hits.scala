@@ -20,17 +20,18 @@ import org.apache.spark.sql.functions._
   * where every sum is an exact BIGINT and the truncating div agrees in
   * every engine on nonnegatives. Spark shape per iteration: two
   * equi-join + hash-aggregate passes keyed on node ids (successive
-  * iterations reuse the partitioning — the PageRank loop); the
-  * max-norm is a ONE-ROW aggregate collect embedded back as a literal
-  * (the bounded-collect class — same cost as the broadcast exchange it
-  * replaces, and it lets the BIGINT envelope be CHECKED driver-side);
-  * nothing quadratic; `localCheckpoint` truncates lineage per round.
+  * iterations reuse the partitioning — the PageRank loop), and the
+  * max-norm rides as a one-row broadcast crossJoin — a mid-loop
+  * collect instead measured +12-25% (it ADDS a synchronous job per
+  * half-iteration, where the broadcast agg executes inside the
+  * checkpoint job); `localCheckpoint` truncates lineage per round.
   *
-  * Bound: `10⁶ · max(raw)` must stay inside BIGINT, i.e.
-  * `10¹² · max_degree` (max degree < ~9·10⁶) — ENFORCED per renorm on
-  * the collected max, so an over-degree graph fails loudly instead of
-  * wrapping while a HUGEINT oracle diverges; past that, move the
-  * renorm product to DECIMAL(38,0). */
+  * Bound: `10⁶ · max(raw)` must stay inside BIGINT; since every score
+  * is ≤ 10⁶ after renorm, `raw ≤ 10⁶·degree`, so the envelope is
+  * `10¹² · max_degree < 2⁶³` (max degree < ~9.2·10⁶) — ENFORCED by
+  * ONE degree aggregate at entry (fail fast instead of wrapping while
+  * a HUGEINT oracle diverges); past that, move the renorm product to
+  * DECIMAL(38,0). */
 object Hits {
 
   /** @param edges directed edges (src, dst), no duplicates.
@@ -43,32 +44,32 @@ object Hits {
       .select(col("id"), lit(1000000L).as("s"))
       .localCheckpoint(true)
     var a: DataFrame = null
-    // one-row max collect: bounded by construction, and the require is
-    // the fail-fast on the raw*10^6 BIGINT envelope (Spark would wrap
-    // silently where a HUGEINT replay differs)
-    def mxOf(raw: DataFrame): Long = {
-      val row = raw.agg(max(col("raw"))).collect()(0)
-      require(!row.isNullAt(0), "HITS needs a nonempty edge list")
-      val mx = row.getLong(0)
-      require(mx <= Long.MaxValue / 1000000L,
-        s"max raw score $mx would wrap raw*1000000 in BIGINT: " +
-          "max degree too large for the 10^6 grid — use DECIMAL(38,0)")
-      mx
+    // ONE bounded degree aggregate enforces the whole loop's BIGINT
+    // envelope up front (raw ≤ 10⁶·degree every iteration) — a per-
+    // renorm collect measured +12-25% wall (extra sync job per half-
+    // iteration); null max = empty graph, which the loop handles
+    val maxDegRow = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).collect()(0)
+    if (!maxDegRow.isNullAt(0)) {
+      val maxDeg = maxDegRow.getLong(0)
+      require(maxDeg <= Long.MaxValue / 1000000L / 1000000L,
+        s"max degree $maxDeg would wrap raw*1000000 in BIGINT on the " +
+          "10^6 grid — move the renorm product to DECIMAL(38,0)")
     }
     for (_ <- 1 to iters) {
       val araw = e
         .join(h.select(col("id").as("src"), col("s").as("hs")), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("hs")).as("raw"))
-      a = araw
-        .selectExpr("dst AS id",
-          s"CAST(raw * 1000000 DIV ${mxOf(araw)}L AS BIGINT) AS s")
+      a = araw.crossJoin(broadcast(araw.agg(max(col("raw")).as("mx"))))
+        .selectExpr("dst AS id", "CAST(raw * 1000000 DIV mx AS BIGINT) AS s")
         .localCheckpoint(true)
       val hraw = e
         .join(a.select(col("id").as("dst"), col("s").as("as_")), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("as_")).as("raw"))
-      h = hraw
-        .selectExpr("src AS id",
-          s"CAST(raw * 1000000 DIV ${mxOf(hraw)}L AS BIGINT) AS s")
+      h = hraw.crossJoin(broadcast(hraw.agg(max(col("raw")).as("mx"))))
+        .selectExpr("src AS id", "CAST(raw * 1000000 DIV mx AS BIGINT) AS s")
         .localCheckpoint(true)
     }
     (h, a)
