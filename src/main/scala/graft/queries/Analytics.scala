@@ -104,6 +104,12 @@ object Analytics {
     * size, the pair aggregate is one shuffle, and the support cutoff
     * keeps the graph sparse (shared by q_kcore and q_bfs_hops). */
   private def copurchaseEdges(s: SparkSession, dir: String,
+      minSupport: Long): DataFrame =
+    copurchaseWeighted(s, dir, minSupport).select(col("src"), col("dst"))
+
+  /** [[copurchaseEdges]] keeping the co-purchase support count `w`
+    * (the weighted-graph inputs: q_sssp edge costs). */
+  private def copurchaseWeighted(s: SparkSession, dir: String,
       minSupport: Long): DataFrame = {
     // Checkpointed: self-joins get no exchange reuse under AQE, so
     // both legs would otherwise re-run the scan+distinct.
@@ -117,7 +123,6 @@ object Analytics {
       .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= minSupport)
-      .select(col("src"), col("dst"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -340,6 +345,45 @@ object Analytics {
     "q_diameter_2sweep" -> ((s, dir) => {
       val edges = copurchaseEdges(s, dir, minSupport = 2)
       graft.ops.Centrality.diameterDoubleSweep(edges, maxDepth = 8)
+    }),
+
+    // Sampled betweenness centrality (ops/Betweenness — Brandes 2001
+    // dependency accumulation over a Brandes-Pich 2007 pivot sample):
+    // the "which parts BROKER the purchase network" flow-through
+    // complement of q_harmonic_centrality's reach score. 4 md5-rank
+    // sources, depth 4; σ path counts and the micro-unit dependency
+    // terms are pure integer arithmetic end to end, so the
+    // unrolled-CTE oracle replays the forward σ-BFS, the backward
+    // per-layer accumulation, and the ranking bit-for-bit.
+    "q_betweenness" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir, minSupport = 2)
+      graft.ops.Betweenness.sampledBrandes(edges, nSources = 4,
+        maxDepth = 4, k = 20)
+    }),
+
+    // Maximal independent set via Luby's parallel algorithm (ops/Mis
+    // — Luby 1986): the "maximal non-adjacent representative subset"
+    // primitive (anchor/exemplar selection, parallel scheduling) that
+    // greedy sequential MIS can't express distributed. Round-r
+    // priorities are md5(node:r) 13-hex prefixes with (p, node)
+    // tie-break — fixed-length hex compares identically as strings in
+    // both engines, so the unrolled-CTE oracle replays every round,
+    // the final set, and each member's selection round bit-for-bit.
+    "q_mis" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir, minSupport = 2)
+      graft.ops.Mis.luby(edges, maxRounds = 12)
+    }),
+
+    // Bounded-round weighted SSSP (ops/Sssp — frontier Bellman-Ford;
+    // rounds ≡ Pregel supersteps): exact min path cost over ≤ 6 edges
+    // from the md5-smallest node, edge cost = 10⁶ div co-purchase
+    // support (stronger ties are cheaper) — the weighted complement
+    // of q_bfs_hops. Integer min/plus only; the unrolled-CTE oracle
+    // replays all 6 relaxation rounds exactly.
+    "q_sssp" -> ((s, dir) => {
+      val edges = copurchaseWeighted(s, dir, minSupport = 2)
+        .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
+      graft.ops.Sssp.nearestFromMd5Seed(edges, maxRounds = 6, k = 20)
     }),
 
     // Optimal k-segmentation changepoints over the weekly order-count
@@ -2991,7 +3035,147 @@ object Analytics {
        |ORDER BY b.bin""".stripMargin
   }
 
+  /** Shared copurchase-graph CTE prefix (li, e) used by the graph
+    * oracles that need the weighted edge list. */
+  private val copurchaseCte: String =
+    """li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS MATERIALIZED (SELECT x.pk AS src, y.pk AS dst,
+      |    count(*)::BIGINT AS w
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Unrolled Brandes replay (q_betweenness): forward layers carry
+    * integer σ path counts, backward layers accumulate the micro-unit
+    * dependency `(σ_v · (10⁶ + δ_w)) // σ_w` — all-integer, so the
+    * replay is bit-exact (see ops/Betweenness). */
+  private def brandesSql(nSources: Int, maxDepth: Int, k: Int): String = {
+    val fwd = (1 to maxDepth).map { h =>
+      s"""l$h AS MATERIALIZED (
+         |  SELECT v.s, ed.b AS node, sum(v.sigma)::BIGINT AS sigma
+         |  FROM l${h - 1} v JOIN ed ON ed.a = v.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} x
+         |                    WHERE x.s = v.s AND x.node = ed.b)
+         |  GROUP BY 1, 2),
+         |v$h AS MATERIALIZED (
+         |  SELECT s, node FROM v${h - 1}
+         |  UNION ALL SELECT s, node FROM l$h)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((maxDepth - 1) to 1 by -1).map { h =>
+      s"""b$h AS MATERIALIZED (
+         |  SELECT v.s, v.node, v.sigma,
+         |    coalesce(sum((v.sigma * (1000000 + w.delta)) // w.sigma),
+         |      0)::BIGINT AS delta
+         |  FROM l$h v
+         |  LEFT JOIN ed ON ed.a = v.node
+         |  LEFT JOIN b${h + 1} w ON w.s = v.s AND w.node = ed.b
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val allLayers = (1 to maxDepth)
+      .map(h => s"SELECT s, node, delta FROM b$h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $copurchaseCte,
+       |ed AS MATERIALIZED (
+       |  SELECT src AS a, dst AS b FROM e
+       |  UNION ALL SELECT dst, src FROM e),
+       |nodes AS (SELECT DISTINCT a AS node FROM ed),
+       |srcs AS MATERIALIZED (
+       |  SELECT node FROM nodes
+       |  ORDER BY substring(md5(node::VARCHAR), 1, 13), node
+       |  LIMIT $nSources),
+       |l0 AS MATERIALIZED (SELECT node AS s, node, 1::BIGINT AS sigma
+       |  FROM srcs),
+       |v0 AS MATERIALIZED (SELECT s, node FROM l0),
+       |$fwd,
+       |b$maxDepth AS MATERIALIZED (
+       |  SELECT s, node, sigma, 0::BIGINT AS delta FROM l$maxDepth),
+       |$bwd,
+       |alld AS (
+       |  $allLayers),
+       |bc AS (SELECT node, sum(delta)::BIGINT AS bc_micro,
+       |    count(*)::BIGINT AS n_src
+       |  FROM alld GROUP BY 1),
+       |top AS (SELECT node, bc_micro, n_src FROM bc
+       |  ORDER BY bc_micro DESC, node LIMIT $k)
+       |SELECT row_number() OVER (ORDER BY bc_micro DESC, node)::BIGINT
+       |    AS rk,
+       |  node, bc_micro, n_src
+       |FROM top ORDER BY rk""".stripMargin
+  }
+
+  /** Unrolled bounded Bellman-Ford replay (q_sssp): each round is one
+    * relax CTE + one min-merge CTE; integer costs make every round
+    * engine-exact (see ops/Sssp). */
+  private def ssspSql(maxRounds: Int, k: Int): String = {
+    val rounds = (1 to maxRounds).map { r =>
+      s"""c$r AS MATERIALIZED (
+         |  SELECT ed.b AS node, min(v.d + ed.cost)::BIGINT AS d
+         |  FROM d${r - 1} v JOIN ed ON ed.a = v.node GROUP BY 1),
+         |d$r AS MATERIALIZED (
+         |  SELECT node, min(d)::BIGINT AS d FROM (
+         |    SELECT node, d FROM d${r - 1}
+         |    UNION ALL SELECT node, d FROM c$r) u
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseCte,
+       |ed AS MATERIALIZED (
+       |  SELECT src AS a, dst AS b, (1000000 // w)::BIGINT AS cost FROM e
+       |  UNION ALL SELECT dst, src, (1000000 // w)::BIGINT FROM e),
+       |nodes AS (SELECT DISTINCT a AS node FROM ed),
+       |seed AS MATERIALIZED (
+       |  SELECT node FROM nodes
+       |  ORDER BY substring(md5(node::VARCHAR), 1, 13), node LIMIT 1),
+       |d0 AS MATERIALIZED (SELECT node, 0::BIGINT AS d FROM seed),
+       |$rounds,
+       |top AS (SELECT node, d FROM d$maxRounds ORDER BY d, node LIMIT $k)
+       |SELECT row_number() OVER (ORDER BY d, node)::BIGINT AS rk,
+       |  node, d AS dist_cost
+       |FROM top ORDER BY rk""".stripMargin
+  }
+
+  /** Unrolled Luby replay (q_mis): per round, a priority CTE, a
+    * local-minima winner CTE, and the deactivated remainder; the
+    * md5 13-hex priorities and (p, node) tie-break are string
+    * comparisons identical in both engines (see ops/Mis). The unroll
+    * depth must cover the driver's maxRounds (the Truss rule — the
+    * driver throws if it exhausts, so a deeper peel can't silently
+    * diverge). */
+  private def misSql(maxRounds: Int): String = {
+    val rounds = (1 to maxRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT node,
+         |    substring(md5(node::VARCHAR || ':$r'), 1, 13) AS p
+         |  FROM a${r - 1}),
+         |w$r AS MATERIALIZED (
+         |  SELECT v.node FROM p$r v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ed JOIN p$r w ON w.node = ed.b
+         |    WHERE ed.a = v.node
+         |      AND (w.p < v.p OR (w.p = v.p AND w.node < v.node)))),
+         |a$r AS MATERIALIZED (
+         |  SELECT node FROM a${r - 1}
+         |  WHERE node NOT IN (SELECT node FROM w$r)
+         |    AND node NOT IN (
+         |      SELECT ed.b FROM ed JOIN w$r x ON x.node = ed.a))""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to maxRounds).map(r =>
+      s"SELECT node, $r::BIGINT AS sel_round FROM w$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $copurchaseCte,
+       |ed AS MATERIALIZED (
+       |  SELECT src AS a, dst AS b FROM e
+       |  UNION ALL SELECT dst, src FROM e),
+       |a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM ed),
+       |$rounds,
+       |mis AS (
+       |  $unioned)
+       |SELECT node, sel_round FROM mis ORDER BY node""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_betweenness" -> brandesSql(nSources = 4, maxDepth = 4, k = 20),
+    "q_sssp" -> ssspSql(maxRounds = 6, k = 20),
+    "q_mis" -> misSql(maxRounds = 12),
     "q_kcore" -> kcoreSql(k = 3, nLayers = 18),
     "q_ktruss" -> ktrussSql(k = 3, nLayers = 12),
     "q_vopt_histogram" -> voptSql(m = 24, b = 6),

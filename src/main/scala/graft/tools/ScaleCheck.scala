@@ -327,6 +327,28 @@ object ScaleCheck {
       graft.ops.Centrality.diameterDoubleSweep(hubbed(f), maxDepth = 4)
     })
 
+    // 9f. Sampled Brandes betweenness (ops/Betweenness): the same
+    // hub-connected growth — forward σ-BFS balls span all copies, and
+    // the backward per-layer dependency joins touch every inter-layer
+    // edge, so total shuffle bytes must track graph size while layer
+    // count stays flat. A backward pass that re-joined the whole
+    // visited union per layer (instead of the adjacent layers only)
+    // would grow super-linearly here.
+    check("betweenness", Seq(1, 2, 4), useBytes = true, { f =>
+      graft.ops.Betweenness.sampledBrandes(hubbed(f), nSources = 4,
+        maxDepth = 3, k = 20)
+    })
+
+    // 9g. Bounded-round weighted SSSP (ops/Sssp): hub-connected
+    // copies with unit costs — every round's relax join is O(edges
+    // out of the frontier) and the improved-only frontier spans all
+    // copies through the hub, so per-round bytes must track graph
+    // size with a flat round count.
+    check("sssp", Seq(1, 2, 4), useBytes = true, { f =>
+      graft.ops.Sssp.nearestFromMd5Seed(
+        hubbed(f).withColumn("cost", lit(1000L)), maxRounds = 4, k = 20)
+    })
+
     // 10. Physical as-of merge join (plans/AsOfMergeJoin): replicated
     // DISJOINT user bands double both sides; the exec is one merge
     // per co-partition after SMJ-grade exchanges, so shuffle bytes
