@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maximal independent set via Luby's algorithm (Luby 1986 — THE
+  * parallel MIS primitive; greedy sequential MIS is inherently
+  * serial): each round every still-active node draws a priority, the
+  * local minima of the priority order join the set, and winners plus
+  * their neighborhoods deactivate. Expected O(log n) rounds.
+  *
+  * Determinism/replayability: the round-r priority is the md5 13-hex
+  * prefix of `node:r` with (priority, node) lexicographic tie-break —
+  * fixed-length hex compares identically as a string in Spark and
+  * DuckDB (the q_negative_sample rule), so every round, the final
+  * set, and the selection rounds replay bit-for-bit in an
+  * unrolled-CTE oracle.
+  *
+  * Fail-fast contract (the Truss maxRounds rule): if rounds exhaust
+  * while nodes are still active the function THROWS rather than
+  * returning a non-maximal set — and any paired oracle must unroll at
+  * least the same number of layers.
+  *
+  * Scale shape: per round, two node-keyed equi joins (neighbor
+  * priority comparison; winner-neighborhood expansion), one distinct,
+  * two LEFT ANTI joins — all hash on node ids, O(active edges) per
+  * round; active/winner frames localCheckpoint per round (lineage
+  * truncation), the winner count doubles as the loop probe. Nothing
+  * collects. */
+object Mis {
+
+  /** @param edges undirected canonical (src, dst) edge list.
+    * @return (node, sel_round): the maximal independent set and the
+    *         1-based Luby round that selected each member. */
+  def luby(edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1)
+    val spark = edges.sparkSession
+    val und = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .union(edges.select(col("dst").cast("long").as("a"),
+        col("src").cast("long").as("b")))
+      .localCheckpoint(true)
+    var active = und.select(col("a").as("node")).distinct()
+      .localCheckpoint(true)
+    var activeRows = active.count()
+    // empty-graph-safe accumulator (long node, long sel_round)
+    var mis = spark.range(0).select(col("id").as("node"),
+      col("id").as("sel_round"))
+    var r = 1
+    while (activeRows > 0L && r <= maxRounds) {
+      val prio = active.withColumn("p",
+        substring(md5(concat(col("node").cast("string"), lit(s":$r"))),
+          1, 13))
+      val v = prio.select(col("node").as("vnode"), col("p").as("vp"))
+      val w = prio.select(col("node").as("wnode"), col("p").as("wp"))
+      // a node is beaten if ANY active neighbor wins the
+      // (priority, node) order; un-beaten actives are the round's
+      // local minima — isolated actives win by vacuity
+      val beaten = und
+        .join(v, col("vnode") === col("a"))
+        .join(w, col("wnode") === col("b"))
+        .where(col("wp") < col("vp") ||
+          (col("wp") === col("vp") && col("wnode") < col("vnode")))
+        .select(col("vnode").as("node")).distinct()
+      val winners = active.join(beaten, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      val nWin = winners.count()
+      // winners + their whole neighborhoods leave the game
+      val closed = winners
+        .unionByName(und.join(winners, col("node") === col("a"))
+          .select(col("b").as("node")))
+        .distinct()
+      active = active.join(closed, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      activeRows = active.count()
+      mis = mis.unionByName(
+        winners.select(col("node"), lit(r.toLong).as("sel_round")))
+      // an all-active round with zero winners is impossible (some
+      // node holds the global minimum priority), so progress is
+      // guaranteed; nWin participates in the probe economics only
+      require(nWin > 0L || activeRows == 0L,
+        "Luby round selected no winners from a non-empty active set")
+      r += 1
+    }
+    require(activeRows == 0L,
+      s"Luby MIS still has $activeRows active nodes after " +
+        s"maxRounds=$maxRounds — raise maxRounds (and any paired " +
+        "oracle's unroll depth)")
+    mis.orderBy(asc("node"))
+  }
+}
