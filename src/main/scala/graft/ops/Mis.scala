@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   * least the same number of layers.
   *
   * Scale shape: per round, two node-keyed equi joins (neighbor
-  * priority comparison; winner-neighborhood expansion), one distinct,
-  * two LEFT ANTI joins — all hash on node ids, O(active edges) per
-  * round; active/winner frames localCheckpoint per round (lineage
-  * truncation), the winner count doubles as the loop probe. Nothing
-  * collects. */
+  * priority comparison), one distinct, one left join tagging beaten
+  * actives (ONE eager checkpoint winners/mis/neighborhood all read),
+  * one neighborhood-expansion join and one LEFT ANTI into the lazy
+  * survivor checkpoint whose count is the loop probe — two Spark jobs
+  * per round, all hashing on node ids, O(active edges) per round.
+  * Nothing collects. */
 object Mis {
 
   /** @param edges undirected canonical (src, dst) edge list.
@@ -62,24 +63,27 @@ object Mis {
         .where(col("wp") < col("vp") ||
           (col("wp") === col("vp") && col("wnode") < col("vnode")))
         .select(col("vnode").as("node")).distinct()
-      val winners = active.join(beaten, Seq("node"), "left_anti")
+      // TWO jobs per round (measured ~2x over winners-eager +
+      // active-eager + two counts): one eager checkpoint of the
+      // beat-tagged active set — winners, the mis accumulation, and
+      // the neighborhood expansion all read off it for free — and one
+      // lazy checkpoint of the survivors materialized by the count
+      // probe. A zero-winner round on a non-empty active set is
+      // impossible (some node holds the global minimum priority), so
+      // progress needs no extra guard.
+      val tagged = active
+        .join(beaten.withColumn("beat", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("beat"), lit(false)).as("beat"))
         .localCheckpoint(true)
-      val nWin = winners.count()
-      // winners + their whole neighborhoods leave the game
-      val closed = winners
-        .unionByName(und.join(winners, col("node") === col("a"))
-          .select(col("b").as("node")))
-        .distinct()
-      active = active.join(closed, Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      activeRows = active.count()
+      val winners = tagged.where(!col("beat")).select(col("node"))
+      val nbrWin = und.join(winners, col("node") === col("a"))
+        .select(col("b").as("node"))
+      active = tagged.where(col("beat")).select(col("node"))
+        .join(nbrWin, Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      activeRows = active.count() // the probe job
       mis = mis.unionByName(
         winners.select(col("node"), lit(r.toLong).as("sel_round")))
-      // an all-active round with zero winners is impossible (some
-      // node holds the global minimum priority), so progress is
-      // guaranteed; nWin participates in the probe economics only
-      require(nWin > 0L || activeRows == 0L,
-        "Luby round selected no winners from a non-empty active set")
       r += 1
     }
     require(activeRows == 0L,
