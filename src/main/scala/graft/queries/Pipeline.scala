@@ -388,6 +388,31 @@ object Pipeline {
         .limit(20)
     }),
 
+    // ORACLE-EXACT BPE twin (the last untwinned family): same trainer
+    // and tokenizer as q_vocab_bpe but on the REPLAYABLE md5-rank
+    // sample (DuckDB lacks xxhash64) with nMerges=16 — the oracle
+    // RETRAINS the vocabulary (pair counts, count-desc/"a b"-asc
+    // argmax with the >=2 floor, 16 unrolled leftmost-merge recursive
+    // layers — iterated leftmost merging equals the trainer's single
+    // left-to-right pass because a merge can never create a new
+    // occurrence of its own pair) and re-tokenizes the whole corpus
+    // (sequential-by-rank application equals the kernel's
+    // lowest-rank-leftmost rule: a rank-t pair's constituents all
+    // exist before rank t). Word-type frequencies stand in for
+    // per-doc explode — identical counts, far fewer list rebuilds.
+    "q_vocab_bpe_twin" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val merges = graft.text.Bpe.trainMd5(docs, "text", "doc_id",
+        nMerges = 16, maxTrainDocs = 256)
+      spread(docs)
+        .select(explode(graft.text.Bpe.tokenize(s, col("text"), merges))
+          .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(desc("n_occurrences"), asc("token"))
+        .limit(20)
+    }),
+
     // Vocabulary building: corpus-wide token frequencies, top 20. The
     // explode shuffles one row per token OCCURRENCE only until the
     // map-side partial aggregation collapses it to one row per
@@ -3423,7 +3448,78 @@ object Pipeline {
        |FROM t""".stripMargin
   }
 
+  /** Full BPE replay (q_vocab_bpe_twin): retrain on the md5-rank
+    * sample, then re-tokenize the corpus — see the query comment for
+    * the two equivalence arguments (iterated-leftmost ≡ single pass;
+    * sequential-by-rank ≡ lowest-rank-leftmost). Each merge layer is
+    * a pair-count aggregate, the deterministic argmax, and a
+    * recursive CTE that merges the LEFTMOST occurrence per step until
+    * each word's fixpoint (list state shrinks strictly, so the UNION
+    * recursion terminates); apply layers reuse the learned m-CTEs on
+    * the corpus word types. */
+  private def bpeTwinSql(nMerges: Int, sampleDocs: Int,
+      k: Int): String = {
+    // leftmost-merge-to-fixpoint of pair m$t over prev's (w, f, s)
+    def applyCte(out: String, t: Int, prev: String): String =
+      s"""$out AS MATERIALIZED (
+         |  WITH RECURSIVE r(w, f, s) AS (
+         |    SELECT w, f, s FROM $prev
+         |    UNION
+         |    SELECT w, f, s[1:p - 1] || [a || b] || s[p + 2:]
+         |    FROM (SELECT w, f, s, a, b,
+         |            list_filter(range(1, len(s)),
+         |              j -> s[j] = a AND s[j + 1] = b)[1] AS p
+         |          FROM r, m$t)
+         |    WHERE p IS NOT NULL)
+         |  SELECT w, f, s FROM r, m$t
+         |  WHERE len(list_filter(range(1, len(s)),
+         |          j -> s[j] = a AND s[j + 1] = b)) = 0
+         |  UNION ALL
+         |  SELECT w, f, s FROM r
+         |  WHERE NOT EXISTS (SELECT 1 FROM m$t))""".stripMargin
+    val trainLayers = (1 to nMerges).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT s[j] AS a, s[j + 1] AS b, sum(f)::BIGINT AS c
+         |  FROM s${t - 1}, unnest(range(1, len(s))) u(j)
+         |  GROUP BY 1, 2),
+         |m$t AS MATERIALIZED (
+         |  SELECT a, b FROM p$t WHERE c >= 2
+         |  ORDER BY c DESC, a || ' ' || b LIMIT 1),
+         |${applyCte(s"s$t", t, s"s${t - 1}")}""".stripMargin
+    }.mkString(",\n")
+    val applyLayers = (1 to nMerges)
+      .map(t => applyCte(s"c$t", t, s"c${t - 1}"))
+      .mkString(",\n")
+    s"""WITH samp AS MATERIALIZED (
+       |  SELECT text FROM documents
+       |  ORDER BY substring(md5(doc_id::VARCHAR), 1, 13), doc_id
+       |  LIMIT $sampleDocs),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT AS f FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)),
+       |      '\\s+')) AS w
+       |    FROM samp) WHERE w <> '' GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, f, regexp_extract_all(w, '.') AS s FROM w0),
+       |$trainLayers,
+       |cw0 AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT AS f FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)),
+       |      '\\s+')) AS w
+       |    FROM documents) WHERE w <> '' GROUP BY 1),
+       |c0 AS MATERIALIZED (
+       |  SELECT w, f, regexp_extract_all(w, '.') AS s FROM cw0),
+       |$applyLayers,
+       |tok AS (SELECT unnest(s) AS token, f FROM c$nMerges),
+       |agg AS (SELECT token, sum(f)::BIGINT AS n_occurrences
+       |  FROM tok GROUP BY 1)
+       |SELECT token, n_occurrences FROM agg
+       |ORDER BY n_occurrences DESC, token LIMIT $k""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_vocab_bpe_twin" ->
+      bpeTwinSql(nMerges = 16, sampleDocs = 256, k = 20),
     "q_mixture_caps" -> mixtureCapsSql(budget = 300L, nLayers = 21),
     "q_epoch_plan" -> epochPlanSql(maxEpochs = 4L, nLayers = 21),
     "q_readability" ->

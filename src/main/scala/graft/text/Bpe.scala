@@ -40,6 +40,30 @@ object Bpe {
       .limit(maxTrainDocs)
       .select(col(textCol).cast("string"))
       .as[String].collect()
+    trainTexts(texts, nMerges)
+  }
+
+  /** [[train]] with the REPLAYABLE md5-rank sample rule (the
+    * GridKmeans sample rule: ORDER BY substring(md5(id::string),1,13),
+    * id) instead of xxhash64, which DuckDB lacks — a paired oracle can
+    * retrain the vocabulary bit-for-bit (q_vocab_bpe_twin). */
+  def trainMd5(df: DataFrame, textCol: String, idCol: String,
+      nMerges: Int, maxTrainDocs: Int): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val texts: Array[String] = df
+      .orderBy(substring(md5(col(idCol).cast("string")), 1, 13),
+        col(idCol))
+      .limit(maxTrainDocs)
+      .select(col(textCol).cast("string"))
+      .as[String].collect()
+    trainTexts(texts, nMerges)
+  }
+
+  /** The sequential merge loop over an already-collected bounded
+    * sample (shared by both sample rules). */
+  private[text] def trainTexts(texts: Array[String],
+      nMerges: Int): Seq[String] = {
     // word frequency dictionary — BPE statistics are over word types
     // weighted by occurrence count
     val wordFreq = new mutable.HashMap[String, Long]()

@@ -21,6 +21,26 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq("a a", "a b", "aa ab"))
   }
 
+  test("trainMd5: merges equal train on the md5-rank-selected subset") {
+    val s = spark
+    import s.implicits._
+    // 8 docs; md5 rank decides WHICH 3 train — replay the rule
+    // driver-side and check trainMd5 == trainTexts on exactly those
+    val docs = (0L to 7L).map(i => (i, s"w$i x$i aaab aaab c$i"))
+    val df = docs.toDF("doc_id", "text")
+    def md5hex13(x: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.substring(0, 13)
+    }
+    val picked = docs.sortBy { case (id, _) => (md5hex13(id.toString), id) }
+      .take(3).map(_._2).toArray
+    val got = Bpe.trainMd5(df, "text", "doc_id", nMerges = 8,
+      maxTrainDocs = 3)
+    assert(got == Bpe.trainTexts(picked, 8))
+    assert(got.nonEmpty && got.head == "a a") // aaab dominates any subset
+  }
+
   test("encodeWord applies lowest-rank-first and counts shrink with merges") {
     val ranks3 = BpeKernels.prepare(Seq("a a", "a b", "aa ab"))
     assert(BpeKernels.encodeWord("aaab", ranks3).toSeq == Seq("aaab"))
