@@ -43,6 +43,18 @@ object Bfs {
     math.max(8L, math.min(shuffleParts.toLong,
       prevRows / TargetRowsPerPartition + 1L)).toInt
 
+  /** The materialized bidirectional traversal frame: build it ONCE
+    * per graph and share it across sweeps/loops — every expansion the
+    * caller runs on a non-checkpointed edge frame re-executes the
+    * whole upstream graph build (the double-sweep paid the
+    * co-purchase self-join three times before this was hoisted). */
+  def undOf(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .union(edges.select(col("dst").cast("long").as("a"),
+        col("src").cast("long").as("b")))
+      .localCheckpoint(true)
+
   /** @param edges undirected `(src, dst)` edge list (canonical
     *              direction fine — both directions are traversed).
     * @return (node, hop) — minimum hop distance, hop <= maxHops. */
@@ -56,15 +68,15 @@ object Bfs {
     * node set — the double-sweep argmax reads off it with a one-row
     * `min` instead of sorting the whole visited union. */
   def hopsDetailed(edges: DataFrame, seed: Long,
+      maxHops: Int): (DataFrame, Int, DataFrame) =
+    hopsOnUnd(undOf(edges), seed, maxHops)
+
+  /** [[hopsDetailed]] over an already-materialized [[undOf]] frame. */
+  def hopsOnUnd(und: DataFrame, seed: Long,
       maxHops: Int): (DataFrame, Int, DataFrame) = {
-    val spark = edges.sparkSession
+    val spark = und.sparkSession
     import spark.implicits._
     val shuffleParts = spark.sessionState.conf.numShufflePartitions
-    val und = edges.select(col("src").cast("long").as("a"),
-        col("dst").cast("long").as("b"))
-      .union(edges.select(col("dst").cast("long").as("a"),
-        col("src").cast("long").as("b")))
-      .localCheckpoint(true)
     var visited = Seq((seed, 0)).toDF("node", "hop").localCheckpoint(true)
     var frontier = visited.select(col("node"))
     var frontierRows = 1L

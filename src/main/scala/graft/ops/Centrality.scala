@@ -107,22 +107,22 @@ object Centrality {
   def diameterDoubleSweep(edges: DataFrame, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // long ids at entry: the collected argmaxes read getLong
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val seed = e
-      .select(col("src").as("node")).union(e.select(col("dst")))
-      .distinct()
+    // ONE materialized traversal frame for the seed scan and BOTH
+    // sweeps — each expansion on a raw edge frame would re-execute
+    // the whole upstream graph build (measured: the co-purchase
+    // self-join ran three times before this hoist)
+    val und = Bfs.undOf(edges)
+    val seed = und.select(col("a").as("node")).distinct()
       .orderBy(substring(md5(col("node").cast("string")), 1, 13),
         col("node"))
       .limit(1).collect()(0).getLong(0)
-    val (_, ecc1, last1) = Bfs.hopsDetailed(e, seed, maxDepth)
+    val (_, ecc1, last1) = Bfs.hopsOnUnd(und, seed, maxDepth)
     // the deepest-hop node set IS the last materialized frontier
     // (8-ish tiny partitions), so the (hop desc, node asc) argmax is
     // its min — when the seed never expands the frontier is the seed
     // itself, which is also the correct argmax
     val farNode = last1.agg(min(col("node"))).collect()(0).getLong(0)
-    val (visited2, ecc2, _) = Bfs.hopsDetailed(e, farNode, maxDepth)
+    val (visited2, ecc2, _) = Bfs.hopsOnUnd(und, farNode, maxDepth)
     val nReached = visited2.count()
     Seq((seed, farNode, ecc1.toLong, ecc2.toLong, nReached))
       .toDF("seed", "far_node", "ecc1", "diameter_lb", "n_reached")
