@@ -33,16 +33,28 @@ object Sssp {
     *              directions; cost must be a nonneg integer column.
     * @param seed  source node id.
     * @return (node, d) exact min path cost within maxRounds edges. */
-  def boundedBellmanFord(edges: DataFrame, seed: Long,
-      maxRounds: Int): DataFrame = {
-    require(maxRounds >= 1)
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val ed = edges.select(col("src").cast("long").as("a"),
+  /** The materialized bidirectional weighted traversal frame — built
+    * ONCE per graph and shared with the seed scan (the Bfs.undOf
+    * rule: every consumer of a raw edge frame re-executes the whole
+    * upstream graph build). */
+  def edOf(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("a"),
         col("dst").cast("long").as("b"), col("cost").cast("long"))
       .union(edges.select(col("dst").cast("long").as("a"),
         col("src").cast("long").as("b"), col("cost").cast("long")))
       .localCheckpoint(true)
+
+  def boundedBellmanFord(edges: DataFrame, seed: Long,
+      maxRounds: Int): DataFrame =
+    bellmanFordOnEd(edOf(edges), seed, maxRounds)
+
+  /** [[boundedBellmanFord]] over an already-materialized [[edOf]]
+    * frame. */
+  def bellmanFordOnEd(ed: DataFrame, seed: Long,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1)
+    val spark = ed.sparkSession
+    import spark.implicits._
     var dist = Seq((seed, 0L)).toDF("node", "d").localCheckpoint(true)
     var frontier = dist
     var r = 1
@@ -81,15 +93,15 @@ object Sssp {
     * (rk, node, dist_cost), dist ascending, ties by node id. */
   def nearestFromMd5Seed(edges: DataFrame, maxRounds: Int,
       k: Int): DataFrame = {
-    val seed = edges
-      .select(col("src").cast("long").as("node"))
-      .union(edges.select(col("dst").cast("long").as("node")))
-      .distinct()
+    // one graph build: the seed scan reads the materialized frame
+    val ed = edOf(edges)
+    val seed = ed
+      .select(col("a").as("node")).distinct()
       .orderBy(substring(md5(col("node").cast("string")), 1, 13),
         col("node"))
       .limit(1).collect()(0).getLong(0)
     import org.apache.spark.sql.expressions.Window
-    boundedBellmanFord(edges, seed, maxRounds)
+    bellmanFordOnEd(ed, seed, maxRounds)
       .orderBy(asc("d"), asc("node")).limit(k)
       .select(row_number().over(Window.orderBy(asc("d"), asc("node")))
           .cast("long").as("rk"),
