@@ -160,6 +160,11 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     println(json)
+    // The driver archives only a bounded stdout TAIL; the big line's
+    // front-loaded totals truncate away once "queries" grows (r11's
+    // BENCH artifact lost total_s). A second totals-only line at the
+    // very end always survives the tail capture.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")

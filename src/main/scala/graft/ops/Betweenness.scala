@@ -47,12 +47,9 @@ object Betweenness {
     val spark = edges.sparkSession
     import spark.implicits._
     val shuffleParts = spark.sessionState.conf.numShufflePartitions
-    // long ids at entry (the Hits/Truss rule)
-    val und = edges.select(col("src").cast("long").as("a"),
-        col("dst").cast("long").as("b"))
-      .union(edges.select(col("dst").cast("long").as("a"),
-        col("src").cast("long").as("b")))
-      .localCheckpoint(true)
+    // long ids at entry (the Hits/Truss rule); one shared recipe for
+    // the materialized bidirectional traversal frame
+    val und = Bfs.undOf(edges)
     val srcs = und.select(col("a").as("node")).distinct()
       .orderBy(substring(md5(col("node").cast("string")), 1, 13),
         col("node"))

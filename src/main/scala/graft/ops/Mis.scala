@@ -36,11 +36,7 @@ object Mis {
   def luby(edges: DataFrame, maxRounds: Int): DataFrame = {
     require(maxRounds >= 1)
     val spark = edges.sparkSession
-    val und = edges.select(col("src").cast("long").as("a"),
-        col("dst").cast("long").as("b"))
-      .union(edges.select(col("dst").cast("long").as("a"),
-        col("src").cast("long").as("b")))
-      .localCheckpoint(true)
+    val und = Bfs.undOf(edges)
     var active = und.select(col("a").as("node")).distinct()
       .localCheckpoint(true)
     var activeRows = active.count()

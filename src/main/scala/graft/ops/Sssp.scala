@@ -37,12 +37,22 @@ object Sssp {
     * ONCE per graph and shared with the seed scan (the Bfs.undOf
     * rule: every consumer of a raw edge frame re-executes the whole
     * upstream graph build). */
-  def edOf(edges: DataFrame): DataFrame =
-    edges.select(col("src").cast("long").as("a"),
+  def edOf(edges: DataFrame): DataFrame = {
+    val ed = edges.select(col("src").cast("long").as("a"),
         col("dst").cast("long").as("b"), col("cost").cast("long"))
       .union(edges.select(col("dst").cast("long").as("a"),
         col("src").cast("long").as("b"), col("cost").cast("long")))
       .localCheckpoint(true)
+    // fail-fast envelope (the VoptHist rule): the bounded-round
+    // min-merge is only shortest-paths for NONNEG costs — a negative
+    // cost silently degrades to "min cost over <= R edges", which no
+    // oracle mirrors. One-row agg over the materialized checkpoint.
+    val minCost = ed.agg(min(col("cost"))).collect()(0)
+    require(minCost.isNullAt(0) || minCost.getLong(0) >= 0L,
+      s"Sssp requires nonneg integer costs; min(cost) = " +
+        s"${minCost.getLong(0)}")
+    ed
+  }
 
   def boundedBellmanFord(edges: DataFrame, seed: Long,
       maxRounds: Int): DataFrame =
@@ -95,12 +105,20 @@ object Sssp {
       k: Int): DataFrame = {
     // one graph build: the seed scan reads the materialized frame
     val ed = edOf(edges)
-    val seed = ed
+    val seedRows = ed
       .select(col("a").as("node")).distinct()
       .orderBy(substring(md5(col("node").cast("string")), 1, 13),
         col("node"))
-      .limit(1).collect()(0).getLong(0)
+      .limit(1).collect()
     import org.apache.spark.sql.expressions.Window
+    // empty-graph-safe (the sampledBrandes rule): no edges -> no seed
+    // -> an empty (rk, node, dist_cost) frame, not an AIOOBE
+    if (seedRows.isEmpty) {
+      val spark = edges.sparkSession
+      return spark.range(0).select(col("id").as("rk"),
+        col("id").as("node"), col("id").as("dist_cost"))
+    }
+    val seed = seedRows(0).getLong(0)
     bellmanFordOnEd(ed, seed, maxRounds)
       .orderBy(asc("d"), asc("node")).limit(k)
       .select(row_number().over(Window.orderBy(asc("d"), asc("node")))

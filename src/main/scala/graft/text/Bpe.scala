@@ -99,8 +99,16 @@ object Bpe {
       if (counts.isEmpty) exhausted = true
       else {
         // deterministic argmax: max count, then smallest pair string
+        // in CODE-POINT order (≡ DuckDB's UTF-8 byte ORDER BY) — JVM
+        // String compareTo is UTF-16 code-unit order, which ranks
+        // U+E000..U+FFFF ABOVE non-BMP code points and would diverge
+        // the oracle twin on such a count tie
         val (best, bestC) = counts.toArray
-          .sortBy { case (p, c) => (-c, p) }.head
+          .reduceLeft { (u, v) =>
+            if (v._2 > u._2 ||
+              (v._2 == u._2 && codePointCompare(v._1, u._1) < 0)) v
+            else u
+          }
         if (bestC < 2) exhausted = true // merging singletons adds nothing
         else {
           merges += best
@@ -111,6 +119,19 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** Code-point lexicographic compare (≡ UTF-8 byte order, the order
+    * DuckDB's string ORDER BY uses) — differs from String.compareTo
+    * exactly when one side contains a surrogate pair (non-BMP). */
+  private[text] def codePointCompare(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
   }
 
   /** Left-to-right non-overlapping application of one merge — the

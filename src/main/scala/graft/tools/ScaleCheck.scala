@@ -349,6 +349,18 @@ object ScaleCheck {
         hubbed(f).withColumn("cost", lit(1000L)), maxRounds = 4, k = 20)
     })
 
+    // 9h. Luby MIS (ops/Mis): hub-connected copies — actives span all
+    // copies, every round's beaten/neighborhood joins touch the
+    // active subgraph's edges, and the expected round count is
+    // O(log n)-flat, so total winners/survivors shuffle bytes must
+    // track graph size. A round that materialized winners, actives,
+    // and neighborhoods separately (instead of filters over the one
+    // tagged checkpoint), or re-shuffled the full edge frame against
+    // a non-shrinking active set, would grow super-linearly here.
+    check("mis", Seq(1, 2, 4), useBytes = true, { f =>
+      graft.ops.Mis.luby(hubbed(f), maxRounds = 40)
+    })
+
     // 10. Physical as-of merge join (plans/AsOfMergeJoin): replicated
     // DISJOINT user bands double both sides; the exec is one merge
     // per co-partition after SMJ-grade exchanges, so shuffle bytes

@@ -60,6 +60,23 @@ class SsspSpec extends SparkSpec {
     assert(run(fixture, 1L, 10) == brute(fixture, 1L, 10))
   }
 
+  test("negative cost fails fast (nonneg envelope, VoptHist rule)") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L, 10L), (2L, 3L, -5L)).toDF("src", "dst", "cost")
+    val e = intercept[IllegalArgumentException] {
+      Sssp.boundedBellmanFord(bad, seed = 1L, maxRounds = 3)
+    }
+    assert(e.getMessage.contains("nonneg"))
+  }
+
+  test("empty edge frame yields an empty ranked frame, not a throw") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "cost")
+    val out = Sssp.nearestFromMd5Seed(empty, maxRounds = 3, k = 5)
+    assert(out.columns.toSeq == Seq("rk", "node", "dist_cost"))
+    assert(out.count() == 0L)
+  }
+
   test("md5 seed + ranking: rk dense, (d asc, node asc) order") {
     import spark.implicits._
     val df = fixture.toDF("src", "dst", "w")

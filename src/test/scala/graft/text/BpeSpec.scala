@@ -21,6 +21,20 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq("a a", "a b", "aa ab"))
   }
 
+  test("tie-break compares code points, not UTF-16 code units") {
+    // U+FF01 (FULLWIDTH !) is ONE char; U+10000 is a surrogate PAIR
+    // whose high surrogate D800 < FF01 in code-unit order but whose
+    // code point 0x10000 > 0xFF01 — the orders disagree exactly here
+    val bmp = "！"
+    val astral = new String(Character.toChars(0x10000))
+    assert(bmp.compareTo(astral) > 0) // JVM code-unit order: astral first
+    assert(Bpe.codePointCompare(bmp, astral) < 0) // code points: bmp first
+    // prefix rule unchanged
+    assert(Bpe.codePointCompare("ab", "abc") < 0)
+    assert(Bpe.codePointCompare("abc", "ab") > 0)
+    assert(Bpe.codePointCompare("ab", "ab") == 0)
+  }
+
   test("trainMd5: merges equal train on the md5-rank-selected subset") {
     val s = spark
     import s.implicits._
