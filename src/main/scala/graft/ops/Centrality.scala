@@ -34,13 +34,9 @@ object Centrality {
     require(nSources >= 1 && maxDepth >= 1 && k >= 1)
     val shuffleParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions
-    // long ids at entry (the Hits/Truss rule): int-typed edge columns
-    // must not surprise the join key types downstream
-    val und = edges.select(col("src").cast("long").as("a"),
-        col("dst").cast("long").as("b"))
-      .union(edges.select(col("dst").cast("long").as("a"),
-        col("src").cast("long").as("b")))
-      .localCheckpoint(true)
+    // long ids at entry (the Hits/Truss rule); one shared recipe for
+    // the materialized bidirectional traversal frame
+    val und = Bfs.undOf(edges)
     val srcs = und.select(col("a").as("node")).distinct()
       .orderBy(substring(md5(col("node").cast("string")), 1, 13),
         col("node"))
@@ -48,6 +44,7 @@ object Centrality {
     var visited = srcs.select(col("node").as("s"), col("node"),
         lit(0).as("d"))
       .localCheckpoint(true)
+    var visitedRows = nSources.toLong
     var frontier = visited.select(col("s"), col("node"))
     var frontierRows = nSources.toLong
     var h = 1
@@ -56,13 +53,15 @@ object Centrality {
       // same per-round economics as Bfs.hopsDetailed: count-scaled
       // fan-in on the frontier, lazy checkpoint materialized by the
       // count that doubles as the emptiness probe (ONE job per hop),
-      // and never re-checkpoint the visited union of
-      // already-materialized frames
-      val next = frontier
+      // never re-checkpoint the visited union of already-materialized
+      // frames — and count-informed broadcasts (the Bfs rule: the
+      // checkpointed edge frame otherwise re-exchanges every hop)
+      val next = Bfs.bcastIfSmall(frontier, frontierRows)
         .join(und, col("node") === col("a"))
         .select(col("s"), col("b").as("node")).distinct()
-        .join(visited.select(col("s"), col("node")), Seq("s", "node"),
-          "left_anti")
+        .join(Bfs.bcastIfSmall(visited.select(col("s"), col("node")),
+            visitedRows),
+          Seq("s", "node"), "left_anti")
         .coalesce(Bfs.fanIn(frontierRows, shuffleParts))
         .localCheckpoint(false)
       val n = next.count()
@@ -70,6 +69,7 @@ object Centrality {
       else {
         visited = visited
           .unionByName(next.select(col("s"), col("node"), lit(h).as("d")))
+        visitedRows += n
         frontier = next.select(col("s"), col("node"))
         frontierRows = n
         h += 1
@@ -96,13 +96,13 @@ object Centrality {
     * same frontier + LEFT ANTI machinery), each depth-capped at
     * `maxDepth`.
     *
-    * Round economics: the sweeps run ONE job per hop
-    * ([[Bfs.hopsDetailed]]'s fused checkpoint+count), both
-    * eccentricities read off the loop's deepest-hop counter for free,
-    * and the farthest-node argmax is a one-row `min` over the LAST
-    * FRONTIER (max hop ⇒ last frontier; tie to the smaller id ⇒ its
-    * min) instead of a sort of the whole visited union. The driver
-    * touches exactly three one-row results. Returns one row:
+    * Round economics: both sweeps run through [[Bfs.sweepStats]] —
+    * ONE job per hop whose probe aggregate carries eccentricity, the
+    * farthest-node argmax (hop desc ⇒ last layer; node asc ⇒ its
+    * min) and the reached count, so the former post-sweep argmax and
+    * count jobs are gone; the edge build materializes ONCE (undOf
+    * checkpoints the directed frame, the reverse derives narrowly).
+    * The driver touches per-layer stat rows only. Returns one row:
     * (seed, far_node, ecc1, diameter_lb, n_reached). */
   def diameterDoubleSweep(edges: DataFrame, maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
@@ -116,14 +116,8 @@ object Centrality {
       .orderBy(substring(md5(col("node").cast("string")), 1, 13),
         col("node"))
       .limit(1).collect()(0).getLong(0)
-    val (_, ecc1, last1) = Bfs.hopsOnUnd(und, seed, maxDepth)
-    // the deepest-hop node set IS the last materialized frontier
-    // (8-ish tiny partitions), so the (hop desc, node asc) argmax is
-    // its min — when the seed never expands the frontier is the seed
-    // itself, which is also the correct argmax
-    val farNode = last1.agg(min(col("node"))).collect()(0).getLong(0)
-    val (visited2, ecc2, _) = Bfs.hopsOnUnd(und, farNode, maxDepth)
-    val nReached = visited2.count()
+    val (ecc1, farNode, _) = Bfs.sweepStats(und, seed, maxDepth)
+    val (ecc2, _, nReached) = Bfs.sweepStats(und, farNode, maxDepth)
     Seq((seed, farNode, ecc1.toLong, ecc2.toLong, nReached))
       .toDF("seed", "far_node", "ecc1", "diameter_lb", "n_reached")
   }

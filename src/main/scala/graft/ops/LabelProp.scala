@@ -32,8 +32,14 @@ object LabelProp {
     // session A/B) comes from the materialized frame being laid out
     // by the key: each round's exchange map task writes almost
     // entirely to one reducer.
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+    // checkpoint the DIRECTED projection first (the Bfs.undOf rule:
+    // a union over a non-materialized build runs it once per leg —
+    // the co-purchase self-join executed twice here), then lay the
+    // bidirectional frame out by the key
+    val dir0 = edges.select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint(true)
+    val und = dir0
+      .union(dir0.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b"))
       .localCheckpoint(true)
     val bound = und.agg(max(greatest(col("a"), col("b"))).as("mx"))

@@ -38,11 +38,14 @@ object Sssp {
     * rule: every consumer of a raw edge frame re-executes the whole
     * upstream graph build). */
   def edOf(edges: DataFrame): DataFrame = {
-    val ed = edges.select(col("src").cast("long").as("a"),
+    // checkpoint the DIRECTED projection, derive the reverse
+    // direction narrowly (the Bfs.undOf rule: checkpointing the
+    // union would run the upstream build once per leg)
+    val e = edges.select(col("src").cast("long").as("a"),
         col("dst").cast("long").as("b"), col("cost").cast("long"))
-      .union(edges.select(col("dst").cast("long").as("a"),
-        col("src").cast("long").as("b"), col("cost").cast("long")))
       .localCheckpoint(true)
+    val ed = e.union(e.select(col("b").as("a"), col("a").as("b"),
+      col("cost")))
     // fail-fast envelope (the VoptHist rule): the bounded-round
     // min-merge is only shortest-paths for NONNEG costs — a negative
     // cost silently degrades to "min cost over <= R edges", which no

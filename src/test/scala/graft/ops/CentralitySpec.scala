@@ -75,6 +75,29 @@ class CentralitySpec extends SparkSpec {
     assert(r2.getLong(3) == 5L, s"star+chain diameter ${r2.getLong(3)}")
   }
 
+  test("sweepStats telemetry == hopsOnUnd telemetry, every batch width") {
+    // fixtures exercising odd/even depths, mid-batch exhaustion, and
+    // depth-bound truncation: star+chain, pure path, triangle
+    val fixtures = Seq(
+      edges,
+      (0L until 9L).map(i => (i, i + 1)),
+      Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+    for (es <- fixtures; seed <- Seq(0L, 9L).filter(s =>
+           es.exists(e => e._1 == s || e._2 == s));
+         maxHops <- Seq(1, 2, 3, 5, 16); hpj <- Seq(1, 2, 3)) {
+      val und = Bfs.undOf(es.toDF("src", "dst"))
+      val (visited, ecc, last) = Bfs.hopsOnUnd(und, seed, maxHops)
+      val wantFar = last.agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("node")))
+        .collect()(0).getLong(0)
+      val wantReached = visited.count()
+      val got = Bfs.sweepStats(und, seed, maxHops, hopsPerJob = hpj)
+      assert(got == ((ecc, wantFar, wantReached)),
+        s"es=${es.take(3)}.. seed=$seed maxHops=$maxHops hpj=$hpj: " +
+          s"got $got want (${ecc}, $wantFar, $wantReached)")
+    }
+  }
+
   test("depth bound truncates honestly: depth 1 only counts neighbors") {
     val got = Centrality.sampledHarmonic(edges.toDF("src", "dst"),
         nSources = 8, maxDepth = 1, k = 10)
