@@ -52,14 +52,27 @@ object Stats {
   // Totals struct means empty must aggregate to 0 (totals.go:17-27).
   private def zsum(c: Column): Column = coalesce(sum(c), lit(0L))
 
-  private val aggCols: Seq[Column] = Seq(
-    zsum(when(col("is_prefix_row"), 1L).otherwise(0L)).as("prefixes"),
-    zsum(when(!col("is_prefix_row") && col("is_dir"), 1L).otherwise(0L)).as("sub_prefixes"),
-    zsum(when(!col("is_prefix_row") && !col("is_dir") && col("is_canonical"), 1L).otherwise(0L)).as("files"),
-    zsum(when(!col("is_prefix_row") && !col("is_dir") && !col("is_canonical"), 1L).otherwise(0L)).as("hardlinks"),
-    zsum(when(col("is_prefix_row") || (!col("is_dir") && col("is_canonical")), col("size")).otherwise(0L)).as("bytes"),
-    zsum(when(col("is_prefix_row"), col("size")).otherwise(0L)).as("prefix_bytes"),
-    zsum(when(col("is_prefix_row") || (!col("is_dir") && col("is_canonical")), col("storage")).otherwise(0L)).as("storage_bytes"))
+  /** (metric name, per-contrib-row value) — every stats metric is a
+    * conditional SUM, i.e. an abelian-group aggregate: the property
+    * [[computeIncremental]]'s add/subtract merge relies on. */
+  private val aggSpecs: Seq[(String, Column)] = Seq(
+    "prefixes" -> when(col("is_prefix_row"), 1L).otherwise(0L),
+    "sub_prefixes" -> when(!col("is_prefix_row") && col("is_dir"), 1L).otherwise(0L),
+    "files" -> when(!col("is_prefix_row") && !col("is_dir") && col("is_canonical"), 1L).otherwise(0L),
+    "hardlinks" -> when(!col("is_prefix_row") && !col("is_dir") && !col("is_canonical"), 1L).otherwise(0L),
+    "bytes" -> when(col("is_prefix_row") || (!col("is_dir") && col("is_canonical")), col("size")).otherwise(0L),
+    "prefix_bytes" -> when(col("is_prefix_row"), col("size")).otherwise(0L),
+    "storage_bytes" -> when(col("is_prefix_row") || (!col("is_dir") && col("is_canonical")), col("storage")).otherwise(0L))
+
+  private val metricNames: Seq[String] = aggSpecs.map(_._1)
+
+  private val aggCols: Seq[Column] =
+    aggSpecs.map { case (n, e) => zsum(e).as(n) }
+
+  /** [[aggCols]] with every term multiplied by the row's `sign`
+    * column — the ±1 delta aggregation of [[computeIncremental]]. */
+  private val signedAggCols: Seq[Column] =
+    aggSpecs.map { case (n, e) => zsum(e * col("sign")).as(n) }
 
   /** Compute all stats frames for one expression over the fact table.
     *
@@ -78,6 +91,34 @@ object Stats {
       entryMatch: Column = lit(true),
       calc: Calculator = Calculator.Identity,
       countHardlinkDupsAsFiles: Boolean = false): Computed = {
+    val contrib = contribOf(files, prefixMatch, entryMatch, calc,
+      countHardlinkDupsAsFiles, onlyPrefixes = None)
+    Computed(
+      totals = contrib.agg(aggCols.head, aggCols.tail: _*),
+      perUser = contrib.groupBy(col("uid")).agg(aggCols.head, aggCols.tail: _*),
+      perGroup = contrib.groupBy(col("gid")).agg(aggCols.head, aggCols.tail: _*),
+      perPrefix = contrib.groupBy(col("agg_prefix").as("prefix"))
+        .agg(aggCols.head, aggCols.tail: _*),
+      perUserPrefix = contrib
+        .groupBy(col("uid"), col("agg_prefix").as("prefix"))
+        .agg(aggCols.head, aggCols.tail: _*),
+      perGroupPrefix = contrib
+        .groupBy(col("gid"), col("agg_prefix").as("prefix"))
+        .agg(aggCols.head, aggCols.tail: _*))
+  }
+
+  /** The per-contribution-row frame every stats aggregate sums over.
+    * `onlyPrefixes` (a one-column `prefix` frame) restricts matched
+    * prefixes to the given set AFTER hardlink canonicality is decided
+    * over the FULL input — the restriction the incremental path needs
+    * (canonical choice must not depend on which prefixes changed). */
+  private def contribOf(
+      files: DataFrame,
+      prefixMatch: Column,
+      entryMatch: Column,
+      calc: Calculator,
+      countHardlinkDupsAsFiles: Boolean,
+      onlyPrefixes: Option[DataFrame]): DataFrame = {
 
     // Canonical-hardlink flag: first (device, inode) by path order.
     // Only the nlink > 1 slice (typically ≪1% of rows) pays the
@@ -95,15 +136,27 @@ object Stats {
         single.unionByName(multi)
       }
 
-    // Matched prefixes (dir rows passing prefixMatch).
-    val matchedPrefixes = withCanon
+    // Matched prefixes (dir rows passing prefixMatch), optionally
+    // restricted to the changed set.
+    val matchedAll = withCanon
       .where(col("is_dir") && prefixMatch)
       .select(col("path").as("prefix_path"))
+    val matchedPrefixes = onlyPrefixes match {
+      case Some(p) => matchedAll.join(
+        p.select(col("prefix").as("prefix_path")), Seq("prefix_path"),
+        "left_semi")
+      case None => matchedAll
+    }
 
-    // The prefix's own contribution rows.
-    val prefixRows = withCanon
-      .where(col("is_dir") && prefixMatch)
-      .withColumn("is_prefix_row", lit(true))
+    // The prefix's own contribution rows (the restricted path pays
+    // the semi-join; the full path keeps the plain filter).
+    val prefixDirs = withCanon.where(col("is_dir") && prefixMatch)
+    val prefixRows = (onlyPrefixes match {
+      case Some(_) => prefixDirs.join(
+        matchedPrefixes.withColumnRenamed("prefix_path", "path"),
+        Seq("path"), "left_semi")
+      case None => prefixDirs
+    }).withColumn("is_prefix_row", lit(true))
       .withColumn("agg_prefix", col("path"))
 
     // Entry rows: any row whose parent is a matched prefix and which
@@ -114,23 +167,120 @@ object Stats {
       .withColumn("is_prefix_row", lit(false))
       .withColumn("agg_prefix", col("parent"))
 
-    val contrib = prefixRows.unionByName(entryRows)
+    prefixRows.unionByName(entryRows)
       .withColumn("storage", calc(col("size"), col("blocks")))
       .select(col("agg_prefix"), col("uid"), col("gid"), col("is_prefix_row"),
         col("is_dir"), col("is_canonical"), col("size"), col("storage"))
+  }
+
+  /** The §2.8 changed-prefix set between two snapshots: dir rows
+    * added, deleted, or with differing (mod_time, mode, n_entries) —
+    * the same POSIX contract the incremental WALKER relies on (an
+    * unchanged dir implies an unchanged child list,
+    * ingest/Incremental.scala), so any entry-row difference implies
+    * its parent appears here. One full-outer join of the two dir
+    * slices. @return a one-column `prefix` frame. */
+  def changedPrefixesOf(prevFiles: DataFrame, files: DataFrame): DataFrame = {
+    def dirs(f: DataFrame, tag: String) = f.where(col("is_dir"))
+      .select(col("path").as("prefix"),
+        struct(col("mod_time"), col("mode"), col("n_entries"))
+          .as(s"__sig_$tag"))
+    dirs(prevFiles, "a").join(dirs(files, "b"), Seq("prefix"), "full_outer")
+      .where(col("__sig_a").isNull || col("__sig_b").isNull ||
+        col("__sig_a") =!= col("__sig_b"))
+      .select(col("prefix"))
+  }
+
+  /** Incremental `stats compute` (reference contract analyze.go:
+    * 226-243 applied to the STATS layer, SURVEY.md §2.8): merge the
+    * previous artifact's six frames with recomputed contributions for
+    * the CHANGED prefixes only — the base table's unchanged prefixes
+    * are never re-aggregated. Every metric is a conditional SUM
+    * ([[aggSpecs]]), so the merge is exact:
+    * `new_state = prev_state − contrib_old(changed) + contrib_new(changed)`,
+    * one ±1-signed aggregate per keying plus a full-outer merge join
+    * (using-columns coalesce the keys).
+    *
+    * Hardlink exactness: with `countHardlinkDupsAsFiles = false` the
+    * canonical link of a (device, inode) group can FLIP to a link in
+    * an UNCHANGED prefix when a changed prefix's link disappears, so
+    * the changed set auto-expands with every prefix holding a link of
+    * a group that any changed prefix touches (two semi-joins over the
+    * nlink > 1 sliver). Canonicality itself is always decided over
+    * the FULL snapshot, exactly as [[compute]] does.
+    *
+    * Scale shape: one dir-slice full-outer join (changed-set
+    * discovery is the caller's if it has walker `reused` flags —
+    * [[changedPrefixesOf]] otherwise), two restricted contrib scans
+    * bounded by the changed prefixes' entry rows, six delta
+    * aggregates on those rows alone, six merge joins keyed like the
+    * state. An unchanged-corpus rescan aggregates zero contrib rows. */
+  def computeIncremental(
+      prev: Computed,
+      prevFiles: DataFrame,
+      files: DataFrame,
+      changedPrefixes: DataFrame,
+      prefixMatch: Column = lit(true),
+      entryMatch: Column = lit(true),
+      calc: Calculator = Calculator.Identity,
+      countHardlinkDupsAsFiles: Boolean = false): Computed = {
+    // hardlink-group expansion (see scaladoc)
+    val changed =
+      if (countHardlinkDupsAsFiles) changedPrefixes
+      else {
+        val multi = prevFiles.where(col("nlink") > 1)
+          .unionByName(files.where(col("nlink") > 1))
+          .select(col("parent"), col("device"), col("inode"))
+        val touched = multi.join(
+          changedPrefixes.select(col("prefix").as("parent")),
+          Seq("parent"), "left_semi")
+          .select(col("device"), col("inode")).distinct()
+        val extra = multi.join(touched, Seq("device", "inode"), "left_semi")
+          .select(col("parent").as("prefix"))
+        changedPrefixes.unionByName(extra).distinct()
+      }
+    // the two restricted contribution frames, ±1-signed; computed
+    // once and shared by all six delta aggregates
+    val oldC = contribOf(prevFiles, prefixMatch, entryMatch, calc,
+      countHardlinkDupsAsFiles, Some(changed)).withColumn("sign", lit(-1L))
+    val newC = contribOf(files, prefixMatch, entryMatch, calc,
+      countHardlinkDupsAsFiles, Some(changed)).withColumn("sign", lit(1L))
+    val delta = newC.unionByName(oldC).localCheckpoint(true)
+
+    def merge(prevF: DataFrame, keys: Seq[(String, Column)]): DataFrame =
+      if (keys.isEmpty) {
+        // totals: two one-row frames, plain addition
+        val d = delta.agg(signedAggCols.head, signedAggCols.tail: _*)
+          .select(metricNames.map(m => col(m).as(s"__d_$m")): _*)
+        metricNames.foldLeft(prevF.crossJoin(d)) { (df, m) =>
+          df.withColumn(m, col(m) + coalesce(col(s"__d_$m"), lit(0L)))
+        }.select(metricNames.map(col): _*)
+      } else {
+        val d = delta.groupBy(keys.map { case (n, c) => c.as(n) }: _*)
+          .agg(signedAggCols.head, signedAggCols.tail: _*)
+          .select(keys.map(k => col(k._1)) ++
+            metricNames.map(m => col(m).as(s"__d_$m")): _*)
+        val merged = prevF.join(d, keys.map(_._1), "full_outer")
+        metricNames.foldLeft(merged) { (df, m) =>
+          df.withColumn(m,
+            coalesce(col(m), lit(0L)) + coalesce(col(s"__d_$m"), lit(0L)))
+        }.select(keys.map(k => col(k._1)) ++ metricNames.map(col): _*)
+          // a key whose contributions all vanished has zero rows of
+          // every kind — a full recompute would not emit it
+          .where(col("prefixes") + col("sub_prefixes") +
+            col("files") + col("hardlinks") > 0)
+      }
 
     Computed(
-      totals = contrib.agg(aggCols.head, aggCols.tail: _*),
-      perUser = contrib.groupBy(col("uid")).agg(aggCols.head, aggCols.tail: _*),
-      perGroup = contrib.groupBy(col("gid")).agg(aggCols.head, aggCols.tail: _*),
-      perPrefix = contrib.groupBy(col("agg_prefix").as("prefix"))
-        .agg(aggCols.head, aggCols.tail: _*),
-      perUserPrefix = contrib
-        .groupBy(col("uid"), col("agg_prefix").as("prefix"))
-        .agg(aggCols.head, aggCols.tail: _*),
-      perGroupPrefix = contrib
-        .groupBy(col("gid"), col("agg_prefix").as("prefix"))
-        .agg(aggCols.head, aggCols.tail: _*))
+      totals = merge(prev.totals, Nil),
+      perUser = merge(prev.perUser, Seq("uid" -> col("uid"))),
+      perGroup = merge(prev.perGroup, Seq("gid" -> col("gid"))),
+      perPrefix = merge(prev.perPrefix,
+        Seq("prefix" -> col("agg_prefix"))),
+      perUserPrefix = merge(prev.perUserPrefix,
+        Seq("uid" -> col("uid"), "prefix" -> col("agg_prefix"))),
+      perGroupPrefix = merge(prev.perGroupPrefix,
+        Seq("gid" -> col("gid"), "prefix" -> col("agg_prefix"))))
   }
 
   /** K1/K2: top-N prefixes by one metric (reference heap.MinMax
