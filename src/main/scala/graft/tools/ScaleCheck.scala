@@ -236,6 +236,31 @@ object ScaleCheck {
       graft.ops.Triangles.statsAdjacency(g)
     })
 
+    // 8b. Triangle counting under a PLANTED HOT KEY — the AQE-skew
+    // interplay audit for the shuffle_hash-hinted closing join: one
+    // shared hub wired to every 4th node of every copy makes the
+    // closing join's b-key hot (orientation points every spoke at
+    // the max-degree hub, so in-deg(hub) grows with f). Total
+    // shuffle bytes must STILL grow linearly — the hub's wedge rows
+    // replicate with the copies and its own neighbor array stays
+    // empty. Task-level imbalance is AQE's job, and the hint does
+    // NOT block it on this build (tools/SkewProbe: a forced
+    // ShuffledHashJoin plans skew=true with a "coalesced and skewed"
+    // AQEShuffleRead once a partition crosses the skew thresholds;
+    // below them splitting is simply unnecessary).
+    check("triangles_skew", Seq(1, 2, 4), useBytes = true, { f =>
+      val g = (0 until f).map { k =>
+        val cp = edgeBase.select(
+          (col("src") + lit(k * 10000000L)).as("src"),
+          (col("dst") + lit(k * 10000000L)).as("dst"))
+        val hub = cp.select(col("src")).distinct()
+          .where(pmod(col("src"), lit(4)) === 0)
+          .select(col("src"), lit(999999998L).as("dst"))
+        cp.union(hub)
+      }.reduce(_ union _)
+      graft.ops.Triangles.statsAdjacency(g)
+    })
+
     // 9. Label propagation (the iterative graph family: LPA shares
     // its per-round shape with KCore/Bfs — join on node id + count
     // aggregate + argmin): DISJOINT graph copies never exchange
