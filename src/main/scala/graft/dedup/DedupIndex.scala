@@ -83,6 +83,36 @@ object DedupIndex {
     }
   }
 
+  /** (doc, bkeys, ws) in ONE projection-only lineage — the shape the
+    * STREAMING probe needs (joining two derivations of a stream is a
+    * stream-stream join; projections are free). The xx family chains
+    * two selects so the per-band slice reads the materialized `sig`
+    * ATTRIBUTE, never re-evaluating the kernel per band. */
+  def keyedWithShingles(df: DataFrame, textCol: String, idCol: String,
+      p: Params): DataFrame = {
+    val spark = df.sparkSession
+    val ws = graft.functions.ShingleExprs.wordShingles(spark,
+      col(textCol), p.n)
+    if (p.family == "md5")
+      df.select(col(idCol).as("doc"),
+        graft.functions.ShingleExprs.md5MinhashBands(spark, col(textCol),
+          p.k, p.bands, p.n).as("bkeys"),
+        ws.as("ws"))
+    else {
+      val r = p.k / p.bands
+      df.select(col(idCol).as("doc"),
+          graft.functions.ShingleExprs.minhashSig(spark, col(textCol),
+            p.k, p.n).as("sig"),
+          ws.as("ws"))
+        .select(col("doc"), transform(
+          sequence(lit(0), lit(p.bands - 1)),
+          bnd => xxhash64(concat_ws("_", bnd, concat_ws(",",
+            slice(col("sig"), bnd * lit(r) + 1, lit(r))
+              .cast("array<string>"))))).as("bkeys"),
+          col("ws"))
+    }
+  }
+
   private def shinglesOf(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("doc"),

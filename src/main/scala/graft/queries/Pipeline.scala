@@ -1274,6 +1274,36 @@ object Pipeline {
         .orderBy(asc("doc_idx"), asc("doc_new"))
     }),
 
+    // INCREMENTAL index admission: the same probe through a SEGMENT
+    // CHAIN — build on coins {1,2}, append coin 3 as a delta segment
+    // (no rewrite of the first segment's postings), admit coin 0
+    // against the chained LATEST. Band keys are per-doc, so the
+    // DuckDB oracle replays the flat recompute over ALL non-drop
+    // docs — a green row proves chain probing ≡ flat rebuild against
+    // an independent engine (DedupIndexSpec asserts it within Spark).
+    "q_dedup_admit_incr" -> ((s, dir) => {
+      import graft.dedup.DedupIndex
+      val docs = documents(s, dir)
+      val coin = conv(substring(md5(concat(lit("adm|"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("long") % 4
+      val f = new java.io.File(s"$dir/documents.parquet")
+      val fp = java.lang.Long.toHexString(
+        java.util.Objects.hash(f.getPath, f.length(), f.lastModified())
+          .toLong & 0xffffffffL)
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_lshidx_incr_$fp"
+      if (DedupIndex.latestName(base).isEmpty) {
+        DedupIndex.build(base,
+          spread(docs.where(coin === 1 || coin === 2)), "text", "doc_id")
+        DedupIndex.append(base, spread(docs.where(coin === 3)),
+          "text", "doc_id")
+      }
+      DedupIndex.admit(base, spread(docs.where(coin === 0)),
+          "text", "doc_id", thresholdBp = 3000L)
+        .orderBy(asc("doc_idx"), asc("doc_new"))
+    }),
+
     // Deterministic seeded corpus shuffle + round-robin shard
     // assignment (ops/Shuffle): exact global positions from a
     // range-partitioned sort + zipWithIndex, never a single-partition
@@ -4881,6 +4911,33 @@ object Pipeline {
     // band keys are per-doc deterministic, so probing a persisted
     // index ≡ recomputing both sides from the base table.
     "q_dedup_admit" ->
+      s"""WITH ${minhashMd5KeysSql(k = 16, bands = 4)},
+         |side AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5('adm|' || doc_id::VARCHAR),
+         |      1, 13))::BIGINT % 4 AS c
+         |  FROM documents),
+         |cand AS (
+         |  SELECT x.doc_id AS doc_idx, y.doc_id AS doc_new
+         |  FROM bnd x JOIN side sx ON x.doc_id = sx.doc_id AND sx.c <> 0
+         |       JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
+         |       JOIN side sy ON y.doc_id = sy.doc_id AND sy.c = 0
+         |  WHERE len([bb for bb in generate_series(0, x.band - 1)
+         |             if x.bkeys[bb + 1] = y.bkeys[bb + 1]]) = 0),
+         |vp AS (
+         |  SELECT doc_idx, doc_new,
+         |    ((len(list_intersect(a.ws, b.ws))::BIGINT * 10000) //
+         |      (len(a.ws) + len(b.ws)
+         |        - len(list_intersect(a.ws, b.ws))))::BIGINT AS j_bp
+         |  FROM cand JOIN sh a ON cand.doc_idx = a.doc_id
+         |            JOIN sh b ON cand.doc_new = b.doc_id)
+         |SELECT doc_idx, doc_new, j_bp FROM vp WHERE j_bp >= 3000
+         |ORDER BY doc_idx, doc_new""".stripMargin,
+    // Chained-index admission: band keys are per-doc, so the oracle
+    // is the SAME flat replay — index side = all non-drop coins
+    // whether they arrived at build or append time. The Spark side
+    // probes the segment chain; a green row proves chain ≡ flat.
+    "q_dedup_admit_incr" ->
       s"""WITH ${minhashMd5KeysSql(k = 16, bands = 4)},
          |side AS (
          |  SELECT doc_id,

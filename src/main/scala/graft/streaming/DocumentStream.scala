@@ -230,6 +230,61 @@ object DocumentStream {
       .toDF("text_hash", "canonical_id", "first_batch_copies")
   }
 
+  /** Streaming admission probe against the PERSISTED LSH dedup index
+    * ([[graft.dedup.DedupIndex]]) — the streaming half of the
+    * build-once/admit-many contract: each arriving document band-keys
+    * itself (stateless scan-stage kernel), probes the index postings
+    * via a STREAM-STATIC equi join (the index corpus is never
+    * re-hashed), keeps each (index, new) pair once via the
+    * first-agreeing-band ARITHMETIC — load-bearing here: the batch
+    * tier's alternative, a distinct over candidates, would be a
+    * streaming aggregate needing watermark state, while the
+    * arithmetic form keeps the whole probe STATELESS — and verifies
+    * exact Jaccard in basis points against the persisted shingle
+    * sets. The new doc's own shingle set rides the banded row (a
+    * second join against the stream would be stream-stream and need
+    * watermarks).
+    *
+    * Emits the verified near-dup pairs (doc_idx, doc_new, j_bp) — the
+    * per-doc REJECT decisions; admitted docs are the stream minus
+    * emitted `doc_new` ids, exactly as [[graft.dedup.DedupIndex
+    * .admitted]] derives batch-side. Append-mode-safe with no
+    * watermark; streaming ≡ batch admit asserted in
+    * DocumentStreamSpec. */
+  def admitProbeStream(spark: SparkSession, docs: DataFrame,
+      indexBase: String, textCol: String = "text",
+      idCol: String = "doc_id", thresholdBp: Long = 3000L): DataFrame = {
+    import graft.dedup.DedupIndex
+    val p = DedupIndex.params(indexBase)
+    val dropSide = DedupIndex.keyedWithShingles(docs, textCol, idCol, p)
+      .withColumnRenamed("doc", "doc_new")
+      .withColumnRenamed("bkeys", "bkeys_n")
+      .withColumnRenamed("ws", "ws_n")
+    val banded = dropSide
+      .select(col("doc_new"), col("bkeys_n"), col("ws_n"),
+        posexplode_outer(col("bkeys_n")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val idx = DedupIndex.postings(spark, indexBase)
+      .select(col("doc").as("doc_idx"), col("bkeys").as("bkeys_i"),
+        col("band"), col("bucket"))
+    val priorBands = filter(sequence(lit(0), lit(p.bands - 1)),
+      b => b < col("band"))
+    banded.join(idx, Seq("band", "bucket"))
+      .where(!exists(priorBands, b =>
+        element_at(col("bkeys_i"), (b + 1).cast("int")) ===
+          element_at(col("bkeys_n"), (b + 1).cast("int"))))
+      .join(DedupIndex.shingles(spark, indexBase)
+        .select(col("doc").as("doc_idx"), col("ws").as("ws_i")),
+        Seq("doc_idx"))
+      .withColumn("inter",
+        size(array_intersect(col("ws_i"), col("ws_n"))).cast("long"))
+      .withColumn("j_bp", expr(
+        "inter * 10000 div (size(ws_i) + size(ws_n) - inter)"))
+      .where(col("j_bp") >= thresholdBp)
+      .select(col("doc_idx"), col("doc_new"), col("j_bp"))
+  }
+
   /** Streaming heavy hitters — the streaming twin of
     * [[graft.ops.HeavyHitters.topK]]: the corpus-wide top tokens
     * maintained continuously as documents arrive. The Space-Saving

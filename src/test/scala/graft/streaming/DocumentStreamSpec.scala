@@ -9,6 +9,52 @@ import graft.{SparkSpec, Tables}
 
 class DocumentStreamSpec extends SparkSpec {
 
+  test("streaming admission probe equals the batch index admit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      .split(" ")
+    def text() = (0 until 25).map(_ => vocab(rnd.nextInt(vocab.length)))
+      .mkString(" ")
+    val baseTexts = (0 until 20).map(_ => text())
+    val idxDocs = (0L until 20L).zip(baseTexts).toDF("doc_id", "text")
+    // drop: 6 one-word-substituted near-dups, one exact copy, 4 fresh
+    val dropRows = (0 until 6).map { i =>
+      val w = baseTexts(i).split(" "); w(10) = "REPLACED"
+      (100L + i, w.mkString(" "))
+    } ++ Seq((200L, baseTexts(3))) ++
+      (0 until 4).map(i => (300L + i, text()))
+    val dropDf = dropRows.toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-lsh-st")
+      .toString
+    graft.dedup.DedupIndex.build(base, idxDocs, "text", "doc_id")
+    val dropDir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-stdrop").toString + "/p"
+    dropDf.write.parquet(dropDir)
+    val stream = spark.readStream.schema(dropDf.schema).parquet(dropDir)
+    val q = DocumentStream.admitProbeStream(spark, stream, base)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("admit_probe")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.sql(
+      "SELECT doc_idx, doc_new, j_bp FROM admit_probe")
+      .collect().map(key).toSet
+    val batch = graft.dedup.DedupIndex.admit(base, dropDf, "text", "doc_id")
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // the planted exact copy collides with certainty — parity is
+    // non-vacuous
+    assert(streamed.exists { case (i, n, j) =>
+      i == 3L && n == 200L && j == 10000L })
+  }
+
   test("streaming document scoring/gating equals the batch pipeline") {
     val dir = "/root/testdata/sf0.001"
     val streamDir = java.nio.file.Files.createTempDirectory("graft-docs")
