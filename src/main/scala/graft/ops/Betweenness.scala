@@ -60,8 +60,10 @@ object Betweenness {
         lit(1L).as("sigma"))
       .localCheckpoint(true)
     val layers = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val layerRows = scala.collection.mutable.ArrayBuffer[Long]()
     var frontier = visited
     var frontierRows = nSources.toLong
+    var visitedRows = nSources.toLong
     var h = 1
     var exhausted = false
     while (h <= maxDepth && !exhausted) {
@@ -71,20 +73,25 @@ object Betweenness {
       // (s,node) pairs — anti-joining the edge-level rows first was
       // measured 2x slower (the join re-shuffles the whole wedge
       // stream; excluded nodes' sums are discarded either way)
-      val next = frontier
+      // count-informed broadcasts (the Bfs rule): frontier/visited
+      // sizes are exact from the probes; without the hint the
+      // materialized edge frame re-exchanges every hop
+      val next = Bfs.bcastIfSmall(frontier, frontierRows)
         .join(und, col("node") === col("a"))
         .select(col("s"), col("b").as("node"), col("sigma"))
         .groupBy(col("s"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(visited.select(col("s"), col("node")), Seq("s", "node"),
-          "left_anti")
+        .join(Bfs.bcastIfSmall(visited.select(col("s"), col("node")),
+          visitedRows), Seq("s", "node"), "left_anti")
         .coalesce(Bfs.fanIn(frontierRows, shuffleParts))
         .localCheckpoint(false)
       val n = next.count() // one job per hop; count IS the probe
       if (n == 0L) exhausted = true
       else {
         layers += next
+        layerRows += n
         visited = visited.unionByName(next)
+        visitedRows += n
         frontier = next
         frontierRows = n
         h += 1
@@ -111,11 +118,15 @@ object Betweenness {
     val deltas = scala.collection.mutable.ArrayBuffer[DataFrame](deltaNext)
     var bh = hmax - 1
     while (bh >= 1) {
-      val v = layers(bh - 1).select(col("s"), col("node").as("vnode"),
-        col("sigma").as("vsigma"))
-      val w = deltaNext.select(col("s").as("ws"),
-        col("node").as("wnode"), col("sigma").as("wsigma"),
-        col("delta").as("wdelta"))
+      // layer sizes are known from the forward probes — broadcast
+      // both per-layer sides so the edge frame is probed map-side
+      val v = Bfs.bcastIfSmall(
+        layers(bh - 1).select(col("s"), col("node").as("vnode"),
+          col("sigma").as("vsigma")), layerRows(bh - 1))
+      val w = Bfs.bcastIfSmall(
+        deltaNext.select(col("s").as("ws"),
+          col("node").as("wnode"), col("sigma").as("wsigma"),
+          col("delta").as("wdelta")), layerRows(bh))
       val contrib = v
         .join(und, col("vnode") === col("a"))
         .join(w, col("ws") === col("s") && col("wnode") === col("b"))

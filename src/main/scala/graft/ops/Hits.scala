@@ -51,22 +51,31 @@ object Hits {
     val maxDegRow = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
-      .agg(max(col("d"))).collect()(0)
+      .agg(max(col("d")).as("mx"), count(lit(1)).as("n")).collect()(0)
     if (!maxDegRow.isNullAt(0)) {
       val maxDeg = maxDegRow.getLong(0)
       require(maxDeg <= Long.MaxValue / 1000000L / 1000000L,
         s"max degree $maxDeg would wrap raw*1000000 in BIGINT on the " +
           "10^6 grid — move the renorm product to DECIMAL(38,0)")
     }
+    // count-informed broadcast (the Bfs rule): the checkpointed edge
+    // frame has UnknownPartitioning, so joining the O(V) score frame
+    // without a hint re-EXCHANGES all of e twice per iteration; the
+    // node count is already on the envelope row
+    val nNodes = maxDegRow.getLong(1)
+    def scoreSide(df: DataFrame): DataFrame =
+      Bfs.bcastIfSmall(df, nNodes)
     for (_ <- 1 to iters) {
       val araw = e
-        .join(h.select(col("id").as("src"), col("s").as("hs")), Seq("src"))
+        .join(scoreSide(h.select(col("id").as("src"), col("s").as("hs"))),
+          Seq("src"))
         .groupBy(col("dst")).agg(sum(col("hs")).as("raw"))
       a = araw.crossJoin(broadcast(araw.agg(max(col("raw")).as("mx"))))
         .selectExpr("dst AS id", "CAST(raw * 1000000 DIV mx AS BIGINT) AS s")
         .localCheckpoint(true)
       val hraw = e
-        .join(a.select(col("id").as("dst"), col("s").as("as_")), Seq("dst"))
+        .join(scoreSide(a.select(col("id").as("dst"), col("s").as("as_"))),
+          Seq("dst"))
         .groupBy(col("src")).agg(sum(col("as_")).as("raw"))
       h = hraw.crossJoin(broadcast(hraw.agg(max(col("raw")).as("mx"))))
         .selectExpr("src AS id", "CAST(raw * 1000000 DIV mx AS BIGINT) AS s")

@@ -48,8 +48,13 @@ object Mis {
       val prio = active.withColumn("p",
         substring(md5(concat(col("node").cast("string"), lit(s":$r"))),
           1, 13))
-      val v = prio.select(col("node").as("vnode"), col("p").as("vp"))
-      val w = prio.select(col("node").as("wnode"), col("p").as("wp"))
+      // count-informed broadcasts (the Bfs rule): both priority
+      // sides are |active| rows, known exactly from the probe — the
+      // materialized edge frame otherwise re-exchanges every round
+      val v = Bfs.bcastIfSmall(
+        prio.select(col("node").as("vnode"), col("p").as("vp")), activeRows)
+      val w = Bfs.bcastIfSmall(
+        prio.select(col("node").as("wnode"), col("p").as("wp")), activeRows)
       // a node is beaten if ANY active neighbor wins the
       // (priority, node) order; un-beaten actives are the round's
       // local minima — isolated actives win by vacuity
@@ -68,11 +73,13 @@ object Mis {
       // impossible (some node holds the global minimum priority), so
       // progress needs no extra guard.
       val tagged = active
-        .join(beaten.withColumn("beat", lit(true)), Seq("node"), "left")
+        .join(Bfs.bcastIfSmall(beaten.withColumn("beat", lit(true)),
+          activeRows), Seq("node"), "left")
         .select(col("node"), coalesce(col("beat"), lit(false)).as("beat"))
         .localCheckpoint(true)
       val winners = tagged.where(!col("beat")).select(col("node"))
-      val nbrWin = und.join(winners, col("node") === col("a"))
+      val nbrWin = und.join(Bfs.bcastIfSmall(winners, activeRows),
+          col("node") === col("a"))
         .select(col("b").as("node"))
       active = tagged.where(col("beat")).select(col("node"))
         .join(nbrWin, Seq("node"), "left_anti")

@@ -70,6 +70,7 @@ object Sssp {
     import spark.implicits._
     var dist = Seq((seed, 0L)).toDF("node", "d").localCheckpoint(true)
     var frontier = dist
+    var frontierRows = 1L
     var r = 1
     var done = false
     while (r <= maxRounds && !done) {
@@ -80,7 +81,9 @@ object Sssp {
       // improvements, lazy-checkpoint; the improvement-count probe
       // materializes the merged frame, and next round's frontier is a
       // free filter over it.
-      val cand = frontier
+      // count-informed broadcast (the Bfs rule): the materialized
+      // edge frame otherwise re-exchanges every round
+      val cand = Bfs.bcastIfSmall(frontier, frontierRows)
         .join(ed, col("node") === col("a"))
         .select(col("b").as("node"), (col("d") + col("cost")).as("nd"))
         .groupBy(col("node")).agg(min(col("nd")).as("nd"))
@@ -96,6 +99,7 @@ object Sssp {
       else {
         dist = merged.select(col("node"), col("d"))
         frontier = merged.where(col("imp")).select(col("node"), col("d"))
+        frontierRows = nImp
         r += 1
       }
     }
