@@ -48,21 +48,30 @@ object ConnectedComponents {
     var labels = undirected.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(eager = true)
+    // one bounded scalar for the loop's count-informed broadcasts
+    // (the Bfs rule: label/message frames are <= nNodes rows, while
+    // the checkpointed edge frame would re-exchange every round)
+    val nNodes = labels.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // neighbor messages: for vertex a, the labels of everyone it
       // touches; then the round's label = min(own, best message)
       val msgs = undirected
-        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .join(Bfs.bcastIfSmall(labels.withColumnRenamed("id", "b"),
+          nNodes), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("label")).as("msg"))
-      val next = labels.join(msgs, Seq("id"), "left")
+      // ONE job per round (the Bfs probe rule): lazy checkpoint
+      // materialized inside the changed-count probe — the former
+      // eager checkpoint + isEmpty pair was two jobs per round
+      val next = labels.join(Bfs.bcastIfSmall(msgs, nNodes),
+          Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("msg"), col("label"))).as("label"),
           (col("msg") < col("label")).as("changed"))
-        .localCheckpoint(eager = true)
-      converged = next.where(col("changed")).limit(1).isEmpty
+        .localCheckpoint(eager = false)
+      converged = next.where(col("changed")).count() == 0L
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

@@ -50,8 +50,15 @@ object KCore {
         // materialized round output being LAID OUT by its last join
         // key, so the next round's first exchange — on that same key —
         // writes with near-perfect locality.
-        val keepSrc = keep.withColumnRenamed("node", "src")
-        val keepDst = keep.withColumnRenamed("node", "dst")
+        // count-informed broadcast (the Bfs rule): keep is exactly n
+        // rows — a broadcast semi probes the surviving edge frame
+        // map-side instead of re-exchanging it twice per round; above
+        // the row limit the shuffle path (with the measured
+        // alternating-layout win) kicks back in
+        val keepSrc = Bfs.bcastIfSmall(
+          keep.withColumnRenamed("node", "src"), n)
+        val keepDst = Bfs.bcastIfSmall(
+          keep.withColumnRenamed("node", "dst"), n)
         cur = (if (round % 2 == 0)
             cur.join(keepSrc, "src", "left_semi")
               .join(keepDst, "dst", "left_semi")

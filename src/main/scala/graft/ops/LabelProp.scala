@@ -53,9 +53,15 @@ object LabelProp {
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // one bounded scalar for count-informed broadcasts (the Bfs
+    // rule): the label frame is nNodes rows every round; broadcasting
+    // it keeps the laid-out edge checkpoint un-exchanged (the
+    // repartition(b) locality win above still pays on the aggregate)
+    val nNodes = labels.count()
     (1 to rounds).foreach { _ =>
       labels = und
-        .join(labels.withColumnRenamed("node", "b"), "b")
+        .join(Bfs.bcastIfSmall(labels.withColumnRenamed("node", "b"),
+          nNodes), "b")
         .groupBy(col("a"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("a"))

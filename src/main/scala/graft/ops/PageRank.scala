@@ -36,12 +36,17 @@ object PageRank {
     val e = edges.join(deg, Seq("src")).localCheckpoint(true)
     var r = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
+      // count-informed broadcasts (the Bfs rule): the rank and
+      // contribution frames are <= n rows — the caller-supplied
+      // scalar — while the checkpointed edge frame would otherwise
+      // re-exchange every iteration
       val contrib = e
-        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .join(Bfs.bcastIfSmall(r.withColumnRenamed("id", "src"), n),
+          Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("outd")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inbound"))
       r = nodes.select(col("id"))
-        .join(contrib, Seq("id"), "left")
+        .join(Bfs.bcastIfSmall(contrib, n), Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("inbound"), lit(0.0))).as("rank"))
