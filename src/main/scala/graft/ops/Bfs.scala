@@ -52,11 +52,11 @@ object Bfs {
     * side is ≤ this many 8-byte ids (~32 MB) and falls back to the
     * shuffle join above it — the dial a 100× frontier flips
     * automatically. */
-  private[ops] val BroadcastRowLimit = 4L << 20
+  private[graft] val BroadcastRowLimit = 4L << 20
 
   /** `frame` hinted for broadcast iff its KNOWN row count is under
     * [[BroadcastRowLimit]]. */
-  private[ops] def bcastIfSmall(frame: DataFrame, rows: Long): DataFrame =
+  private[graft] def bcastIfSmall(frame: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastRowLimit) broadcast(frame) else frame
 
   /** The materialized bidirectional traversal frame: build it ONCE

@@ -78,6 +78,12 @@ object LinkPredict {
   private def candidatesOn(e: DataFrame, degCap: Int): DataFrame = {
     val adj = e.select(col("src").as("u"), col("dst").as("w"))
       .union(e.select(col("dst").as("u"), col("src").as("w")))
+    // Measured NOT to help (round 12): checkpoint+count+broadcast of
+    // the degree frame regressed q_link_predict 2.90 → 3.36 s — the
+    // shuffle join's w-exchange is REUSED by the groupBy(w, rw) right
+    // below (HashPartitioning(w) satisfies the clustering), so the
+    // broadcast saves only the small deg exchange while the groupBy
+    // then pays a fresh full exchange of the capped adjacency.
     val deg = adj.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("d"))
     // Hub cap applied BEFORE the per-w aggregate: super-cap neighbor

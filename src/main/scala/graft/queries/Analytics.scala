@@ -76,11 +76,17 @@ object Analytics {
       concat_ws("|", col("p_name"), col("p_brand"), col("p_type")).as("k"))
     val pos = graft.ops.Shuffle.positionsBy(p, Seq("k", "p_partkey"), "pos")
       .localCheckpoint(true) // self-joined: AQE gets no exchange reuse
+    // The positions frame is an O(|parts|) id/key/pos frame with a
+    // known count (one cheap job over the materialized checkpoint) —
+    // broadcast it under the count-informed rule so the neighbor
+    // pairing is a map-side hash probe instead of shuffling BOTH the
+    // 3×-exploded probe stream and the positions by pos_b.
+    val posB = graft.ops.Bfs.bcastIfSmall(pos, pos.count())
     val probes = pos
       .select(col("p_partkey").as("pk_a"), col("k").as("k_a"),
         col("pos"), explode(typedLit(Seq(1, 2, 3))).as("off"))
       .select(col("pk_a"), col("k_a"), (col("pos") + col("off")).as("pos_b"))
-    probes.join(pos.select(col("p_partkey").as("pk_b"),
+    probes.join(posB.select(col("p_partkey").as("pk_b"),
         col("k").as("k_b"), col("pos").as("pos_b")), Seq("pos_b"))
       .withColumn("lev", levenshtein(col("k_a"), col("k_b")).cast("long"))
       .where(col("lev") <= maxLev)
@@ -457,6 +463,11 @@ object Analytics {
           col("y2.pk").as("dst"))
         .distinct()
         .localCheckpoint(true) // joined against itself shifted by a year
+      // Measured NOT to help (round 12): collapsing this into one
+      // map-side tag explode + single (yr,src,dst) aggregate regressed
+      // 3.27 → 3.51 s solo — the explode doubles the rows through one
+      // exchange where the full_outer ships E+E through two parallel
+      // exchanges off the already-materialized checkpoint. Join stays.
       val a = edges.select(col("yr"), col("src"), col("dst"), lit(1).as("ina"))
       val b = edges.select((col("yr") - 1).as("yr"), col("src"), col("dst"),
         lit(1).as("inb"))
@@ -1310,11 +1321,18 @@ object Analytics {
         .localCheckpoint(true) // degree agg + both join legs
       val adj = e.select(col("src").as("u"), col("dst").as("w"))
         .union(e.select(col("dst").as("u"), col("src").as("w")))
+      // Degrees are an O(V) id/scalar frame consumed by two join legs:
+      // checkpoint once (compute-once sharing) and broadcast under the
+      // count-informed rule — both endpoint joins then run exchange-
+      // free over the adjacency stream instead of re-shuffling it
+      // twice (4E rows) against an aggregate with default stats.
       val deg = adj.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      val degB = graft.ops.Bfs.bcastIfSmall(deg, deg.count())
       adj
-        .join(deg.select(col("node").as("u"), col("d").as("dx")), Seq("u"))
-        .join(deg.select(col("node").as("w"), col("d").as("dy")), Seq("w"))
+        .join(degB.select(col("node").as("u"), col("d").as("dx")), Seq("u"))
+        .join(degB.select(col("node").as("w"), col("d").as("dy")), Seq("w"))
         .agg(count(lit(1)).as("m2"), sum(col("dx")).as("sx"),
           sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
           sum(col("dx") * col("dx")).as("sxx"))
@@ -1861,15 +1879,26 @@ object Analytics {
         .localCheckpoint(true)
       val norms = tf.groupBy(col("doc_id"))
         .agg(sum(col("tf") * col("tf")).as("n2"))
+        .localCheckpoint(true) // consumed by both norm joins below
+      // Measured NOT to help (round 12): restructuring this self-join
+      // into collect_list postings + map-side pair explode regressed
+      // 2.46 → 4.08 s solo — the interpreted nested-transform lambdas
+      // cost more per pair than the exchange they save (dense shingle
+      // postings; contrast Triangles, whose array_intersect kernel is
+      // native). The join form stays.
       val num = tf.as("a")
         .join(tf.as("b"),
           col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(sum(col("a.tf") * col("b.tf")).as("num"))
+      // Norms are an O(|docs|) scalar frame — count-informed broadcast
+      // (known count off the materialized checkpoint, shuffle fallback
+      // above the limit) keeps both attach joins exchange-free.
+      val normsB = graft.ops.Bfs.bcastIfSmall(norms, norms.count())
       num
-        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), "doc_a")
-        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), "doc_b")
+        .join(normsB.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), "doc_a")
+        .join(normsB.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           expr("CAST(CAST(num AS DECIMAL(38,0)) * num * 100000000 DIV " +
             "(CAST(n2_a AS DECIMAL(38,0)) * n2_b) AS BIGINT)").as("cos2_e8"))

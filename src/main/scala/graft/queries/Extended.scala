@@ -342,14 +342,26 @@ object Extended {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("supp_ab"))
         .where(col("supp_ab") >= 3)
+      // Both rule directions in ONE map-side explode: the former
+      // pairSupp ∪ pairSupp-swapped planned the whole explode+agg
+      // subtree twice (no exchange reuse across union legs).
       val directed = pairSupp
-        .select(col("a").as("ant"), col("b").as("cons"), col("supp_ab"))
-        .unionAll(pairSupp.select(col("b").as("ant"), col("a").as("cons"),
-          col("supp_ab")))
+        .select(explode(array(
+          struct(col("a").as("ant"), col("b").as("cons"), col("supp_ab")),
+          struct(col("b").as("ant"), col("a").as("cons"), col("supp_ab"))))
+          .as("r"))
+        .select(col("r.ant").as("ant"), col("r.cons").as("cons"),
+          col("r.supp_ab").as("supp_ab"))
+      // Item support is an O(|parts|) id/scalar frame — the
+      // count-informed broadcast rule (known row count off the
+      // materialized checkpoint, automatic shuffle fallback above the
+      // limit) removes both per-direction exchanges of the pair frame.
+      val suppCk = supp.localCheckpoint(true)
+      val suppB = graft.ops.Bfs.bcastIfSmall(suppCk, suppCk.count())
       directed
-        .join(supp.select(col("pk").as("ant"), col("supp").as("supp_ant")),
+        .join(suppB.select(col("pk").as("ant"), col("supp").as("supp_ant")),
           "ant")
-        .join(supp.select(col("pk").as("cons"), col("supp").as("supp_cons")),
+        .join(suppB.select(col("pk").as("cons"), col("supp").as("supp_cons")),
           "cons")
         .select(col("ant"), col("cons"), col("supp_ab"),
           expr("supp_ab * 10000L div supp_ant").as("conf_bp"),
@@ -374,8 +386,11 @@ object Extended {
           col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
         .distinct()
-      edges.select(col("src").as("node"))
-        .unionAll(edges.select(col("dst").as("node")))
+      // Both endpoints in ONE map-side explode: the former
+      // select(src) ∪ select(dst) planned the whole self-join +
+      // distinct subtree TWICE (no exchange reuse across union legs —
+      // the bidirectional-edge-frame rule from the graph loops).
+      edges.select(explode(array(col("src"), col("dst"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .groupBy(expr("CAST(length(conv(deg, 10, 2)) AS BIGINT) - 1")
           .as("log2_bucket"))
