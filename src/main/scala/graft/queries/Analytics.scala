@@ -632,15 +632,20 @@ object Analytics {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
         .localCheckpoint(true) // degree agg + pair self-join
+      // Per-part basket counts are an O(|parts|) scalar frame consumed
+      // by two attach joins: checkpoint once and broadcast under the
+      // count-informed rule so the pair frame never re-exchanges.
       val n = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val nB = graft.ops.Bfs.bcastIfSmall(n, n.count())
       val pairs = li.as("x")
         .join(li.as("y"), col("x.ok") === col("y.ok") &&
           col("x.pk") < col("y.pk"))
         .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
         .agg(count(lit(1)).as("cooc"))
         .where(col("cooc") >= 2)
-        .join(n.select(col("pk").as("a"), col("n").as("na")), Seq("a"))
-        .join(n.select(col("pk").as("b"), col("n").as("nb")), Seq("b"))
+        .join(nB.select(col("pk").as("a"), col("n").as("na")), Seq("a"))
+        .join(nB.select(col("pk").as("b"), col("n").as("nb")), Seq("b"))
         .select(explode(array(
           struct(col("a").as("src"), col("b").as("dst"),
             expr("CAST(cooc AS DECIMAL(38,0)) * cooc * 100000000 DIV " +
@@ -2472,6 +2477,9 @@ object Analytics {
           count(lit(1)).as("frequency"),
           sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
             .as("monetary_cents"))
+        .localCheckpoint(true) // melted explode + final segment join
+          // both consume it; un-checkpointed, the orders scan+agg ran
+          // twice (no subtree reuse across consumers under AQE)
       val melted = perCust.select(col("o_custkey").as("id"),
         explode(map(
           lit("r"), col("recency_days"),
